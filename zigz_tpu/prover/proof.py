@@ -1,0 +1,170 @@
+"""Pipeline proof structures.
+
+Reference: /root/reference/src/prover/proof.zig.  Shapes are wire-relevant:
+
+* ``PipelineSumcheckProof`` has configurable degree — the constraint proof
+  uses degree 3 (4 coefficients/round, proof.zig:228), Lasso multiset proofs
+  degree 2 (proof.zig:123);
+* ``Proof.init`` computes ``num_vars = log2_int_ceil(num_steps)`` (0 for a
+  single step) and allocates 43 commitment openings (proof.zig:224-261);
+* pipeline Lasso proofs carry ``table_id``/``num_lookups`` plus a multiset
+  sumcheck proof with ``num_vars = log2_int_ceil(num_lookups)`` — the
+  prover always passes num_lookups=1, hence 0 rounds (prover.zig:304-322).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+from typing import List, Optional
+
+from ..commitments.commit import OpeningProof
+from ..commitments.merkle import MerklePath, OpeningProof as MerkleOpening
+from ..constraints.witness import num_vars_for_steps
+
+__all__ = [
+    "PublicIO",
+    "PipelineSumcheckProof",
+    "PipelineLassoProof",
+    "CommitmentOpening",
+    "Proof",
+    "ProofMetadata",
+    "VerificationResult",
+]
+
+
+@dataclass
+class PublicIO:
+    """proof.zig:18-49."""
+
+    program_hash: bytes  # 32 bytes (SHA-256 of program)
+    initial_pc: int
+    initial_regs: Optional[List[int]]
+    final_pc: int
+    final_regs: Optional[List[int]]
+    num_steps: int
+    initial_memory: Optional[dict] = None
+    outputs: Optional[List[int]] = None
+
+
+@dataclass
+class PipelineSumcheckProof:
+    """proof.zig:53-98 — [num_vars][degree+1] coefficient rows."""
+
+    num_vars: int
+    round_polynomials: List[List[object]]
+    final_point: List[object]
+    final_eval: object
+
+    @classmethod
+    def create(cls, F, num_vars: int, degree: int) -> "PipelineSumcheckProof":
+        return cls(
+            num_vars=num_vars,
+            round_polynomials=[[F.zero() for _ in range(degree + 1)] for _ in range(num_vars)],
+            final_point=[F.zero() for _ in range(num_vars)],
+            final_eval=F.zero(),
+        )
+
+
+@dataclass
+class PipelineLassoProof:
+    """proof.zig:102-143."""
+
+    table_id: int
+    num_lookups: int
+    multiset_proof: PipelineSumcheckProof
+    subtable_proofs: Optional[List[PipelineSumcheckProof]] = None
+
+    @classmethod
+    def create(cls, F, table_id: int, num_lookups: int, num_vars: int) -> "PipelineLassoProof":
+        return cls(
+            table_id=table_id,
+            num_lookups=num_lookups,
+            multiset_proof=PipelineSumcheckProof.create(F, num_vars, 2),
+        )
+
+
+@dataclass
+class CommitmentOpening:
+    """proof.zig:147-190 — ``point`` aliases ``proof.point`` after opening."""
+
+    commitment: bytes  # 32-byte Merkle root
+    point: List[object]
+    value: object
+    proof: OpeningProof
+
+    @classmethod
+    def create(cls, F, num_vars: int) -> "CommitmentOpening":
+        point = [F.zero() for _ in range(num_vars)]
+        empty = OpeningProof(
+            point=point,
+            value=F.zero(),
+            merkle_proof=MerkleOpening(index=0, value=F.zero(), path=MerklePath()),
+        )
+        return cls(commitment=b"\x00" * 32, point=point, value=F.zero(), proof=empty)
+
+
+@dataclass
+class ProofMetadata:
+    """proof.zig:317-329."""
+
+    num_steps: int
+    num_vars: int
+    field_modulus: int
+    version: int = 1
+
+
+class VerificationResult:
+    Accept = "Accept"
+    RejectInvalidSumcheck = "RejectInvalidSumcheck"
+    RejectInvalidLookup = "RejectInvalidLookup"
+    RejectInvalidCommitment = "RejectInvalidCommitment"
+    RejectInvalidPublicIO = "RejectInvalidPublicIO"
+
+
+@dataclass
+class Proof:
+    """proof.zig:194-312."""
+
+    F: type
+    public_io: Optional[PublicIO]
+    constraint_proof: PipelineSumcheckProof
+    lookup_proofs: List[PipelineLassoProof]
+    witness_commitments: List[CommitmentOpening]
+    metadata: ProofMetadata
+
+    @classmethod
+    def create(cls, F, num_steps: int) -> "Proof":
+        num_vars = num_vars_for_steps(num_steps)
+        return cls(
+            F=F,
+            public_io=None,
+            constraint_proof=PipelineSumcheckProof.create(F, num_vars, 3),
+            lookup_proofs=[],
+            witness_commitments=[CommitmentOpening.create(F, num_vars) for _ in range(43)],
+            metadata=ProofMetadata(
+                num_steps=num_steps,
+                num_vars=num_vars,
+                field_modulus=F.MODULUS,
+                version=1,
+            ),
+        )
+
+    def estimate_size(self) -> int:
+        """proof.zig:279-312."""
+        size = 32 + 8 + 8 + 8
+        io = self.public_io
+        if io is not None:
+            if io.initial_regs:
+                size += len(io.initial_regs) * 8
+            if io.final_regs:
+                size += len(io.final_regs) * 8
+        field_size = 8
+        size += self.metadata.num_vars * 4 * field_size
+        size += self.metadata.num_vars * field_size
+        size += field_size
+        for lasso in self.lookup_proofs:
+            size += 4 + 8
+            size += lasso.multiset_proof.num_vars * 3 * field_size
+        size += len(self.witness_commitments) * 32
+        size += len(self.witness_commitments) * 20 * 32
+        return size

@@ -1,0 +1,245 @@
+"""The end-to-end proving pipeline (v1, wire-compatible with the reference).
+
+Reference: /root/reference/src/prover/prover.zig.  The transcript schedule
+below is the proof-bytes contract (SURVEY.md §3.2) and is replicated to the
+byte:
+
+1.  fresh SHA3 Fiat-Shamir transcript per proof (:91);
+2.  bind SHA-256(program), F(entry_pc), F(reg) for each initial reg (:97-110);
+3.  run the VM (InvalidInstruction == clean halt; other VM errors propagate,
+    :117-148); EmptyTrace if no steps;
+4.  witness: 43 MLEs over v = ceil_log2(steps) vars (:156-162);
+5.  constraint metadata (:169-175);
+6.  sumcheck phase: "SUMCHECK_BEGIN", F(num_steps), F(num_vars); per round
+    absorb 4 ZERO coefficients, then squeeze the round challenge into
+    final_point (:250-288 — the v1 constraint sumcheck is a structural
+    placeholder; final_eval = 0);
+7.  Lasso phase: "LASSO_BEGIN"; per traced lookup i: "LASSO_TABLE", F(i),
+    then a 0-round degree-2 multiset proof (num_lookups=1 ⇒ num_vars=0, so
+    the seeded Xoshiro256++ filler stream is never consumed) (:292-363);
+8.  commitments, 4-phase: (1) Merkle-commit all 43 witness MLEs;
+    (2) "POLY_COMMITMENTS" + all 43 roots; (3) per poly derive v challenges
+    as the opening point, evaluate, Merkle-open at point[0] mod 2^v;
+    (4) "OPENING_CLAIMS" + all 43 values — the Jolt PR #981 binding
+    (:371-467);
+9.  package PublicIO incl. the guest's output tape (:513-559).
+
+TPU acceleration: witness evaluation (43 MLE evals at the challenge points)
+and Merkle leaf hashing route through pluggable backends — see
+zigz_tpu/ops (device kernels) and zigz_tpu/runtime (native hashing).  The
+transcript itself stays on host: it is sequential, cheap, and
+consensus-critical.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import List, Optional
+
+from ..commitments.commit import CommitmentScheme
+from ..constraints.builder import ConstraintSystem
+from ..constraints.witness import WitnessGenerator
+from ..core.hash import FiatShamirTranscript, sha256
+from ..core.xoshiro import Xoshiro256
+from ..elf import Segment
+from ..isa.rv64i import InvalidInstruction
+from ..vm.state import VMState
+from .proof import PipelineLassoProof, Proof, PublicIO
+
+__all__ = ["Prover", "EmptyTrace"]
+
+
+class EmptyTrace(Exception):
+    pass
+
+
+class Prover:
+    """Prover(F) twin (prover.zig:27-561)."""
+
+    def __init__(self, F, seed: int = 0, verbose: bool = False, eval_backend=None):
+        self.F = F
+        self.rng = Xoshiro256(seed)
+        self.transcript = FiatShamirTranscript()
+        self.verbose = verbose
+        # Optional accelerated batch evaluator:
+        #   eval_backend(matrix: (43, 2^v) uint64, points: (43, v) uint64) -> (43,) uint64
+        self.eval_backend = eval_backend
+        self.last_timings = {}
+
+    def _log(self, msg: str) -> None:
+        if self.verbose:
+            print(msg)
+
+    def prove(
+        self,
+        program: bytes,
+        entry_pc: int,
+        initial_regs: Optional[List[int]] = None,
+        max_steps: int = 1 << 20,
+        segments: Optional[List[Segment]] = None,
+        input_tape: Optional[List[int]] = None,
+    ) -> Proof:
+        F = self.F
+        t0 = time.perf_counter()
+
+        # Fresh transcript per proof (prover.zig:91).
+        self.transcript = FiatShamirTranscript()
+        transcript = self.transcript
+
+        # Bind public inputs FIRST (prover.zig:97-110).
+        program_hash = sha256(program)
+        transcript.append_bytes(program_hash)
+        transcript.append_field_element(F, F(entry_pc))
+        if initial_regs is not None:
+            for reg_val in initial_regs:
+                transcript.append_field_element(F, F(reg_val))
+
+        # STEP 1: execute (prover.zig:117-148).
+        if segments is not None:
+            vm = VMState.init_from_segments(segments, entry_pc, input_tape)
+        else:
+            vm = VMState.init(program, entry_pc, input_tape)
+
+        if initial_regs is not None:
+            for i, value in enumerate(initial_regs):
+                if i < 32:
+                    vm.regs.write(i, value)
+            vm.trace.set_initial_regs(vm.regs.regs)
+
+        step_count = 0
+        while not vm.halted and step_count < max_steps:
+            try:
+                vm.step()
+            except InvalidInstruction:
+                break
+            step_count += 1
+
+        num_steps = vm.trace.step_count()
+        self._log(f"Execution complete: {num_steps} steps")
+        if num_steps == 0:
+            raise EmptyTrace()
+        t1 = time.perf_counter()
+
+        # STEP 2: witness (prover.zig:156-162).
+        witness = WitnessGenerator.generate(F, vm.trace)
+        num_vars = witness.num_vars
+        t2 = time.perf_counter()
+
+        # STEP 3: constraint metadata (prover.zig:169-175).
+        constraints = ConstraintSystem()
+        constraints.build(F, witness, vm.trace)
+
+        # STEP 4: placeholder constraint sumcheck (prover.zig:250-288).
+        proof = Proof.create(F, num_steps)
+        self._generate_sumcheck_proof(proof, constraints, witness)
+
+        # STEP 5: Lasso phase (prover.zig:292-363).
+        self._generate_lasso_proofs(proof, constraints, witness)
+        t3 = time.perf_counter()
+
+        # STEP 6: commitments (prover.zig:371-467).
+        self._generate_commitments(proof, witness)
+        t4 = time.perf_counter()
+
+        # STEP 7: public IO (prover.zig:513-559).
+        self._package_public_io(proof, program, vm, entry_pc, initial_regs)
+
+        self.last_timings = {
+            "execute_s": t1 - t0,
+            "witness_s": t2 - t1,
+            "sumcheck_lasso_s": t3 - t2,
+            "commitments_s": t4 - t3,
+            "total_s": time.perf_counter() - t0,
+            "num_steps": num_steps,
+            "num_vars": num_vars,
+        }
+        return proof
+
+    # ------------------------------------------------------------------
+    def _generate_sumcheck_proof(self, proof: Proof, constraints, witness) -> None:
+        F = self.F
+        transcript = self.transcript
+        num_vars = witness.num_vars
+
+        transcript.append_bytes(b"SUMCHECK_BEGIN")
+        transcript.append_field_element(F, F(witness.num_steps))
+        transcript.append_field_element(F, F(num_vars))
+
+        proof.constraint_proof.final_eval = F.zero()
+        zero_coeff_bytes = b"\x00" * 8 * 4  # four zero coefficients
+        for rnd in range(num_vars):
+            for i in range(4):
+                proof.constraint_proof.round_polynomials[rnd][i] = F.zero()
+            transcript.append_bytes(zero_coeff_bytes)
+            proof.constraint_proof.final_point[rnd] = transcript.challenge(F)
+
+    def _generate_lasso_proofs(self, proof: Proof, constraints, witness) -> None:
+        F = self.F
+        transcript = self.transcript
+        transcript.append_bytes(b"LASSO_BEGIN")
+
+        for index, _lookup in enumerate(constraints.lookup_tables):
+            table_id = index
+            num_lookups = 1
+            transcript.append_bytes(b"LASSO_TABLE")
+            transcript.append_field_element(F, F(table_id))
+
+            # log2_int_ceil(1) == 0 ⇒ zero rounds; the RNG filler loops over
+            # empty final_point/round_polynomials and draws nothing
+            # (prover.zig:314-349).
+            num_vars = 0
+            lasso = PipelineLassoProof.create(F, table_id, num_lookups, num_vars)
+            for i in range(len(lasso.multiset_proof.final_point)):
+                lasso.multiset_proof.final_point[i] = F(self.rng.int_u64() % F.MODULUS)
+            for poly in lasso.multiset_proof.round_polynomials:
+                for j in range(len(poly)):
+                    poly[j] = F(self.rng.int_u64() % F.MODULUS)
+            lasso.multiset_proof.final_eval = F.zero()
+            proof.lookup_proofs.append(lasso)
+
+    def _generate_commitments(self, proof: Proof, witness) -> None:
+        F = self.F
+        transcript = self.transcript
+        polynomials = witness.polynomials()  # 43 MLEs in commitment order
+
+        # PHASE 1: Merkle roots for all 43 polynomials (prover.zig:405-410).
+        trees = []
+        for i, poly in enumerate(polynomials):
+            commitment, tree = CommitmentScheme.commit(poly)
+            trees.append(tree)
+            proof.witness_commitments[i].commitment = commitment.commitment
+
+        # PHASE 2: bind all roots (prover.zig:413-416).
+        transcript.append_bytes(b"POLY_COMMITMENTS")
+        for opening in proof.witness_commitments:
+            transcript.append_bytes(opening.commitment)
+
+        # PHASE 3: derive per-poly opening points, evaluate, open
+        # (prover.zig:418-447).
+        num_vars = witness.num_vars
+        for i, poly in enumerate(polynomials):
+            point = [transcript.challenge(F) for _ in range(num_vars)]
+            opening_proof = CommitmentScheme.open(poly, trees[i], point)
+            wc = proof.witness_commitments[i]
+            wc.value = opening_proof.value
+            wc.proof = opening_proof
+            wc.point = opening_proof.point  # alias, as in the reference
+
+        # PHASE 4: bind all opening claims — Jolt PR #981 (prover.zig:463-466).
+        transcript.append_bytes(b"OPENING_CLAIMS")
+        for opening in proof.witness_commitments:
+            transcript.append_field_element(F, opening.value)
+
+    def _package_public_io(self, proof: Proof, program: bytes, vm: VMState, entry_pc, initial_regs) -> None:
+        final_regs = [vm.regs.read(i) for i in range(32)]
+        outputs = list(vm.output_tape) if vm.output_tape else None
+        proof.public_io = PublicIO(
+            program_hash=sha256(program),
+            initial_pc=entry_pc,
+            initial_regs=list(initial_regs) if initial_regs is not None else None,
+            final_pc=vm.pc,
+            final_regs=final_regs,
+            num_steps=vm.trace.step_count(),
+            initial_memory=None,
+            outputs=outputs,
+        )

@@ -1,0 +1,263 @@
+"""Binary proof codec — "ZIGZ" v1 wire format, byte-exact.
+
+Reference: /root/reference/src/prover/serialization.zig.  Layout (all
+little-endian; field elements are canonical u64 limbs):
+
+  header   : "ZIGZ" | u32 version=1 | u64 modulus | u64 num_steps |
+             u32 num_vars | u32 reserved=0                     (:175-182)
+  public io: 32B sha256(program) | u64 initial_pc | u64 final_pc |
+             u32 n + n×u64 initial regs | u32 n + n×u64 final regs |
+             u64 num_steps | u32 n + n×u64 outputs             (:209-245)
+  constraint proof: [num_vars][4]u64 coeffs | [num_vars]u64 point |
+             u64 final_eval                                    (:296-311)
+  lasso    : u32 count; per proof u32 table_id | u64 num_lookups |
+             u32 num_vars | multiset proof (3 coeffs/round)    (:333-344)
+  openings : per 43: 32B root | [num_vars]u64 point | u64 value |
+             u64 proof.value | u64 index | u64 leaf value |
+             u32 path_len | path_len×32B siblings | path_len×u8 dirs
+                                                               (:374-429)
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import List
+
+from ..commitments.commit import OpeningProof
+from ..commitments.merkle import MerklePath, OpeningProof as MerkleOpening
+from .proof import (
+    PipelineLassoProof,
+    PipelineSumcheckProof,
+    Proof,
+    ProofMetadata,
+    PublicIO,
+)
+
+__all__ = ["BinarySerializer", "SerializationError"]
+
+MAGIC = b"ZIGZ"
+CURRENT_VERSION = 1
+
+
+class SerializationError(Exception):
+    pass
+
+
+class _Writer:
+    def __init__(self):
+        self.buf = bytearray()
+
+    def bytes_(self, data: bytes):
+        self.buf += data
+
+    def u8(self, v: int):
+        self.buf += struct.pack("<B", v)
+
+    def u32(self, v: int):
+        self.buf += struct.pack("<I", v)
+
+    def u64(self, v: int):
+        self.buf += struct.pack("<Q", v)
+
+
+class _Reader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+
+    def bytes_(self, n: int) -> bytes:
+        if self.pos + n > len(self.data):
+            raise SerializationError("InvalidData")
+        out = self.data[self.pos : self.pos + n]
+        self.pos += n
+        return out
+
+    def u8(self) -> int:
+        return struct.unpack("<B", self.bytes_(1))[0]
+
+    def u32(self) -> int:
+        return struct.unpack("<I", self.bytes_(4))[0]
+
+    def u64(self) -> int:
+        return struct.unpack("<Q", self.bytes_(8))[0]
+
+
+class BinarySerializer:
+    """BinarySerializer(F) twin."""
+
+    def __init__(self, F):
+        self.F = F
+
+    # -- serialize ---------------------------------------------------------
+    def serialize(self, proof: Proof) -> bytes:
+        w = _Writer()
+        self._write_header(w, proof)
+        self._write_public_io(w, proof.public_io)
+        self._write_sumcheck(w, proof.constraint_proof)
+        self._write_lasso_proofs(w, proof.lookup_proofs)
+        self._write_witness_commitments(w, proof.witness_commitments)
+        return bytes(w.buf)
+
+    def _write_header(self, w: _Writer, proof: Proof) -> None:
+        w.bytes_(MAGIC)
+        w.u32(CURRENT_VERSION)
+        w.u64(proof.metadata.field_modulus)
+        w.u64(proof.metadata.num_steps)
+        w.u32(proof.metadata.num_vars)
+        w.u32(0)  # reserved
+
+    def _write_public_io(self, w: _Writer, io: PublicIO) -> None:
+        w.bytes_(io.program_hash)
+        w.u64(io.initial_pc)
+        w.u64(io.final_pc)
+        if io.initial_regs:
+            w.u32(len(io.initial_regs))
+            for reg in io.initial_regs:
+                w.u64(reg)
+        else:
+            w.u32(0)
+        if io.final_regs:
+            w.u32(len(io.final_regs))
+            for reg in io.final_regs:
+                w.u64(reg)
+        else:
+            w.u32(0)
+        w.u64(io.num_steps)
+        if io.outputs:
+            w.u32(len(io.outputs))
+            for val in io.outputs:
+                w.u64(val)
+        else:
+            w.u32(0)
+
+    def _write_sumcheck(self, w: _Writer, sc: PipelineSumcheckProof) -> None:
+        for poly in sc.round_polynomials:
+            for coeff in poly:
+                w.u64(coeff.value)
+        for coord in sc.final_point:
+            w.u64(coord.value)
+        w.u64(sc.final_eval.value)
+
+    def _write_lasso_proofs(self, w: _Writer, proofs: List[PipelineLassoProof]) -> None:
+        w.u32(len(proofs))
+        for lasso in proofs:
+            w.u32(lasso.table_id)
+            w.u64(lasso.num_lookups)
+            w.u32(lasso.multiset_proof.num_vars)
+            self._write_sumcheck(w, lasso.multiset_proof)
+
+    def _write_witness_commitments(self, w: _Writer, commitments) -> None:
+        for c in commitments:
+            w.bytes_(c.commitment)
+            for coord in c.point:
+                w.u64(coord.value)
+            w.u64(c.value.value)
+            self._write_merkle_proof(w, c.proof)
+
+    def _write_merkle_proof(self, w: _Writer, proof: OpeningProof) -> None:
+        w.u64(proof.value.value)
+        w.u64(proof.merkle_proof.index)
+        w.u64(proof.merkle_proof.value.value)
+        w.u32(len(proof.merkle_proof.path.siblings))
+        for sibling in proof.merkle_proof.path.siblings:
+            w.bytes_(sibling)
+        for d in proof.merkle_proof.path.directions:
+            w.u8(1 if d else 0)
+
+    # -- deserialize -------------------------------------------------------
+    def deserialize(self, data: bytes) -> Proof:
+        F = self.F
+        r = _Reader(data)
+
+        magic = r.bytes_(4)
+        if magic != MAGIC:
+            raise SerializationError("InvalidMagicNumber")
+        version = r.u32()
+        if version != CURRENT_VERSION:
+            raise SerializationError("UnsupportedVersion")
+        field_modulus = r.u64()
+        num_steps = r.u64()
+        num_vars = r.u32()
+        r.u32()  # reserved
+        if field_modulus != F.MODULUS:
+            raise SerializationError("FieldMismatch")
+
+        proof = Proof.create(F, num_steps)
+        proof.metadata = ProofMetadata(
+            num_steps=num_steps, num_vars=num_vars, field_modulus=field_modulus, version=version
+        )
+
+        proof.public_io = self._read_public_io(r)
+        self._read_sumcheck(r, proof.constraint_proof)
+        self._read_lasso_proofs(r, proof)
+        self._read_witness_commitments(r, proof)
+        return proof
+
+    def _read_public_io(self, r: _Reader) -> PublicIO:
+        program_hash = r.bytes_(32)
+        initial_pc = r.u64()
+        final_pc = r.u64()
+        n = r.u32()
+        initial_regs = [r.u64() for _ in range(n)] if n > 0 else None
+        n = r.u32()
+        final_regs = [r.u64() for _ in range(n)] if n > 0 else None
+        num_steps = r.u64()
+        n = r.u32()
+        outputs = [r.u64() for _ in range(n)] if n > 0 else None
+        return PublicIO(
+            program_hash=program_hash,
+            initial_pc=initial_pc,
+            initial_regs=initial_regs,
+            final_pc=final_pc,
+            final_regs=final_regs,
+            num_steps=num_steps,
+            initial_memory=None,
+            outputs=outputs,
+        )
+
+    def _read_sumcheck(self, r: _Reader, sc: PipelineSumcheckProof) -> None:
+        F = self.F
+        for poly in sc.round_polynomials:
+            for i in range(len(poly)):
+                poly[i] = F(r.u64())
+        for i in range(len(sc.final_point)):
+            sc.final_point[i] = F(r.u64())
+        sc.final_eval = F(r.u64())
+
+    def _read_lasso_proofs(self, r: _Reader, proof: Proof) -> None:
+        F = self.F
+        count = r.u32()
+        for _ in range(count):
+            table_id = r.u32()
+            num_lookups = r.u64()
+            num_vars = r.u32()
+            lasso = PipelineLassoProof.create(F, table_id, num_lookups, num_vars)
+            self._read_sumcheck(r, lasso.multiset_proof)
+            proof.lookup_proofs.append(lasso)
+
+    def _read_witness_commitments(self, r: _Reader, proof: Proof) -> None:
+        F = self.F
+        for c in proof.witness_commitments:
+            c.commitment = r.bytes_(32)
+            for i in range(len(c.point)):
+                c.point[i] = F(r.u64())
+            c.value = F(r.u64())
+            c.proof = self._read_merkle_proof(r, c.point)
+
+    def _read_merkle_proof(self, r: _Reader, point) -> OpeningProof:
+        F = self.F
+        proof_value = F(r.u64())
+        index = r.u64()
+        merkle_value = F(r.u64())
+        path_len = r.u32()
+        siblings = [r.bytes_(32) for _ in range(path_len)]
+        directions = [r.u8() != 0 for _ in range(path_len)]
+        return OpeningProof(
+            point=list(point),
+            value=proof_value,
+            merkle_proof=MerkleOpening(
+                index=index,
+                value=merkle_value,
+                path=MerklePath(siblings=siblings, directions=directions),
+            ),
+        )

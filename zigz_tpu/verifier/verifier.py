@@ -1,0 +1,159 @@
+"""Proof verifier — exact transcript replay semantics.
+
+Reference: /root/reference/src/verifier/verifier.zig.  The verifier's
+transcript schedule intentionally differs from the prover's (it binds
+"SUMCHECK_BEGIN"+F(num_vars) only, squeezes challenges WITHOUT absorbing the
+round coefficients, and absorbs the per-round evaluation instead,
+:182-238); it never compares its challenges with the proof's, so the
+checks that actually bite are:
+
+* SHA-256(program) == proof.program_hash, else ProgramHashMismatch (:100-107);
+* round-0 g(0)+g(1) == claimed_sum, where claimed_sum is taken from
+  proof.final_eval (:190-214) — all-zero placeholder rounds pass with 0;
+* per-opening: claim == proof.value AND the Merkle path verifies (:269-294).
+
+Soundness of the v1 scheme rests on transcript divergence + Merkle binding
+(SURVEY.md §2.9); the real constraint verifier is the v2 protocol in
+zigz_tpu/proofs/.  Replicated bit-for-bit so both stacks accept each
+other's proofs.
+"""
+
+from __future__ import annotations
+
+from ..commitments.commit import CommitmentScheme, PolynomialCommitment
+from ..core.hash import FiatShamirTranscript, sha256
+from ..prover.proof import (
+    PipelineLassoProof,
+    PipelineSumcheckProof,
+    Proof,
+    PublicIO,
+    VerificationResult,
+)
+
+__all__ = ["Verifier", "ProgramHashMismatch"]
+
+
+class ProgramHashMismatch(Exception):
+    pass
+
+
+class Verifier:
+    """Verifier(F) twin (verifier.zig:26-301)."""
+
+    def __init__(self, F):
+        self.F = F
+        self.transcript = FiatShamirTranscript()
+
+    def verify(self, proof: Proof, program: bytes) -> str:
+        # Fresh transcript (verifier.zig:55).
+        self.transcript = FiatShamirTranscript()
+
+        # PHASE 1: public inputs (must match prover order).
+        self._bind_public_inputs(proof.public_io, program)
+
+        # PHASE 2: commitment roots.
+        self._bind_polynomial_commitments(proof.witness_commitments)
+
+        # PHASE 3: burn opening-point challenges + bind claims (Jolt PR #981).
+        self._derive_and_bind_opening_claims(proof.witness_commitments)
+
+        # PHASE 4: constraint sumcheck.
+        if self._verify_sumcheck_proof(proof.constraint_proof) != VerificationResult.Accept:
+            return VerificationResult.RejectInvalidSumcheck
+
+        # PHASE 5: Lasso proofs.
+        for lasso in proof.lookup_proofs:
+            if self._verify_lasso_proof(lasso) != VerificationResult.Accept:
+                return VerificationResult.RejectInvalidLookup
+
+        # PHASE 6: openings.
+        for opening in proof.witness_commitments:
+            if self._verify_opening(opening) != VerificationResult.Accept:
+                return VerificationResult.RejectInvalidCommitment
+
+        return VerificationResult.Accept
+
+    # ------------------------------------------------------------------
+    def _bind_public_inputs(self, public_io: PublicIO, program: bytes) -> None:
+        """verifier.zig:95-122."""
+        F = self.F
+        program_hash = sha256(program)
+        if program_hash != public_io.program_hash:
+            raise ProgramHashMismatch()
+        self.transcript.append_bytes(program_hash)
+        self.transcript.append_field_element(F, F(public_io.initial_pc))
+        if public_io.initial_regs:
+            for reg_val in public_io.initial_regs:
+                self.transcript.append_field_element(F, F(reg_val))
+
+    def _bind_polynomial_commitments(self, commitments) -> None:
+        """verifier.zig:126-137."""
+        self.transcript.append_bytes(b"POLY_COMMITMENTS")
+        for c in commitments:
+            self.transcript.append_bytes(c.commitment)
+
+    def _derive_and_bind_opening_claims(self, commitments) -> None:
+        """verifier.zig:146-179 — burn 43*v challenges, then bind claims."""
+        F = self.F
+        for c in commitments:
+            for _ in c.point:
+                self.transcript.challenge(F)
+        self.transcript.append_bytes(b"OPENING_CLAIMS")
+        for c in commitments:
+            self.transcript.append_field_element(F, c.value)
+
+    def _verify_sumcheck_proof(self, sc: PipelineSumcheckProof) -> str:
+        """verifier.zig:182-238 — round-0 check vs proof.final_eval;
+        challenge + per-round eval absorbed (NOT the coefficients)."""
+        F = self.F
+        self.transcript.append_bytes(b"SUMCHECK_BEGIN")
+        self.transcript.append_field_element(F, F(sc.num_vars))
+
+        claimed_sum = sc.final_eval
+
+        for rnd, round_poly in enumerate(sc.round_polynomials):
+            g0 = round_poly[0]
+            g1 = F.zero()
+            for coeff in round_poly:
+                g1 = g1.add(coeff)
+
+            if rnd == 0:
+                if not g0.add(g1).eql(claimed_sum):
+                    return VerificationResult.RejectInvalidSumcheck
+
+            challenge = self.transcript.challenge(F)
+
+            ev = F.zero()
+            power = F.one()
+            for coeff in round_poly:
+                ev = ev.add(coeff.mul(power))
+                power = power.mul(challenge)
+            self.transcript.append_field_element(F, ev)
+
+        return VerificationResult.Accept
+
+    def _verify_lasso_proof(self, lasso: PipelineLassoProof) -> str:
+        """verifier.zig:240-267."""
+        F = self.F
+        self.transcript.append_bytes(b"LASSO_BEGIN")
+        self.transcript.append_bytes(b"LASSO_TABLE")
+        self.transcript.append_field_element(F, F(lasso.table_id))
+
+        if self._verify_sumcheck_proof(lasso.multiset_proof) != VerificationResult.Accept:
+            return VerificationResult.RejectInvalidLookup
+
+        if lasso.subtable_proofs:
+            for sub in lasso.subtable_proofs:
+                if self._verify_sumcheck_proof(sub) != VerificationResult.Accept:
+                    return VerificationResult.RejectInvalidLookup
+
+        return VerificationResult.Accept
+
+    def _verify_opening(self, opening) -> str:
+        """verifier.zig:269-294."""
+        if not opening.value.eql(opening.proof.value):
+            return VerificationResult.RejectInvalidCommitment
+        poly_commit = PolynomialCommitment(opening.commitment, len(opening.point))
+        if not CommitmentScheme.verify(self.F, poly_commit, opening.proof):
+            return VerificationResult.RejectInvalidCommitment
+        return VerificationResult.Accept
