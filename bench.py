@@ -1,0 +1,91 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Primary metric (BASELINE.md): BabyBear field-ops/s/chip + prover wall time.
+The headline number is sustained Montgomery-multiply throughput on one chip
+(the building block of every MLE fold/eval); the secondary block reports
+end-to-end prover throughput (steps/s) at the largest size that is currently
+fast enough, with phase timings.
+
+vs_baseline: the reference publishes no measured numbers (BASELINE.md), so
+the ratio is against its aspirational target of 1M RISC-V cycles in ~1.5s
+(README.md:513) applied to prover steps/s: baseline = 666,667 steps/s.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+ASPIRATIONAL_STEPS_PER_S = 1_000_000 / 1.5
+
+
+def bench_field_ops(reps: int = 20, size: int = 1 << 22):
+    """Sustained mont_mul throughput (ops/s) on the default device."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from zigz_tpu.ops import babybear as bb
+
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.integers(0, bb.P, size=size, dtype=np.uint64).astype(np.uint32))
+    b = jnp.asarray(rng.integers(0, bb.P, size=size, dtype=np.uint32))
+
+    @jax.jit
+    def chain(x, y):
+        # 8 dependent multiplies per element to amortize dispatch.
+        for _ in range(8):
+            x = bb.mont_mul(x, y)
+        return x
+
+    out = chain(a, b)
+    jax.block_until_ready(out)  # compile + warm
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = chain(out, b)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    total_ops = reps * 8 * size
+    return total_ops / dt
+
+
+def bench_prover(num_steps: int = 1 << 12):
+    """End-to-end prove of a NOP trace; returns (steps/s, timings)."""
+    from zigz_tpu.core.field import BabyBear
+    from zigz_tpu.prover.prover import Prover
+
+    program = bytes([0x13, 0x00, 0x00, 0x00] * num_steps)
+    prover = Prover(BabyBear, seed=0)
+    t0 = time.perf_counter()
+    proof = prover.prove(program, 0x1000, None, 1 << 21, None, None)
+    dt = time.perf_counter() - t0
+    assert proof.metadata.num_steps == num_steps
+    return num_steps / dt, prover.last_timings
+
+
+def main():
+    field_ops_per_s = bench_field_ops()
+    steps_per_s, timings = bench_prover()
+
+    result = {
+        "metric": "babybear_field_ops_per_s_per_chip",
+        "value": round(field_ops_per_s),
+        "unit": "mont_mul/s",
+        "vs_baseline": round(steps_per_s / ASPIRATIONAL_STEPS_PER_S, 4),
+        "extra": {
+            "prover_steps_per_s": round(steps_per_s),
+            "prover_num_steps": timings.get("num_steps"),
+            "prover_phase_timings_s": {
+                k: round(v, 4) for k, v in timings.items() if k.endswith("_s")
+            },
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -44,6 +44,13 @@ from .verifier.verifier import Verifier
 
 __version__ = "0.1.0"
 
+# Best-effort: build/load the native SHA3 runtime and install it as the
+# Merkle hashing backend (falls back to pure Python silently).
+try:  # pragma: no cover - environment-dependent
+    from . import runtime as runtime  # noqa: F401
+except Exception:
+    pass
+
 __all__ = [
     "BabyBear", "F17", "Field", "Goldilocks", "KoalaBear", "Mersenne31",
     "Mersenne61", "FiatShamirTranscript", "SHA3Hasher", "Multilinear",

@@ -1,0 +1,125 @@
+"""Native runtime: threaded batch SHA3 for Merkle construction.
+
+Builds ``libzigz_sha3.so`` from sha3.cpp on first import (cached next to the
+source) and installs it as the hashing backend of
+zigz_tpu.commitments.merkle.  Falls back silently to the pure-Python
+backend if no C++ toolchain is available.  The native output is validated
+against hashlib at load time (self-test) and continuously by the test
+suite — any mismatch would break proof bytes, so we refuse to install a
+backend that fails the self-test.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "sha3.cpp")
+_LIB = os.path.join(_HERE, "libzigz_sha3.so")
+
+_lib = None
+# Keccak benefits from SMT: ~1.3x at 2x threads-per-core on this workload.
+NUM_THREADS = min(2 * (os.cpu_count() or 1), 16)
+
+
+def _build() -> bool:
+    try:
+        if os.path.exists(_LIB) and os.path.getmtime(_LIB) >= os.path.getmtime(_SRC):
+            return True
+        result = subprocess.run(
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-pthread", _SRC, "-o", _LIB],
+            capture_output=True,
+            timeout=120,
+        )
+        return result.returncode == 0
+    except Exception:
+        return False
+
+
+def _self_test(lib) -> bool:
+    vals = np.array([0, 1, 0x1000, (1 << 64) - 1], dtype=np.uint64)
+    out = np.empty(len(vals) * 32, dtype=np.uint8)
+    lib.zigz_sha3_leaves_u64(
+        vals.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_size_t(len(vals)),
+        out.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_int(1),
+    )
+    got = out.tobytes()
+    for i, v in enumerate(vals):
+        expected = hashlib.sha3_256(int(v).to_bytes(8, "little")).digest()
+        if got[i * 32 : (i + 1) * 32] != expected:
+            return False
+    # merge self-test
+    pair = got[:64]
+    mout = np.empty(32, dtype=np.uint8)
+    buf = np.frombuffer(pair, dtype=np.uint8)
+    lib.zigz_sha3_merge(
+        buf.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_size_t(1),
+        mout.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_int(1),
+    )
+    return mout.tobytes() == hashlib.sha3_256(pair).digest()
+
+
+def _load():
+    global _lib
+    if not _build():
+        return None
+    try:
+        lib = ctypes.CDLL(_LIB)
+    except OSError:
+        return None
+    for name in ("zigz_sha3_leaves_u64", "zigz_sha3_merge", "zigz_sha3_batch", "zigz_sha3_tree"):
+        getattr(lib, name).restype = None
+    if not _self_test(lib):
+        sys.stderr.write("zigz_tpu.runtime: native SHA3 failed self-test; using Python backend\n")
+        return None
+    _lib = lib
+    return lib
+
+
+def native_batch_leaf_hashes(values: np.ndarray) -> bytes:
+    vals = np.ascontiguousarray(values, dtype=np.uint64)
+    out = np.empty(len(vals) * 32, dtype=np.uint8)
+    _lib.zigz_sha3_leaves_u64(
+        vals.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_size_t(len(vals)),
+        out.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_int(NUM_THREADS),
+    )
+    return out.tobytes()
+
+
+def native_batch_merge_hashes(level: bytes) -> bytes:
+    n = len(level) // 64
+    buf = np.frombuffer(level, dtype=np.uint8)
+    out = np.empty(n * 32, dtype=np.uint8)
+    _lib.zigz_sha3_merge(
+        buf.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_size_t(n),
+        out.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_int(NUM_THREADS),
+    )
+    return out.tobytes()
+
+
+def install() -> bool:
+    """Build+load the native library and register it as the Merkle hashing
+    backend.  Returns True when the native backend is active."""
+    if _lib is None and _load() is None:
+        return False
+    from ..commitments import merkle
+
+    merkle.set_hash_backend(native_batch_leaf_hashes, native_batch_merge_hashes)
+    return True
+
+
+NATIVE_AVAILABLE = install()

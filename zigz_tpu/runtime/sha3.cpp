@@ -1,0 +1,163 @@
+// Native batch SHA3-256 hashing for Merkle tree construction.
+//
+// The proving pipeline hashes 43 * 2^(v+1) small messages per proof
+// (leaf = 8-byte LE field value, node = 64-byte digest pair,
+// merkle_tree.zig:246-262).  Python's hashlib tops out around 1M hashes/s;
+// this library does batched single-block Keccak-f[1600] permutations across
+// std::thread workers and is exposed to Python via a C ABI + ctypes
+// (zigz_tpu/runtime/__init__.py).
+//
+// Implementation: Keccak-f[1600] per FIPS 202 (24 rounds of
+// theta/rho-pi/chi/iota); SHA3-256 = rate 136, pad 0x06 ... 0x80.  All our
+// messages are <= 64 bytes, i.e. exactly one absorb block -> one
+// permutation per hash.
+//
+// Build: g++ -O3 -march=native -shared -fPIC -pthread sha3.cpp -o libzigz_sha3.so
+
+#include <cstdint>
+#include <cstring>
+#include <functional>
+#include <thread>
+#include <vector>
+#include <algorithm>
+
+namespace {
+
+constexpr uint64_t RC[24] = {
+    0x0000000000000001ULL, 0x0000000000008082ULL, 0x800000000000808aULL,
+    0x8000000080008000ULL, 0x000000000000808bULL, 0x0000000080000001ULL,
+    0x8000000080008081ULL, 0x8000000000008009ULL, 0x000000000000008aULL,
+    0x0000000000000088ULL, 0x0000000080008009ULL, 0x000000008000000aULL,
+    0x000000008000808bULL, 0x800000000000008bULL, 0x8000000000008089ULL,
+    0x8000000000008003ULL, 0x8000000000008002ULL, 0x8000000000000080ULL,
+    0x000000000000800aULL, 0x800000008000000aULL, 0x8000000080008081ULL,
+    0x8000000000008080ULL, 0x0000000080000001ULL, 0x8000000080008008ULL};
+
+inline uint64_t rotl64(uint64_t x, int s) {
+  return (x << s) | (x >> (64 - s));
+}
+
+// Keccak-f[1600] permutation on a 25-lane state.
+void keccakf(uint64_t st[25]) {
+  for (int round = 0; round < 24; ++round) {
+    // Theta
+    uint64_t bc[5];
+    for (int i = 0; i < 5; ++i)
+      bc[i] = st[i] ^ st[i + 5] ^ st[i + 10] ^ st[i + 15] ^ st[i + 20];
+    for (int i = 0; i < 5; ++i) {
+      uint64_t t = bc[(i + 4) % 5] ^ rotl64(bc[(i + 1) % 5], 1);
+      for (int j = 0; j < 25; j += 5) st[j + i] ^= t;
+    }
+    // Rho + Pi
+    uint64_t t = st[1];
+    static constexpr int piln[24] = {10, 7,  11, 17, 18, 3,  5,  16,
+                                     8,  21, 24, 4,  15, 23, 19, 13,
+                                     12, 2,  20, 14, 22, 9,  6,  1};
+    static constexpr int rotc[24] = {1,  3,  6,  10, 15, 21, 28, 36,
+                                     45, 55, 2,  14, 27, 41, 56, 8,
+                                     25, 43, 62, 18, 39, 61, 20, 44};
+    for (int i = 0; i < 24; ++i) {
+      int j = piln[i];
+      uint64_t tmp = st[j];
+      st[j] = rotl64(t, rotc[i]);
+      t = tmp;
+    }
+    // Chi
+    for (int j = 0; j < 25; j += 5) {
+      uint64_t row[5];
+      for (int i = 0; i < 5; ++i) row[i] = st[j + i];
+      for (int i = 0; i < 5; ++i)
+        st[j + i] = row[i] ^ ((~row[(i + 1) % 5]) & row[(i + 2) % 5]);
+    }
+    // Iota
+    st[0] ^= RC[round];
+  }
+}
+
+// SHA3-256 of a message that fits in one rate block (len <= 135).
+inline void sha3_256_small(const uint8_t* msg, size_t len, uint8_t out[32]) {
+  uint64_t st[25];
+  std::memset(st, 0, sizeof(st));
+  uint8_t block[136];
+  std::memset(block, 0, sizeof(block));
+  std::memcpy(block, msg, len);
+  block[len] = 0x06;
+  block[135] |= 0x80;
+  for (int i = 0; i < 17; ++i) {
+    uint64_t lane;
+    std::memcpy(&lane, block + i * 8, 8);
+    st[i] ^= lane;
+  }
+  keccakf(st);
+  std::memcpy(out, st, 32);
+}
+
+void run_parallel(size_t n, int num_threads, const std::function<void(size_t, size_t)>& fn) {
+  if (num_threads <= 1 || n < 4096) {
+    fn(0, n);
+    return;
+  }
+  size_t chunk = (n + num_threads - 1) / num_threads;
+  std::vector<std::thread> threads;
+  for (int t = 0; t < num_threads; ++t) {
+    size_t lo = t * chunk;
+    size_t hi = std::min(n, lo + chunk);
+    if (lo >= hi) break;
+    threads.emplace_back(fn, lo, hi);
+  }
+  for (auto& th : threads) th.join();
+}
+
+}  // namespace
+
+extern "C" {
+
+// SHA3-256 over n 8-byte little-endian values -> n 32-byte digests.
+void zigz_sha3_leaves_u64(const uint64_t* values, size_t n, uint8_t* out,
+                          int num_threads) {
+  run_parallel(n, num_threads, [&](size_t lo, size_t hi) {
+    for (size_t i = lo; i < hi; ++i) {
+      sha3_256_small(reinterpret_cast<const uint8_t*>(values + i), 8,
+                     out + i * 32);
+    }
+  });
+}
+
+// SHA3-256 over n 64-byte messages (digest pairs) -> n 32-byte digests.
+void zigz_sha3_merge(const uint8_t* pairs, size_t n, uint8_t* out,
+                     int num_threads) {
+  run_parallel(n, num_threads, [&](size_t lo, size_t hi) {
+    for (size_t i = lo; i < hi; ++i) {
+      sha3_256_small(pairs + i * 64, 64, out + i * 32);
+    }
+  });
+}
+
+// General batch: n messages of uniform length len (<=135 bytes).
+void zigz_sha3_batch(const uint8_t* msgs, size_t len, size_t n, uint8_t* out,
+                     int num_threads) {
+  run_parallel(n, num_threads, [&](size_t lo, size_t hi) {
+    for (size_t i = lo; i < hi; ++i) {
+      sha3_256_small(msgs + i * len, len, out + i * 32);
+    }
+  });
+}
+
+// Build a full binary Merkle level structure in one call: given n leaf
+// digests (32B each, n a power of two), writes all internal levels
+// concatenated (n/2 + n/4 + ... + 1 digests) into out.
+void zigz_sha3_tree(const uint8_t* leaves, size_t n, uint8_t* out,
+                    int num_threads) {
+  const uint8_t* cur = leaves;
+  size_t level_n = n / 2;
+  uint8_t* dst = out;
+  while (level_n >= 1) {
+    zigz_sha3_merge(cur, level_n, dst, num_threads);
+    cur = dst;
+    dst += level_n * 32;
+    if (level_n == 1) break;
+    level_n /= 2;
+  }
+}
+
+}  // extern "C"
