@@ -63,15 +63,27 @@ def _py_batch_merge_hashes(level: bytes) -> bytes:
     return bytes(out)
 
 
+def _py_batch_build_levels(leaf_bytes: bytes) -> List[bytes]:
+    """All internal levels from the padded leaf-digest blob."""
+    levels = [leaf_bytes]
+    cur = leaf_bytes
+    while len(cur) > 32:
+        cur = batch_merge_hashes(cur)
+        levels.append(cur)
+    return levels
+
+
 batch_leaf_hashes = _py_batch_leaf_hashes
 batch_merge_hashes = _py_batch_merge_hashes
+batch_build_levels = _py_batch_build_levels
 
 
-def set_hash_backend(leaf_fn, merge_fn) -> None:
+def set_hash_backend(leaf_fn, merge_fn, levels_fn=None) -> None:
     """Install an accelerated (bit-identical) hashing backend."""
-    global batch_leaf_hashes, batch_merge_hashes
+    global batch_leaf_hashes, batch_merge_hashes, batch_build_levels
     batch_leaf_hashes = leaf_fn
     batch_merge_hashes = merge_fn
+    batch_build_levels = levels_fn if levels_fn is not None else _py_batch_build_levels
 
 
 @dataclass
@@ -115,15 +127,11 @@ class SimpleMerkleTree:
         padded = _ceil_pow2(n)
         height = padded.bit_length() - 1
 
-        leaf_bytes = bytearray(batch_leaf_hashes(vals))
+        leaf_bytes = batch_leaf_hashes(vals)
         if padded > n:
             zero_hash = SHA3Hasher.hash_leaf_value(0)
-            leaf_bytes += zero_hash * (padded - n)
-        levels = [bytes(leaf_bytes)]
-        cur = levels[0]
-        while len(cur) > 32:
-            cur = batch_merge_hashes(cur)
-            levels.append(cur)
+            leaf_bytes = leaf_bytes + zero_hash * (padded - n)
+        levels = batch_build_levels(leaf_bytes)
         return cls(F, vals, levels, height)
 
     def get_root(self) -> bytes:

@@ -97,9 +97,14 @@ class WitnessGenerator:
             return Witness(num_vars=0, num_steps=0, F=F, matrix=matrix)
 
         n = num_steps
+        native_cols = getattr(trace, "columns", None)
 
         # PC — pad with last value (witness.zig:79-91).
-        pcs = np.fromiter(trace.pcs, dtype=np.uint64, count=n)
+        pcs = (
+            native_cols["pc"]
+            if native_cols is not None
+            else np.fromiter(trace.pcs, dtype=np.uint64, count=n)
+        )
         matrix[0, :n] = pcs % p
         matrix[0, n:] = matrix[0, n - 1]
 
@@ -111,14 +116,23 @@ class WitnessGenerator:
             matrix[1:33, n:] = reduced[:, n - 1 : n]
 
         # Instruction fields — pad with zero (witness.zig:162-182).
-        insts = trace.instructions
-        opc = np.fromiter((i.opcode for i in insts), dtype=np.uint64, count=n)
-        f3 = np.fromiter((i.funct3 for i in insts), dtype=np.uint64, count=n)
-        f7 = np.fromiter((i.funct7 for i in insts), dtype=np.uint64, count=n)
-        rd = np.fromiter((i.rd for i in insts), dtype=np.uint64, count=n)
-        rs1 = np.fromiter((i.rs1 for i in insts), dtype=np.uint64, count=n)
-        rs2 = np.fromiter((i.rs2 for i in insts), dtype=np.uint64, count=n)
-        imm = np.fromiter((i.imm & _M64 for i in insts), dtype=np.uint64, count=n)
+        if native_cols is not None:
+            opc = native_cols["opcode"].astype(np.uint64)
+            f3 = native_cols["funct3"].astype(np.uint64)
+            f7 = native_cols["funct7"].astype(np.uint64)
+            rd = native_cols["rd"].astype(np.uint64)
+            rs1 = native_cols["rs1"].astype(np.uint64)
+            rs2 = native_cols["rs2"].astype(np.uint64)
+            imm = native_cols["imm"].astype(np.uint64)  # two's-complement bitcast
+        else:
+            insts = trace.instructions
+            opc = np.fromiter((i.opcode for i in insts), dtype=np.uint64, count=n)
+            f3 = np.fromiter((i.funct3 for i in insts), dtype=np.uint64, count=n)
+            f7 = np.fromiter((i.funct7 for i in insts), dtype=np.uint64, count=n)
+            rd = np.fromiter((i.rd for i in insts), dtype=np.uint64, count=n)
+            rs1 = np.fromiter((i.rs1 for i in insts), dtype=np.uint64, count=n)
+            rs2 = np.fromiter((i.rs2 for i in insts), dtype=np.uint64, count=n)
+            imm = np.fromiter((i.imm & _M64 for i in insts), dtype=np.uint64, count=n)
         matrix[33, :n] = opc % p
         matrix[34, :n] = rd % p
         matrix[35, :n] = rs1 % p
@@ -128,15 +142,22 @@ class WitnessGenerator:
         matrix[39, :n] = imm % p
 
         # Memory access columns — pad with zero (witness.zig:235-253).
-        accesses = trace.memory_accesses
-        addr = np.zeros(n, dtype=np.uint64)
-        val = np.zeros(n, dtype=np.uint64)
-        is_read = np.zeros(n, dtype=np.uint64)
-        for i, acc in enumerate(accesses):
-            if acc is not None:
-                addr[i] = acc.address
-                val[i] = acc.value
-                is_read[i] = 1 if acc.access_type == AccessType.Load else 0
+        if native_cols is not None:
+            flag = native_cols["mem_flag"]
+            has = flag != 0
+            addr = np.where(has, native_cols["mem_addr"], np.uint64(0))
+            val = np.where(has, native_cols["mem_val"], np.uint64(0))
+            is_read = (flag == 1).astype(np.uint64)
+        else:
+            accesses = trace.memory_accesses
+            addr = np.zeros(n, dtype=np.uint64)
+            val = np.zeros(n, dtype=np.uint64)
+            is_read = np.zeros(n, dtype=np.uint64)
+            for i, acc in enumerate(accesses):
+                if acc is not None:
+                    addr[i] = acc.address
+                    val[i] = acc.value
+                    is_read[i] = 1 if acc.access_type == AccessType.Load else 0
         matrix[40, :n] = addr % p
         matrix[41, :n] = val % p
         matrix[42, :n] = is_read  # already 0/1 < p

@@ -103,6 +103,50 @@ class CommitmentOpening:
         return cls(commitment=b"\x00" * 32, point=point, value=F.zero(), proof=empty)
 
 
+class CompactLassoList:
+    """Memory-efficient stand-in for the pipeline's list of Lasso filler
+    proofs, which are structurally uniform: proof i has table_id == i,
+    num_lookups == 1, num_vars == 0, final_eval == 0 (prover.zig:302-349
+    with log2_ceil(1)==0).  At 2^20 steps that is ~1M proofs; storing them
+    as one count instead of objects keeps the Proof in O(1) memory.
+    Materializes real PipelineLassoProof views on indexing."""
+
+    __slots__ = ("F", "count")
+
+    def __init__(self, F, count: int):
+        self.F = F
+        self.count = count
+
+    def __len__(self) -> int:
+        return self.count
+
+    def __iter__(self):
+        for i in range(self.count):
+            yield self[i]
+
+    def __getitem__(self, i: int) -> "PipelineLassoProof":
+        if isinstance(i, slice):
+            return [self[j] for j in range(*i.indices(self.count))]
+        if i < 0:
+            i += self.count
+        if not 0 <= i < self.count:
+            raise IndexError(i)
+        return PipelineLassoProof.create(self.F, table_id=i, num_lookups=1, num_vars=0)
+
+    def append(self, lasso: "PipelineLassoProof") -> None:
+        # Appending the next uniform filler proof keeps the compact form.
+        if (
+            lasso.table_id == self.count
+            and lasso.num_lookups == 1
+            and lasso.multiset_proof.num_vars == 0
+            and lasso.multiset_proof.final_eval.is_zero()
+            and lasso.subtable_proofs is None
+        ):
+            self.count += 1
+        else:
+            raise ValueError("non-uniform Lasso proof; use a plain list")
+
+
 @dataclass
 class ProofMetadata:
     """proof.zig:317-329."""

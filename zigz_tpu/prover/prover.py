@@ -44,7 +44,7 @@ from ..core.xoshiro import Xoshiro256
 from ..elf import Segment
 from ..isa.rv64i import InvalidInstruction
 from ..vm.state import VMState
-from .proof import PipelineLassoProof, Proof, PublicIO
+from .proof import CompactLassoList, PipelineLassoProof, Proof, PublicIO
 
 __all__ = ["Prover", "EmptyTrace"]
 
@@ -56,7 +56,8 @@ class EmptyTrace(Exception):
 class Prover:
     """Prover(F) twin (prover.zig:27-561)."""
 
-    def __init__(self, F, seed: int = 0, verbose: bool = False, eval_backend=None):
+    def __init__(self, F, seed: int = 0, verbose: bool = False, eval_backend=None,
+                 use_native_vm: Optional[bool] = None):
         self.F = F
         self.rng = Xoshiro256(seed)
         self.transcript = FiatShamirTranscript()
@@ -64,6 +65,16 @@ class Prover:
         # Optional accelerated batch evaluator:
         #   eval_backend(matrix: (43, 2^v) uint64, points: (43, v) uint64) -> (43,) uint64
         self.eval_backend = eval_backend
+        # Native (C++) interpreter: auto-detect unless pinned; produces
+        # identical traces/proof bytes (tests/test_native_vm.py).
+        if use_native_vm is None:
+            try:
+                from ..runtime import native_vm
+
+                use_native_vm = native_vm.available()
+            except Exception:
+                use_native_vm = False
+        self.use_native_vm = use_native_vm
         self.last_timings = {}
 
     def _log(self, msg: str) -> None:
@@ -95,46 +106,42 @@ class Prover:
                 transcript.append_field_element(F, F(reg_val))
 
         # STEP 1: execute (prover.zig:117-148).
-        if segments is not None:
-            vm = VMState.init_from_segments(segments, entry_pc, input_tape)
+        if self.use_native_vm:
+            trace, final_state = self._execute_native(
+                program, entry_pc, initial_regs, max_steps, segments, input_tape
+            )
+            lookup_count = trace.num_lookups()
         else:
-            vm = VMState.init(program, entry_pc, input_tape)
+            vm = self._execute_python(program, entry_pc, initial_regs, max_steps, segments, input_tape)
+            trace = vm.trace
+            final_state = {
+                "final_pc": vm.pc,
+                "final_regs": [vm.regs.read(i) for i in range(32)],
+                "output_tape": list(vm.output_tape),
+            }
+            lookup_count = sum(1 for t in trace.lookup_tables if t is not None)
 
-        if initial_regs is not None:
-            for i, value in enumerate(initial_regs):
-                if i < 32:
-                    vm.regs.write(i, value)
-            vm.trace.set_initial_regs(vm.regs.regs)
-
-        step_count = 0
-        while not vm.halted and step_count < max_steps:
-            try:
-                vm.step()
-            except InvalidInstruction:
-                break
-            step_count += 1
-
-        num_steps = vm.trace.step_count()
+        num_steps = trace.step_count()
         self._log(f"Execution complete: {num_steps} steps")
         if num_steps == 0:
             raise EmptyTrace()
         t1 = time.perf_counter()
 
         # STEP 2: witness (prover.zig:156-162).
-        witness = WitnessGenerator.generate(F, vm.trace)
+        witness = WitnessGenerator.generate(F, trace)
         num_vars = witness.num_vars
         t2 = time.perf_counter()
 
         # STEP 3: constraint metadata (prover.zig:169-175).
         constraints = ConstraintSystem()
-        constraints.build(F, witness, vm.trace)
+        constraints.builder.build_all(F, witness)
 
         # STEP 4: placeholder constraint sumcheck (prover.zig:250-288).
         proof = Proof.create(F, num_steps)
         self._generate_sumcheck_proof(proof, constraints, witness)
 
         # STEP 5: Lasso phase (prover.zig:292-363).
-        self._generate_lasso_proofs(proof, constraints, witness)
+        self._generate_lasso_proofs(proof, lookup_count)
         t3 = time.perf_counter()
 
         # STEP 6: commitments (prover.zig:371-467).
@@ -142,7 +149,7 @@ class Prover:
         t4 = time.perf_counter()
 
         # STEP 7: public IO (prover.zig:513-559).
-        self._package_public_io(proof, program, vm, entry_pc, initial_regs)
+        self._package_public_io(proof, program, final_state, entry_pc, initial_regs)
 
         self.last_timings = {
             "execute_s": t1 - t0,
@@ -156,6 +163,38 @@ class Prover:
         return proof
 
     # ------------------------------------------------------------------
+    def _execute_python(self, program, entry_pc, initial_regs, max_steps, segments, input_tape):
+        if segments is not None:
+            vm = VMState.init_from_segments(segments, entry_pc, input_tape)
+        else:
+            vm = VMState.init(program, entry_pc, input_tape)
+        if initial_regs is not None:
+            for i, value in enumerate(initial_regs):
+                if i < 32:
+                    vm.regs.write(i, value)
+            vm.trace.set_initial_regs(vm.regs.regs)
+        step_count = 0
+        while not vm.halted and step_count < max_steps:
+            try:
+                vm.step()
+            except InvalidInstruction:
+                break
+            step_count += 1
+        return vm
+
+    def _execute_native(self, program, entry_pc, initial_regs, max_steps, segments, input_tape):
+        from ..runtime.native_vm import NativeVM, raise_for_status
+
+        nvm = NativeVM()
+        if segments is not None:
+            for seg in segments:
+                nvm.load_segment(seg.vaddr, seg.data)
+        else:
+            nvm.load_segment(entry_pc, program)
+        result = nvm.run(entry_pc, max_steps, initial_regs, input_tape)
+        raise_for_status(result["status"])  # non-halt errors propagate
+        return result["trace"], result
+
     def _generate_sumcheck_proof(self, proof: Proof, constraints, witness) -> None:
         F = self.F
         transcript = self.transcript
@@ -173,31 +212,60 @@ class Prover:
             transcript.append_bytes(zero_coeff_bytes)
             proof.constraint_proof.final_point[rnd] = transcript.challenge(F)
 
-    def _generate_lasso_proofs(self, proof: Proof, constraints, witness) -> None:
+    def _generate_lasso_proofs(self, proof: Proof, lookup_count: int) -> None:
+        """One filler proof per traced lookup (prover.zig:292-363).
+
+        Every proof is uniform (table_id = i, num_lookups = 1 ⇒ num_vars =
+        log2_ceil(1) = 0, so the seeded RNG filler draws nothing), which
+        lets us batch the transcript absorption into one update and store
+        the proofs compactly.  Byte stream per lookup:
+        "LASSO_TABLE" + LE64(table_id mod p)."""
         F = self.F
         transcript = self.transcript
         transcript.append_bytes(b"LASSO_BEGIN")
 
-        for index, _lookup in enumerate(constraints.lookup_tables):
-            table_id = index
-            num_lookups = 1
-            transcript.append_bytes(b"LASSO_TABLE")
-            transcript.append_field_element(F, F(table_id))
+        if lookup_count > 0:
+            import numpy as np
 
-            # log2_int_ceil(1) == 0 ⇒ zero rounds; the RNG filler loops over
-            # empty final_point/round_polynomials and draws nothing
-            # (prover.zig:314-349).
-            num_vars = 0
-            lasso = PipelineLassoProof.create(F, table_id, num_lookups, num_vars)
-            for i in range(len(lasso.multiset_proof.final_point)):
-                lasso.multiset_proof.final_point[i] = F(self.rng.int_u64() % F.MODULUS)
-            for poly in lasso.multiset_proof.round_polynomials:
-                for j in range(len(poly)):
-                    poly[j] = F(self.rng.int_u64() % F.MODULUS)
-            lasso.multiset_proof.final_eval = F.zero()
-            proof.lookup_proofs.append(lasso)
+            ids = np.arange(lookup_count, dtype=np.uint64) % np.uint64(F.MODULUS)
+            stream = np.empty((lookup_count, 19), dtype=np.uint8)
+            stream[:, :11] = np.frombuffer(b"LASSO_TABLE", dtype=np.uint8)
+            stream[:, 11:] = (
+                np.frombuffer(np.ascontiguousarray(ids, dtype="<u8").tobytes(), dtype=np.uint8)
+                .reshape(lookup_count, 8)
+            )
+            transcript.append_bytes(stream.tobytes())
+
+        proof.lookup_proofs = CompactLassoList(F, lookup_count)
 
     def _generate_commitments(self, proof: Proof, witness) -> None:
+        if self._use_device_commitments(witness.num_steps):
+            self._generate_commitments_device(proof, witness)
+        else:
+            self._generate_commitments_host(proof, witness)
+
+    # Below this many trace steps the host hasher wins: device calls pay
+    # per-dispatch tunnel latency that only amortizes on large forests.
+    DEVICE_COMMITMENT_MIN_STEPS = 1 << 15
+
+    def _use_device_commitments(self, num_steps: int = None) -> bool:
+        import os
+
+        pref = os.environ.get("ZIGZ_TPU_COMMITMENTS", "auto")
+        if pref == "host":
+            return False
+        if pref == "device":
+            return True
+        if num_steps is not None and num_steps < self.DEVICE_COMMITMENT_MIN_STEPS:
+            return False
+        try:
+            import jax
+
+            return jax.default_backend() == "tpu"
+        except Exception:
+            return False
+
+    def _generate_commitments_host(self, proof: Proof, witness) -> None:
         F = self.F
         transcript = self.transcript
         polynomials = witness.polynomials()  # 43 MLEs in commitment order
@@ -230,16 +298,79 @@ class Prover:
         for opening in proof.witness_commitments:
             transcript.append_field_element(F, opening.value)
 
-    def _package_public_io(self, proof: Proof, program: bytes, vm: VMState, entry_pc, initial_regs) -> None:
-        final_regs = [vm.regs.read(i) for i in range(32)]
-        outputs = list(vm.output_tape) if vm.output_tape else None
+    def _generate_commitments_device(self, proof: Proof, witness) -> None:
+        """TPU path: all 43 Merkle trees live on device (Pallas Keccak),
+        only roots + opened sibling paths come back.  Byte-identical to the
+        host path (tests/test_device_forest.py, test_native_vm.py)."""
+        import numpy as np
+
+        from ..commitments.commit import OpeningProof as SchemeOpening
+        from ..commitments.device_forest import DeviceMerkleForest
+
+        F = self.F
+        transcript = self.transcript
+        num_vars = witness.num_vars
+
+        # PHASE 1: forest build on device.
+        forest = DeviceMerkleForest(F, witness.matrix)
+        roots = forest.roots()
+        for i, root in enumerate(roots):
+            proof.witness_commitments[i].commitment = root
+
+        # PHASE 2: bind all roots.
+        transcript.append_bytes(b"POLY_COMMITMENTS")
+        for root in roots:
+            transcript.append_bytes(root)
+
+        # PHASE 3: challenges (sequential, host transcript), evals, openings.
+        points = [[transcript.challenge(F) for _ in range(num_vars)] for _ in range(43)]
+        if num_vars > 0:
+            pts_arr = np.array([[c.value for c in pt] for pt in points], dtype=np.uint64)
+            evaluator = self.eval_backend or self._host_eval_backend
+            values = evaluator(witness.matrix, pts_arr)
+        else:
+            values = witness.matrix[:, 0]
+        indices = np.array(
+            [(points[i][0].value % (1 << num_vars)) if num_vars else 0 for i in range(43)],
+            dtype=np.int64,
+        )
+        merkle_openings = forest.open_all(indices)
+        for i in range(43):
+            wc = proof.witness_commitments[i]
+            wc.value = F.from_reduced(int(values[i]))
+            wc.proof = SchemeOpening(
+                point=points[i], value=wc.value, merkle_proof=merkle_openings[i]
+            )
+            wc.point = wc.proof.point
+
+        # PHASE 4: bind all opening claims.
+        transcript.append_bytes(b"OPENING_CLAIMS")
+        for opening in proof.witness_commitments:
+            transcript.append_field_element(F, opening.value)
+
+    def _host_eval_backend(self, matrix, points):
+        """Vectorized host evaluation of B MLEs at B points (LSB folds);
+        exact for moduli < 2^31 (products fit uint64)."""
+        import numpy as np
+
+        assert self.F.MODULUS < (1 << 31)
+        p = np.uint64(self.F.MODULUS)
+        cur = np.ascontiguousarray(matrix, dtype=np.uint64)
+        for j in range(points.shape[1]):
+            r = (points[:, j] % p)[:, None]
+            om = (np.uint64(1) + p - r) % p
+            cur = (om * cur[:, 0::2] + r * cur[:, 1::2]) % p
+        return cur[:, 0]
+
+    def _package_public_io(self, proof: Proof, program: bytes, final_state: dict, entry_pc, initial_regs) -> None:
+        outputs = final_state["output_tape"] or None
         proof.public_io = PublicIO(
             program_hash=sha256(program),
             initial_pc=entry_pc,
             initial_regs=list(initial_regs) if initial_regs is not None else None,
-            final_pc=vm.pc,
-            final_regs=final_regs,
-            num_steps=vm.trace.step_count(),
+            final_pc=final_state["final_pc"],
+            final_regs=list(final_state["final_regs"]),
+            num_steps=proof.metadata.num_steps,
             initial_memory=None,
             outputs=outputs,
         )

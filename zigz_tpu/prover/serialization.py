@@ -26,6 +26,7 @@ from typing import List
 from ..commitments.commit import OpeningProof
 from ..commitments.merkle import MerklePath, OpeningProof as MerkleOpening
 from .proof import (
+    CompactLassoList,
     PipelineLassoProof,
     PipelineSumcheckProof,
     Proof,
@@ -138,8 +139,20 @@ class BinarySerializer:
             w.u64(coord.value)
         w.u64(sc.final_eval.value)
 
-    def _write_lasso_proofs(self, w: _Writer, proofs: List[PipelineLassoProof]) -> None:
+    def _write_lasso_proofs(self, w: _Writer, proofs) -> None:
         w.u32(len(proofs))
+        if isinstance(proofs, CompactLassoList):
+            # Vectorized: each filler proof is u32 table_id | u64 1 | u32 0 |
+            # u64 final_eval=0 (0 rounds, empty point) = 24 bytes.
+            import numpy as np
+
+            n = len(proofs)
+            if n:
+                rec = np.zeros(n, dtype=[("id", "<u4"), ("nl", "<u8"), ("nv", "<u4"), ("fe", "<u8")])
+                rec["id"] = np.arange(n, dtype=np.uint32)
+                rec["nl"] = 1
+                w.bytes_(rec.tobytes())
+            return
         for lasso in proofs:
             w.u32(lasso.table_id)
             w.u64(lasso.num_lookups)
@@ -227,6 +240,26 @@ class BinarySerializer:
     def _read_lasso_proofs(self, r: _Reader, proof: Proof) -> None:
         F = self.F
         count = r.u32()
+        # Fast path: if the whole block matches the uniform filler pattern
+        # (table_id == index, num_lookups == 1, num_vars == 0, eval == 0),
+        # keep it compact instead of materializing `count` objects.
+        if count > 0 and r.pos + 24 * count <= len(r.data):
+            import numpy as np
+
+            blob = r.data[r.pos : r.pos + 24 * count]
+            rec = np.frombuffer(
+                blob, dtype=[("id", "<u4"), ("nl", "<u8"), ("nv", "<u4"), ("fe", "<u8")]
+            )
+            if (
+                np.array_equal(rec["id"], np.arange(count, dtype=np.uint32))
+                and np.all(rec["nl"] == 1)
+                and np.all(rec["nv"] == 0)
+                and np.all(rec["fe"] == 0)
+            ):
+                r.pos += 24 * count
+                proof.lookup_proofs = CompactLassoList(F, count)
+                return
+        proof.lookup_proofs = []
         for _ in range(count):
             table_id = r.u32()
             num_lookups = r.u64()

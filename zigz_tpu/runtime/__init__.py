@@ -111,6 +111,33 @@ def native_batch_merge_hashes(level: bytes) -> bytes:
     return out.tobytes()
 
 
+def native_batch_build_levels(leaf_bytes: bytes):
+    """All internal tree levels in one native call (zigz_sha3_tree)."""
+    n = len(leaf_bytes) // 32
+    if n <= 1:
+        return [leaf_bytes]
+    leaves = np.frombuffer(leaf_bytes, dtype=np.uint8)
+    total_internal = n - 1  # n/2 + n/4 + ... + 1
+    out = np.empty(total_internal * 32, dtype=np.uint8)
+    _lib.zigz_sha3_tree(
+        leaves.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_size_t(n),
+        out.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_int(NUM_THREADS),
+    )
+    blob = out.tobytes()
+    levels = [leaf_bytes]
+    offset = 0
+    level_n = n // 2
+    while level_n >= 1:
+        levels.append(blob[offset * 32 : (offset + level_n) * 32])
+        offset += level_n
+        if level_n == 1:
+            break
+        level_n //= 2
+    return levels
+
+
 def install() -> bool:
     """Build+load the native library and register it as the Merkle hashing
     backend.  Returns True when the native backend is active."""
@@ -118,7 +145,9 @@ def install() -> bool:
         return False
     from ..commitments import merkle
 
-    merkle.set_hash_backend(native_batch_leaf_hashes, native_batch_merge_hashes)
+    merkle.set_hash_backend(
+        native_batch_leaf_hashes, native_batch_merge_hashes, native_batch_build_levels
+    )
     return True
 
 

@@ -62,9 +62,14 @@ class Verifier:
             return VerificationResult.RejectInvalidSumcheck
 
         # PHASE 5: Lasso proofs.
-        for lasso in proof.lookup_proofs:
-            if self._verify_lasso_proof(lasso) != VerificationResult.Accept:
-                return VerificationResult.RejectInvalidLookup
+        from ..prover.proof import CompactLassoList
+
+        if isinstance(proof.lookup_proofs, CompactLassoList):
+            self._verify_lasso_proofs_compact(proof.lookup_proofs)
+        else:
+            for lasso in proof.lookup_proofs:
+                if self._verify_lasso_proof(lasso) != VerificationResult.Accept:
+                    return VerificationResult.RejectInvalidLookup
 
         # PHASE 6: openings.
         for opening in proof.witness_commitments:
@@ -148,6 +153,32 @@ class Verifier:
                     return VerificationResult.RejectInvalidLookup
 
         return VerificationResult.Accept
+
+    def _verify_lasso_proofs_compact(self, proofs) -> None:
+        """Batched transcript absorption for uniform filler proofs.
+
+        Per proof the verifier absorbs "LASSO_BEGIN" + "LASSO_TABLE" +
+        LE64(table_id mod p) + "SUMCHECK_BEGIN" + LE64(0) and runs zero
+        rounds (always Accept) — one update() replaces len(proofs) Python
+        iterations, byte-identical to the slow path (verifier.zig:240-267
+        semantics preserved)."""
+        import numpy as np
+
+        n = len(proofs)
+        if n == 0:
+            return
+        F = self.F
+        head = b"LASSO_BEGINLASSO_TABLE"
+        tail = b"SUMCHECK_BEGIN" + b"\x00" * 8
+        stride = len(head) + 8 + len(tail)
+        ids = np.arange(n, dtype=np.uint64) % np.uint64(F.MODULUS)
+        stream = np.empty((n, stride), dtype=np.uint8)
+        stream[:, : len(head)] = np.frombuffer(head, dtype=np.uint8)
+        stream[:, len(head) : len(head) + 8] = np.frombuffer(
+            np.ascontiguousarray(ids, dtype="<u8").tobytes(), dtype=np.uint8
+        ).reshape(n, 8)
+        stream[:, len(head) + 8 :] = np.frombuffer(tail, dtype=np.uint8)
+        self.transcript.append_bytes(stream.tobytes())
 
     def _verify_opening(self, opening) -> str:
         """verifier.zig:269-294."""
