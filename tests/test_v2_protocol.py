@@ -1,0 +1,177 @@
+"""Protocol v2 tests: real constraint zerocheck end-to-end, soundness
+probes (corrupted witnesses must be caught), serialization round-trip."""
+
+import numpy as np
+import pytest
+
+from zigz_tpu import elf
+from zigz_tpu.core.field import BabyBear as F
+from zigz_tpu.core.hash import FiatShamirTranscript
+from zigz_tpu.guest.programs import fibonacci_guest
+from zigz_tpu.proofs.zerocheck import ZerocheckProver, ZerocheckVerifier, eq_eval
+from zigz_tpu.prover.prover import Prover
+from zigz_tpu.prover.proof import VerificationResult
+from zigz_tpu.prover.serialization import BinarySerializer
+from zigz_tpu.verifier.verifier import Verifier
+
+rng = np.random.default_rng(11)
+
+
+def _simple_combiner(cols, alphas, p):
+    # C = a0 * A * (1 - A): zero iff A boolean.
+    A = cols["A"]
+    return np.uint64(alphas[0]) * (A * ((np.uint64(1) + np.uint64(p) - A) % np.uint64(p)) % np.uint64(p)) % np.uint64(p)
+
+
+def _simple_scalar(col_evals, alphas, p):
+    a = col_evals["A"] % p
+    return alphas[0] * (a * ((1 - a) % p) % p) % p
+
+
+def test_zerocheck_accepts_vanishing():
+    A = rng.integers(0, 2, size=64, dtype=np.uint64)  # boolean: constraint holds
+    proof = ZerocheckProver(F, {"A": A}, _simple_combiner, degree=3).prove(FiatShamirTranscript())
+    ok = ZerocheckVerifier(F, _simple_scalar, 1, 3).verify(proof, FiatShamirTranscript())
+    assert ok
+
+
+def test_zerocheck_rejects_violation():
+    A = rng.integers(0, 2, size=64, dtype=np.uint64)
+    A[17] = 5  # not boolean
+    proof = ZerocheckProver(F, {"A": A}, _simple_combiner, degree=3).prove(FiatShamirTranscript())
+    ok = ZerocheckVerifier(F, _simple_scalar, 1, 3).verify(proof, FiatShamirTranscript())
+    assert not ok
+
+
+def test_zerocheck_rejects_tampered_rounds():
+    A = rng.integers(0, 2, size=64, dtype=np.uint64)
+    proof = ZerocheckProver(F, {"A": A}, _simple_combiner, degree=3).prove(FiatShamirTranscript())
+    proof.round_evals[2][1] = (proof.round_evals[2][1] + 1) % F.MODULUS
+    ok = ZerocheckVerifier(F, _simple_scalar, 1, 3).verify(proof, FiatShamirTranscript())
+    assert not ok
+
+
+def test_zerocheck_rejects_tampered_column_eval():
+    A = rng.integers(0, 2, size=64, dtype=np.uint64)
+    proof = ZerocheckProver(F, {"A": A}, _simple_combiner, degree=3).prove(FiatShamirTranscript())
+    proof.column_evals["A"] = (proof.column_evals["A"] + 1) % F.MODULUS
+    ok = ZerocheckVerifier(F, _simple_scalar, 1, 3).verify(proof, FiatShamirTranscript())
+    assert not ok
+
+
+def test_eq_eval_matches_table():
+    from zigz_tpu.proofs.zerocheck import _eq_table
+
+    taus = [int(x) for x in rng.integers(0, F.MODULUS, size=4)]
+    table = _eq_table(taus, F.MODULUS)
+    # eq(tau, b) at hypercube corners picks the table entries (MSB-first).
+    for idx in (0, 5, 15):
+        bits = [(idx >> (3 - j)) & 1 for j in range(4)]  # tau_1 is MSB
+        assert eq_eval(taus, bits, F.MODULUS) == int(table[idx])
+
+
+# -- end-to-end v2 pipeline ------------------------------------------------
+
+def _prove_v2(program, entry=0x1000, segments=None, tape=None):
+    return Prover(F, seed=0, protocol_version=2).prove(
+        program, entry, None, 1 << 16, segments, tape
+    )
+
+
+def test_v2_end_to_end_accept():
+    guest = fibonacci_guest()
+    loaded = elf.load(guest)
+    proof = _prove_v2(guest, loaded.entry_pc, loaded.segments, [10])
+    assert proof.metadata.version == 2
+    assert proof.v2 is not None
+    # Real round polynomials: not all zero.
+    flat = [c.value for row in proof.constraint_proof.round_polynomials for c in row]
+    assert any(v != 0 for v in flat)
+    assert Verifier(F).verify(proof, guest) == VerificationResult.Accept
+
+
+def test_v2_serialization_roundtrip():
+    guest = fibonacci_guest()
+    loaded = elf.load(guest)
+    proof = _prove_v2(guest, loaded.entry_pc, loaded.segments, [7])
+    ser = BinarySerializer(F)
+    data = ser.serialize(proof)
+    restored = ser.deserialize(data)
+    assert restored.metadata.version == 2
+    assert Verifier(F).verify(restored, guest) == VerificationResult.Accept
+    assert ser.serialize(restored) == data
+
+
+def test_v2_rejects_tampered_round():
+    guest = fibonacci_guest()
+    loaded = elf.load(guest)
+    proof = _prove_v2(guest, loaded.entry_pc, loaded.segments, [5])
+    proof.constraint_proof.round_polynomials[1][2] = (
+        proof.constraint_proof.round_polynomials[1][2].add(F.one())
+    )
+    assert Verifier(F).verify(proof, guest) == VerificationResult.RejectInvalidSumcheck
+
+
+def test_v2_rejects_tampered_column_eval():
+    guest = fibonacci_guest()
+    loaded = elf.load(guest)
+    proof = _prove_v2(guest, loaded.entry_pc, loaded.segments, [5])
+    proof.v2.column_evals["pc"] = (proof.v2.column_evals["pc"] + 1) % F.MODULUS
+    assert Verifier(F).verify(proof, guest) == VerificationResult.RejectInvalidSumcheck
+
+
+def test_v2_rejects_tampered_aux_root():
+    guest = fibonacci_guest()
+    loaded = elf.load(guest)
+    proof = _prove_v2(guest, loaded.entry_pc, loaded.segments, [5])
+    tampered = bytearray(proof.v2.aux_roots["seq"])
+    tampered[0] ^= 1
+    proof.v2.aux_roots["seq"] = bytes(tampered)
+    assert Verifier(F).verify(proof, guest) != VerificationResult.Accept
+
+
+def test_v2_rejects_tampered_opening_point():
+    guest = fibonacci_guest()
+    loaded = elf.load(guest)
+    proof = _prove_v2(guest, loaded.entry_pc, loaded.segments, [5])
+    wc = proof.witness_commitments[3]
+    wc.point[0] = wc.point[0].add(F.one())
+    assert Verifier(F).verify(proof, guest) == VerificationResult.RejectInvalidCommitment
+
+
+def test_v2_v1_coexist():
+    """v1 proofs still verify with the v1 schedule; v2 and v1 proofs of the
+    same program differ in bytes but both Accept under their versions."""
+    guest = fibonacci_guest()
+    loaded = elf.load(guest)
+    ser = BinarySerializer(F)
+    p1 = Prover(F, seed=0, protocol_version=1).prove(guest, loaded.entry_pc, None, 1 << 16, loaded.segments, [6])
+    p2 = Prover(F, seed=0, protocol_version=2).prove(guest, loaded.entry_pc, None, 1 << 16, loaded.segments, [6])
+    assert ser.serialize(p1) != ser.serialize(p2)
+    assert Verifier(F).verify(p1, guest) == VerificationResult.Accept
+    assert Verifier(F).verify(p2, guest) == VerificationResult.Accept
+
+
+def test_v2_constraint_violation_caught():
+    """Corrupt the witness behind the prover's back: patch the zerocheck
+    input columns so a constraint is violated -> prover output fails."""
+    from zigz_tpu.constraints.v2 import NUM_V2_CONSTRAINTS, V2_DEGREE, v2_combiner
+    from zigz_tpu.proofs.zerocheck import ZerocheckProver
+
+    cols = {
+        "x0": np.zeros(32, dtype=np.uint64),
+        "is_read": rng.integers(0, 2, size=32, dtype=np.uint64),
+        "pc": (np.arange(32, dtype=np.uint64) * 4 + 0x1000),
+        "seq": np.ones(32, dtype=np.uint64),
+        "next_pc": (np.arange(32, dtype=np.uint64) * 4 + 0x1004),
+    }
+    # Violation: one step claims a non-sequential jump while seq=1.
+    cols["next_pc"][9] = 0x9999
+    proof = ZerocheckProver(F, cols, v2_combiner, V2_DEGREE).prove(FiatShamirTranscript())
+    from zigz_tpu.constraints.v2 import v2_combiner_scalar
+    from zigz_tpu.proofs.zerocheck import ZerocheckVerifier
+
+    ok = ZerocheckVerifier(F, v2_combiner_scalar, NUM_V2_CONSTRAINTS, V2_DEGREE).verify(
+        proof, FiatShamirTranscript()
+    )
+    assert not ok

@@ -39,8 +39,9 @@ USAGE = """zigz-tpu — TPU-native Jolt-style zkVM (sumcheck + Lasso)
   zigz-tpu execute <program.bin|program.elf> [--entry 0x1000] [--max-steps N]
     Run VM only (no proof). ELF: entry from file; raw .bin: use --entry.
 
-  zigz-tpu prove <program.bin|program.elf> [--entry 0x1000] [--max-steps N] [--out proof.bin] [--input v1,v2,...]
+  zigz-tpu prove <program.bin|program.elf> [--entry 0x1000] [--max-steps N] [--out proof.bin] [--input v1,v2,...] [--v2]
     Generate proof. ELF: entry and segments from file.
+    --v2 uses protocol version 2 (real constraint zerocheck).
 
   zigz-tpu verify <proof.bin> <program.bin|program.elf>
     Verify proof. Program must match the one used to prove.
@@ -117,8 +118,9 @@ def cmd_prove(args) -> int:
     out_path = _parse_str(args, "--out")
     input_str = _parse_str(args, "--input")
     input_tape = [int(v) for v in input_str.split(",")] if input_str else None
+    protocol_version = 2 if "--v2" in args else 1
 
-    prover = Prover(F, seed=0)
+    prover = Prover(F, seed=0, protocol_version=protocol_version)
     t0 = time.perf_counter()
     proof = prover.prove(program, entry_pc, None, max_steps, segments, input_tape)
     prove_ms = (time.perf_counter() - t0) * 1000

@@ -2,26 +2,53 @@
 
 The commitment phase hashes 43 * 2^(v+1) small messages — at 2^20 steps
 that is ~90M SHA3 permutations, the prover's dominant cost on CPU.  Here
-the whole forest lives on device: leaf digests via ops.keccak.sha3_leaves,
-each level via sha3_merge (trees batched together — pairs never cross tree
-boundaries because every tree's level length is a power of two), and only
-the 43 roots plus the 43*v opened sibling digests ever cross back to host.
+the whole forest lives on device (Pallas Keccak kernels, ops/keccak) and
+only the 43 roots plus the 43*v opened sibling digests cross back to host.
 
-Produces byte-identical roots and authentication paths to the host
-SimpleMerkleTree (tests/test_device_forest.py).
+Structure note for the axon TPU backend: every eager device op pays a
+multi-second compile on first use, so the ENTIRE forest build (leaf
+digests + every merge level + the glue between them) is ONE jitted
+function per witness shape, and the opening-path gather is one more.
+Compiles are cached persistently; realistic witness sizes are the powers
+of two 2^10..2^22, each compiled once per machine.
+
+Byte-identical roots and authentication paths vs the host SimpleMerkleTree
+(tests/test_device_forest.py).
 """
 
 from __future__ import annotations
 
+from functools import partial
 from typing import List
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..ops import keccak
 from .merkle import MerklePath, OpeningProof
 
 __all__ = ["DeviceMerkleForest"]
+
+
+@partial(jax.jit, static_argnames=("num_trees",))
+def _build_forest_lo(lo, num_trees: int):
+    """flat (B*N,) low leaf words (high words all zero) -> tuple of level
+    digest arrays; level k has B * N/2^k digests (tree-major layout, pairs
+    never cross trees)."""
+    level = keccak.sha3_leaves_device(lo, jnp.zeros_like(lo))
+    levels = [level]
+    while level.shape[-1] > num_trees:
+        level = keccak.sha3_merge(level)
+        levels.append(level)
+    return tuple(levels)
+
+
+@jax.jit
+def _gather_levels(levels, flat_indices):
+    """Per-level sibling gather: levels[k][:, flat_indices[k]] stacked as
+    (num_levels, 8, B)."""
+    return jnp.stack([lvl[:, idx] for lvl, idx in zip(levels, flat_indices)])
 
 
 class DeviceMerkleForest:
@@ -33,14 +60,14 @@ class DeviceMerkleForest:
         self.B, self.N = B, N
         self.height = N.bit_length() - 1
 
+        # Witness values are canonical (< p < 2^31), so the high message
+        # word is always zero — ship only the low words (halves the
+        # host->device transfer, which dominates on the tunnel-attached
+        # axon backend) and create the zeros on device.
+        assert F.MODULUS < (1 << 32)
         flat = np.ascontiguousarray(matrix.reshape(-1), dtype=np.uint64)
-        level = keccak.sha3_leaves(flat)  # (8, B*N)
-        self.levels = [level]
-        n = N
-        while n > 1:
-            level = keccak.sha3_merge(level)  # halves within each tree
-            self.levels.append(level)
-            n //= 2
+        lo = jnp.asarray(flat.astype(np.uint32))
+        self.levels = _build_forest_lo(lo, B)
         jax.block_until_ready(self.levels[-1])
 
     # -- queries -----------------------------------------------------------
@@ -49,36 +76,47 @@ class DeviceMerkleForest:
         return [root_bytes[i * 32 : (i + 1) * 32] for i in range(self.B)]
 
     def open_all(self, indices: np.ndarray) -> List[OpeningProof]:
-        """One opening per tree at the given per-tree leaf indices; all
-        sibling digests are gathered level-parallel across the forest."""
+        """One opening per tree at the given per-tree leaf indices; sibling
+        digests for every (tree, level) gathered in a single device call."""
         B, N = self.B, self.N
         indices = np.asarray(indices, dtype=np.int64)
         assert indices.shape == (B,)
 
-        sibling_bytes: List[List[bytes]] = [[] for _ in range(B)]
-        directions: List[List[bool]] = [[] for _ in range(B)]
-        cur = indices.copy()
+        # Host-side index math (cheap, no device compiles).
         tree_base = np.arange(B, dtype=np.int64)
+        cur = indices.copy()
         n = N
-        for level in range(self.height):
+        flat_indices = []
+        direction_rows = []
+        for _ in range(self.height):
             is_right = (cur % 2) == 1
             sibling_local = np.where(is_right, cur - 1, cur + 1)
-            flat_idx = tree_base * n + sibling_local
-            gathered = np.asarray(self.levels[level][:, flat_idx])  # (8, B)
-            blob = keccak.digests_to_bytes(gathered)
-            for i in range(B):
-                sibling_bytes[i].append(blob[i * 32 : (i + 1) * 32])
-                directions[i].append(bool(is_right[i]))
+            flat_indices.append(jnp.asarray(tree_base * n + sibling_local))
+            direction_rows.append(is_right.copy())
             cur //= 2
             n //= 2
 
+        if self.height > 0:
+            gathered = np.asarray(
+                _gather_levels(tuple(self.levels[: self.height]), tuple(flat_indices))
+            )  # (height, 8, B)
+        else:
+            gathered = np.zeros((0, 8, B), dtype=np.uint32)
+
         out = []
         for i in range(B):
+            siblings = []
+            for level in range(self.height):
+                words = gathered[level, :, i].astype("<u4")
+                siblings.append(words.tobytes())
             out.append(
                 OpeningProof(
                     index=int(indices[i]),
                     value=self.F.from_reduced(int(self.matrix[i, indices[i]])),
-                    path=MerklePath(siblings=sibling_bytes[i], directions=directions[i]),
+                    path=MerklePath(
+                        siblings=siblings,
+                        directions=[bool(direction_rows[level][i]) for level in range(self.height)],
+                    ),
                 )
             )
         return out

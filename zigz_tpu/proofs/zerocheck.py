@@ -1,0 +1,202 @@
+"""Zerocheck: prove a constraint combination vanishes on the hypercube.
+
+This is the v2 "complete implementation" the reference's own comments
+sketch (prover.zig:281-286): instead of all-zero placeholder round
+polynomials, run a REAL sumcheck over
+
+    Z(x) = eq(tau, x) * C(x),        C(x) = sum_j alpha_j * constraint_j(x)
+
+where tau and the alpha_j are Fiat-Shamir challenges.  sum_x Z(x) = 0 iff
+C vanishes everywhere on {0,1}^v (w.h.p. over tau) — the standard
+eq-polynomial zerocheck.  Round polynomials have degree <= DEGREE (the
+maximal constraint degree + 1 for the eq factor) and are sent as DEGREE+1
+evaluations g(0..DEGREE); the verifier folds claims through barycentric
+interpolation and finishes with an algebraic check: it computes
+eq(tau, r) itself (closed form) and combines the prover's claimed terminal
+evaluations of each constraint column.
+
+The fold convention is MSB-first (reference partialEval ordering), matching
+the wire-compatible sumcheck; the terminal per-column evaluations are
+therefore at the fold-ordered point (bit v-1 <- r_1, ..., bit 0 <- r_v).
+
+Hot path: all tables are canonical uint64 numpy rows; every operation is a
+vectorized fold/product with mod-p reductions after each multiply.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Dict, List
+
+import numpy as np
+
+from ..core.hash import FiatShamirTranscript
+
+__all__ = ["ZerocheckProof", "ZerocheckProver", "ZerocheckVerifier", "eq_eval"]
+
+
+def _fold_msb(table: np.ndarray, r: int, p: int) -> np.ndarray:
+    half = table.shape[-1] // 2
+    om = (1 - r) % p
+    return (np.uint64(om) * table[..., :half] + np.uint64(r) * table[..., half:]) % np.uint64(p)
+
+
+def _eval_at_t(table: np.ndarray, t: int, p: int) -> np.ndarray:
+    """Table restricted to current-var = t (static small t)."""
+    half = table.shape[-1] // 2
+    if t == 0:
+        return table[..., :half]
+    if t == 1:
+        return table[..., half:]
+    # (1-t)*e0 + t*e1 mod p with t small.
+    om = (1 - t) % p
+    return (np.uint64(om) * table[..., :half] + np.uint64(t) * table[..., half:]) % np.uint64(p)
+
+
+def eq_eval(taus: List[int], rs: List[int], p: int) -> int:
+    """eq(tau, r) = prod_j ((1-tau_j)(1-r_j) + tau_j r_j) mod p."""
+    acc = 1
+    for t, r in zip(taus, rs):
+        term = ((1 - t) % p) * ((1 - r) % p) % p
+        term = (term + t * r) % p
+        acc = acc * term % p
+    return acc
+
+
+def _eq_table(taus: List[int], p: int) -> np.ndarray:
+    """Dense eq(tau, .) over the hypercube, MSB-first variable order: the
+    j-th fold variable (tau_j) controls index bit v-j."""
+    table = np.array([1], dtype=np.uint64)
+    # Each concat step adds a new MOST-significant bit, so process taus in
+    # reverse: the last appended (tau_1) lands on the MSB — matching the
+    # MSB-first fold that consumes r_1 first.
+    for t in reversed(taus):
+        om = np.uint64((1 - t) % p)
+        tv = np.uint64(t % p)
+        table = np.concatenate([om * table % np.uint64(p), tv * table % np.uint64(p)])
+    return table
+
+
+@dataclass
+class ZerocheckProof:
+    num_vars: int
+    degree: int
+    round_evals: List[List[int]]  # per round: g(0..degree)
+    final_point: List[int]  # challenges r_1..r_v
+    column_evals: Dict[str, int]  # terminal evaluation per named column
+
+
+class ZerocheckProver:
+    """Generic zerocheck prover over named constraint columns.
+
+    ``combiner(cols, alphas, p)`` evaluates C pointwise from a dict of
+    equally-shaped numpy arrays (vectorized); DEGREE bounds deg(eq*C) per
+    variable.
+    """
+
+    def __init__(self, F, columns: Dict[str, np.ndarray], combiner: Callable, degree: int,
+                 num_alphas: int = None):
+        self.F = F
+        self.columns = columns
+        self.combiner = combiner
+        self.degree = degree
+        # One combination challenge per CONSTRAINT (not per column).
+        self.num_alphas = num_alphas if num_alphas is not None else len(columns)
+
+    def prove(self, transcript: FiatShamirTranscript) -> ZerocheckProof:
+        F = self.F
+        p = F.MODULUS
+        any_col = next(iter(self.columns.values()))
+        n = any_col.shape[-1]
+        num_vars = n.bit_length() - 1
+
+        # Challenges: tau (zerocheck randomizer) then alphas (combination).
+        taus = [transcript.challenge_value(p) for _ in range(num_vars)]
+        alphas = [transcript.challenge_value(p) for _ in range(self.num_alphas)]
+
+        tables = {name: col.astype(np.uint64) % np.uint64(p) for name, col in self.columns.items()}
+        tables["__eq__"] = _eq_table(taus, p)
+
+        round_evals: List[List[int]] = []
+        rs: List[int] = []
+        for _ in range(num_vars):
+            evals_this_round = []
+            for t in range(self.degree + 1):
+                at_t = {name: _eval_at_t(tab, t, p) for name, tab in tables.items()}
+                c_vals = self.combiner(at_t, alphas, p)
+                z_vals = at_t["__eq__"] * c_vals % np.uint64(p)
+                evals_this_round.append(int(z_vals.astype(object).sum()) % p)
+            round_evals.append(evals_this_round)
+
+            for g in evals_this_round:
+                transcript.append_u64(g)
+            r = transcript.challenge_value(p)
+            rs.append(r)
+            tables = {name: _fold_msb(tab, r, p) for name, tab in tables.items()}
+
+        column_evals = {
+            name: int(tab[0]) for name, tab in tables.items() if name != "__eq__"
+        }
+        for name in sorted(column_evals):
+            transcript.append_u64(column_evals[name])
+
+        return ZerocheckProof(
+            num_vars=num_vars,
+            degree=self.degree,
+            round_evals=round_evals,
+            final_point=rs,
+            column_evals=column_evals,
+        )
+
+
+def _interp_eval(ys: List[int], x: int, p: int) -> int:
+    """Evaluate the degree-d polynomial through (0..d, ys) at x (Lagrange)."""
+    d = len(ys) - 1
+    acc = 0
+    for i in range(d + 1):
+        num, den = 1, 1
+        for j in range(d + 1):
+            if i == j:
+                continue
+            num = num * ((x - j) % p) % p
+            den = den * ((i - j) % p) % p
+        acc = (acc + ys[i] * num % p * pow(den, -1, p)) % p
+    return acc
+
+
+class ZerocheckVerifier:
+    """Round-consistency + terminal algebraic check."""
+
+    def __init__(self, F, combiner_scalar: Callable, num_columns: int, degree: int):
+        self.F = F
+        self.combiner_scalar = combiner_scalar  # (col_evals: dict, alphas, p) -> int
+        self.num_columns = num_columns
+        self.degree = degree
+
+    def verify(self, proof: ZerocheckProof, transcript: FiatShamirTranscript) -> bool:
+        p = self.F.MODULUS
+        taus = [transcript.challenge_value(p) for _ in range(proof.num_vars)]
+        alphas = [transcript.challenge_value(p) for _ in range(self.num_columns)]
+
+        claim = 0  # zerocheck: total must be zero
+        rs: List[int] = []
+        for evals in proof.round_evals:
+            if len(evals) != self.degree + 1:
+                return False
+            if (evals[0] + evals[1]) % p != claim:
+                return False
+            for g in evals:
+                transcript.append_u64(g % p)
+            r = transcript.challenge_value(p)
+            rs.append(r)
+            claim = _interp_eval(evals, r, p)
+
+        if rs != proof.final_point:
+            return False
+
+        for name in sorted(proof.column_evals):
+            transcript.append_u64(proof.column_evals[name] % p)
+
+        eq_r = eq_eval(taus, rs, p)
+        c_final = self.combiner_scalar(proof.column_evals, alphas, p)
+        return (eq_r * c_final) % p == claim

@@ -103,6 +103,21 @@ class CommitmentOpening:
         return cls(commitment=b"\x00" * 32, point=point, value=F.zero(), proof=empty)
 
 
+@dataclass
+class V2Section:
+    """Protocol-v2 extension: real constraint zerocheck artifacts.
+
+    The v1 sections keep their wire layout (the zerocheck's 4 round
+    evaluations reuse the constraint proof's 4-coefficient rows); this
+    section adds the auxiliary column commitments (seq, next_pc), the
+    terminal per-column evaluations the verifier's algebraic check
+    consumes, and Merkle openings for the aux columns."""
+
+    aux_roots: dict  # name -> 32B root
+    column_evals: dict  # name -> int (terminal zerocheck evaluations)
+    aux_openings: dict  # name -> merkle OpeningProof
+
+
 class CompactLassoList:
     """Memory-efficient stand-in for the pipeline's list of Lasso filler
     proofs, which are structurally uniform: proof i has table_id == i,
@@ -175,6 +190,7 @@ class Proof:
     lookup_proofs: List[PipelineLassoProof]
     witness_commitments: List[CommitmentOpening]
     metadata: ProofMetadata
+    v2: Optional[V2Section] = None
 
     @classmethod
     def create(cls, F, num_steps: int) -> "Proof":

@@ -57,7 +57,7 @@ class Prover:
     """Prover(F) twin (prover.zig:27-561)."""
 
     def __init__(self, F, seed: int = 0, verbose: bool = False, eval_backend=None,
-                 use_native_vm: Optional[bool] = None):
+                 use_native_vm: Optional[bool] = None, protocol_version: int = 1):
         self.F = F
         self.rng = Xoshiro256(seed)
         self.transcript = FiatShamirTranscript()
@@ -75,6 +75,8 @@ class Prover:
             except Exception:
                 use_native_vm = False
         self.use_native_vm = use_native_vm
+        assert protocol_version in (1, 2)
+        self.protocol_version = protocol_version
         self.last_timings = {}
 
     def _log(self, msg: str) -> None:
@@ -136,9 +138,14 @@ class Prover:
         constraints = ConstraintSystem()
         constraints.builder.build_all(F, witness)
 
-        # STEP 4: placeholder constraint sumcheck (prover.zig:250-288).
+        # STEP 4: constraint sumcheck — v1 placeholder (prover.zig:250-288)
+        # or the v2 real zerocheck (constraints/v2.py).
         proof = Proof.create(F, num_steps)
-        self._generate_sumcheck_proof(proof, constraints, witness)
+        if self.protocol_version == 2:
+            proof.metadata.version = 2
+            self._generate_zerocheck_proof_v2(proof, witness, trace)
+        else:
+            self._generate_sumcheck_proof(proof, constraints, witness)
 
         # STEP 5: Lasso phase (prover.zig:292-363).
         self._generate_lasso_proofs(proof, lookup_count)
@@ -211,6 +218,68 @@ class Prover:
                 proof.constraint_proof.round_polynomials[rnd][i] = F.zero()
             transcript.append_bytes(zero_coeff_bytes)
             proof.constraint_proof.final_point[rnd] = transcript.challenge(F)
+
+    def _generate_zerocheck_proof_v2(self, proof: Proof, witness, trace) -> None:
+        """Protocol v2: real eq-weighted zerocheck over the execution
+        constraints (see zigz_tpu/constraints/v2.py + proofs/zerocheck.py).
+
+        Transcript schedule (v2): "SUMCHECK_BEGIN" + F(num_steps) +
+        F(num_vars) as in v1, then "V2_AUX_COMMITMENTS" + the aux column
+        roots (binding BEFORE any challenge), then the zerocheck (taus,
+        alphas, per-round evals, terminal column evals)."""
+        import numpy as np
+
+        from ..commitments.merkle import SimpleMerkleTree
+        from ..constraints.v2 import (
+            NUM_V2_CONSTRAINTS,
+            V2_DEGREE,
+            build_aux_columns,
+            v2_columns,
+            v2_combiner,
+        )
+        from ..proofs.zerocheck import ZerocheckProver
+        from .proof import V2Section
+
+        F = self.F
+        transcript = self.transcript
+        num_vars = witness.num_vars
+
+        transcript.append_bytes(b"SUMCHECK_BEGIN")
+        transcript.append_field_element(F, F(witness.num_steps))
+        transcript.append_field_element(F, F(num_vars))
+
+        aux = build_aux_columns(trace, num_vars, F.MODULUS)
+        aux_trees = {name: SimpleMerkleTree.build(F, aux[name]) for name in sorted(aux)}
+        aux_roots = {name: tree.get_root() for name, tree in aux_trees.items()}
+
+        transcript.append_bytes(b"V2_AUX_COMMITMENTS")
+        for name in sorted(aux_roots):
+            transcript.append_bytes(aux_roots[name])
+
+        columns = v2_columns(witness, aux)
+        zc = ZerocheckProver(
+            F, columns, v2_combiner, V2_DEGREE, num_alphas=NUM_V2_CONSTRAINTS
+        ).prove(transcript)
+
+        # Reuse the v1 wire shape: 4 round evaluations per row, challenges
+        # as the final point, final_eval = 0 (the zerocheck total).
+        for rnd, evals in enumerate(zc.round_evals):
+            proof.constraint_proof.round_polynomials[rnd] = [
+                F.from_reduced(g) for g in evals
+            ]
+        proof.constraint_proof.final_point = [F.from_reduced(r) for r in zc.final_point]
+        proof.constraint_proof.final_eval = F.zero()
+
+        # Aux openings at the v1-style index derived from the first
+        # zerocheck challenge.
+        index = zc.final_point[0] % (1 << num_vars) if num_vars else 0
+        aux_openings = {name: aux_trees[name].open(index) for name in sorted(aux_trees)}
+
+        proof.v2 = V2Section(
+            aux_roots=aux_roots,
+            column_evals=zc.column_evals,
+            aux_openings=aux_openings,
+        )
 
     def _generate_lasso_proofs(self, proof: Proof, lookup_count: int) -> None:
         """One filler proof per traced lookup (prover.zig:292-363).

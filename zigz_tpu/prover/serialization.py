@@ -97,11 +97,13 @@ class BinarySerializer:
         self._write_sumcheck(w, proof.constraint_proof)
         self._write_lasso_proofs(w, proof.lookup_proofs)
         self._write_witness_commitments(w, proof.witness_commitments)
+        if proof.metadata.version == 2:
+            self._write_v2_section(w, proof.v2)
         return bytes(w.buf)
 
     def _write_header(self, w: _Writer, proof: Proof) -> None:
         w.bytes_(MAGIC)
-        w.u32(CURRENT_VERSION)
+        w.u32(proof.metadata.version)
         w.u64(proof.metadata.field_modulus)
         w.u64(proof.metadata.num_steps)
         w.u32(proof.metadata.num_vars)
@@ -177,6 +179,50 @@ class BinarySerializer:
         for d in proof.merkle_proof.path.directions:
             w.u8(1 if d else 0)
 
+
+    # -- v2 extension section ----------------------------------------------
+    # Layout: per aux column (sorted names): 32B root; then the 5 terminal
+    # column evals (sorted names) as u64; then per aux column (sorted):
+    # u64 index | u64 leaf value | u32 path_len | siblings | directions.
+    _V2_COLUMNS = ("is_read", "next_pc", "pc", "seq", "x0")
+    _V2_AUX = ("next_pc", "seq")
+
+    def _write_v2_section(self, w: _Writer, v2) -> None:
+        for name in self._V2_AUX:
+            w.bytes_(v2.aux_roots[name])
+        for name in self._V2_COLUMNS:
+            w.u64(v2.column_evals[name] % self.F.MODULUS)
+        for name in self._V2_AUX:
+            opening = v2.aux_openings[name]
+            w.u64(opening.index)
+            w.u64(opening.value.value)
+            w.u32(len(opening.path.siblings))
+            for sib in opening.path.siblings:
+                w.bytes_(sib)
+            for d in opening.path.directions:
+                w.u8(1 if d else 0)
+
+    def _read_v2_section(self, r: _Reader):
+        from ..commitments.merkle import MerklePath, OpeningProof as MerkleOpening
+        from .proof import V2Section
+
+        F = self.F
+        aux_roots = {name: r.bytes_(32) for name in self._V2_AUX}
+        column_evals = {name: r.u64() for name in self._V2_COLUMNS}
+        aux_openings = {}
+        for name in self._V2_AUX:
+            index = r.u64()
+            value = F(r.u64())
+            path_len = r.u32()
+            siblings = [r.bytes_(32) for _ in range(path_len)]
+            directions = [r.u8() != 0 for _ in range(path_len)]
+            aux_openings[name] = MerkleOpening(
+                index=index, value=value,
+                path=MerklePath(siblings=siblings, directions=directions),
+            )
+        return V2Section(aux_roots=aux_roots, column_evals=column_evals,
+                         aux_openings=aux_openings)
+
     # -- deserialize -------------------------------------------------------
     def deserialize(self, data: bytes) -> Proof:
         F = self.F
@@ -186,7 +232,7 @@ class BinarySerializer:
         if magic != MAGIC:
             raise SerializationError("InvalidMagicNumber")
         version = r.u32()
-        if version != CURRENT_VERSION:
+        if version not in (1, 2):
             raise SerializationError("UnsupportedVersion")
         field_modulus = r.u64()
         num_steps = r.u64()
@@ -204,6 +250,8 @@ class BinarySerializer:
         self._read_sumcheck(r, proof.constraint_proof)
         self._read_lasso_proofs(r, proof)
         self._read_witness_commitments(r, proof)
+        if version == 2:
+            proof.v2 = self._read_v2_section(r)
         return proof
 
     def _read_public_io(self, r: _Reader) -> PublicIO:

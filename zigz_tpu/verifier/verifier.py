@@ -45,6 +45,9 @@ class Verifier:
         self.transcript = FiatShamirTranscript()
 
     def verify(self, proof: Proof, program: bytes) -> str:
+        if proof.metadata.version == 2:
+            return self.verify_v2(proof, program)
+
         # Fresh transcript (verifier.zig:55).
         self.transcript = FiatShamirTranscript()
 
@@ -79,6 +82,93 @@ class Verifier:
         return VerificationResult.Accept
 
     # ------------------------------------------------------------------
+    def verify_v2(self, proof: Proof, program: bytes) -> str:
+        """Protocol v2: replay the PROVER's exact transcript schedule and
+        verify the real constraint zerocheck (constraints/v2.py), then the
+        v1-style opening checks — plus the aux-column openings and a
+        point/index consistency check the v1 verifier omits."""
+        from ..commitments.merkle import SimpleMerkleTree
+        from ..constraints.v2 import NUM_V2_CONSTRAINTS, V2_DEGREE, v2_combiner_scalar
+        from ..prover.proof import CompactLassoList
+        from ..proofs.zerocheck import ZerocheckProof, ZerocheckVerifier
+
+        F = self.F
+        if proof.v2 is None:
+            return VerificationResult.RejectInvalidSumcheck
+        self.transcript = FiatShamirTranscript()
+        transcript = self.transcript
+
+        # Public inputs (prover order).
+        self._bind_public_inputs(proof.public_io, program)
+
+        # Constraint phase bindings (prover order: steps then vars).
+        transcript.append_bytes(b"SUMCHECK_BEGIN")
+        transcript.append_field_element(F, F(proof.public_io.num_steps))
+        transcript.append_field_element(F, F(proof.metadata.num_vars))
+
+        transcript.append_bytes(b"V2_AUX_COMMITMENTS")
+        for name in sorted(proof.v2.aux_roots):
+            transcript.append_bytes(proof.v2.aux_roots[name])
+
+        # Zerocheck replay + algebraic check.
+        zc_proof = ZerocheckProof(
+            num_vars=proof.metadata.num_vars,
+            degree=V2_DEGREE,
+            round_evals=[[c.value for c in row] for row in proof.constraint_proof.round_polynomials],
+            final_point=[c.value for c in proof.constraint_proof.final_point],
+            column_evals=proof.v2.column_evals,
+        )
+        zc_ok = ZerocheckVerifier(
+            F, v2_combiner_scalar, NUM_V2_CONSTRAINTS, V2_DEGREE
+        ).verify(zc_proof, transcript)
+        if not zc_ok:
+            return VerificationResult.RejectInvalidSumcheck
+
+        # Lasso phase: replay the prover's schedule exactly.
+        transcript.append_bytes(b"LASSO_BEGIN")
+        for i, lasso in enumerate(proof.lookup_proofs):
+            if not isinstance(proof.lookup_proofs, CompactLassoList):
+                if lasso.multiset_proof.num_vars != 0:
+                    return VerificationResult.RejectInvalidLookup
+            transcript.append_bytes(b"LASSO_TABLE")
+            transcript.append_field_element(F, F(i))
+
+        # Commitment phase: bind roots, re-derive points, CHECK them.
+        transcript.append_bytes(b"POLY_COMMITMENTS")
+        for c in proof.witness_commitments:
+            transcript.append_bytes(c.commitment)
+        num_vars = proof.metadata.num_vars
+        for c in proof.witness_commitments:
+            point = [transcript.challenge(F) for _ in range(num_vars)]
+            # v2 tightening: the proof's point and opened index must match
+            # the re-derived challenges (v1 never checks these).
+            if [x.value for x in c.point] != [x.value for x in point]:
+                return VerificationResult.RejectInvalidCommitment
+            expected_index = point[0].value % (1 << num_vars) if num_vars else 0
+            if c.proof.merkle_proof.index != expected_index:
+                return VerificationResult.RejectInvalidCommitment
+        transcript.append_bytes(b"OPENING_CLAIMS")
+        for c in proof.witness_commitments:
+            transcript.append_field_element(F, c.value)
+
+        # Opening checks (v1 semantics).
+        for opening in proof.witness_commitments:
+            if self._verify_opening(opening) != VerificationResult.Accept:
+                return VerificationResult.RejectInvalidCommitment
+
+        # Aux column openings: path valid + index matches zerocheck point.
+        zc_index = (
+            proof.constraint_proof.final_point[0].value % (1 << num_vars) if num_vars else 0
+        )
+        for name in sorted(proof.v2.aux_openings):
+            opening = proof.v2.aux_openings[name]
+            if opening.index != zc_index:
+                return VerificationResult.RejectInvalidCommitment
+            if not SimpleMerkleTree.verify(F, proof.v2.aux_roots[name], opening):
+                return VerificationResult.RejectInvalidCommitment
+
+        return VerificationResult.Accept
+
     def _bind_public_inputs(self, public_io: PublicIO, program: bytes) -> None:
         """verifier.zig:95-122."""
         F = self.F
