@@ -31,11 +31,16 @@ from .merkle import MerklePath, OpeningProof
 __all__ = ["DeviceMerkleForest"]
 
 
-@partial(jax.jit, static_argnames=("num_trees",))
 def _build_forest_lo(lo, num_trees: int):
     """flat (B*N,) low leaf words (high words all zero) -> tuple of level
     digest arrays; level k has B * N/2^k digests (tree-major layout, pairs
-    never cross trees)."""
+    never cross trees).
+
+    Structure: a HOST loop dispatching per-level jitted kernels.  A single
+    whole-forest jit traces thousands of pallas calls into one graph and
+    XLA compile time explodes (>10 min at 2^20); per-level graphs are
+    bounded (the pallas executables and glue are shape-cached, ~25
+    distinct shapes across all witness sizes, persisted on disk)."""
     level = keccak.sha3_leaves_device(lo, jnp.zeros_like(lo))
     levels = [level]
     while level.shape[-1] > num_trees:

@@ -1,0 +1,230 @@
+"""Poseidon2 permutation over BabyBear — the algebraic hash option.
+
+The reference intends Poseidon2 as its in-circuit hash but ships an
+incomplete integration that always falls back to SHA3 (hash.zig:53-63,
+153-157).  This module provides a structurally complete Poseidon2:
+
+* state width t = 16 over BabyBear, S-box x^7 (gcd(7, p-1) = 1);
+* 8 external (full) rounds split 4+4 around 13 internal (partial) rounds
+  — the standard Poseidon2 configuration for 31-bit fields at 128-bit
+  security;
+* external linear layer: the Poseidon2 circulant built from the 4x4 M4
+  block (each 4-lane group mixed by M4, then column sums added);
+* internal linear layer: x -> diag(mu) * x + sum(x) (I + diag form).
+
+PARAMETERIZATION NOTE: round constants and the internal diagonal are
+derived from a deterministic SHA3-based generator (domain string below)
+rather than an external standard's tables — self-consistent and stable
+across versions, but NOT interoperable with Plonky3/Horizen parameter
+sets.  Swap `_CONSTANT_SEED` + the generator to adopt a standard set.
+
+The sponge (rate 8 / capacity 8) hashes field-element sequences to a
+32-byte digest (8 BabyBear limbs, 4-byte LE each) for the GenericHasher
+interface; a vectorized numpy twin powers batch Merkle hashing and is the
+host mirror of the device kernel in ops/poseidon2.py.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import List
+
+import numpy as np
+
+__all__ = [
+    "P",
+    "T",
+    "RATE",
+    "permute",
+    "np_permute",
+    "hash_field_values",
+    "hash_two_digests",
+    "Poseidon2Hasher",
+]
+
+P = 2013265921  # BabyBear
+T = 16  # state width
+RATE = 8
+CAPACITY = T - RATE
+ROUNDS_F = 8  # external/full rounds (4 + 4)
+ROUNDS_P = 13  # internal/partial rounds
+
+_CONSTANT_SEED = b"zigz-tpu/poseidon2/babybear/v1"
+
+
+def _gen_constants(count: int, domain: bytes) -> List[int]:
+    """Deterministic constants: SHA3-256 counter stream reduced mod p."""
+    out = []
+    counter = 0
+    while len(out) < count:
+        digest = hashlib.sha3_256(_CONSTANT_SEED + domain + counter.to_bytes(4, "little")).digest()
+        for i in range(0, 32, 4):
+            if len(out) >= count:
+                break
+            value = int.from_bytes(digest[i : i + 4], "little")
+            # Rejection-sample into [0, p) to keep the distribution uniform.
+            if value < (2**32 // P) * P:
+                out.append(value % P)
+        counter += 1
+    return out
+
+
+# Round constants: full t-wide constants for external rounds, single
+# constant per internal round (Poseidon2 optimization).
+_RC_EXTERNAL = _gen_constants(ROUNDS_F * T, b"/rc-ext")
+_RC_INTERNAL = _gen_constants(ROUNDS_P, b"/rc-int")
+# Internal diagonal mu (I + diag(mu) must be invertible & secure; generated
+# constants are fine for the structural implementation).
+_MU = _gen_constants(T, b"/mu")
+
+_M4 = (
+    (5, 7, 1, 3),
+    (4, 6, 1, 1),
+    (1, 3, 5, 7),
+    (1, 1, 4, 6),
+)
+
+
+def _sbox(x: int) -> int:
+    x2 = x * x % P
+    x4 = x2 * x2 % P
+    return x4 * x2 % P * x % P  # x^7
+
+
+def _external_linear(state: List[int]) -> List[int]:
+    """M_E = circ-style: apply M4 within each 4-block, then add the column
+    sums of all blocks (the standard Poseidon2 external layer for t=4k)."""
+    out = [0] * T
+    # M4 per block
+    for b in range(0, T, 4):
+        for i in range(4):
+            acc = 0
+            for j in range(4):
+                acc += _M4[i][j] * state[b + j]
+            out[b + i] = acc % P
+    # add column sums across blocks
+    col = [0, 0, 0, 0]
+    for b in range(0, T, 4):
+        for i in range(4):
+            col[i] = (col[i] + out[b + i]) % P
+    for b in range(0, T, 4):
+        for i in range(4):
+            out[b + i] = (out[b + i] + col[i]) % P
+    return out
+
+
+def _internal_linear(state: List[int]) -> List[int]:
+    total = sum(state) % P
+    return [(total + _MU[i] * state[i]) % P for i in range(T)]
+
+
+def permute(state: List[int]) -> List[int]:
+    """The Poseidon2 permutation on a t=16 BabyBear state."""
+    s = [x % P for x in state]
+    s = _external_linear(s)  # initial linear layer (Poseidon2 spec)
+    half = ROUNDS_F // 2
+    rc = 0
+    for _ in range(half):
+        s = [_sbox((x + _RC_EXTERNAL[rc + i]) % P) for i, x in enumerate(s)]
+        rc += T
+        s = _external_linear(s)
+    for r in range(ROUNDS_P):
+        s[0] = _sbox((s[0] + _RC_INTERNAL[r]) % P)
+        s = _internal_linear(s)
+    for _ in range(half):
+        s = [_sbox((x + _RC_EXTERNAL[rc + i]) % P) for i, x in enumerate(s)]
+        rc += T
+        s = _external_linear(s)
+    return s
+
+
+# ---------------------------------------------------------------------------
+# Vectorized twin: state as (T, N) uint64 canonical arrays.
+# ---------------------------------------------------------------------------
+
+_M4_NP = np.array(_M4, dtype=np.uint64)
+_MU_NP = np.array(_MU, dtype=np.uint64)
+
+
+def _np_sbox(x):
+    x2 = x * x % np.uint64(P)
+    x4 = x2 * x2 % np.uint64(P)
+    return x4 * x2 % np.uint64(P) * x % np.uint64(P)
+
+
+def _np_external(s):
+    blocks = s.reshape(4, 4, -1)
+    mixed = np.einsum("ij,bjn->bin", _M4_NP, blocks) % np.uint64(P)
+    col = mixed.sum(axis=0) % np.uint64(P)
+    return ((mixed + col[None]) % np.uint64(P)).reshape(T, -1)
+
+
+def _np_internal(s):
+    total = s.sum(axis=0) % np.uint64(P)
+    return (total[None] + _MU_NP[:, None] * s) % np.uint64(P)
+
+
+def np_permute(state: np.ndarray) -> np.ndarray:
+    """state: (T, N) canonical uint64 -> permuted state."""
+    s = state % np.uint64(P)
+    s = _np_external(s)
+    half = ROUNDS_F // 2
+    rc = 0
+    rc_ext = np.array(_RC_EXTERNAL, dtype=np.uint64)
+    for _ in range(half):
+        s = _np_sbox((s + rc_ext[rc : rc + T, None]) % np.uint64(P))
+        rc += T
+        s = _np_external(s)
+    for r in range(ROUNDS_P):
+        s[0] = _np_sbox((s[0] + np.uint64(_RC_INTERNAL[r])) % np.uint64(P))
+        s = _np_internal(s)
+    for _ in range(half):
+        s = _np_sbox((s + rc_ext[rc : rc + T, None]) % np.uint64(P))
+        rc += T
+        s = _np_external(s)
+    return s
+
+
+# ---------------------------------------------------------------------------
+# Sponge / hasher interface
+# ---------------------------------------------------------------------------
+
+def hash_field_values(values: List[int]) -> bytes:
+    """Sponge over rate-8 blocks; digest = first 8 limbs, 4-byte LE each."""
+    state = [0] * T
+    vals = [v % P for v in values]
+    # Simple length domain separation in the capacity.
+    state[RATE] = len(vals) % P
+    for off in range(0, max(len(vals), 1), RATE):
+        block = vals[off : off + RATE]
+        for i, v in enumerate(block):
+            state[i] = (state[i] + v) % P
+        state = permute(state)
+    return b"".join(state[i].to_bytes(4, "little") for i in range(8))
+
+
+def hash_two_digests(left: bytes, right: bytes) -> bytes:
+    """Merkle node combiner: decode both 32-byte digests to 8 limbs each,
+    absorb as one 16-element message (two rate blocks)."""
+    limbs = [int.from_bytes(left[i : i + 4], "little") % P for i in range(0, 32, 4)]
+    limbs += [int.from_bytes(right[i : i + 4], "little") % P for i in range(0, 32, 4)]
+    return hash_field_values(limbs)
+
+
+class Poseidon2Hasher:
+    """GenericHasher interface (algebraic variant) — drop-in for
+    SHA3Hasher in Merkle construction behind a proof-version bump."""
+
+    name = "Poseidon2"
+
+    @staticmethod
+    def hash_leaf(F, value) -> bytes:
+        return hash_field_values([value.value])
+
+    @staticmethod
+    def hash_leaf_value(value: int) -> bytes:
+        return hash_field_values([value % P])
+
+    @staticmethod
+    def hash_internal(left: bytes, right: bytes) -> bytes:
+        return hash_two_digests(left, right)

@@ -212,9 +212,12 @@ def sha3_leaves_device(lo, hi) -> jnp.ndarray:
 
 @jax.jit
 def _merge_msg(level):
-    n = level.shape[-1] // 2
-    pairs = level.reshape(8, n, 2)
-    return jnp.concatenate([pairs[:, :, 0], pairs[:, :, 1]], axis=0)  # (16, n)
+    # Strided de-interleave — NOT a (..., 2) reshape: a trailing dim of 2
+    # gets tile-padded to 128 lanes on TPU (64x transient memory blowup,
+    # OOM at 2^20-scale forests).
+    left = level[:, 0::2]
+    right = level[:, 1::2]
+    return jnp.concatenate([left, right], axis=0)  # (16, n)
 
 
 def sha3_merge(level: jnp.ndarray) -> jnp.ndarray:

@@ -236,9 +236,12 @@ class NativeVM:
         self._output_arr = None
 
     def __del__(self):
-        if getattr(self, "handle", None):
-            self.lib.zigz_vm_destroy(ctypes.c_void_p(self.handle))
-            self.handle = None
+        try:
+            if getattr(self, "handle", None):
+                self.lib.zigz_vm_destroy(ctypes.c_void_p(self.handle))
+                self.handle = None
+        except Exception:
+            pass  # interpreter shutdown may have torn down ctypes already
 
     def load_segment(self, vaddr: int, data: bytes) -> None:
         buf = (ctypes.c_uint8 * len(data)).from_buffer_copy(data)
