@@ -309,7 +309,24 @@ class Prover:
 
     def _generate_commitments(self, proof: Proof, witness) -> None:
         if self._use_device_commitments(witness.num_steps):
-            self._generate_commitments_device(proof, witness)
+            from ..commitments.device_forest import DeviceMerkleForest
+
+            self._generate_commitments_forest(
+                proof, witness, DeviceMerkleForest(self.F, witness.matrix)
+            )
+            return
+        try:
+            from ..commitments import host_forest
+
+            native = host_forest.available() and self.F.MODULUS < (1 << 32)
+        except Exception:
+            native = False
+        if native:
+            from ..commitments.host_forest import HostMerkleForest
+
+            self._generate_commitments_forest(
+                proof, witness, HostMerkleForest(self.F, witness.matrix)
+            )
         else:
             self._generate_commitments_host(proof, witness)
 
@@ -367,21 +384,20 @@ class Prover:
         for opening in proof.witness_commitments:
             transcript.append_field_element(F, opening.value)
 
-    def _generate_commitments_device(self, proof: Proof, witness) -> None:
-        """TPU path: all 43 Merkle trees live on device (Pallas Keccak),
-        only roots + opened sibling paths come back.  Byte-identical to the
-        host path (tests/test_device_forest.py, test_native_vm.py)."""
+    def _generate_commitments_forest(self, proof: Proof, witness, forest) -> None:
+        """Forest path (device TPU forest or native host forest): all 43
+        Merkle trees built in bulk; only roots + opened sibling paths are
+        consumed.  Byte-identical to the per-poly scheme path
+        (tests/test_device_forest.py, test_host_forest.py)."""
         import numpy as np
 
         from ..commitments.commit import OpeningProof as SchemeOpening
-        from ..commitments.device_forest import DeviceMerkleForest
 
         F = self.F
         transcript = self.transcript
         num_vars = witness.num_vars
 
-        # PHASE 1: forest build on device.
-        forest = DeviceMerkleForest(F, witness.matrix)
+        # PHASE 1: bulk forest build.
         roots = forest.roots()
         for i, root in enumerate(roots):
             proof.witness_commitments[i].commitment = root

@@ -20,6 +20,7 @@
 #include <thread>
 #include <vector>
 #include <algorithm>
+#include <atomic>
 
 namespace {
 
@@ -158,6 +159,58 @@ void zigz_sha3_tree(const uint8_t* leaves, size_t n, uint8_t* out,
     if (level_n == 1) break;
     level_n /= 2;
   }
+}
+
+}  // extern "C"
+
+extern "C" {
+
+// Whole-forest build: num_trees trees of n u64 leaf VALUES each (n a power
+// of two), laid out tree-major.  For each tree writes, contiguously:
+// [n leaf digests][n/2][n/4]...[1 root], i.e. (2n-1) digests of 32 bytes.
+// Parallelized across trees (each tree's levels are sequential anyway).
+void zigz_sha3_forest(const uint64_t* values, size_t num_trees, size_t n,
+                      uint8_t* out, int num_threads) {
+  size_t per_tree = (2 * n - 1) * 32;
+  auto build_tree = [&](size_t t) {
+    const uint64_t* vals = values + t * n;
+    uint8_t* base = out + t * per_tree;
+    // Leaf digests.
+    for (size_t i = 0; i < n; ++i) {
+      sha3_256_small(reinterpret_cast<const uint8_t*>(vals + i), 8,
+                     base + i * 32);
+    }
+    // Internal levels.
+    const uint8_t* cur = base;
+    uint8_t* dst = base + n * 32;
+    size_t level_n = n / 2;
+    while (level_n >= 1) {
+      for (size_t i = 0; i < level_n; ++i) {
+        sha3_256_small(cur + i * 64, 64, dst + i * 32);
+      }
+      cur = dst;
+      dst += level_n * 32;
+      if (level_n == 1) break;
+      level_n /= 2;
+    }
+  };
+  if (num_threads <= 1 || num_trees == 1) {
+    for (size_t t = 0; t < num_trees; ++t) build_tree(t);
+    return;
+  }
+  std::vector<std::thread> threads;
+  std::atomic<size_t> next{0};
+  int workers = std::min<size_t>(num_threads, num_trees);
+  for (int w = 0; w < workers; ++w) {
+    threads.emplace_back([&]() {
+      for (;;) {
+        size_t t = next.fetch_add(1);
+        if (t >= num_trees) return;
+        build_tree(t);
+      }
+    });
+  }
+  for (auto& th : threads) th.join();
 }
 
 }  // extern "C"
