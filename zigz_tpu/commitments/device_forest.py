@@ -70,10 +70,23 @@ class DeviceMerkleForest:
         # host->device transfer, which dominates on the tunnel-attached
         # axon backend) and create the zeros on device.
         assert F.MODULUS < (1 << 32)
-        flat = np.ascontiguousarray(matrix.reshape(-1), dtype=np.uint64)
-        lo = jnp.asarray(flat.astype(np.uint32))
-        self.levels = _build_forest_lo(lo, B)
+        lo_np = matrix.astype(np.uint32)  # (B, N), single host-side copy
+        self.lo = jnp.asarray(lo_np)
+        self.levels = _build_forest_lo(self.lo.reshape(-1), B)
         jax.block_until_ready(self.levels[-1])
+
+    # -- device evaluation (reuses the transferred witness) ----------------
+    def eval_backend(self, matrix: np.ndarray, points: np.ndarray) -> np.ndarray:
+        """Batched MLE evaluation at per-row points on device — the witness
+        already lives on device as ``self.lo``, so only the (B, v) points
+        transfer.  Canonical uint64 in/out (drop-in for the host backend)."""
+        from ..ops import babybear as bb
+        from ..ops import mle as mle_ops
+
+        matrix_m = bb.to_mont(self.lo)
+        points_m = jnp.asarray(bb.np_to_mont(points.astype(np.uint64)))
+        result_m = mle_ops.batch_eval_lsb(matrix_m, points_m)
+        return np.asarray(bb.from_mont(result_m), dtype=np.uint64)
 
     # -- queries -----------------------------------------------------------
     def roots(self) -> List[bytes]:

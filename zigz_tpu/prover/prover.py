@@ -411,7 +411,11 @@ class Prover:
         points = [[transcript.challenge(F) for _ in range(num_vars)] for _ in range(43)]
         if num_vars > 0:
             pts_arr = np.array([[c.value for c in pt] for pt in points], dtype=np.uint64)
-            evaluator = self.eval_backend or self._host_eval_backend
+            evaluator = (
+                self.eval_backend
+                or getattr(forest, "eval_backend", None)
+                or self._host_eval_backend
+            )
             values = evaluator(witness.matrix, pts_arr)
         else:
             values = witness.matrix[:, 0]
