@@ -25,8 +25,7 @@ import time
 from . import elf
 from .core.field import BabyBear as F
 from .prover.prover import Prover
-from .prover.serialization import BinarySerializer
-from .prover.serialization import SerializationError
+from .prover.serialization import BinarySerializer, SerializationError
 from .verifier.verifier import ProgramHashMismatch, Verifier
 from .vm.state import VMState
 from .isa.rv64i import InvalidInstruction

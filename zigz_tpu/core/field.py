@@ -212,20 +212,15 @@ def has_efficient_reduction(F: type) -> bool:
 def np_reduce_u64(values: np.ndarray, modulus: int) -> np.ndarray:
     """Reduce raw u64 machine words into canonical field values (as uint64).
 
-    Equivalent to mapping ``F.init(v)`` over the array (witness.zig:79 etc.).
+    Equivalent to mapping ``F.init(v)`` over the array (witness.zig:79 etc.);
+    numpy uint64 ``%`` is exact for any 64-bit modulus.
     """
-    arr = np.asarray(values, dtype=np.uint64)
-    if modulus <= np.iinfo(np.uint32).max:
-        # Exact: uint64 % small modulus has no overflow concerns.
-        return arr % np.uint64(modulus)
-    # Goldilocks-sized moduli still fit: numpy uint64 mod is exact.
-    return arr % np.uint64(modulus)
+    return np.asarray(values, dtype=np.uint64) % np.uint64(modulus)
 
 
 def np_addmod(a: np.ndarray, b: np.ndarray, modulus: int) -> np.ndarray:
-    p = np.uint64(modulus)
-    s = (a + b) % p if modulus > (1 << 32) else (a + b) % p
-    return s
+    """Exact modular add for moduli < 2^63 (no wraparound in uint64)."""
+    return (a + b) % np.uint64(modulus)
 
 
 def np_mulmod_31(a: np.ndarray, b: np.ndarray, modulus: int) -> np.ndarray:
