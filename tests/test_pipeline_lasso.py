@@ -1,0 +1,119 @@
+"""Pipeline-Lasso (v2) tests: query extraction vs hand-computed operands,
+transcript replay, tamper rejection."""
+
+import numpy as np
+
+from zigz_tpu.core.field import BabyBear as F
+from zigz_tpu.core.hash import FiatShamirTranscript
+from zigz_tpu.guest.asm import Assembler
+from zigz_tpu.lookups.pipeline_lasso import (
+    TABLE_IDS,
+    extract_table_queries,
+    hash_query_rows,
+    prove_pipeline_lasso,
+    verify_pipeline_lasso,
+)
+from zigz_tpu.runtime.native_vm import NativeVM
+from zigz_tpu.vm.state import VMState
+
+
+def _trace(program, tape=None, native=True):
+    if native:
+        nvm = NativeVM()
+        nvm.load_segment(0x1000, program)
+        return nvm.run(0x1000, 1000, None, tape)["trace"]
+    vm = VMState.init(program, 0x1000, tape)
+    vm.run(1000)
+    return vm.trace
+
+
+def test_extract_op_queries():
+    a = Assembler()
+    a.li("t0", 7)        # addi -> ADD table, (0, 7) -> 7
+    a.li("t1", 5)        # addi -> ADD table
+    a.add("t2", "t0", "t1")   # ADD, (7, 5) -> 12
+    a.xor("t3", "t0", "t1")   # XOR, (7, 5) -> 2
+    a.sub("t4", "t0", "t1")   # SUB, (7, 5) -> 2
+    a.ebreak()
+    queries = extract_table_queries(_trace(a.assemble()))
+
+    add_in, add_out = queries[TABLE_IDS["ADD"]]
+    # Three ADD-table lookups: the two ADDIs + the ADD.
+    assert add_in.shape == (3, 2)
+    assert list(add_in[2]) == [7, 5] and add_out[2][0] == 12
+    assert list(add_in[0]) == [0, 7] and add_out[0][0] == 7
+
+    xor_in, xor_out = queries[TABLE_IDS["XOR"]]
+    assert list(xor_in[0]) == [7, 5] and xor_out[0][0] == 2
+
+    sub_in, sub_out = queries[TABLE_IDS["SUB"]]
+    assert list(sub_in[0]) == [7, 5] and sub_out[0][0] == 2
+
+
+def test_extract_mem_and_branch_queries():
+    a = Assembler()
+    a.li("t0", 0xAB)
+    a.li("t1", 0x2000)
+    a.sd("t0", "t1", 0)       # STORE (0x2000, 0xAB) -> 0xAB
+    a.ld("t2", "t1", 0)       # LOAD  (0x2000, 0xAB) -> 0xAB
+    a.beq("t0", "t0", "next") # BEQ taken (jumps over a nop): (0xAB,0xAB) -> 1
+    a.nop()
+    a.label("next")
+    a.beq("t0", "t1", "skip") # BEQ not taken: -> 0
+    a.nop()
+    a.label("skip")
+    a.ebreak()
+    queries = extract_table_queries(_trace(a.assemble()))
+
+    st_in, st_out = queries[TABLE_IDS["STORE"]]
+    assert list(st_in[0]) == [0x2000, 0xAB] and st_out[0][0] == 0xAB
+    ld_in, ld_out = queries[TABLE_IDS["LOAD"]]
+    assert list(ld_in[0]) == [0x2000, 0xAB] and ld_out[0][0] == 0xAB
+    beq_in, beq_out = queries[TABLE_IDS["BEQ"]]
+    assert beq_out[0][0] == 1 and beq_out[1][0] == 0
+
+
+def test_extraction_native_vs_python_equal():
+    a = Assembler()
+    a.li("t0", 100)
+    a.li("t1", 3)
+    a.div("t2", "t0", "t1")
+    a.rem("t3", "t0", "t1")
+    a.and_("t4", "t0", "t1")
+    a.ebreak()
+    qn = extract_table_queries(_trace(a.assemble(), native=True))
+    qp = extract_table_queries(_trace(a.assemble(), native=False))
+    assert set(qn) == set(qp)
+    for tid in qn:
+        np.testing.assert_array_equal(qn[tid][0], qp[tid][0])
+        np.testing.assert_array_equal(qn[tid][1], qp[tid][1])
+
+
+def test_prove_verify_replay():
+    a = Assembler()
+    for i in range(10):
+        a.addi("t0", "t0", 1)
+    a.ebreak()
+    queries = extract_table_queries(_trace(a.assemble()))
+
+    t_prove = FiatShamirTranscript()
+    proofs, extras = prove_pipeline_lasso(F, t_prove, queries)
+    t_verify = FiatShamirTranscript()
+    assert verify_pipeline_lasso(F, t_verify, proofs, extras)
+    # Transcripts end in the same state (same challenge stream).
+    assert t_prove.finalize() == t_verify.finalize()
+
+    # Tampered claimed sum -> reject.
+    extras2 = {k: dict(v) for k, v in extras.items()}
+    tid = next(iter(extras2))
+    extras2[tid]["claimed_sum"] = (extras2[tid]["claimed_sum"] + 1) % F.MODULUS
+    assert not verify_pipeline_lasso(F, FiatShamirTranscript(), proofs, extras2)
+
+
+def test_query_hash_matches_standalone_lasso():
+    from zigz_tpu.lookups.lasso import hash_entry_chain
+
+    inputs = np.array([[3, 5]], dtype=np.uint64)
+    outputs = np.array([[8]], dtype=np.uint64)
+    got = hash_query_rows(F, inputs, outputs)
+    assert int(got[0]) == hash_entry_chain(F, [3, 5], [8]).value

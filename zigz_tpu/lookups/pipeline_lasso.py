@@ -1,0 +1,254 @@
+"""Pipeline Lasso (protocol v2): real per-table lookup sumchecks.
+
+The v1 pipeline emits one FILLER proof per traced lookup (faithful to the
+reference, prover.zig:302-349).  For protocol v2 this module implements
+the reference's own roadmap sketch (prover.zig:351-357): extract the
+actual lookup queries from the trace, hash-encode them per table
+(the standalone Lasso's XXH3 chain, lasso_prover.zig:208-239), and run a
+REAL sumcheck per table over the query polynomial — challenges drawn from
+the MAIN pipeline transcript (an improvement over the standalone module,
+which uses a detached transcript).
+
+Query encodings (32-bit operand truncation, consistent with the catalog's
+32-bit table shapes, instruction_table.zig:91-240):
+
+    OP        (rs1_val, rs2_val)         -> rd_val_after
+    OP_IMM    (rs1_val, imm)             -> rd_val_after
+    LOAD      (address, loaded_value)    -> rd_val_after
+    STORE     (address, stored_value)    -> stored_value
+    BRANCH    (rs1_val, rs2_val)         -> taken?
+
+All values take their low 32 bits.  Per table the proof carries the
+claimed hypercube sum and the SHA3 query-polynomial commitment, both
+absorbed into the transcript BEFORE any round challenge; the verifier
+replays the rounds from the bound claim.  Binding the query polynomial to
+the witness commitments awaits a real PCS (see PROVER.md "Known gaps").
+
+v2 proofs therefore contain at most 13 Lasso records (one per catalog
+table in use) instead of one filler per step — a ~1000x proof-size
+reduction at 2^20 relative to the v1 wire format.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Dict, List, Tuple
+
+import numpy as np
+import xxhash
+
+from ..isa.rv64i import Opcode
+from ..prover.proof import PipelineLassoProof, PipelineSumcheckProof
+
+__all__ = [
+    "TABLE_IDS",
+    "extract_table_queries",
+    "hash_query_rows",
+    "prove_pipeline_lasso",
+    "verify_pipeline_lasso",
+]
+
+_M32 = np.uint64(0xFFFFFFFF)
+_M64 = (1 << 64) - 1
+
+# Catalog order = native LookupId enum order (runtime/vm.cpp, matching
+# isa/instruction_table.get_table_metadata).
+TABLE_NAMES = (
+    "ADD", "SUB", "AND", "OR", "XOR", "SLL", "SRL", "SRA",
+    "SLT", "SLTU", "BEQ", "LOAD", "STORE",
+)
+TABLE_IDS = {name: i for i, name in enumerate(TABLE_NAMES)}
+
+
+def _regs_before(trace) -> np.ndarray:
+    """(32, n) register values BEFORE each step."""
+    after = trace.regs_matrix()
+    before = np.empty_like(after)
+    before[:, 1:] = after[:, :-1]
+    before[:, 0] = np.asarray(trace.initial_regs, dtype=np.uint64)
+    before[0] = 0
+    return before
+
+
+def extract_table_queries(trace) -> Dict[int, Tuple[np.ndarray, np.ndarray]]:
+    """table_id -> (inputs (n_t, 2), outputs (n_t, 1)) uint64 arrays, in
+    step order (the multiset the lookup argument ranges over)."""
+    n = trace.step_count()
+    cols = getattr(trace, "columns", None)
+    if cols is not None:
+        opcode = cols["opcode"].astype(np.uint64)
+        rs1 = cols["rs1"].astype(np.int64)
+        rs2 = cols["rs2"].astype(np.int64)
+        rd = cols["rd"].astype(np.int64)
+        imm = cols["imm"].astype(np.uint64)
+        lookup_id = cols["lookup_id"].astype(np.int64)
+        mem_addr = cols["mem_addr"].astype(np.uint64)
+        mem_val = cols["mem_val"].astype(np.uint64)
+        next_pc = cols["next_pc"].astype(np.uint64)
+        pcs = cols["pc"].astype(np.uint64)
+    else:
+        insts = trace.instructions
+        opcode = np.fromiter((i.opcode for i in insts), dtype=np.uint64, count=n)
+        rs1 = np.fromiter((i.rs1 for i in insts), dtype=np.int64, count=n)
+        rs2 = np.fromiter((i.rs2 for i in insts), dtype=np.int64, count=n)
+        rd = np.fromiter((i.rd for i in insts), dtype=np.int64, count=n)
+        imm = np.fromiter((i.imm & _M64 for i in insts), dtype=np.uint64, count=n)
+        from ..isa.instruction_table import get_table_metadata
+
+        lookup_id = np.array(
+            [TABLE_IDS[t.name] if t is not None else -1 for t in trace.lookup_tables],
+            dtype=np.int64,
+        )
+        accesses = trace.memory_accesses
+        mem_addr = np.array([a.address if a else 0 for a in accesses], dtype=np.uint64)
+        mem_val = np.array([a.value if a else 0 for a in accesses], dtype=np.uint64)
+        next_pc = np.fromiter(trace.next_pcs, dtype=np.uint64, count=n)
+        pcs = np.fromiter(trace.pcs, dtype=np.uint64, count=n)
+
+    before = _regs_before(trace)
+    after = trace.regs_matrix()
+    steps = np.arange(n)
+    rs1_val = before[rs1, steps]
+    rs2_val = before[rs2, steps]
+    rd_after = after[rd, steps]
+
+    out: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
+    for table_id in range(len(TABLE_NAMES)):
+        mask = lookup_id == table_id
+        if not mask.any():
+            continue
+        op = opcode[mask]
+        is_imm = op == Opcode.OP_IMM
+        is_mem = (op == Opcode.LOAD) | (op == Opcode.STORE)
+        is_branch = op == Opcode.BRANCH
+
+        in0 = np.where(is_mem, mem_addr[mask], rs1_val[mask]) & _M32
+        in1 = np.where(
+            is_mem,
+            mem_val[mask],
+            np.where(is_imm, imm[mask], rs2_val[mask]),
+        ) & _M32
+        taken = (next_pc[mask] != pcs[mask] + 4).astype(np.uint64)
+        outv = np.where(
+            is_branch, taken, np.where(is_mem, mem_val[mask], rd_after[mask])
+        ) & _M32
+
+        out[table_id] = (np.stack([in0, in1], axis=1), outv[:, None])
+    return out
+
+
+def hash_query_rows(F, inputs: np.ndarray, outputs: np.ndarray) -> np.ndarray:
+    """XXH3 chain per row (lasso_prover.zig:225-239), canonical uint64."""
+    p = F.MODULUS
+    n = inputs.shape[0]
+    out = np.empty(n, dtype=np.uint64)
+    h3 = xxhash.xxh3_64_intdigest
+    for i in range(n):
+        h = 0
+        for v in inputs[i]:
+            h ^= int(v)
+            h = h3((h & _M64).to_bytes(8, "little"), seed=0)
+        for v in outputs[i]:
+            h ^= int(v)
+            h = h3((h & _M64).to_bytes(8, "little"), seed=0)
+        out[i] = h % p
+    return out
+
+
+def _commit_evals(evals: np.ndarray) -> bytes:
+    return hashlib.sha3_256(np.ascontiguousarray(evals, dtype="<u8").tobytes()).digest()
+
+
+def _ceil_pow2(n: int) -> int:
+    return 1 if n <= 1 else 1 << (n - 1).bit_length()
+
+
+def prove_pipeline_lasso(F, transcript, queries_by_table):
+    """Per-table real sumcheck over the hash-encoded query polynomial.
+
+    Transcript schedule per table (ids ascending):
+      "LASSO_TABLE" | F(table_id) | query commitment (32B) |
+      F(claimed_sum) | per round: 3 wire coeffs -> challenge
+    Returns (lookup_proofs, v2_lasso dict for the proof's v2 section)."""
+    p = F.MODULUS
+    proofs: List[PipelineLassoProof] = []
+    extras = {}
+    for table_id in sorted(queries_by_table):
+        inputs, outputs = queries_by_table[table_id]
+        n_queries = inputs.shape[0]
+        evals = np.zeros(_ceil_pow2(n_queries), dtype=np.uint64)
+        evals[:n_queries] = hash_query_rows(F, inputs, outputs)
+        num_vars = len(evals).bit_length() - 1
+        claimed_sum = int(evals.astype(object).sum()) % p
+        q_commit = _commit_evals(evals)
+
+        transcript.append_bytes(b"LASSO_TABLE")
+        transcript.append_field_element(F, F(table_id))
+        transcript.append_bytes(q_commit)
+        transcript.append_u64(claimed_sum)
+
+        cur = evals
+        rounds = []
+        point = []
+        claim = claimed_sum
+        for _ in range(num_vars):
+            half = len(cur) // 2
+            g0 = int(cur[:half].astype(object).sum()) % p
+            g1 = int(cur[half:].astype(object).sum()) % p
+            coeffs = [F.from_reduced(g0), F.from_reduced((g1 - g0) % p), F.zero()]
+            rounds.append(coeffs)
+            for c in coeffs:
+                transcript.append_field_element(F, c)
+            r = transcript.challenge_value(p)
+            point.append(F.from_reduced(r))
+            om = (1 - r) % p
+            cur = (np.uint64(om) * cur[:half] + np.uint64(r) * cur[half:]) % np.uint64(p)
+            claim = (g0 + r * ((g1 - g0) % p)) % p
+
+        final_eval = F.from_reduced(int(cur[0]) if len(cur) else 0)
+        sc = PipelineSumcheckProof(
+            num_vars=num_vars,
+            round_polynomials=rounds,
+            final_point=point,
+            final_eval=final_eval,
+        )
+        proofs.append(
+            PipelineLassoProof(
+                table_id=table_id,
+                num_lookups=n_queries,
+                multiset_proof=sc,
+            )
+        )
+        extras[table_id] = {"claimed_sum": claimed_sum, "query_commitment": q_commit}
+    return proofs, extras
+
+
+def verify_pipeline_lasso(F, transcript, proofs, extras) -> bool:
+    """Replay + round-consistency check from the BOUND claimed sums."""
+    p = F.MODULUS
+    for lasso in proofs:
+        extra = extras.get(lasso.table_id)
+        if extra is None:
+            return False
+        transcript.append_bytes(b"LASSO_TABLE")
+        transcript.append_field_element(F, F(lasso.table_id))
+        transcript.append_bytes(extra["query_commitment"])
+        transcript.append_u64(extra["claimed_sum"] % p)
+
+        claim = extra["claimed_sum"] % p
+        sc = lasso.multiset_proof
+        for coeffs in sc.round_polynomials:
+            g0 = coeffs[0].value
+            g1_minus_g0 = coeffs[1].value
+            if coeffs[2].value != 0:
+                return False
+            g1 = (g0 + g1_minus_g0) % p
+            if (g0 + g1) % p != claim:
+                return False
+            for c in coeffs:
+                transcript.append_field_element(F, c)
+            r = transcript.challenge_value(p)
+            claim = (g0 + r * g1_minus_g0) % p
+        if claim != sc.final_eval.value:
+            return False
+    return True

@@ -116,6 +116,9 @@ class V2Section:
     aux_roots: dict  # name -> 32B root
     column_evals: dict  # name -> int (terminal zerocheck evaluations)
     aux_openings: dict  # name -> merkle OpeningProof
+    # Real per-table Lasso metadata (lookups/pipeline_lasso.py):
+    # table_id -> {"claimed_sum": int, "query_commitment": 32B}
+    lasso_extras: dict = None
 
 
 class CompactLassoList:

@@ -147,8 +147,12 @@ class Prover:
         else:
             self._generate_sumcheck_proof(proof, constraints, witness)
 
-        # STEP 5: Lasso phase (prover.zig:292-363).
-        self._generate_lasso_proofs(proof, lookup_count)
+        # STEP 5: Lasso phase — v1 filler (prover.zig:292-363) or the v2
+        # real per-table sumchecks (lookups/pipeline_lasso.py).
+        if self.protocol_version == 2:
+            self._generate_lasso_proofs_v2(proof, trace)
+        else:
+            self._generate_lasso_proofs(proof, lookup_count)
         t3 = time.perf_counter()
 
         # STEP 6: commitments (prover.zig:371-467).
@@ -306,6 +310,17 @@ class Prover:
             transcript.append_bytes(stream.tobytes())
 
         proof.lookup_proofs = CompactLassoList(F, lookup_count)
+
+    def _generate_lasso_proofs_v2(self, proof: Proof, trace) -> None:
+        """Protocol v2: real lookup sumchecks over the trace's actual
+        operand/result multisets, one proof per catalog table in use."""
+        from ..lookups.pipeline_lasso import extract_table_queries, prove_pipeline_lasso
+
+        self.transcript.append_bytes(b"LASSO_BEGIN")
+        queries = extract_table_queries(trace)
+        proofs, extras = prove_pipeline_lasso(self.F, self.transcript, queries)
+        proof.lookup_proofs = proofs
+        proof.v2.lasso_extras = extras
 
     def _generate_commitments(self, proof: Proof, witness) -> None:
         if self._use_device_commitments(witness.num_steps):

@@ -201,6 +201,14 @@ class BinarySerializer:
                 w.bytes_(sib)
             for d in opening.path.directions:
                 w.u8(1 if d else 0)
+        # Real-Lasso metadata: u32 count; per table u32 id | u64 claimed
+        # sum | 32B query commitment (ids ascending).
+        extras = v2.lasso_extras or {}
+        w.u32(len(extras))
+        for table_id in sorted(extras):
+            w.u32(table_id)
+            w.u64(extras[table_id]["claimed_sum"] % self.F.MODULUS)
+            w.bytes_(extras[table_id]["query_commitment"])
 
     def _read_v2_section(self, r: _Reader):
         from ..commitments.merkle import MerklePath, OpeningProof as MerkleOpening
@@ -220,8 +228,17 @@ class BinarySerializer:
                 index=index, value=value,
                 path=MerklePath(siblings=siblings, directions=directions),
             )
+        lasso_extras = {}
+        for _ in range(r.u32()):
+            table_id = r.u32()
+            claimed_sum = r.u64()
+            q_commit = r.bytes_(32)
+            lasso_extras[table_id] = {
+                "claimed_sum": claimed_sum,
+                "query_commitment": q_commit,
+            }
         return V2Section(aux_roots=aux_roots, column_evals=column_evals,
-                         aux_openings=aux_openings)
+                         aux_openings=aux_openings, lasso_extras=lasso_extras)
 
     # -- deserialize -------------------------------------------------------
     def deserialize(self, data: bytes) -> Proof:

@@ -124,14 +124,14 @@ class Verifier:
         if not zc_ok:
             return VerificationResult.RejectInvalidSumcheck
 
-        # Lasso phase: replay the prover's schedule exactly.
+        # Lasso phase: real per-table sumchecks (lookups/pipeline_lasso.py).
+        from ..lookups.pipeline_lasso import verify_pipeline_lasso
+
         transcript.append_bytes(b"LASSO_BEGIN")
-        for i, lasso in enumerate(proof.lookup_proofs):
-            if not isinstance(proof.lookup_proofs, CompactLassoList):
-                if lasso.multiset_proof.num_vars != 0:
-                    return VerificationResult.RejectInvalidLookup
-            transcript.append_bytes(b"LASSO_TABLE")
-            transcript.append_field_element(F, F(i))
+        if not verify_pipeline_lasso(
+            F, transcript, proof.lookup_proofs, proof.v2.lasso_extras or {}
+        ):
+            return VerificationResult.RejectInvalidLookup
 
         # Commitment phase: bind roots, re-derive points, CHECK them.
         transcript.append_bytes(b"POLY_COMMITMENTS")
