@@ -73,6 +73,13 @@ def bench_prover(num_steps: int):
 
 
 def main():
+    from zigz_tpu.utils.profiling import maybe_trace_env
+
+    with maybe_trace_env():
+        _main_inner()
+
+
+def _main_inner():
     field_ops_per_s = bench_field_ops()
 
     # Prover throughput ladder: walk up while the warm pass stays within

@@ -76,3 +76,29 @@ def test_merkle_tree_with_poseidon2():
         ]
     root = level[0]
     assert len(root) == 32
+
+
+# -- device kernel parity ---------------------------------------------------
+
+def test_device_kernel_matches_host():
+    """Leaves + merges + full tree in ONE test: every jit shape compiled
+    here is reused down the tree chain (XLA CPU compiles of the permutation
+    cost ~10s per shape, so the parity checks share one 16-leaf chain)."""
+    from zigz_tpu.ops import poseidon2 as p2d
+
+    vals = rng.integers(0, p2.P, size=16, dtype=np.uint64)
+    level = p2d.p2_leaves(vals)
+    digests = p2d.limbs_to_bytes(level)
+    for i, v in enumerate(vals):
+        assert digests[i * 32 : (i + 1) * 32] == p2.hash_field_values([int(v)]), i
+
+    host_level = [p2.Poseidon2Hasher.hash_leaf_value(int(v)) for v in vals]
+    while level.shape[-1] > 1:
+        level = p2d.p2_merge(level)
+        host_level = [
+            p2.Poseidon2Hasher.hash_internal(host_level[i], host_level[i + 1])
+            for i in range(0, len(host_level), 2)
+        ]
+        got = p2d.limbs_to_bytes(level)
+        for i in range(len(host_level)):
+            assert got[i * 32 : (i + 1) * 32] == host_level[i], (level.shape, i)
