@@ -57,21 +57,22 @@ def _gather_levels(levels, flat_indices):
 
 
 class DeviceMerkleForest:
-    def __init__(self, F, matrix: np.ndarray):
-        """matrix: (B, N) canonical uint64, N a power of two."""
+    def __init__(self, F, matrix: np.ndarray = None, lo=None):
+        """Either ``matrix`` ((B, N) canonical uint64 on host) or ``lo``
+        ((B, N) canonical uint32 already on device, e.g. from
+        ops/witness_dev.build_witness_device)."""
+        assert F.MODULUS < (1 << 32)
         self.F = F
         self.matrix = matrix
-        B, N = matrix.shape
+        if lo is None:
+            # Witness values are canonical (< p < 2^31), so the high
+            # message word is always zero — ship only the low words
+            # (halves the host->device transfer).
+            lo = jnp.asarray(matrix.astype(np.uint32))
+        self.lo = lo
+        B, N = lo.shape
         self.B, self.N = B, N
         self.height = N.bit_length() - 1
-
-        # Witness values are canonical (< p < 2^31), so the high message
-        # word is always zero — ship only the low words (halves the
-        # host->device transfer, which dominates on the tunnel-attached
-        # axon backend) and create the zeros on device.
-        assert F.MODULUS < (1 << 32)
-        lo_np = matrix.astype(np.uint32)  # (B, N), single host-side copy
-        self.lo = jnp.asarray(lo_np)
         self.levels = _build_forest_lo(self.lo.reshape(-1), B)
         jax.block_until_ready(self.levels[-1])
 
@@ -121,6 +122,13 @@ class DeviceMerkleForest:
         else:
             gathered = np.zeros((0, 8, B), dtype=np.uint32)
 
+        if self.matrix is not None:
+            leaf_values = [int(self.matrix[i, indices[i]]) for i in range(B)]
+        else:
+            # Device-resident witness: gather the 43 opened leaf values.
+            flat = jnp.asarray(np.arange(B) * N + indices)
+            leaf_values = [int(v) for v in np.asarray(self.lo.reshape(-1)[flat])]
+
         out = []
         for i in range(B):
             siblings = []
@@ -130,7 +138,7 @@ class DeviceMerkleForest:
             out.append(
                 OpeningProof(
                     index=int(indices[i]),
-                    value=self.F.from_reduced(int(self.matrix[i, indices[i]])),
+                    value=self.F.from_reduced(leaf_values[i]),
                     path=MerklePath(
                         siblings=siblings,
                         directions=[bool(direction_rows[level][i]) for level in range(self.height)],

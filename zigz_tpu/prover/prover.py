@@ -129,8 +129,10 @@ class Prover:
             raise EmptyTrace()
         t1 = time.perf_counter()
 
-        # STEP 2: witness (prover.zig:156-162).
-        witness = WitnessGenerator.generate(F, trace)
+        # STEP 2: witness (prover.zig:156-162).  On the v1 device path the
+        # host matrix is never needed (commitments, evals, and openings all
+        # use the device-built witness), so materialize lazily.
+        witness = _LazyWitness(F, trace)
         num_vars = witness.num_vars
         t2 = time.perf_counter()
 
@@ -326,9 +328,12 @@ class Prover:
         if self._use_device_commitments(witness.num_steps):
             from ..commitments.device_forest import DeviceMerkleForest
 
-            self._generate_commitments_forest(
-                proof, witness, DeviceMerkleForest(self.F, witness.matrix)
-            )
+            device_lo = witness.device_lo()
+            if device_lo is not None:
+                forest = DeviceMerkleForest(self.F, lo=device_lo)
+            else:
+                forest = DeviceMerkleForest(self.F, witness.matrix)
+            self._generate_commitments_forest(proof, witness, forest)
             return
         try:
             from ..commitments import host_forest
@@ -478,3 +483,48 @@ class Prover:
             initial_memory=None,
             outputs=outputs,
         )
+
+
+class _LazyWitness:
+    """Witness facade: metadata immediately, host matrix on first access,
+    optional device-built matrix (ops/witness_dev) for the v1 device path.
+
+    The host and device builders are bit-equal (tests/test_witness_dev.py),
+    so whichever materializes first defines the same polynomials."""
+
+    def __init__(self, F, trace):
+        from ..constraints.witness import num_vars_for_steps
+
+        self.F = F
+        self._trace = trace
+        self.num_steps = trace.step_count()
+        self.num_vars = num_vars_for_steps(self.num_steps)
+        self._host = None
+        self._device_lo = None
+
+    @property
+    def matrix(self):
+        return self._host_witness().matrix
+
+    def polynomials(self):
+        return self._host_witness().polynomials()
+
+    def _host_witness(self):
+        if self._host is None:
+            self._host = WitnessGenerator.generate(self.F, self._trace)
+        return self._host
+
+    def device_lo(self):
+        """(43, 2^v) canonical uint32 device array, or None when the trace
+        is not native-columnar or the field is not device-supported."""
+        if self._device_lo is None:
+            if self._host is not None:
+                return None  # host matrix already built; reuse it instead
+            if self.F.MODULUS >= (1 << 32) or not hasattr(self._trace, "columns"):
+                return None
+            from ..ops.witness_dev import build_witness_device
+
+            self._device_lo = build_witness_device(
+                self._trace, self._trace.initial_regs, self.num_vars
+            )
+        return self._device_lo
