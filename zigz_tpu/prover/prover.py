@@ -94,6 +94,7 @@ class Prover:
     ) -> Proof:
         F = self.F
         t0 = time.perf_counter()
+        self.last_timings = {}
 
         # Fresh transcript per proof (prover.zig:91).
         self.transcript = FiatShamirTranscript()
@@ -164,7 +165,7 @@ class Prover:
         # STEP 7: public IO (prover.zig:513-559).
         self._package_public_io(proof, program, final_state, entry_pc, initial_regs)
 
-        self.last_timings = {
+        self.last_timings.update({
             "execute_s": t1 - t0,
             "witness_s": t2 - t1,
             "sumcheck_lasso_s": t3 - t2,
@@ -172,7 +173,7 @@ class Prover:
             "total_s": time.perf_counter() - t0,
             "num_steps": num_steps,
             "num_vars": num_vars,
-        }
+        })
         return proof
 
     # ------------------------------------------------------------------
@@ -328,11 +329,15 @@ class Prover:
         if self._use_device_commitments(witness.num_steps):
             from ..commitments.device_forest import DeviceMerkleForest
 
+            t0 = time.perf_counter()
             device_lo = witness.device_lo()
+            self.last_timings["witness_dev_s"] = time.perf_counter() - t0
+            t0 = time.perf_counter()
             if device_lo is not None:
                 forest = DeviceMerkleForest(self.F, lo=device_lo)
             else:
                 forest = DeviceMerkleForest(self.F, witness.matrix)
+            self.last_timings["forest_s"] = time.perf_counter() - t0
             self._generate_commitments_forest(proof, witness, forest)
             return
         try:
@@ -418,7 +423,9 @@ class Prover:
         num_vars = witness.num_vars
 
         # PHASE 1: bulk forest build.
+        t0 = time.perf_counter()
         roots = forest.roots()
+        self.last_timings["roots_s"] = time.perf_counter() - t0
         for i, root in enumerate(roots):
             proof.witness_commitments[i].commitment = root
 
@@ -428,22 +435,32 @@ class Prover:
             transcript.append_bytes(root)
 
         # PHASE 3: challenges (sequential, host transcript), evals, openings.
+        t0 = time.perf_counter()
         points = [[transcript.challenge(F) for _ in range(num_vars)] for _ in range(43)]
+        self.last_timings["points_s"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
         if num_vars > 0:
             pts_arr = np.array([[c.value for c in pt] for pt in points], dtype=np.uint64)
-            evaluator = (
-                self.eval_backend
-                or getattr(forest, "eval_backend", None)
-                or self._host_eval_backend
-            )
-            values = evaluator(witness.matrix, pts_arr)
+            forest_eval = getattr(forest, "eval_backend", None)
+            if self.eval_backend is not None:
+                values = self.eval_backend(witness.matrix, pts_arr)
+            elif forest_eval is not None:
+                # The forest evaluates from its device-resident witness —
+                # do NOT touch witness.matrix (it would force the lazy
+                # host-side materialization just to be ignored).
+                values = forest_eval(None, pts_arr)
+            else:
+                values = self._host_eval_backend(witness.matrix, pts_arr)
         else:
             values = witness.matrix[:, 0]
+        self.last_timings["evals_s"] = time.perf_counter() - t0
         indices = np.array(
             [(points[i][0].value % (1 << num_vars)) if num_vars else 0 for i in range(43)],
             dtype=np.int64,
         )
+        t0 = time.perf_counter()
         merkle_openings = forest.open_all(indices)
+        self.last_timings["opens_s"] = time.perf_counter() - t0
         for i in range(43):
             wc = proof.witness_commitments[i]
             wc.value = F.from_reduced(int(values[i]))
