@@ -37,3 +37,23 @@ def test_forest_single_leaf():
         assert forest.roots()[i] == host.get_root()
     openings = forest.open_all(np.zeros(3, dtype=np.int64))
     assert openings[0].path.siblings == []
+
+
+def test_forest_host_top_hybrid():
+    """Cross the HOST_TOP_THRESHOLD so some levels fold on the host hasher;
+    roots and paths must still match per-tree host trees exactly."""
+    from zigz_tpu.commitments import device_forest as df
+
+    B, N = 5, 1 << 13  # 40960 leaf digests > HOST_TOP_THRESHOLD (2^14)
+    matrix = rng.integers(0, F.MODULUS, size=(B, N), dtype=np.uint64)
+    forest = DeviceMerkleForest(F, matrix)
+    assert forest.host_levels, "expected host-side top levels in this config"
+    roots = forest.roots()
+    indices = rng.integers(0, N, size=B)
+    openings = forest.open_all(indices)
+    for i in range(B):
+        tree = SimpleMerkleTree.build(F, matrix[i])
+        assert roots[i] == tree.get_root()
+        host_open = tree.open(int(indices[i]))
+        assert openings[i].path.siblings == host_open.path.siblings
+        assert SimpleMerkleTree.verify(F, roots[i], openings[i])

@@ -43,10 +43,16 @@ def _build_forest_lo(lo, num_trees: int):
     distinct shapes across all witness sizes, persisted on disk)."""
     level = keccak.sha3_leaves_device(lo, jnp.zeros_like(lo))
     levels = [level]
-    while level.shape[-1] > num_trees:
+    while level.shape[-1] > max(num_trees, HOST_TOP_THRESHOLD):
         level = keccak.sha3_merge(level)
         levels.append(level)
     return tuple(levels)
+
+
+# Below this many digests a merge level is finished on the host hasher:
+# each device launch costs ~15ms of tunnel latency while the C++ backend
+# folds 16k hashes in ~3ms.
+HOST_TOP_THRESHOLD = 1 << 14
 
 
 @jax.jit
@@ -74,7 +80,16 @@ class DeviceMerkleForest:
         self.B, self.N = B, N
         self.height = N.bit_length() - 1
         self.levels = _build_forest_lo(self.lo.reshape(-1), B)
-        jax.block_until_ready(self.levels[-1])
+        # Host top: transfer the smallest device level once and fold the
+        # remaining levels with the native hasher (tree-major pairs stay
+        # within trees while the per-tree width is even).
+        from .merkle import batch_merge_hashes
+
+        self.host_levels = []
+        top = keccak.digests_to_bytes(self.levels[-1])
+        while len(top) // 32 > B:
+            top = batch_merge_hashes(top)
+            self.host_levels.append(top)
 
     # -- device evaluation (reuses the transferred witness) ----------------
     def eval_backend(self, matrix: np.ndarray, points: np.ndarray) -> np.ndarray:
@@ -91,7 +106,11 @@ class DeviceMerkleForest:
 
     # -- queries -----------------------------------------------------------
     def roots(self) -> List[bytes]:
-        root_bytes = keccak.digests_to_bytes(self.levels[-1])  # B digests
+        root_bytes = (
+            self.host_levels[-1]
+            if self.host_levels
+            else keccak.digests_to_bytes(self.levels[-1])
+        )
         return [root_bytes[i * 32 : (i + 1) * 32] for i in range(self.B)]
 
     def open_all(self, indices: np.ndarray) -> List[OpeningProof]:
@@ -102,23 +121,35 @@ class DeviceMerkleForest:
         assert indices.shape == (B,)
 
         # Host-side index math (cheap, no device compiles).
+        num_device_levels = len(self.levels)
         tree_base = np.arange(B, dtype=np.int64)
         cur = indices.copy()
         n = N
         flat_indices = []
         direction_rows = []
-        for _ in range(self.height):
+        host_sibling_rows = []  # per host level: list of B digests
+        for level in range(self.height):
             is_right = (cur % 2) == 1
             sibling_local = np.where(is_right, cur - 1, cur + 1)
-            flat_indices.append(jnp.asarray(tree_base * n + sibling_local))
+            if level < num_device_levels:
+                flat_indices.append(jnp.asarray(tree_base * n + sibling_local))
+            else:
+                blob = self.host_levels[level - num_device_levels]
+                host_sibling_rows.append(
+                    [
+                        blob[(tree_base[i] * n + sibling_local[i]) * 32 :][:32]
+                        for i in range(B)
+                    ]
+                )
             direction_rows.append(is_right.copy())
             cur //= 2
             n //= 2
 
-        if self.height > 0:
+        gather_count = min(self.height, num_device_levels)
+        if gather_count > 0:
             gathered = np.asarray(
-                _gather_levels(tuple(self.levels[: self.height]), tuple(flat_indices))
-            )  # (height, 8, B)
+                _gather_levels(tuple(self.levels[:gather_count]), tuple(flat_indices))
+            )  # (gather_count, 8, B)
         else:
             gathered = np.zeros((0, 8, B), dtype=np.uint32)
 
@@ -133,8 +164,11 @@ class DeviceMerkleForest:
         for i in range(B):
             siblings = []
             for level in range(self.height):
-                words = gathered[level, :, i].astype("<u4")
-                siblings.append(words.tobytes())
+                if level < num_device_levels:
+                    words = gathered[level, :, i].astype("<u4")
+                    siblings.append(words.tobytes())
+                else:
+                    siblings.append(host_sibling_rows[level - num_device_levels][i])
             out.append(
                 OpeningProof(
                     index=int(indices[i]),

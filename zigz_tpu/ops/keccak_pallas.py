@@ -150,7 +150,8 @@ def _merge_call(msg, rows):
     return _make_call(_merge_kernel, 16, rows)(msg)
 
 
-SUPER_CHUNK = 1 << 19  # hashes per full-size kernel launch
+SUPER_CHUNK = 1 << 21  # hashes per full-size kernel launch (fewer
+# dispatches: per-launch tunnel latency dominates the forest build)
 
 
 def _bucket(n: int) -> int:
