@@ -74,7 +74,32 @@ def build_aux_columns(trace, num_vars: int, p: int) -> Dict[str, np.ndarray]:
 
 
 def v2_columns(witness, aux: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
-    """The named columns the zerocheck runs over."""
+    """The named columns the zerocheck runs over.
+
+    When the trace is native-columnar the three witness columns are built
+    directly from it (x0 is identically zero, is_read from mem_flag, pc
+    with the pad-last rule) — identical to witness.matrix rows 1/42/0 but
+    without materializing the full 43-row host matrix."""
+    trace = getattr(witness, "_trace", None)
+    cols = getattr(trace, "columns", None) if trace is not None else None
+    if cols is not None:
+        p = np.uint64(witness.F.MODULUS) if hasattr(witness, "F") else None
+    if cols is not None and p is not None:
+        n = trace.step_count()
+        padded = 1 << witness.num_vars
+        pc = np.zeros(padded, dtype=np.uint64)
+        pc[:n] = cols["pc"] % p
+        if padded > n and n > 0:
+            pc[n:] = pc[n - 1]
+        is_read = np.zeros(padded, dtype=np.uint64)
+        is_read[:n] = (cols["mem_flag"] == 1).astype(np.uint64)
+        return {
+            "x0": np.zeros(padded, dtype=np.uint64),
+            "is_read": is_read,
+            "pc": pc,
+            "seq": aux["seq"],
+            "next_pc": aux["next_pc"],
+        }
     return {
         "x0": witness.matrix[1],
         "is_read": witness.matrix[42],

@@ -60,14 +60,31 @@ TABLE_NAMES = (
 TABLE_IDS = {name: i for i, name in enumerate(TABLE_NAMES)}
 
 
-def _regs_before(trace) -> np.ndarray:
-    """(32, n) register values BEFORE each step."""
-    after = trace.regs_matrix()
-    before = np.empty_like(after)
-    before[:, 1:] = after[:, :-1]
-    before[:, 0] = np.asarray(trace.initial_regs, dtype=np.uint64)
-    before[0] = 0
-    return before
+class _LastWriteReader:
+    """Register values at arbitrary steps via last-write binary search.
+
+    Sorts the per-step write log by (register, step) once, then answers
+    "value of register r before/after step s" with a searchsorted over
+    keys reg*(n+1)+step — O((n + q) log n) and no (32, n) matrix
+    materialization (the regs_matrix path costs ~270 MB at 2^20)."""
+
+    def __init__(self, write_idx: np.ndarray, write_val: np.ndarray, initial_regs, n: int):
+        order = np.argsort(write_idx, kind="stable")  # stable: steps stay ascending per reg
+        self._span = np.int64(n + 1)
+        regs_sorted = write_idx[order].astype(np.int64)
+        self._keys = regs_sorted * self._span + np.arange(n, dtype=np.int64)[order]
+        self._regs_sorted = regs_sorted
+        self._vals_sorted = write_val[order]
+        self._init = np.asarray(initial_regs, dtype=np.uint64)
+
+    def values(self, reg: np.ndarray, step: np.ndarray, inclusive: bool) -> np.ndarray:
+        """reg[i]'s value after step[i] (inclusive) or before it."""
+        q = reg.astype(np.int64) * self._span + step + (0 if inclusive else -1)
+        pos = np.searchsorted(self._keys, q, side="right") - 1
+        posc = np.maximum(pos, 0)
+        hit = (pos >= 0) & (self._regs_sorted[posc] == reg)
+        vals = np.where(hit, self._vals_sorted[posc], self._init[reg])
+        return np.where(reg == 0, np.uint64(0), vals)
 
 
 def extract_table_queries(trace) -> Dict[int, Tuple[np.ndarray, np.ndarray]]:
@@ -105,12 +122,23 @@ def extract_table_queries(trace) -> Dict[int, Tuple[np.ndarray, np.ndarray]]:
         next_pc = np.fromiter(trace.next_pcs, dtype=np.uint64, count=n)
         pcs = np.fromiter(trace.pcs, dtype=np.uint64, count=n)
 
-    before = _regs_before(trace)
-    after = trace.regs_matrix()
     steps = np.arange(n)
-    rs1_val = before[rs1, steps]
-    rs2_val = before[rs2, steps]
-    rd_after = after[rd, steps]
+    if cols is not None:
+        reader = _LastWriteReader(
+            cols["reg_write_idx"], cols["reg_write_val"], trace.initial_regs, n
+        )
+        rs1_val = reader.values(rs1, steps, inclusive=False)
+        rs2_val = reader.values(rs2, steps, inclusive=False)
+        rd_after = reader.values(rd, steps, inclusive=True)
+    else:
+        after = trace.regs_matrix()
+        init = np.asarray(trace.initial_regs, dtype=np.uint64)
+        prev = np.maximum(steps - 1, 0)
+        rs1_val = np.where(rs1 == 0, np.uint64(0),
+                           np.where(steps > 0, after[rs1, prev], init[rs1]))
+        rs2_val = np.where(rs2 == 0, np.uint64(0),
+                           np.where(steps > 0, after[rs2, prev], init[rs2]))
+        rd_after = after[rd, steps]
 
     out: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
     for table_id in range(len(TABLE_NAMES)):
@@ -140,6 +168,14 @@ def extract_table_queries(trace) -> Dict[int, Tuple[np.ndarray, np.ndarray]]:
 def hash_query_rows(F, inputs: np.ndarray, outputs: np.ndarray) -> np.ndarray:
     """XXH3 chain per row (lasso_prover.zig:225-239), canonical uint64."""
     p = F.MODULUS
+    try:
+        from ..runtime import native_lasso_hash_rows
+
+        native = native_lasso_hash_rows(inputs, outputs, p)
+        if native is not None:
+            return native
+    except Exception:
+        pass
     n = inputs.shape[0]
     out = np.empty(n, dtype=np.uint64)
     h3 = xxhash.xxh3_64_intdigest
@@ -179,7 +215,7 @@ def prove_pipeline_lasso(F, transcript, queries_by_table):
         evals = np.zeros(_ceil_pow2(n_queries), dtype=np.uint64)
         evals[:n_queries] = hash_query_rows(F, inputs, outputs)
         num_vars = len(evals).bit_length() - 1
-        claimed_sum = int(evals.astype(object).sum()) % p
+        claimed_sum = int(evals.sum(dtype=np.uint64)) % p  # evals < p < 2^31: exact
         q_commit = _commit_evals(evals)
 
         transcript.append_bytes(b"LASSO_TABLE")
@@ -193,8 +229,8 @@ def prove_pipeline_lasso(F, transcript, queries_by_table):
         claim = claimed_sum
         for _ in range(num_vars):
             half = len(cur) // 2
-            g0 = int(cur[:half].astype(object).sum()) % p
-            g1 = int(cur[half:].astype(object).sum()) % p
+            g0 = int(cur[:half].sum(dtype=np.uint64)) % p
+            g1 = int(cur[half:].sum(dtype=np.uint64)) % p
             coeffs = [F.from_reduced(g0), F.from_reduced((g1 - g0) % p), F.zero()]
             rounds.append(coeffs)
             for c in coeffs:

@@ -125,7 +125,8 @@ class ZerocheckProver:
                 at_t = {name: _eval_at_t(tab, t, p) for name, tab in tables.items()}
                 c_vals = self.combiner(at_t, alphas, p)
                 z_vals = at_t["__eq__"] * c_vals % np.uint64(p)
-                evals_this_round.append(int(z_vals.astype(object).sum()) % p)
+                # z_vals < p < 2^31, so a u64 sum is exact for any n <= 2^33.
+                evals_this_round.append(int(z_vals.sum(dtype=np.uint64)) % p)
             round_evals.append(evals_this_round)
 
             for g in evals_this_round:

@@ -152,3 +152,87 @@ def install() -> bool:
 
 
 NATIVE_AVAILABLE = install()
+
+
+# ---------------------------------------------------------------------------
+# Optional: batch XXH3 Lasso-query hashing (lasso_hash.cpp).  Needs the
+# canonical xxhash.h, found among installed packages' vendored headers.
+# ---------------------------------------------------------------------------
+
+_LASSO_SRC = os.path.join(_HERE, "lasso_hash.cpp")
+_LASSO_LIB = os.path.join(_HERE, "libzigz_lasso.so")
+_lasso_lib = None
+
+
+def _find_xxhash_include():
+    import glob
+
+    for pattern in (
+        "/opt/venv/lib/python*/site-packages/pyarrow/include/arrow/vendored/xxhash",
+        "/usr/include",
+    ):
+        for path in glob.glob(pattern):
+            if os.path.exists(os.path.join(path, "xxhash.h")):
+                return path
+    return None
+
+
+def _load_lasso():
+    global _lasso_lib
+    if _lasso_lib is not None:
+        return _lasso_lib
+    try:
+        if not (
+            os.path.exists(_LASSO_LIB)
+            and os.path.getmtime(_LASSO_LIB) >= os.path.getmtime(_LASSO_SRC)
+        ):
+            include = _find_xxhash_include()
+            if include is None:
+                return None
+            result = subprocess.run(
+                ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+                 f"-I{include}", _LASSO_SRC, "-o", _LASSO_LIB],
+                capture_output=True, timeout=120,
+            )
+            if result.returncode != 0:
+                return None
+        lib = ctypes.CDLL(_LASSO_LIB)
+        lib.zigz_lasso_hash_rows.restype = None
+        # Self-test against the python xxhash module.
+        import xxhash as _xx
+
+        ins = np.array([[3, 5]], dtype=np.uint64)
+        outs = np.array([[8]], dtype=np.uint64)
+        res = np.zeros(1, dtype=np.uint64)
+        lib.zigz_lasso_hash_rows(
+            ins.ctypes.data_as(ctypes.c_void_p), outs.ctypes.data_as(ctypes.c_void_p),
+            ctypes.c_size_t(1), ctypes.c_size_t(2), ctypes.c_size_t(1),
+            ctypes.c_uint64(2013265921), res.ctypes.data_as(ctypes.c_void_p),
+        )
+        h = 0
+        for v in (3, 5, 8):
+            h ^= v
+            h = _xx.xxh3_64_intdigest(h.to_bytes(8, "little"), seed=0)
+        if int(res[0]) != h % 2013265921:
+            return None
+        _lasso_lib = lib
+        return lib
+    except Exception:
+        return None
+
+
+def native_lasso_hash_rows(inputs, outputs, modulus):
+    """Vectorized XXH3 chain (or None when the native lib is unavailable)."""
+    lib = _load_lasso()
+    if lib is None:
+        return None
+    ins = np.ascontiguousarray(inputs, dtype=np.uint64)
+    outs = np.ascontiguousarray(outputs, dtype=np.uint64)
+    n = ins.shape[0]
+    res = np.empty(n, dtype=np.uint64)
+    lib.zigz_lasso_hash_rows(
+        ins.ctypes.data_as(ctypes.c_void_p), outs.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_size_t(n), ctypes.c_size_t(ins.shape[1]), ctypes.c_size_t(outs.shape[1]),
+        ctypes.c_uint64(modulus), res.ctypes.data_as(ctypes.c_void_p),
+    )
+    return res
