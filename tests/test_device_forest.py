@@ -57,3 +57,59 @@ def test_forest_host_top_hybrid():
         host_open = tree.open(int(indices[i]))
         assert openings[i].path.siblings == host_open.path.siblings
         assert SimpleMerkleTree.verify(F, roots[i], openings[i])
+
+
+def test_forest_discarded_low_levels(monkeypatch):
+    """Force the HBM-bounding discard of wide low levels: opening siblings
+    for those levels are recomputed from witness values and must stay
+    byte-identical to the host trees (both matrix and device-lo inputs)."""
+    from zigz_tpu.commitments import device_forest as df
+
+    monkeypatch.setattr(df, "DISCARD_DIGESTS", 1 << 7)
+    monkeypatch.setattr(df, "HOST_TOP_THRESHOLD", 1 << 3)
+    B, N = 5, 1 << 6  # leaves level 5*64=320 > 128 -> several discarded levels
+    matrix = rng.integers(0, F.MODULUS, size=(B, N), dtype=np.uint64)
+    for use_lo in (False, True):
+        if use_lo:
+            import jax.numpy as jnp
+
+            forest = df.DeviceMerkleForest(F, matrix=None, lo=jnp.asarray(matrix.astype(np.uint32)))
+        else:
+            forest = df.DeviceMerkleForest(F, matrix)
+        assert forest.discarded > 0, "expected discarded levels in this config"
+        roots = forest.roots()
+        indices = rng.integers(0, N, size=B)
+        openings = forest.open_all(indices)
+        for i in range(B):
+            host = SimpleMerkleTree.build(F, matrix[i])
+            assert roots[i] == host.get_root()
+            host_open = host.open(int(indices[i]))
+            assert openings[i].path.siblings == host_open.path.siblings
+            assert openings[i].path.directions == host_open.path.directions
+            assert openings[i].value.eql(host_open.value)
+            assert SimpleMerkleTree.verify(F, roots[i], openings[i])
+
+
+def test_forest_grouped_build(monkeypatch):
+    """Force the HBM-bounding grouped build (trees built in batches and
+    level arrays concatenated): roots and paths must equal the host trees,
+    including with discarding active at the same time."""
+    from zigz_tpu.commitments import device_forest as df
+
+    monkeypatch.setattr(df, "GROUP_LEAF_DIGESTS", 1 << 7)
+    monkeypatch.setattr(df, "DISCARD_DIGESTS", 1 << 8)
+    monkeypatch.setattr(df, "HOST_TOP_THRESHOLD", 1 << 3)
+    B, N = 7, 1 << 6  # 448 leaf digests -> 4 groups of 2 trees (+1)
+    matrix = rng.integers(0, F.MODULUS, size=(B, N), dtype=np.uint64)
+    forest = df.DeviceMerkleForest(F, matrix)
+    assert forest.discarded > 0
+    roots = forest.roots()
+    indices = rng.integers(0, N, size=B)
+    openings = forest.open_all(indices)
+    for i in range(B):
+        host = SimpleMerkleTree.build(F, matrix[i])
+        assert roots[i] == host.get_root()
+        host_open = host.open(int(indices[i]))
+        assert openings[i].path.siblings == host_open.path.siblings
+        assert openings[i].path.directions == host_open.path.directions
+        assert SimpleMerkleTree.verify(F, roots[i], openings[i])

@@ -31,28 +31,88 @@ from .merkle import MerklePath, OpeningProof
 __all__ = ["DeviceMerkleForest"]
 
 
-def _build_forest_lo(lo, num_trees: int):
-    """flat (B*N,) low leaf words (high words all zero) -> tuple of level
-    digest arrays; level k has B * N/2^k digests (tree-major layout, pairs
-    never cross trees).
+def _forest_plan(total_leaf_digests: int, num_trees: int, discard_digests: int):
+    """(K, D): device levels 0..K exist, levels 0..D-1 are discarded.
+    Computed from GLOBAL level widths so grouped builds (below) make
+    identical keep/stop decisions at every level."""
+    stop = max(num_trees, HOST_TOP_THRESHOLD)
+    K = 0
+    while (total_leaf_digests >> K) > stop:
+        K += 1
+    D = 0
+    while D < K and (total_leaf_digests >> D) > discard_digests:
+        D += 1
+    return K, D
+
+
+def _build_forest_lo(lo, K: int, D: int):
+    """flat (B*N,) low leaf words (high words all zero) -> list of kept
+    level digest arrays for levels D..K (level k has B * N/2^k digests,
+    tree-major layout, pairs never cross trees).
 
     Structure: a HOST loop dispatching per-level jitted kernels.  A single
     whole-forest jit traces thousands of pallas calls into one graph and
     XLA compile time explodes (>10 min at 2^20); per-level graphs are
     bounded (the pallas executables and glue are shape-cached, ~25
-    distinct shapes across all witness sizes, persisted on disk)."""
+    distinct shapes across all witness sizes, persisted on disk).
+
+    Levels below D are freed as soon as the next level is computed: at
+    2^22 steps the full 43-tree forest holds ~11.5 GB of digests, past a
+    v5e's HBM.  Discarded-sibling digests are recomputed from witness
+    values at open time (a level-k sibling is a 2^k-leaf subtree root —
+    a handful of host hashes)."""
     level = keccak.sha3_leaves_device(lo, jnp.zeros_like(lo))
-    levels = [level]
-    while level.shape[-1] > max(num_trees, HOST_TOP_THRESHOLD):
-        level = keccak.sha3_merge(level)
-        levels.append(level)
-    return tuple(levels)
+    kept = []
+    for k in range(K):
+        nxt = keccak.sha3_merge(level)
+        if k >= D:
+            kept.append(level)
+        else:
+            level.delete()
+        level = nxt
+    kept.append(level)
+    return kept
+
+
+def _build_forest(lo2d, discard_digests: int):
+    """(B, N) device leaf words -> (levels tuple for levels D..K, D).
+
+    Leaf counts past GROUP_LEAF_DIGESTS build the forest in tree groups
+    (trees are independent; group level arrays concatenate in tree-major
+    order to exactly the single-shot arrays) so the peak digest footprint
+    stays a fraction of HBM: the 2^22-step 43-tree forest's leaves level
+    alone is 5.8 GB, plus its merge transients — past a v5e in one shot."""
+    B, N = lo2d.shape
+    K, D = _forest_plan(B * N, B, discard_digests)
+    if B * N <= GROUP_LEAF_DIGESTS:
+        return tuple(_build_forest_lo(lo2d.reshape(-1), K, D)), D
+
+    group_trees = max(1, GROUP_LEAF_DIGESTS // N)
+    parts = [
+        _build_forest_lo(lo2d[s : s + group_trees].reshape(-1), K, D)
+        for s in range(0, B, group_trees)
+    ]
+    levels = []
+    for j in range(K - D + 1):
+        merged = jnp.concatenate([p[j] for p in parts], axis=-1)
+        merged.block_until_ready()
+        for p in parts:
+            p[j].delete()
+        levels.append(merged)
+    return tuple(levels), D
 
 
 # Below this many digests a merge level is finished on the host hasher:
 # each device launch costs ~15ms of tunnel latency while the C++ backend
 # folds 16k hashes in ~3ms.
 HOST_TOP_THRESHOLD = 1 << 14
+
+# Device levels wider than this are freed during the build (~512 MB of
+# digests) and their opening siblings recomputed host-side on demand.
+DISCARD_DIGESTS = 1 << 24
+
+# Forests with more leaf digests than this build in tree groups.
+GROUP_LEAF_DIGESTS = 1 << 26
 
 
 @jax.jit
@@ -79,7 +139,7 @@ class DeviceMerkleForest:
         B, N = lo.shape
         self.B, self.N = B, N
         self.height = N.bit_length() - 1
-        self.levels = _build_forest_lo(self.lo.reshape(-1), B)
+        self.levels, self.discarded = _build_forest(self.lo, DISCARD_DIGESTS)
         # Host top: transfer the smallest device level once and fold the
         # remaining levels with the native hasher (tree-major pairs stay
         # within trees while the per-tree width is even).
@@ -113,6 +173,38 @@ class DeviceMerkleForest:
         )
         return [root_bytes[i * 32 : (i + 1) * 32] for i in range(self.B)]
 
+    def _recompute_siblings(self, recompute_rows, tree_base) -> List[bytes]:
+        """Sibling digests for discarded low levels: the level-k sibling of
+        an opened leaf is the root of a 2^k-leaf subtree, rebuilt here from
+        the witness values (identical hashing to the discarded device
+        digests).  Returns one B-digest blob per discarded level."""
+        from .merkle import batch_leaf_hashes, batch_merge_hashes
+
+        B, N = self.B, self.N
+        out = []
+        for level, sib_local in enumerate(recompute_rows):
+            w = 1 << level
+            if self.matrix is not None:
+                vals = np.stack(
+                    [
+                        self.matrix[i, sib_local[i] * w : (sib_local[i] + 1) * w]
+                        for i in range(B)
+                    ]
+                ).astype(np.uint64)
+            else:
+                base = tree_base * N + sib_local * w
+                flat = (base[:, None] + np.arange(w, dtype=np.int64)[None, :]).reshape(-1)
+                vals = np.asarray(
+                    self.lo.reshape(-1)[jnp.asarray(flat)], dtype=np.uint64
+                ).reshape(B, w)
+            # Tree-major flat layout keeps each subtree's digests contiguous,
+            # so pairwise merges never cross subtrees while folding to roots.
+            blob = batch_leaf_hashes(vals.reshape(-1))
+            for _ in range(level):
+                blob = batch_merge_hashes(blob)
+            out.append(blob)
+        return out
+
     def open_all(self, indices: np.ndarray) -> List[OpeningProof]:
         """One opening per tree at the given per-tree leaf indices; sibling
         digests for every (tree, level) gathered in a single device call."""
@@ -121,17 +213,21 @@ class DeviceMerkleForest:
         assert indices.shape == (B,)
 
         # Host-side index math (cheap, no device compiles).
-        num_device_levels = len(self.levels)
+        D = self.discarded
+        num_device_levels = D + len(self.levels)
         tree_base = np.arange(B, dtype=np.int64)
         cur = indices.copy()
         n = N
         flat_indices = []
         direction_rows = []
         host_sibling_rows = []  # per host level: list of B digests
+        recompute_rows = []  # per discarded level: sibling_local copy
         for level in range(self.height):
             is_right = (cur % 2) == 1
             sibling_local = np.where(is_right, cur - 1, cur + 1)
-            if level < num_device_levels:
+            if level < D:
+                recompute_rows.append(sibling_local.copy())
+            elif level < num_device_levels:
                 flat_indices.append(jnp.asarray(tree_base * n + sibling_local))
             else:
                 blob = self.host_levels[level - num_device_levels]
@@ -145,13 +241,15 @@ class DeviceMerkleForest:
             cur //= 2
             n //= 2
 
-        gather_count = min(self.height, num_device_levels)
+        gather_count = min(self.height, num_device_levels) - D
         if gather_count > 0:
             gathered = np.asarray(
                 _gather_levels(tuple(self.levels[:gather_count]), tuple(flat_indices))
             )  # (gather_count, 8, B)
         else:
             gathered = np.zeros((0, 8, B), dtype=np.uint32)
+
+        recomputed = self._recompute_siblings(recompute_rows, tree_base)
 
         if self.matrix is not None:
             leaf_values = [int(self.matrix[i, indices[i]]) for i in range(B)]
@@ -164,8 +262,10 @@ class DeviceMerkleForest:
         for i in range(B):
             siblings = []
             for level in range(self.height):
-                if level < num_device_levels:
-                    words = gathered[level, :, i].astype("<u4")
+                if level < D:
+                    siblings.append(recomputed[level][i * 32 : (i + 1) * 32])
+                elif level < num_device_levels:
+                    words = gathered[level - D, :, i].astype("<u4")
                     siblings.append(words.tobytes())
                 else:
                     siblings.append(host_sibling_rows[level - num_device_levels][i])
