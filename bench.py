@@ -85,7 +85,7 @@ def _main_inner():
     # Prover throughput ladder: walk up while the warm pass stays within
     # budget (protects the driver run against cold-compile stalls).
     steps_per_s, timings = bench_prover(1 << 14)
-    for v in (16, 18, 20):
+    for v in (16, 18, 20, 22):
         projected = (1 << v) / steps_per_s
         if projected > 240:
             break

@@ -124,12 +124,25 @@ def extract_table_queries(trace) -> Dict[int, Tuple[np.ndarray, np.ndarray]]:
 
     steps = np.arange(n)
     if cols is not None:
-        reader = _LastWriteReader(
-            cols["reg_write_idx"], cols["reg_write_val"], trace.initial_regs, n
-        )
-        rs1_val = reader.values(rs1, steps, inclusive=False)
-        rs2_val = reader.values(rs2, steps, inclusive=False)
-        rd_after = reader.values(rd, steps, inclusive=True)
+        native = None
+        try:
+            from ..runtime import native_operand_values
+
+            native = native_operand_values(
+                cols["reg_write_idx"], cols["reg_write_val"], trace.initial_regs,
+                cols["rs1"], cols["rs2"], cols["rd"],
+            )
+        except Exception:
+            native = None
+        if native is not None:
+            rs1_val, rs2_val, rd_after = native
+        else:
+            reader = _LastWriteReader(
+                cols["reg_write_idx"], cols["reg_write_val"], trace.initial_regs, n
+            )
+            rs1_val = reader.values(rs1, steps, inclusive=False)
+            rs2_val = reader.values(rs2, steps, inclusive=False)
+            rd_after = reader.values(rd, steps, inclusive=True)
     else:
         after = trace.regs_matrix()
         init = np.asarray(trace.initial_regs, dtype=np.uint64)

@@ -96,6 +96,17 @@ class Prover:
         t0 = time.perf_counter()
         self.last_timings = {}
 
+        # ELF convenience: callers handing raw ELF bytes without segments
+        # would otherwise execute the ELF header as instructions and fail
+        # with a misleading UnimplementedInstruction.  Deriving segments
+        # here matches the CLI (cli.py _load_program); the transcript still
+        # binds the full program bytes and the caller's entry_pc.
+        if segments is None:
+            from .. import elf
+
+            if elf.is_elf(program):
+                segments = elf.load(program).segments
+
         # Fresh transcript per proof (prover.zig:91).
         self.transcript = FiatShamirTranscript()
         transcript = self.transcript
@@ -256,8 +267,19 @@ class Prover:
         transcript.append_field_element(F, F(num_vars))
 
         aux = build_aux_columns(trace, num_vars, F.MODULUS)
-        aux_trees = {name: SimpleMerkleTree.build(F, aux[name]) for name in sorted(aux)}
-        aux_roots = {name: tree.get_root() for name, tree in aux_trees.items()}
+        aux_names = sorted(aux)
+        aux_forest = None
+        if self._use_device_commitments(witness.num_steps):
+            # Same bit-exact device forest as the witness commitments
+            # (hashes 2 * 2^(v+1) messages on-chip instead of the host).
+            from ..commitments.device_forest import DeviceMerkleForest
+
+            aux_forest = DeviceMerkleForest(F, np.stack([aux[n] for n in aux_names]))
+            roots_list = aux_forest.roots()
+            aux_roots = {n: roots_list[i] for i, n in enumerate(aux_names)}
+        else:
+            aux_trees = {name: SimpleMerkleTree.build(F, aux[name]) for name in aux_names}
+            aux_roots = {name: tree.get_root() for name, tree in aux_trees.items()}
 
         transcript.append_bytes(b"V2_AUX_COMMITMENTS")
         for name in sorted(aux_roots):
@@ -280,7 +302,11 @@ class Prover:
         # Aux openings at the v1-style index derived from the first
         # zerocheck challenge.
         index = zc.final_point[0] % (1 << num_vars) if num_vars else 0
-        aux_openings = {name: aux_trees[name].open(index) for name in sorted(aux_trees)}
+        if aux_forest is not None:
+            opened = aux_forest.open_all(np.full(len(aux_names), index, dtype=np.int64))
+            aux_openings = {n: opened[i] for i, n in enumerate(aux_names)}
+        else:
+            aux_openings = {name: aux_trees[name].open(index) for name in aux_names}
 
         proof.v2 = V2Section(
             aux_roots=aux_roots,

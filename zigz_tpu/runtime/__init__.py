@@ -198,6 +198,7 @@ def _load_lasso():
                 return None
         lib = ctypes.CDLL(_LASSO_LIB)
         lib.zigz_lasso_hash_rows.restype = None
+        lib.zigz_operand_values.restype = None
         # Self-test against the python xxhash module.
         import xxhash as _xx
 
@@ -219,6 +220,33 @@ def _load_lasso():
         return lib
     except Exception:
         return None
+
+
+def native_operand_values(write_idx, write_val, initial_regs, rs1, rs2, rd):
+    """(rs1_val, rs2_val, rd_after) via one native replay of the write log,
+    or None when the native lib is unavailable."""
+    lib = _load_lasso()
+    if lib is None:
+        return None
+    n = len(write_idx)
+    widx = np.ascontiguousarray(write_idx, dtype=np.uint8)
+    wval = np.ascontiguousarray(write_val, dtype=np.uint64)
+    init = np.ascontiguousarray(initial_regs, dtype=np.uint64)
+    r1 = np.ascontiguousarray(rs1, dtype=np.uint8)
+    r2 = np.ascontiguousarray(rs2, dtype=np.uint8)
+    rdd = np.ascontiguousarray(rd, dtype=np.uint8)
+    rs1_val = np.empty(n, dtype=np.uint64)
+    rs2_val = np.empty(n, dtype=np.uint64)
+    rd_after = np.empty(n, dtype=np.uint64)
+    lib.zigz_operand_values(
+        widx.ctypes.data_as(ctypes.c_void_p), wval.ctypes.data_as(ctypes.c_void_p),
+        init.ctypes.data_as(ctypes.c_void_p),
+        r1.ctypes.data_as(ctypes.c_void_p), r2.ctypes.data_as(ctypes.c_void_p),
+        rdd.ctypes.data_as(ctypes.c_void_p), ctypes.c_size_t(n),
+        rs1_val.ctypes.data_as(ctypes.c_void_p), rs2_val.ctypes.data_as(ctypes.c_void_p),
+        rd_after.ctypes.data_as(ctypes.c_void_p),
+    )
+    return rs1_val, rs2_val, rd_after
 
 
 def native_lasso_hash_rows(inputs, outputs, modulus):

@@ -44,3 +44,29 @@ void zigz_lasso_hash_rows(const uint64_t* inputs, const uint64_t* outputs,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Single O(n) replay of the register write log: for each step i fills the
+// values of rs1/rs2 BEFORE the step and rd AFTER it (x0 reads as 0).
+// Replaces a (32, n) forward-fill matrix + binary-search gathers that cost
+// seconds at 2^22 on the host.
+void zigz_operand_values(const uint8_t* write_idx, const uint64_t* write_val,
+                         const uint64_t* initial_regs,
+                         const uint8_t* rs1, const uint8_t* rs2,
+                         const uint8_t* rd, size_t n,
+                         uint64_t* rs1_val, uint64_t* rs2_val,
+                         uint64_t* rd_after) {
+  uint64_t regs[32];
+  for (int r = 0; r < 32; ++r) regs[r] = initial_regs[r];
+  regs[0] = 0;
+  for (size_t i = 0; i < n; ++i) {
+    rs1_val[i] = regs[rs1[i] & 31];
+    rs2_val[i] = regs[rs2[i] & 31];
+    uint8_t w = write_idx[i] & 31;
+    if (w != 0) regs[w] = write_val[i];
+    rd_after[i] = regs[rd[i] & 31];
+  }
+}
+
+}  // extern "C"
