@@ -63,11 +63,18 @@ def bench_prover(num_steps: int):
     program = bytes([0x13, 0x00, 0x00, 0x00] * num_steps)
     prover = Prover(BabyBear, seed=0)
     best = None
-    for _ in range(2):
+    # Up to 4 passes, stopping once a pass is no longer >10% faster than
+    # the best so far: on the axon backend per-process executable loading
+    # bleeds into the first PASSES (not just the first), so a fixed warm
+    # count under-reports steady state at the largest sizes.
+    for i in range(4):
         t0 = time.perf_counter()
         proof = prover.prove(program, 0x1000, None, num_steps * 2, None, None)
         dt = time.perf_counter() - t0
         assert proof.metadata.num_steps == num_steps
+        if best is not None and dt > 0.9 * best:
+            best = min(best, dt)
+            break
         best = dt if best is None else min(best, dt)
     return num_steps / best, prover.last_timings
 
