@@ -62,9 +62,15 @@ def _build_forest_lo(lo, K: int, D: int):
     values at open time (a level-k sibling is a 2^k-leaf subtree root —
     a handful of host hashes)."""
     level = keccak.sha3_leaves_device(lo, jnp.zeros_like(lo))
+    # Per-level sync: deeply enqueued async chains degrade ~80x through the
+    # axon tunnel (a fully-async 2^22 build completes in ~9 s where the
+    # same chain with per-level blocking finishes in ~0.1 s).  The sync
+    # cost itself is ~1 ms per level.
+    level.block_until_ready()
     kept = []
     for k in range(K):
         nxt = keccak.sha3_merge(level)
+        nxt.block_until_ready()
         if k >= D:
             kept.append(level)
         else:
