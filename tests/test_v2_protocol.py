@@ -175,3 +175,56 @@ def test_v2_constraint_violation_caught():
         proof, FiatShamirTranscript()
     )
     assert not ok
+
+
+def test_zerocheck_rejects_empty_round_list():
+    # A zero-round proof with empty final_point and zero evals must not
+    # pass vacuously (eq over an empty challenge list is 1, claim stays 0).
+    from zigz_tpu.proofs.zerocheck import ZerocheckProof
+
+    forged = ZerocheckProof(
+        num_vars=6, degree=3, round_evals=[], final_point=[],
+        column_evals={"A": 0},
+    )
+    ok = ZerocheckVerifier(F, _simple_scalar, 1, 3).verify(forged, FiatShamirTranscript())
+    assert not ok
+
+
+def test_v2_rejects_large_modulus_fields():
+    # v2 hot paths are exact only for p < 2^31; larger presets must be
+    # rejected up front instead of producing rejected honest proofs.
+    from zigz_tpu.core.field import Goldilocks
+
+    program = bytes([
+        0x93, 0x00, 0x10, 0x00,  # ADDI x1, x0, 1
+        0x73, 0x00, 0x10, 0x00,  # EBREAK
+    ])
+    with pytest.raises(ValueError, match="protocol_version=2"):
+        Prover(Goldilocks, seed=0, protocol_version=2).prove(
+            program, 0x1000, None, 100, None, None
+        )
+
+
+def test_v2_rejects_forged_merkle_directions():
+    # verify_at_index derives direction bits from the checked index, so a
+    # path whose directions authenticate a different leaf must fail even
+    # when the siblings/directions pair is internally consistent.
+    from zigz_tpu.commitments.merkle import SimpleMerkleTree
+
+    values = np.arange(8, dtype=np.uint64)
+    tree = SimpleMerkleTree.build(F, values)
+    honest = tree.open(3)
+    assert SimpleMerkleTree.verify_at_index(F, tree.get_root(), honest, 3)
+
+    # Open leaf 2 but claim index 3: the trusting v1 verify accepts the
+    # (siblings, directions) pair; the strict variant must reject.
+    forged = tree.open(2)
+    forged.index = 3
+    assert SimpleMerkleTree.verify(F, tree.get_root(), forged)
+    assert not SimpleMerkleTree.verify_at_index(F, tree.get_root(), forged, 3)
+
+    # Truncated path (valid subtree proof at wrong depth) must also fail.
+    short = tree.open(3)
+    short.path.siblings = short.path.siblings[:2]
+    short.path.directions = short.path.directions[:2]
+    assert not SimpleMerkleTree.verify_at_index(F, tree.get_root(), short, 3)

@@ -168,3 +168,24 @@ class SimpleMerkleTree:
             else:
                 current = SHA3Hasher.hash_internal(current, sibling)
         return current == root
+
+    @staticmethod
+    def verify_at_index(F, root: bytes, proof: OpeningProof, height: int) -> bool:
+        """Strict variant for the v2+ paths: the direction bits are DERIVED
+        from ``proof.index`` and the path must be exactly ``height`` levels,
+        so the proof-supplied directions list cannot authenticate a
+        different leaf at arbitrary depth (the v1 ``verify`` must keep the
+        reference's trusting semantics for wire parity)."""
+        if len(proof.path.siblings) != height:
+            return False
+        if not 0 <= proof.index < (1 << height):
+            return False
+        current = SHA3Hasher.hash_leaf(F, proof.value)
+        idx = proof.index
+        for sibling in proof.path.siblings:
+            if idx & 1:
+                current = SHA3Hasher.hash_internal(sibling, current)
+            else:
+                current = SHA3Hasher.hash_internal(current, sibling)
+            idx >>= 1
+        return current == root

@@ -14,7 +14,8 @@ Query encodings (32-bit operand truncation, consistent with the catalog's
 
     OP        (rs1_val, rs2_val)         -> rd_val_after
     OP_IMM    (rs1_val, imm)             -> rd_val_after
-    LOAD      (address, loaded_value)    -> rd_val_after
+    LOAD      (address, loaded_value)    -> loaded_value (raw memory word,
+                                            NOT the sign-extended rd value)
     STORE     (address, stored_value)    -> stored_value
     BRANCH    (rs1_val, rs2_val)         -> taken?
 
@@ -220,6 +221,11 @@ def prove_pipeline_lasso(F, transcript, queries_by_table):
       F(claimed_sum) | per round: 3 wire coeffs -> challenge
     Returns (lookup_proofs, v2_lasso dict for the proof's v2 section)."""
     p = F.MODULUS
+    # uint64 sums/products of canonical values are exact only for p < 2^31
+    # (n <= 2^33 terms per sum, products < 2^62); larger presets must stay
+    # on protocol v1.
+    if p >= (1 << 31):
+        raise ValueError(f"pipeline Lasso requires a field modulus < 2^31 (got {p})")
     proofs: List[PipelineLassoProof] = []
     extras = {}
     for table_id in sorted(queries_by_table):

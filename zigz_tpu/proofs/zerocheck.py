@@ -106,6 +106,10 @@ class ZerocheckProver:
     def prove(self, transcript: FiatShamirTranscript) -> ZerocheckProof:
         F = self.F
         p = F.MODULUS
+        # Precondition for the exact-uint64 arithmetic below: canonical
+        # values < p < 2^31 keep every product < 2^62 and every hypercube
+        # sum (n <= 2^33 terms) inside uint64.
+        assert p < (1 << 31), "zerocheck requires a field modulus < 2^31"
         any_col = next(iter(self.columns.values()))
         n = any_col.shape[-1]
         num_vars = n.bit_length() - 1
@@ -176,6 +180,13 @@ class ZerocheckVerifier:
 
     def verify(self, proof: ZerocheckProof, transcript: FiatShamirTranscript) -> bool:
         p = self.F.MODULUS
+        # Shape checks BEFORE the round loop: a proof with zero rounds and
+        # empty final_point would otherwise pass vacuously (eq over an
+        # empty challenge list is 1 and the claim stays 0).
+        if len(proof.round_evals) != proof.num_vars:
+            return False
+        if len(proof.final_point) != proof.num_vars:
+            return False
         taus = [transcript.challenge_value(p) for _ in range(proof.num_vars)]
         alphas = [transcript.challenge_value(p) for _ in range(self.num_columns)]
 

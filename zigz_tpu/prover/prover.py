@@ -259,6 +259,15 @@ class Prover:
         from .proof import V2Section
 
         F = self.F
+        # The v2 hot paths (zerocheck round sums, Lasso folds) accumulate
+        # canonical values in uint64; products a*b stay exact only when
+        # both factors are < 2^31.  Larger presets (Goldilocks, Mersenne61)
+        # would silently wrap and produce rejected honest proofs.
+        if F.MODULUS >= (1 << 31):
+            raise ValueError(
+                f"protocol_version=2 requires a field modulus < 2^31 "
+                f"(got {F.MODULUS}); use protocol_version=1 for this field"
+            )
         transcript = self.transcript
         num_vars = witness.num_vars
 

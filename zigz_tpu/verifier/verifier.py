@@ -151,12 +151,20 @@ class Verifier:
         for c in proof.witness_commitments:
             transcript.append_field_element(F, c.value)
 
-        # Opening checks (v1 semantics).
+        # Opening checks — v2 tightening: the Merkle walk derives direction
+        # bits from the CHECKED index and requires a full-height path
+        # (merkle.verify_at_index), so proof-supplied directions cannot
+        # authenticate a different leaf.
         for opening in proof.witness_commitments:
-            if self._verify_opening(opening) != VerificationResult.Accept:
+            if not opening.value.eql(opening.proof.value):
+                return VerificationResult.RejectInvalidCommitment
+            if not SimpleMerkleTree.verify_at_index(
+                F, opening.commitment, opening.proof.merkle_proof, num_vars
+            ):
                 return VerificationResult.RejectInvalidCommitment
 
-        # Aux column openings: path valid + index matches zerocheck point.
+        # Aux column openings: strict path check + index matches zerocheck
+        # point.
         zc_index = (
             proof.constraint_proof.final_point[0].value % (1 << num_vars) if num_vars else 0
         )
@@ -164,7 +172,9 @@ class Verifier:
             opening = proof.v2.aux_openings[name]
             if opening.index != zc_index:
                 return VerificationResult.RejectInvalidCommitment
-            if not SimpleMerkleTree.verify(F, proof.v2.aux_roots[name], opening):
+            if not SimpleMerkleTree.verify_at_index(
+                F, proof.v2.aux_roots[name], opening, num_vars
+            ):
                 return VerificationResult.RejectInvalidCommitment
 
         return VerificationResult.Accept
