@@ -90,3 +90,58 @@ def test_shard_rows_layout():
     # trailing axis split 8 ways
     shard_shapes = {s.data.shape for s in xs.addressable_shards}
     assert shard_shapes == {(43, 32)}
+
+
+def _arith_program(n_adds):
+    # ADDI x1,x0,3; ADDI x2,x0,4; then n_adds x ADD x3,x1,x2; EBREAK.
+    body = bytes([0x93, 0x00, 0x30, 0x00, 0x13, 0x01, 0x40, 0x00])
+    body += bytes([0xB3, 0x81, 0x20, 0x00]) * n_adds
+    return body + bytes([0x73, 0x00, 0x10, 0x00])
+
+
+def test_end_to_end_prover_sharded_byte_identical(monkeypatch):
+    """THE multi-chip gate: the REAL pipeline (witness build -> Merkle
+    forest -> opening evals -> openings) proved on the 8-device mesh must
+    produce byte-identical proofs to the single-device host prover, and
+    the verifier must accept them (SURVEY.md §2.11 rows 1/4/5)."""
+    from zigz_tpu.prover.prover import Prover
+    from zigz_tpu.prover.serialization import BinarySerializer
+    from zigz_tpu.verifier.verifier import Verifier
+
+    program = _arith_program(125)  # 128 steps -> v=7
+    ser = BinarySerializer(F)
+
+    monkeypatch.setenv("ZIGZ_TPU_COMMITMENTS", "host")
+    host_bytes = ser.serialize(Prover(F, seed=0).prove(program, 0x1000, None, 1 << 10, None, None))
+
+    monkeypatch.delenv("ZIGZ_TPU_COMMITMENTS", raising=False)
+    mesh = make_trace_mesh(8)
+    proof = Prover(F, seed=0, mesh=mesh).prove(program, 0x1000, None, 1 << 10, None, None)
+    sharded_bytes = ser.serialize(proof)
+
+    assert sharded_bytes == host_bytes
+    assert Verifier(F).verify(proof, program) == "Accept"
+
+
+def test_end_to_end_prover_sharded_v2(monkeypatch):
+    """Same gate for protocol v2 (real zerocheck + real Lasso): sharded
+    aux forests and witness commitments, byte-identical output."""
+    from zigz_tpu.prover.prover import Prover
+    from zigz_tpu.prover.serialization import BinarySerializer
+    from zigz_tpu.verifier.verifier import Verifier
+
+    program = _arith_program(60)  # 63 steps -> v=6
+    ser = BinarySerializer(F)
+
+    monkeypatch.setenv("ZIGZ_TPU_COMMITMENTS", "host")
+    host_bytes = ser.serialize(
+        Prover(F, seed=0, protocol_version=2).prove(program, 0x1000, None, 1 << 10, None, None)
+    )
+
+    monkeypatch.delenv("ZIGZ_TPU_COMMITMENTS", raising=False)
+    mesh = make_trace_mesh(8)
+    proof = Prover(F, seed=0, protocol_version=2, mesh=mesh).prove(
+        program, 0x1000, None, 1 << 10, None, None
+    )
+    assert ser.serialize(proof) == host_bytes
+    assert Verifier(F).verify(proof, program) == "Accept"

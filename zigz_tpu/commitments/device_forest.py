@@ -45,7 +45,7 @@ def _forest_plan(total_leaf_digests: int, num_trees: int, discard_digests: int):
     return K, D
 
 
-def _build_forest_lo(lo, K: int, D: int):
+def _build_forest_lo(lo, K: int, D: int, sharding=None):
     """flat (B*N,) low leaf words (high words all zero) -> list of kept
     level digest arrays for levels D..K (level k has B * N/2^k digests,
     tree-major layout, pairs never cross trees).
@@ -60,7 +60,16 @@ def _build_forest_lo(lo, K: int, D: int):
     2^22 steps the full 43-tree forest holds ~11.5 GB of digests, past a
     v5e's HBM.  Discarded-sibling digests are recomputed from witness
     values at open time (a level-k sibling is a 2^k-leaf subtree root —
-    a handful of host hashes)."""
+    a handful of host hashes).
+
+    Under a mesh ``sharding`` (1-D over the flat leaf axis) every level is
+    laid out sharded: leaf hashing is elementwise and the stride-2 merge
+    pairing is shard-local while the level width exceeds the shard count,
+    so the whole build runs without collectives until the host top — the
+    Merkle-subtree analogue of SURVEY.md §2.11 (merkle_tree.zig:380-401
+    parallelized)."""
+    if sharding is not None:
+        lo = jax.device_put(lo, sharding)
     level = keccak.sha3_leaves_device(lo, jnp.zeros_like(lo))
     # Per-level sync: deeply enqueued async chains degrade ~80x through the
     # axon tunnel (a fully-async 2^22 build completes in ~9 s where the
@@ -80,7 +89,7 @@ def _build_forest_lo(lo, K: int, D: int):
     return kept
 
 
-def _build_forest(lo2d, discard_digests: int):
+def _build_forest(lo2d, discard_digests: int, sharding=None):
     """(B, N) device leaf words -> (levels tuple for levels D..K, D).
 
     Leaf counts past GROUP_LEAF_DIGESTS build the forest in tree groups
@@ -91,11 +100,11 @@ def _build_forest(lo2d, discard_digests: int):
     B, N = lo2d.shape
     K, D = _forest_plan(B * N, B, discard_digests)
     if B * N <= GROUP_LEAF_DIGESTS:
-        return tuple(_build_forest_lo(lo2d.reshape(-1), K, D)), D
+        return tuple(_build_forest_lo(lo2d.reshape(-1), K, D, sharding)), D
 
     group_trees = max(1, GROUP_LEAF_DIGESTS // N)
     parts = [
-        _build_forest_lo(lo2d[s : s + group_trees].reshape(-1), K, D)
+        _build_forest_lo(lo2d[s : s + group_trees].reshape(-1), K, D, sharding)
         for s in range(0, B, group_trees)
     ]
     levels = []
@@ -129,13 +138,23 @@ def _gather_levels(levels, flat_indices):
 
 
 class DeviceMerkleForest:
-    def __init__(self, F, matrix: np.ndarray = None, lo=None):
+    def __init__(self, F, matrix: np.ndarray = None, lo=None, mesh=None):
         """Either ``matrix`` ((B, N) canonical uint64 on host) or ``lo``
         ((B, N) canonical uint32 already on device, e.g. from
-        ops/witness_dev.build_witness_device)."""
+        ops/witness_dev.build_witness_device).  With a ``mesh`` (1-D, axis
+        name "trace") every digest level is sharded over the flat
+        tree-major leaf axis; roots, openings, and evaluations are
+        byte-identical to the unsharded build (tests/test_parallel.py)."""
         assert F.MODULUS < (1 << 32)
         self.F = F
         self.matrix = matrix
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self._flat_sharding = NamedSharding(mesh, P("trace"))
+        else:
+            self._flat_sharding = None
         if lo is None:
             # Witness values are canonical (< p < 2^31), so the high
             # message word is always zero — ship only the low words
@@ -145,7 +164,9 @@ class DeviceMerkleForest:
         B, N = lo.shape
         self.B, self.N = B, N
         self.height = N.bit_length() - 1
-        self.levels, self.discarded = _build_forest(self.lo, DISCARD_DIGESTS)
+        self.levels, self.discarded = _build_forest(
+            self.lo, DISCARD_DIGESTS, self._flat_sharding
+        )
         # Host top: transfer the smallest device level once and fold the
         # remaining levels with the native hasher (tree-major pairs stay
         # within trees while the per-tree width is even).

@@ -130,7 +130,22 @@ def _build_witness_jit(packed):
     return jnp.stack(rows)
 
 
-def build_witness_device(trace, initial_regs, num_vars: int):
-    """-> (43, 2^v) canonical uint32 device array (commitment row order)."""
+def build_witness_device(trace, initial_regs, num_vars: int, mesh=None):
+    """-> (43, 2^v) canonical uint32 device array (commitment row order).
+
+    With a ``mesh`` the per-step columns are placed sharded over the trace
+    axis, so the build (elementwise mod-p + the register forward-fill
+    scan) runs SPMD and the output inherits a (replicated, "trace")
+    sharding — the scan's cross-shard carry is the only collective."""
     packed = pack_trace_columns(trace, initial_regs, num_vars)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        col = NamedSharding(mesh, P("trace"))
+        rep = NamedSharding(mesh, P())
+        dev = {
+            k: jax.device_put(jnp.asarray(v), rep if k == "initial_regs" else col)
+            for k, v in packed.items()
+        }
+        return _build_witness_jit(dev)
     return _build_witness_jit({k: jnp.asarray(v) for k, v in packed.items()})

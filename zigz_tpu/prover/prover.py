@@ -57,11 +57,17 @@ class Prover:
     """Prover(F) twin (prover.zig:27-561)."""
 
     def __init__(self, F, seed: int = 0, verbose: bool = False, eval_backend=None,
-                 use_native_vm: Optional[bool] = None, protocol_version: int = 1):
+                 use_native_vm: Optional[bool] = None, protocol_version: int = 1,
+                 mesh=None):
         self.F = F
         self.rng = Xoshiro256(seed)
         self.transcript = FiatShamirTranscript()
         self.verbose = verbose
+        # Multi-chip: a 1-D jax.sharding.Mesh (axis "trace") shards every
+        # hypercube-axis device computation — witness build, Merkle forest,
+        # opening evaluations — producing byte-identical proofs
+        # (tests/test_parallel.py, __graft_entry__.dryrun_multichip).
+        self.mesh = mesh
         # Optional accelerated batch evaluator:
         #   eval_backend(matrix: (43, 2^v) uint64, points: (43, v) uint64) -> (43,) uint64
         self.eval_backend = eval_backend
@@ -144,7 +150,7 @@ class Prover:
         # STEP 2: witness (prover.zig:156-162).  On the v1 device path the
         # host matrix is never needed (commitments, evals, and openings all
         # use the device-built witness), so materialize lazily.
-        witness = _LazyWitness(F, trace)
+        witness = _LazyWitness(F, trace, mesh=self.mesh)
         num_vars = witness.num_vars
         t2 = time.perf_counter()
 
@@ -283,7 +289,9 @@ class Prover:
             # (hashes 2 * 2^(v+1) messages on-chip instead of the host).
             from ..commitments.device_forest import DeviceMerkleForest
 
-            aux_forest = DeviceMerkleForest(F, np.stack([aux[n] for n in aux_names]))
+            aux_forest = DeviceMerkleForest(
+                F, np.stack([aux[n] for n in aux_names]), mesh=self.mesh
+            )
             roots_list = aux_forest.roots()
             aux_roots = {n: roots_list[i] for i, n in enumerate(aux_names)}
         else:
@@ -369,9 +377,9 @@ class Prover:
             self.last_timings["witness_dev_s"] = time.perf_counter() - t0
             t0 = time.perf_counter()
             if device_lo is not None:
-                forest = DeviceMerkleForest(self.F, lo=device_lo)
+                forest = DeviceMerkleForest(self.F, lo=device_lo, mesh=self.mesh)
             else:
-                forest = DeviceMerkleForest(self.F, witness.matrix)
+                forest = DeviceMerkleForest(self.F, witness.matrix, mesh=self.mesh)
             self.last_timings["forest_s"] = time.perf_counter() - t0
             self._generate_commitments_forest(proof, witness, forest)
             return
@@ -401,6 +409,9 @@ class Prover:
         if pref == "host":
             return False
         if pref == "device":
+            return True
+        if self.mesh is not None:
+            # An explicit mesh requests the sharded device pipeline.
             return True
         if num_steps is not None and num_steps < self.DEVICE_COMMITMENT_MIN_STEPS:
             return False
@@ -544,11 +555,12 @@ class _LazyWitness:
     The host and device builders are bit-equal (tests/test_witness_dev.py),
     so whichever materializes first defines the same polynomials."""
 
-    def __init__(self, F, trace):
+    def __init__(self, F, trace, mesh=None):
         from ..constraints.witness import num_vars_for_steps
 
         self.F = F
         self._trace = trace
+        self.mesh = mesh
         self.num_steps = trace.step_count()
         self.num_vars = num_vars_for_steps(self.num_steps)
         self._host = None
@@ -577,6 +589,6 @@ class _LazyWitness:
             from ..ops.witness_dev import build_witness_device
 
             self._device_lo = build_witness_device(
-                self._trace, self._trace.initial_regs, self.num_vars
+                self._trace, self._trace.initial_regs, self.num_vars, mesh=self.mesh
             )
         return self._device_lo
