@@ -117,3 +117,31 @@ def test_query_hash_matches_standalone_lasso():
     outputs = np.array([[8]], dtype=np.uint64)
     got = hash_query_rows(F, inputs, outputs)
     assert int(got[0]) == hash_entry_chain(F, [3, 5], [8]).value
+
+
+def test_device_rounds_bit_equal():
+    """Device Lasso round loop must match the host loop exactly, including
+    the host-tail handoff, single-device and sharded."""
+    import zigz_tpu.lookups.pipeline_lasso as pl
+    from zigz_tpu.core.hash import FiatShamirTranscript
+    from zigz_tpu.parallel.dist import make_trace_mesh
+
+    rng2 = np.random.default_rng(31)
+    evals = rng2.integers(0, F.MODULUS, size=1 << 14, dtype=np.uint64)
+    assert len(evals) > pl.HOST_TAIL
+
+    t_host = FiatShamirTranscript()
+    host = pl._sumcheck_rounds_host(F, t_host, evals.copy(), None)
+
+    pl._init_device_kernels()
+    t_dev = FiatShamirTranscript()
+    dev = pl._sumcheck_rounds_device(F, t_dev, evals.copy())
+
+    t_mesh = FiatShamirTranscript()
+    mesh = pl._sumcheck_rounds_device(F, t_mesh, evals.copy(), make_trace_mesh(8))
+
+    for other in (dev, mesh):
+        assert [[c.value for c in row] for row in host[0]] == [[c.value for c in row] for row in other[0]]
+        assert [c.value for c in host[1]] == [c.value for c in other[1]]
+        assert host[2].value == other[2].value
+    assert t_host.challenge_value(F.MODULUS) == t_dev.challenge_value(F.MODULUS) == t_mesh.challenge_value(F.MODULUS)

@@ -213,7 +213,88 @@ def _ceil_pow2(n: int) -> int:
     return 1 if n <= 1 else 1 << (n - 1).bit_length()
 
 
-def prove_pipeline_lasso(F, transcript, queries_by_table):
+DEVICE_ROUNDS_MIN = 1 << 13  # below this the host loop wins (dispatch latency)
+HOST_TAIL = 1 << 12
+
+
+def _sumcheck_rounds_host(F, transcript, evals, claimed_sum):
+    """Host round loop (the original path): returns (rounds, point, final)."""
+    p = F.MODULUS
+    cur = evals
+    rounds, point = [], []
+    for _ in range(len(evals).bit_length() - 1):
+        half = len(cur) // 2
+        g0 = int(cur[:half].sum(dtype=np.uint64)) % p
+        g1 = int(cur[half:].sum(dtype=np.uint64)) % p
+        coeffs = [F.from_reduced(g0), F.from_reduced((g1 - g0) % p), F.zero()]
+        rounds.append(coeffs)
+        for c in coeffs:
+            transcript.append_field_element(F, c)
+        r = transcript.challenge_value(p)
+        point.append(F.from_reduced(r))
+        om = (1 - r) % p
+        cur = (np.uint64(om) * cur[:half] + np.uint64(r) * cur[half:]) % np.uint64(p)
+    return rounds, point, F.from_reduced(int(cur[0]) if len(cur) else 0)
+
+
+def _sumcheck_rounds_device(F, transcript, evals, mesh=None):
+    """Device round loop: Montgomery lanes, psum'd half-sums under a mesh,
+    host Fiat-Shamir between rounds; finishes on host below HOST_TAIL.
+    Identical outputs to the host loop (tests/test_pipeline_lasso.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops import babybear as bb
+    from ..ops.mle import fold_msb, round_poly_msb
+
+    p = F.MODULUS
+    num_vars = len(evals).bit_length() - 1
+    cur_m = jnp.asarray(bb.np_to_mont(evals))
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as PS
+
+        cur_m = jax.device_put(cur_m, NamedSharding(mesh, PS("trace")))
+
+    rounds, point = [], []
+    done = 0
+    while done < num_vars and (len(evals) >> done) > HOST_TAIL:
+        g0m, g1m = _lasso_round_jit(cur_m)
+        g0 = int(np.asarray(bb.from_mont(g0m[None]))[0])
+        g1 = int(np.asarray(bb.from_mont(g1m[None]))[0])
+        coeffs = [F.from_reduced(g0), F.from_reduced((g1 - g0) % p), F.zero()]
+        rounds.append(coeffs)
+        for c in coeffs:
+            transcript.append_field_element(F, c)
+        r = transcript.challenge_value(p)
+        point.append(F.from_reduced(r))
+        r_m = jnp.asarray(bb.np_to_mont(np.array([r], dtype=np.uint64)))
+        cur_m = _lasso_fold_jit(cur_m, r_m)
+        done += 1
+
+    from ..ops.babybear import from_mont
+
+    cur = np.asarray(from_mont(cur_m), dtype=np.uint64)
+    tail_rounds, tail_point, final = _sumcheck_rounds_host(F, transcript, cur, None)
+    return rounds + tail_rounds, point + tail_point, final
+
+
+_lasso_round_jit = None
+_lasso_fold_jit = None
+
+
+def _init_device_kernels():
+    global _lasso_round_jit, _lasso_fold_jit
+    if _lasso_round_jit is not None:
+        return
+    import jax
+
+    from ..ops.mle import fold_msb, round_poly_msb
+
+    _lasso_round_jit = jax.jit(round_poly_msb)
+    _lasso_fold_jit = jax.jit(fold_msb)
+
+
+def prove_pipeline_lasso(F, transcript, queries_by_table, device=False, mesh=None):
     """Per-table real sumcheck over the hash-encoded query polynomial.
 
     Transcript schedule per table (ids ascending):
@@ -242,25 +323,11 @@ def prove_pipeline_lasso(F, transcript, queries_by_table):
         transcript.append_bytes(q_commit)
         transcript.append_u64(claimed_sum)
 
-        cur = evals
-        rounds = []
-        point = []
-        claim = claimed_sum
-        for _ in range(num_vars):
-            half = len(cur) // 2
-            g0 = int(cur[:half].sum(dtype=np.uint64)) % p
-            g1 = int(cur[half:].sum(dtype=np.uint64)) % p
-            coeffs = [F.from_reduced(g0), F.from_reduced((g1 - g0) % p), F.zero()]
-            rounds.append(coeffs)
-            for c in coeffs:
-                transcript.append_field_element(F, c)
-            r = transcript.challenge_value(p)
-            point.append(F.from_reduced(r))
-            om = (1 - r) % p
-            cur = (np.uint64(om) * cur[:half] + np.uint64(r) * cur[half:]) % np.uint64(p)
-            claim = (g0 + r * ((g1 - g0) % p)) % p
-
-        final_eval = F.from_reduced(int(cur[0]) if len(cur) else 0)
+        if device and len(evals) >= DEVICE_ROUNDS_MIN and p == 2013265921:
+            _init_device_kernels()
+            rounds, point, final_eval = _sumcheck_rounds_device(F, transcript, evals, mesh)
+        else:
+            rounds, point, final_eval = _sumcheck_rounds_host(F, transcript, evals, claimed_sum)
         sc = PipelineSumcheckProof(
             num_vars=num_vars,
             round_polynomials=rounds,

@@ -302,10 +302,34 @@ class Prover:
         for name in sorted(aux_roots):
             transcript.append_bytes(aux_roots[name])
 
-        columns = v2_columns(witness, aux)
-        zc = ZerocheckProver(
-            F, columns, v2_combiner, V2_DEGREE, num_alphas=NUM_V2_CONSTRAINTS
-        ).prove(transcript)
+        # Hot loop: device zerocheck when the witness already lives on
+        # device (reuses resident rows 0/1/42 — no extra transfer),
+        # falling back to the host numpy prover.  Both produce identical
+        # round evaluations (tests/test_zerocheck_dev.py).
+        use_dev = (
+            self._use_device_commitments(witness.num_steps)
+            and F.MODULUS == 2013265921
+            and num_vars > 0
+        )
+        device_cols = None
+        if use_dev:
+            lo = witness.device_lo()
+            if lo is not None:
+                device_cols = {
+                    "x0": lo[1], "is_read": lo[42], "pc": lo[0],
+                    "seq": aux["seq"], "next_pc": aux["next_pc"],
+                }
+        if device_cols is not None:
+            from ..ops.zerocheck_dev import DeviceZerocheckProver
+
+            zc = DeviceZerocheckProver(
+                F, device_cols, V2_DEGREE, NUM_V2_CONSTRAINTS, mesh=self.mesh
+            ).prove(transcript)
+        else:
+            columns = v2_columns(witness, aux)
+            zc = ZerocheckProver(
+                F, columns, v2_combiner, V2_DEGREE, num_alphas=NUM_V2_CONSTRAINTS
+            ).prove(transcript)
 
         # Reuse the v1 wire shape: 4 round evaluations per row, challenges
         # as the final point, final_eval = 0 (the zerocheck total).
@@ -364,7 +388,11 @@ class Prover:
 
         self.transcript.append_bytes(b"LASSO_BEGIN")
         queries = extract_table_queries(trace)
-        proofs, extras = prove_pipeline_lasso(self.F, self.transcript, queries)
+        proofs, extras = prove_pipeline_lasso(
+            self.F, self.transcript, queries,
+            device=self._use_device_commitments(proof.metadata.num_steps),
+            mesh=self.mesh,
+        )
         proof.lookup_proofs = proofs
         proof.v2.lasso_extras = extras
 
