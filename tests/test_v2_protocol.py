@@ -228,3 +228,33 @@ def test_v2_rejects_forged_merkle_directions():
     short.path.siblings = short.path.siblings[:2]
     short.path.directions = short.path.directions[:2]
     assert not SimpleMerkleTree.verify_at_index(F, tree.get_root(), short, 3)
+
+
+def _prove_v2_simple(program):
+    return Prover(F, seed=0, protocol_version=2).prove(program, 0x1000, None, 1 << 10, None, None)
+
+
+def _nop_add_program():
+    return bytes([0x93, 0x00, 0x30, 0x00, 0x13, 0x01, 0x40, 0x00]
+                 + [0xB3, 0x81, 0x20, 0x00] * 29 + [0x73, 0x00, 0x10, 0x00])
+
+
+def test_v2_rejects_tampered_pcs_root():
+    program = _nop_add_program()
+    proof = _prove_v2_simple(program)
+    proof.v2.pcs_root = bytes(32)
+    assert Verifier(F).verify(proof, program) != VerificationResult.Accept
+
+
+def test_v2_rejects_missing_pcs():
+    program = _nop_add_program()
+    proof = _prove_v2_simple(program)
+    proof.v2.pcs_proof = None
+    assert Verifier(F).verify(proof, program) == VerificationResult.RejectInvalidCommitment
+
+
+def test_v2_rejects_tampered_pcs_column():
+    program = _nop_add_program()
+    proof = _prove_v2_simple(program)
+    proof.v2.pcs_proof.columns[3][1] = (int(proof.v2.pcs_proof.columns[3][1]) + 1) % F.MODULUS
+    assert Verifier(F).verify(proof, program) == VerificationResult.RejectInvalidCommitment

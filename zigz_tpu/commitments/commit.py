@@ -36,8 +36,8 @@ class CommitmentScheme:
     """CommitmentSchemeSHA3 twin; generic over F via arguments."""
 
     @staticmethod
-    def commit(poly: Multilinear):
-        tree = SimpleMerkleTree.build(poly.F, poly.evals)
+    def commit(poly: Multilinear, hash_mode: str = "sha3"):
+        tree = SimpleMerkleTree.build(poly.F, poly.evals, hash_mode)
         return PolynomialCommitment(tree.get_root(), poly.num_vars), tree
 
     @staticmethod

@@ -45,10 +45,77 @@ def _forest_plan(total_leaf_digests: int, num_trees: int, discard_digests: int):
     return K, D
 
 
-def _build_forest_lo(lo, K: int, D: int, sharding=None):
-    """flat (B*N,) low leaf words (high words all zero) -> list of kept
-    level digest arrays for levels D..K (level k has B * N/2^k digests,
-    tree-major layout, pairs never cross trees).
+def _device_hash_fns(hash_mode: str):
+    """(leaf_fn(lo_u32) -> (8, n) digests, merge_fn(level) -> (8, n/2)).
+
+    Merges use the half-split pairing: the forest stores each tree's
+    digests in BIT-REVERSED node order, so the children of parent j sit at
+    contiguous positions j and j + half — the stride-2 de-interleave the
+    adjacent pairing needs measured ~10x slower than leaf hashing on TPU
+    (lane-shuffle gathers)."""
+    if hash_mode == "poseidon2":
+        from ..ops import poseidon2 as p2
+
+        return p2.p2_leaves, p2.p2_merge_halves
+    return (
+        (lambda lo: keccak.sha3_leaves_device(lo, jnp.zeros_like(lo))),
+        keccak.sha3_merge_halves,
+    )
+
+
+_BITREV_TABLES = {}
+
+
+def _bitrev_table(n: int) -> np.ndarray:
+    if n not in _BITREV_TABLES:
+        bits = n.bit_length() - 1
+        idx = np.arange(n, dtype=np.uint64)
+        rev = np.zeros_like(idx)
+        for b in range(bits):
+            rev |= ((idx >> np.uint64(b)) & np.uint64(1)) << np.uint64(bits - 1 - b)
+        _BITREV_TABLES[n] = rev.astype(np.int64)
+    return _BITREV_TABLES[n]
+
+
+def _bitrev_np(indices: np.ndarray, n: int) -> np.ndarray:
+    """Vectorized host bit-reversal of node indices within width n."""
+    if n <= 1:
+        return np.zeros_like(indices)
+    bits = n.bit_length() - 1
+    out = np.zeros_like(indices)
+    for b in range(bits):
+        out |= ((indices >> b) & 1) << (bits - 1 - b)
+    return out
+
+
+@jax.jit
+def _to_revminor(lo2d):
+    """(B, N) leaf values -> (N*B,) flat in REV-MINOR layout: position
+    rev_N(node)*B + tree.
+
+    Why: with per-tree bit-reversed node order and the tree index minor,
+    the children of every parent sit at positions j and j + total/2 at
+    EVERY level — merges read two contiguous halves instead of a stride-2
+    lane shuffle (measured ~10x faster on TPU), and pairs never cross
+    trees.  Bit reversal itself is two small-table gathers + a transpose
+    (rev_{a+b}(hi*2^b + lo) = rev_b(lo)*2^a + rev_a(hi))."""
+    B, N = lo2d.shape
+    if N <= 2:
+        return lo2d.T.reshape(-1)
+    v = N.bit_length() - 1
+    a = v // 2
+    b = v - a
+    x = lo2d.reshape(B, 1 << a, 1 << b)
+    x = x[:, jnp.asarray(_bitrev_table(1 << a)), :]
+    x = x[:, :, jnp.asarray(_bitrev_table(1 << b))]
+    x = jnp.swapaxes(x, 1, 2).reshape(B, N)
+    return x.T.reshape(-1)
+
+
+def _build_forest_lo(lo2d, K: int, D: int, sharding=None, hash_mode="sha3"):
+    """(B_g, N) leaf values for one tree group -> list of kept level digest
+    arrays for levels D..K (level k has B_g * N/2^k digests, rev-minor
+    layout: position rev(node)*B_g + tree).
 
     Structure: a HOST loop dispatching per-level jitted kernels.  A single
     whole-forest jit traces thousands of pallas calls into one graph and
@@ -63,14 +130,15 @@ def _build_forest_lo(lo, K: int, D: int, sharding=None):
     a handful of host hashes).
 
     Under a mesh ``sharding`` (1-D over the flat leaf axis) every level is
-    laid out sharded: leaf hashing is elementwise and the stride-2 merge
-    pairing is shard-local while the level width exceeds the shard count,
-    so the whole build runs without collectives until the host top — the
-    Merkle-subtree analogue of SURVEY.md §2.11 (merkle_tree.zig:380-401
-    parallelized)."""
+    laid out sharded: leaf hashing is elementwise and the half-split merge
+    pairing is a single collective-permute per level, so the build runs
+    SPMD until the host top — the Merkle-subtree analogue of SURVEY.md
+    §2.11 (merkle_tree.zig:380-401 parallelized)."""
+    leaf_fn, merge_fn = _device_hash_fns(hash_mode)
+    lo = _to_revminor(lo2d)
     if sharding is not None:
         lo = jax.device_put(lo, sharding)
-    level = keccak.sha3_leaves_device(lo, jnp.zeros_like(lo))
+    level = leaf_fn(lo)
     # Per-level sync: deeply enqueued async chains degrade ~80x through the
     # axon tunnel (a fully-async 2^22 build completes in ~9 s where the
     # same chain with per-level blocking finishes in ~0.1 s).  The sync
@@ -78,7 +146,7 @@ def _build_forest_lo(lo, K: int, D: int, sharding=None):
     level.block_until_ready()
     kept = []
     for k in range(K):
-        nxt = keccak.sha3_merge(level)
+        nxt = merge_fn(level)
         nxt.block_until_ready()
         if k >= D:
             kept.append(level)
@@ -89,7 +157,7 @@ def _build_forest_lo(lo, K: int, D: int, sharding=None):
     return kept
 
 
-def _build_forest(lo2d, discard_digests: int, sharding=None):
+def _build_forest(lo2d, discard_digests: int, sharding=None, hash_mode="sha3"):
     """(B, N) device leaf words -> (levels tuple for levels D..K, D).
 
     Leaf counts past GROUP_LEAF_DIGESTS build the forest in tree groups
@@ -100,11 +168,11 @@ def _build_forest(lo2d, discard_digests: int, sharding=None):
     B, N = lo2d.shape
     K, D = _forest_plan(B * N, B, discard_digests)
     if B * N <= GROUP_LEAF_DIGESTS:
-        return tuple(_build_forest_lo(lo2d.reshape(-1), K, D, sharding)), D
+        return tuple(_build_forest_lo(lo2d, K, D, sharding, hash_mode)), D, B
 
     group_trees = max(1, GROUP_LEAF_DIGESTS // N)
     parts = [
-        _build_forest_lo(lo2d[s : s + group_trees].reshape(-1), K, D, sharding)
+        _build_forest_lo(lo2d[s : s + group_trees], K, D, sharding, hash_mode)
         for s in range(0, B, group_trees)
     ]
     levels = []
@@ -114,7 +182,7 @@ def _build_forest(lo2d, discard_digests: int, sharding=None):
         for p in parts:
             p[j].delete()
         levels.append(merged)
-    return tuple(levels), D
+    return tuple(levels), D, group_trees
 
 
 # Below this many digests a merge level is finished on the host hasher:
@@ -138,7 +206,8 @@ def _gather_levels(levels, flat_indices):
 
 
 class DeviceMerkleForest:
-    def __init__(self, F, matrix: np.ndarray = None, lo=None, mesh=None):
+    def __init__(self, F, matrix: np.ndarray = None, lo=None, mesh=None,
+                 hash_mode: str = "sha3"):
         """Either ``matrix`` ((B, N) canonical uint64 on host) or ``lo``
         ((B, N) canonical uint32 already on device, e.g. from
         ops/witness_dev.build_witness_device).  With a ``mesh`` (1-D, axis
@@ -149,6 +218,7 @@ class DeviceMerkleForest:
         self.F = F
         self.matrix = matrix
         self.mesh = mesh
+        self.hash_mode = hash_mode
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -164,19 +234,43 @@ class DeviceMerkleForest:
         B, N = lo.shape
         self.B, self.N = B, N
         self.height = N.bit_length() - 1
-        self.levels, self.discarded = _build_forest(
-            self.lo, DISCARD_DIGESTS, self._flat_sharding
+        self.levels, self.discarded, self.group_trees = _build_forest(
+            self.lo, DISCARD_DIGESTS, self._flat_sharding, hash_mode
         )
-        # Host top: transfer the smallest device level once and fold the
-        # remaining levels with the native hasher (tree-major pairs stay
-        # within trees while the per-tree width is even).
-        from .merkle import batch_merge_hashes
+        # Host top: transfer the smallest device level once, UNPERMUTE it
+        # back to tree-major node order (device levels are rev-minor), and
+        # fold the remaining levels with the native hasher.
+        from .merkle import _hash_fns
 
+        self._host_leaf_fn, self._host_merge_fn, _ = _hash_fns(hash_mode)
+        K = self.discarded + len(self.levels) - 1
+        n_top = N >> K
+        top_arr = np.asarray(self.levels[-1])  # (8, B * n_top)
+        perm = self._treemajor_perm(n_top)
+        self._top_bytes = keccak.digests_to_bytes(top_arr[:, perm])
         self.host_levels = []
-        top = keccak.digests_to_bytes(self.levels[-1])
+        top = self._top_bytes
         while len(top) // 32 > B:
-            top = batch_merge_hashes(top)
+            top = self._host_merge_fn(top)
             self.host_levels.append(top)
+
+    def _treemajor_perm(self, n: int) -> np.ndarray:
+        """Positions of (tree-major) digests inside a rev-minor level of
+        per-tree width n: out[tree*n + node] = pos(tree, node)."""
+        B, G = self.B, self.group_trees
+        tree = np.repeat(np.arange(B, dtype=np.int64), n)
+        node = np.tile(np.arange(n, dtype=np.int64), B)
+        return self._positions(tree, node, n)
+
+    def _positions(self, tree: np.ndarray, node: np.ndarray, n: int) -> np.ndarray:
+        """Flat rev-minor position of (tree, node) at a level of per-tree
+        width n, accounting for group blocks."""
+        G = self.group_trees
+        g = tree // G
+        t_local = tree - g * G
+        B_g = np.minimum(G, self.B - g * G)
+        base = g * G * n
+        return base + _bitrev_np(node, n) * B_g + t_local
 
     # -- device evaluation (reuses the transferred witness) ----------------
     def eval_backend(self, matrix: np.ndarray, points: np.ndarray) -> np.ndarray:
@@ -193,11 +287,7 @@ class DeviceMerkleForest:
 
     # -- queries -----------------------------------------------------------
     def roots(self) -> List[bytes]:
-        root_bytes = (
-            self.host_levels[-1]
-            if self.host_levels
-            else keccak.digests_to_bytes(self.levels[-1])
-        )
+        root_bytes = self.host_levels[-1] if self.host_levels else self._top_bytes
         return [root_bytes[i * 32 : (i + 1) * 32] for i in range(self.B)]
 
     def _recompute_siblings(self, recompute_rows, tree_base) -> List[bytes]:
@@ -205,7 +295,8 @@ class DeviceMerkleForest:
         an opened leaf is the root of a 2^k-leaf subtree, rebuilt here from
         the witness values (identical hashing to the discarded device
         digests).  Returns one B-digest blob per discarded level."""
-        from .merkle import batch_leaf_hashes, batch_merge_hashes
+        batch_leaf_hashes = self._host_leaf_fn
+        batch_merge_hashes = self._host_merge_fn
 
         B, N = self.B, self.N
         out = []
@@ -255,7 +346,9 @@ class DeviceMerkleForest:
             if level < D:
                 recompute_rows.append(sibling_local.copy())
             elif level < num_device_levels:
-                flat_indices.append(jnp.asarray(tree_base * n + sibling_local))
+                flat_indices.append(
+                    jnp.asarray(self._positions(tree_base, sibling_local, n))
+                )
             else:
                 blob = self.host_levels[level - num_device_levels]
                 host_sibling_rows.append(

@@ -1,0 +1,429 @@
+"""Ligero-style multilinear polynomial commitment over BabyBear.
+
+Closes the main soundness gap shared with the reference: the v1 scheme's
+"opening" binds one Merkle leaf chosen by point[0] mod 2^v
+(polynomial_commit.zig:178-183 — replicated for wire parity) and the round-1
+v2 protocol carried terminal ``column_evals`` as bare claims.  This module
+provides a REAL evaluation binding: tampering either the claimed evaluation
+or the committed column data is rejected (tests/test_ligero.py).
+
+Scheme (Ligero/Brakedown lineage, tensor-query flavor):
+
+* The 2^v evaluations of each MLE are arranged row-major into an m x n
+  matrix; B polynomials sharing one commitment stack into (B*m, n).
+* Every row is Reed-Solomon encoded: row values are taken as coefficients
+  and evaluated over the 2-adic subgroup of size n_e = INV_RATE * n
+  (BabyBear has 2-adicity 27) via an iterative NTT.
+* The commitment is a Merkle root over the n_e COLUMNS of the encoded
+  matrix (leaf = hash of the column's B*m field values; SHA3 or Poseidon2
+  per the proof version's hash mode).
+* To open the batched evaluation sum_k gamma^k f_k(r): the MSB-first fold
+  point r splits into row weights a (size m) and column weights b (size n)
+  with f(r) = a^T M b (matching the zerocheck's fold ordering, r_1 = MSB).
+  The prover sends u = a_hat^T M (a_hat = gamma-scaled a stacked over the B
+  blocks); the verifier draws NUM_RHO random vectors rho and receives
+  w_i = rho_i^T M (proximity/consistency repetitions); then t random
+  columns are opened and checked: Enc(u)[j] == a_hat . col_j and
+  Enc(w_i)[j] == rho_i . col_j, plus the Merkle paths; finally
+  <u, b> == sum_k gamma^k claimed_eval_k.
+
+Soundness (documented, parameters configurable): each opened column catches
+a matrix far from the code with probability >= ~delta/3 (delta = 1 - rate),
+giving ~(1 - delta/3)^t combinatorial error (t=128, rate 1/4 -> ~2^-53),
+plus ~NUM_RHO * log2(p) bits from the random linear combinations drawn from
+the base field (2 x ~31 bits).  Extension-field challenges are the roadmap
+item for a full 100+-bit target; the reference itself draws all challenges
+from the base field (hash.zig:228-242).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List
+
+import numpy as np
+
+from ..core.hash import FiatShamirTranscript
+from .merkle import MerklePath, _hash_fns
+
+__all__ = [
+    "LigeroParams",
+    "LigeroCommitState",
+    "LigeroClaim",
+    "LigeroEvalProof",
+    "ntt_pow2",
+    "ligero_commit",
+    "ligero_prove_claims",
+    "ligero_verify_claims",
+    "ligero_prove_eval",
+    "ligero_verify_eval",
+]
+
+P = 2013265921  # BabyBear
+_GEN = 31  # primitive root of BabyBear (2^27 two-adicity)
+
+
+def _root_of_unity(order: int, p: int = P) -> int:
+    assert order & (order - 1) == 0 and order <= (1 << 27)
+    w = pow(_GEN, (p - 1) // order, p)
+    assert pow(w, order, p) == 1 and pow(w, order // 2, p) == p - 1
+    return w
+
+
+def _bit_reverse_indices(n: int) -> np.ndarray:
+    bits = n.bit_length() - 1
+    idx = np.arange(n, dtype=np.uint64)
+    rev = np.zeros_like(idx)
+    for b in range(bits):
+        rev |= ((idx >> np.uint64(b)) & np.uint64(1)) << np.uint64(bits - 1 - b)
+    return rev.astype(np.int64)
+
+
+_TWIDDLE_CACHE: Dict[int, List[np.ndarray]] = {}
+
+
+def _twiddles(n: int) -> List[np.ndarray]:
+    """Per-stage twiddle tables for an iterative DIT NTT of size n."""
+    if n in _TWIDDLE_CACHE:
+        return _TWIDDLE_CACHE[n]
+    w = _root_of_unity(n)
+    stages = []
+    length = 2
+    while length <= n:
+        wl = pow(w, n // length, P)
+        tw = np.empty(length // 2, dtype=np.uint64)
+        acc = 1
+        for i in range(length // 2):
+            tw[i] = acc
+            acc = acc * wl % P
+        stages.append(tw)
+        length *= 2
+    _TWIDDLE_CACHE[n] = stages
+    return stages
+
+
+def ntt_pow2(rows: np.ndarray, n_out: int) -> np.ndarray:
+    """Evaluate each row's coefficient vector on the size-n_out subgroup.
+
+    rows: (..., n) canonical uint64, n <= n_out (zero-padded).  Returns
+    (..., n_out).  Exact u64 arithmetic: products < 2^62, sums < 2^63."""
+    pad = n_out - rows.shape[-1]
+    if pad:
+        rows = np.concatenate(
+            [rows, np.zeros(rows.shape[:-1] + (pad,), dtype=np.uint64)], axis=-1
+        )
+    x = rows[..., _bit_reverse_indices(n_out)].copy()
+    p = np.uint64(P)
+    for tw in _twiddles(n_out):
+        half = len(tw)
+        length = half * 2
+        shape = x.shape[:-1] + (n_out // length, length)
+        x = x.reshape(shape)
+        lo = x[..., :half]
+        hi = x[..., half:] * tw % p
+        x = np.concatenate([(lo + hi) % p, (lo + p - hi) % p], axis=-1)
+        x = x.reshape(shape[:-2] + (n_out,))
+    return x
+
+
+@dataclass
+class LigeroParams:
+    inv_rate: int = 4
+    num_queries: int = 128
+    num_rho: int = 2
+
+    def choose_split(self, v: int, num_polys: int) -> int:
+        """log2(n): balance column-opening bytes (t*B*m) vs row bytes
+        ((1+num_rho)*n) for proof size."""
+        if v <= 1:
+            return v
+        import math
+
+        target = 0.5 * (v + math.log2(self.num_queries * num_polys / (1 + self.num_rho)))
+        cn = max(1, min(v, round(target)))
+        return cn
+
+
+@dataclass
+class LigeroCommitState:
+    root: bytes
+    names: List[str]
+    num_vars: int
+    cn: int  # log2(n)
+    m: int
+    n: int
+    n_e: int
+    matrix: np.ndarray  # (B*m, n) unencoded
+    encoded: np.ndarray  # (B*m, n_e)
+    leaf_digests: bytes
+    levels: List[bytes]
+    hash_mode: str
+
+
+@dataclass
+class LigeroClaim:
+    """One linear query a^T M_k b with per-column claimed values.
+
+    ``a`` (m,) row weights and ``b`` (n,) column weights are VERIFIER-
+    computable (eq tensors for an MLE evaluation; all-ones for a hypercube
+    sum); ``values`` maps column names to the claimed query results.  The
+    claim batches across columns with a per-claim gamma challenge."""
+
+    a: np.ndarray
+    b: np.ndarray
+    values: Dict[str, int]
+
+
+@dataclass
+class LigeroEvalProof:
+    us: List[np.ndarray]  # one (n,) row per claim
+    ws: List[np.ndarray]  # num_rho x (n,)
+    columns: np.ndarray  # (t, B*m) opened encoded columns
+    paths: List[MerklePath]
+
+    # Backward-compatible accessor for single-claim proofs.
+    @property
+    def u(self):
+        return self.us[0]
+
+
+def _hash_columns(encoded: np.ndarray, hash_mode: str) -> bytes:
+    """Leaf digest per column of the encoded matrix."""
+    rows, n_e = encoded.shape
+    if hash_mode == "poseidon2":
+        from ..core import poseidon2 as p2
+
+        state = np.zeros((p2.T, n_e), dtype=np.uint64)
+        state[p2.RATE] = rows % P  # length domain separation, as in the sponge
+        for off in range(0, max(rows, 1), p2.RATE):
+            block = encoded[off : off + p2.RATE]
+            state[: block.shape[0]] = (state[: block.shape[0]] + block) % np.uint64(P)
+            state = p2.np_permute(state)
+        return state[:8].T.astype("<u4").tobytes()
+    import hashlib
+
+    cols = np.ascontiguousarray(encoded.T, dtype="<u8")  # (n_e, rows)
+    out = bytearray(n_e * 32)
+    sha3 = hashlib.sha3_256
+    for j in range(n_e):
+        out[j * 32 : (j + 1) * 32] = sha3(cols[j].tobytes()).digest()
+    return bytes(out)
+
+
+def _build_levels(leaf_digests: bytes, hash_mode: str) -> List[bytes]:
+    _, merge_fn, _ = _hash_fns(hash_mode)
+    levels = [leaf_digests]
+    cur = leaf_digests
+    while len(cur) > 32:
+        cur = merge_fn(cur)
+        levels.append(cur)
+    return levels
+
+
+def ligero_commit(F, columns: Dict[str, np.ndarray], hash_mode: str = "sha3",
+                  params: LigeroParams = None) -> LigeroCommitState:
+    """Commit B equal-length MLEs (name -> (2^v,) canonical uint64) under
+    ONE column-Merkle root."""
+    assert F.MODULUS == P, "Ligero PCS is BabyBear-only (needs 2-adic NTT)"
+    params = params or LigeroParams()
+    names = sorted(columns)
+    num_vars = len(next(iter(columns.values()))).bit_length() - 1
+    cn = params.choose_split(num_vars, len(names))
+    n = 1 << cn
+    m = (1 << num_vars) // n
+    mat = np.concatenate(
+        [np.asarray(columns[name], dtype=np.uint64).reshape(m, n) for name in names]
+    )
+    encoded = ntt_pow2(mat, params.inv_rate * n)
+    leaf_digests = _hash_columns(encoded, hash_mode)
+    levels = _build_levels(leaf_digests, hash_mode)
+    return LigeroCommitState(
+        root=levels[-1],
+        names=names,
+        num_vars=num_vars,
+        cn=cn,
+        m=m,
+        n=n,
+        n_e=params.inv_rate * n,
+        matrix=mat,
+        encoded=encoded,
+        leaf_digests=leaf_digests,
+        levels=levels,
+        hash_mode=hash_mode,
+    )
+
+
+def _row_col_weights(rs: List[int], cn: int):
+    """(a, b): eq weights for the row (MSB) and column (LSB) index bits,
+    matching the zerocheck's MSB-first fold (r_1 binds the top bit)."""
+    from ..proofs.zerocheck import _eq_table
+
+    v = len(rs)
+    a = _eq_table(rs[: v - cn], P)  # (m,)
+    b = _eq_table(rs[v - cn :], P)  # (n,)
+    return a, b
+
+
+def _open_column_paths(state: LigeroCommitState, indices: List[int]) -> List[MerklePath]:
+    paths = []
+    height = state.n_e.bit_length() - 1
+    for idx in indices:
+        sibs, dirs = [], []
+        cur = idx
+        for level in range(height):
+            is_right = (cur % 2) == 1
+            sib = cur - 1 if is_right else cur + 1
+            sibs.append(state.levels[level][sib * 32 : sib * 32 + 32])
+            dirs.append(is_right)
+            cur //= 2
+        paths.append(MerklePath(siblings=sibs, directions=dirs))
+    return paths
+
+
+def ligero_prove_claims(state: LigeroCommitState, claims: List[LigeroClaim],
+                        transcript: FiatShamirTranscript,
+                        params: LigeroParams = None) -> LigeroEvalProof:
+    """Multi-claim linear-query argument on one commitment.
+
+    Transcript schedule (replayed by the verifier):
+      per claim: gamma := challenge; absorb u-row;   [batched query row]
+      per rep:   rho := challenges(B*m); absorb w;   [proximity rows]
+      query indices := challenges(t) mod n_e.        [column spot checks]
+    """
+    params = params or LigeroParams()
+    p = np.uint64(P)
+    B = len(state.names)
+
+    us = []
+    for claim in claims:
+        gamma = transcript.challenge_value(P)
+        gpow = np.array([pow(gamma, k, P) for k in range(B)], dtype=np.uint64)
+        a_hat = (np.repeat(gpow, state.m) * np.tile(claim.a % p, B)) % p  # (B*m,)
+        u = (a_hat[:, None] * state.matrix % p).sum(axis=0, dtype=np.uint64) % p
+        for val in u:
+            transcript.append_u64(int(val))
+        us.append(u)
+
+    ws = []
+    for _ in range(params.num_rho):
+        rho = np.array(
+            [transcript.challenge_value(P) for _ in range(B * state.m)], dtype=np.uint64
+        )
+        w = (rho[:, None] * state.matrix % p).sum(axis=0, dtype=np.uint64) % p
+        for val in w:
+            transcript.append_u64(int(val))
+        ws.append(w)
+
+    indices = [transcript.challenge_value(P) % state.n_e for _ in range(params.num_queries)]
+    columns = state.encoded[:, indices].T.copy()  # (t, B*m)
+    paths = _open_column_paths(state, indices)
+    return LigeroEvalProof(us=us, ws=ws, columns=columns, paths=paths)
+
+
+def ligero_verify_claims(F, root: bytes, num_vars: int, names: List[str],
+                         claims: List[LigeroClaim], proof: LigeroEvalProof,
+                         transcript: FiatShamirTranscript,
+                         hash_mode: str = "sha3",
+                         params: LigeroParams = None) -> bool:
+    """Replay the multi-claim schedule; check per-claim consistency at the
+    opened columns, the Merkle paths, and each <u, b> binding."""
+    params = params or LigeroParams()
+    p = np.uint64(P)
+    B = len(names)
+    cn = params.choose_split(num_vars, B)
+    n = 1 << cn
+    m = (1 << num_vars) // n
+    n_e = params.inv_rate * n
+    height = n_e.bit_length() - 1
+
+    if len(proof.us) != len(claims) or any(u.shape != (n,) for u in proof.us):
+        return False
+    if len(proof.ws) != params.num_rho:
+        return False
+    if proof.columns.shape != (params.num_queries, B * m):
+        return False
+    if len(proof.paths) != params.num_queries:
+        return False
+
+    a_hats = []
+    bindings_ok = True
+    for claim, u_raw in zip(claims, proof.us):
+        if claim.a.shape != (m,) or claim.b.shape != (n,):
+            return False
+        gamma = transcript.challenge_value(P)
+        gpow = np.array([pow(gamma, k, P) for k in range(B)], dtype=np.uint64)
+        a_hat = (np.repeat(gpow, m) * np.tile(claim.a % p, B)) % p
+        a_hats.append(a_hat)
+        u = u_raw.astype(np.uint64) % p
+        for val in u:
+            transcript.append_u64(int(val))
+        combined = 0
+        for k, name in enumerate(names):
+            combined = (combined + int(gpow[k]) * (claim.values[name] % P)) % P
+        if int((u * (claim.b % p) % p).sum(dtype=np.uint64) % p) != combined:
+            bindings_ok = False
+
+    rhos = []
+    for w in proof.ws:
+        rho = np.array(
+            [transcript.challenge_value(P) for _ in range(B * m)], dtype=np.uint64
+        )
+        for val in w:
+            transcript.append_u64(int(val) % P)
+        rhos.append(rho)
+
+    indices = [transcript.challenge_value(P) % n_e for _ in range(params.num_queries)]
+
+    cols = proof.columns.astype(np.uint64) % p
+    for a_hat, u_raw in zip(a_hats, proof.us):
+        u_enc = ntt_pow2(u_raw.astype(np.uint64) % p, n_e)
+        col_u = (a_hat[None, :] * cols % p).sum(axis=1, dtype=np.uint64) % p
+        if not np.array_equal(col_u, u_enc[indices]):
+            return False
+    for rho, w in zip(rhos, proof.ws):
+        w_enc = ntt_pow2(w.astype(np.uint64) % p, n_e)
+        col_w = (rho[None, :] * cols % p).sum(axis=1, dtype=np.uint64) % p
+        if not np.array_equal(col_w, w_enc[indices]):
+            return False
+
+    leaf_blob = _hash_columns(cols.T, hash_mode)
+    _, merge_fn, hasher = _hash_fns(hash_mode)
+    for t, (idx, path) in enumerate(zip(indices, proof.paths)):
+        if len(path.siblings) != height:
+            return False
+        current = leaf_blob[t * 32 : (t + 1) * 32]
+        walk = idx
+        for sibling in path.siblings:
+            if walk & 1:
+                current = hasher.hash_internal(sibling, current)
+            else:
+                current = hasher.hash_internal(current, sibling)
+            walk >>= 1
+        if current != root:
+            return False
+
+    return bindings_ok
+
+
+def ligero_prove_eval(state: LigeroCommitState, rs: List[int],
+                      transcript: FiatShamirTranscript,
+                      params: LigeroParams = None) -> LigeroEvalProof:
+    """Single-claim wrapper: batched MLE evaluation at the fold point rs."""
+    a, b = _row_col_weights(rs, state.cn)
+    claim = LigeroClaim(a=a, b=b, values={})
+    return ligero_prove_claims(state, [claim], transcript, params)
+
+
+def ligero_verify_eval(F, root: bytes, num_vars: int, names: List[str],
+                       claimed_evals: Dict[str, int], rs: List[int],
+                       proof: LigeroEvalProof, transcript: FiatShamirTranscript,
+                       hash_mode: str = "sha3",
+                       params: LigeroParams = None) -> bool:
+    """Single-claim wrapper over ligero_verify_claims."""
+    params = params or LigeroParams()
+    cn = params.choose_split(num_vars, len(names))
+    a, b = _row_col_weights(rs, cn)
+    claim = LigeroClaim(a=a, b=b, values=claimed_evals)
+    return ligero_verify_claims(
+        F, root, num_vars, names, [claim], proof, transcript, hash_mode, params
+    )

@@ -99,19 +99,33 @@ class OpeningProof:
     path: MerklePath
 
 
+def _hash_fns(hash_mode: str):
+    """(batch_leaf, batch_merge, scalar_hasher_class) for a mode."""
+    if hash_mode == "poseidon2":
+        from ..core.poseidon2 import Poseidon2Hasher, np_batch_leaf_hashes, np_batch_merge_hashes
+
+        return np_batch_leaf_hashes, np_batch_merge_hashes, Poseidon2Hasher
+    return batch_leaf_hashes, batch_merge_hashes, SHA3Hasher
+
+
+def hasher_for_mode(hash_mode: str):
+    return _hash_fns(hash_mode)[2]
+
+
 class SimpleMerkleTree:
     """values: unpadded canonical uint64 array; levels[0] = padded leaf hashes."""
 
-    __slots__ = ("F", "values", "levels", "height")
+    __slots__ = ("F", "values", "levels", "height", "hash_mode")
 
-    def __init__(self, F, values, levels, height):
+    def __init__(self, F, values, levels, height, hash_mode="sha3"):
         self.F = F
         self.values = values
         self.levels = levels
         self.height = height
+        self.hash_mode = hash_mode
 
     @classmethod
-    def build(cls, F, values) -> "SimpleMerkleTree":
+    def build(cls, F, values, hash_mode: str = "sha3") -> "SimpleMerkleTree":
         if isinstance(values, np.ndarray):
             vals = np.ascontiguousarray(values, dtype=np.uint64)
         else:
@@ -127,12 +141,20 @@ class SimpleMerkleTree:
         padded = _ceil_pow2(n)
         height = padded.bit_length() - 1
 
-        leaf_bytes = batch_leaf_hashes(vals)
+        leaf_fn, merge_fn, scalar = _hash_fns(hash_mode)
+        leaf_bytes = leaf_fn(vals)
         if padded > n:
-            zero_hash = SHA3Hasher.hash_leaf_value(0)
+            zero_hash = scalar.hash_leaf_value(0)
             leaf_bytes = leaf_bytes + zero_hash * (padded - n)
-        levels = batch_build_levels(leaf_bytes)
-        return cls(F, vals, levels, height)
+        if hash_mode == "sha3":
+            levels = batch_build_levels(leaf_bytes)
+        else:
+            levels = [leaf_bytes]
+            cur = leaf_bytes
+            while len(cur) > 32:
+                cur = merge_fn(cur)
+                levels.append(cur)
+        return cls(F, vals, levels, height, hash_mode)
 
     def get_root(self) -> bytes:
         return self.levels[-1]
@@ -159,18 +181,19 @@ class SimpleMerkleTree:
         )
 
     @staticmethod
-    def verify(F, root: bytes, proof: OpeningProof) -> bool:
+    def verify(F, root: bytes, proof: OpeningProof, hasher=SHA3Hasher) -> bool:
         """Walk the path from the claimed leaf value (merkle_tree.zig:362-373)."""
-        current = SHA3Hasher.hash_leaf(F, proof.value)
+        current = hasher.hash_leaf(F, proof.value)
         for sibling, is_right in zip(proof.path.siblings, proof.path.directions):
             if is_right:
-                current = SHA3Hasher.hash_internal(sibling, current)
+                current = hasher.hash_internal(sibling, current)
             else:
-                current = SHA3Hasher.hash_internal(current, sibling)
+                current = hasher.hash_internal(current, sibling)
         return current == root
 
     @staticmethod
-    def verify_at_index(F, root: bytes, proof: OpeningProof, height: int) -> bool:
+    def verify_at_index(F, root: bytes, proof: OpeningProof, height: int,
+                        hasher=SHA3Hasher) -> bool:
         """Strict variant for the v2+ paths: the direction bits are DERIVED
         from ``proof.index`` and the path must be exactly ``height`` levels,
         so the proof-supplied directions list cannot authenticate a
@@ -180,12 +203,12 @@ class SimpleMerkleTree:
             return False
         if not 0 <= proof.index < (1 << height):
             return False
-        current = SHA3Hasher.hash_leaf(F, proof.value)
+        current = hasher.hash_leaf(F, proof.value)
         idx = proof.index
         for sibling in proof.path.siblings:
             if idx & 1:
-                current = SHA3Hasher.hash_internal(sibling, current)
+                current = hasher.hash_internal(sibling, current)
             else:
-                current = SHA3Hasher.hash_internal(current, sibling)
+                current = hasher.hash_internal(current, sibling)
             idx >>= 1
         return current == root

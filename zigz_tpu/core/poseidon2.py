@@ -211,6 +211,37 @@ def hash_two_digests(left: bytes, right: bytes) -> bytes:
     return hash_field_values(limbs)
 
 
+# ---------------------------------------------------------------------------
+# Batch Merkle hashing (vectorized host twin of ops/poseidon2's device
+# kernels; byte-identical digests — tests/test_poseidon2.py).
+# ---------------------------------------------------------------------------
+
+def np_batch_leaf_hashes(values: np.ndarray) -> bytes:
+    """Digest blob for N single-field-element messages (len-1 sponge)."""
+    vals = np.asarray(values, dtype=np.uint64) % np.uint64(P)
+    n = len(vals)
+    state = np.zeros((T, n), dtype=np.uint64)
+    state[RATE] = 1  # length domain separation
+    state[0] = vals
+    state = np_permute(state)
+    return state[:8].T.astype("<u4").tobytes()
+
+
+def np_batch_merge_hashes(level: bytes) -> bytes:
+    """Hash adjacent 32-byte digest pairs (16-limb, two-block sponge)."""
+    limbs = np.frombuffer(level, dtype="<u4").astype(np.uint64).reshape(-1, 8)
+    left = limbs[0::2].T % np.uint64(P)  # (8, n)
+    right = limbs[1::2].T % np.uint64(P)
+    n = left.shape[1]
+    state = np.zeros((T, n), dtype=np.uint64)
+    state[RATE] = 16
+    state[:8] = left
+    state = np_permute(state)
+    state[:8] = (state[:8] + right) % np.uint64(P)
+    state = np_permute(state)
+    return state[:8].T.astype("<u4").tobytes()
+
+
 class Poseidon2Hasher:
     """GenericHasher interface (algebraic variant) — drop-in for
     SHA3Hasher in Merkle construction behind a proof-version bump."""

@@ -232,6 +232,29 @@ def sha3_merge(level: jnp.ndarray) -> jnp.ndarray:
     return _chunked(_sha3_merge_chunk, (msg,), n, 8)
 
 
+@jax.jit
+def _merge_msg_halves(level):
+    # Bit-reversed tree layout (device_forest): the children of parent j
+    # sit at j and j + half — two CONTIGUOUS slices, no lane-strided
+    # gather.  The strided `[:, 0::2]` de-interleave above measured ~10x
+    # slower than leaf hashing on TPU (lane shuffles); this layout is the
+    # fix and produces byte-identical trees.
+    half = level.shape[-1] // 2
+    return jnp.concatenate([level[:, :half], level[:, half:]], axis=0)  # (16, n)
+
+
+def sha3_merge_halves(level: jnp.ndarray) -> jnp.ndarray:
+    """Parent digests for the half-split (bit-reversed) pairing: children
+    of parent j are positions j and j + N/2."""
+    n = level.shape[-1] // 2
+    msg = _merge_msg_halves(level)
+    if _use_pallas():
+        from .keccak_pallas import sha3_merge_pallas
+
+        return sha3_merge_pallas(msg)
+    return _chunked(_sha3_merge_chunk, (msg,), n, 8)
+
+
 def digests_to_bytes(digests) -> bytes:
     """(8, N) device digests -> N*32 bytes (matching hashlib layout)."""
     arr = np.asarray(digests)  # (8, N) uint32

@@ -181,8 +181,48 @@ def _chunked(fn, arr, n, pad_spec):
 
 
 def p2_leaves(values) -> jnp.ndarray:
+    if isinstance(values, jnp.ndarray):
+        # Device-resident canonical uint32 values: hash in place, no host
+        # round-trip (the Merkle-forest hot path).
+        return _chunked(_p2_leaves_jit, values, values.shape[-1], [])
     vals = np.asarray(values, dtype=np.uint64) % np.uint64(host.P)
     return _chunked(_p2_leaves_jit, jnp.asarray(vals.astype(np.uint32)), vals.shape[-1], [])
+
+
+def p2_merge_halves(level) -> jnp.ndarray:
+    """Half-split pairing variant for the bit-reversed forest layout:
+    children of parent j are positions j and j + N/2 (contiguous slices)."""
+    half = level.shape[-1] // 2
+    left = level[:, :half]
+    right = level[:, half:]
+    outs = []
+    start = 0
+    while start < half:
+        size = min(SUPER_CHUNK, half - start)
+        padded = SUPER_CHUNK if size == SUPER_CHUNK else _bucket(size, 16)
+        l_piece = left[:, start : start + size]
+        r_piece = right[:, start : start + size]
+        if padded != size:
+            l_piece = jnp.pad(l_piece, ((0, 0), (0, padded - size)))
+            r_piece = jnp.pad(r_piece, ((0, 0), (0, padded - size)))
+        out = _p2_merge_lr_jit(l_piece, r_piece)
+        outs.append(out[:, :size] if padded != size else out)
+        start += size
+    return jnp.concatenate(outs, axis=-1) if len(outs) > 1 else outs[0]
+
+
+@jax.jit
+def _p2_merge_lr_jit(left, right):
+    """(8, n) left + (8, n) right canonical limbs -> (8, n) parent limbs."""
+    l = [to_mont(left[i]) for i in range(8)]
+    r = [to_mont(right[i]) for i in range(8)]
+    zero = jnp.zeros_like(l[0])
+    len_mont = to_mont(jnp.full_like(l[0], 16))
+    state = list(l) + [len_mont] + [zero] * (T - RATE - 1)
+    state = permute_device(state)
+    state = [add_mod(state[i], r[i]) for i in range(8)] + state[8:]
+    state = permute_device(state)
+    return jnp.stack([from_mont(state[i]) for i in range(8)])
 
 
 def p2_merge(level) -> jnp.ndarray:

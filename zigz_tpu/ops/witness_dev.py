@@ -71,23 +71,28 @@ def pack_trace_columns(trace, initial_regs, num_vars: int):
         return (a & _M32).astype(np.uint32), (a >> np.uint64(32)).astype(np.uint32)
 
     pc_lo, pc_hi = split64(pad_last(cols["pc"]))
-    imm_lo, imm_hi = split64(pad_zero(cols["imm"].astype(np.uint64)))
+    # imm is a sign-extended <= 32-bit immediate bitcast to u64, so its
+    # high word is determined by bit 31 of the low word — recomputed on
+    # device, never shipped.
+    imm_lo, _ = split64(pad_zero(cols["imm"].astype(np.uint64)))
     wr_val_lo, wr_val_hi = split64(pad_zero(cols["reg_write_val"]))
-    mem_flag = pad_zero(cols["mem_flag"], np.uint32)
+    mem_flag = pad_zero(cols["mem_flag"], np.uint8)
     has_mem = cols["mem_flag"] != 0
     mem_addr_lo, mem_addr_hi = split64(pad_zero(np.where(has_mem, cols["mem_addr"], 0)))
     mem_val_lo, mem_val_hi = split64(pad_zero(np.where(has_mem, cols["mem_val"], 0)))
 
+    # Instruction-field columns fit u8 (opcode < 128, regs < 32, funct7 <
+    # 128) — a 4x transfer cut on tunnel-attached devices.
     return {
         "pc_lo": pc_lo, "pc_hi": pc_hi,
-        "opcode": pad_zero(cols["opcode"], np.uint32),
-        "rd": pad_zero(cols["rd"], np.uint32),
-        "rs1": pad_zero(cols["rs1"], np.uint32),
-        "rs2": pad_zero(cols["rs2"], np.uint32),
-        "funct3": pad_zero(cols["funct3"], np.uint32),
-        "funct7": pad_zero(cols["funct7"], np.uint32),
-        "imm_lo": imm_lo, "imm_hi": imm_hi,
-        "wr_idx": pad_zero(cols["reg_write_idx"], np.uint32),
+        "opcode": pad_zero(cols["opcode"].astype(np.uint8)),
+        "rd": pad_zero(cols["rd"].astype(np.uint8)),
+        "rs1": pad_zero(cols["rs1"].astype(np.uint8)),
+        "rs2": pad_zero(cols["rs2"].astype(np.uint8)),
+        "funct3": pad_zero(cols["funct3"].astype(np.uint8)),
+        "funct7": pad_zero(cols["funct7"].astype(np.uint8)),
+        "imm_lo": imm_lo,
+        "wr_idx": pad_zero(cols["reg_write_idx"].astype(np.uint8)),
         "wr_val_lo": wr_val_lo, "wr_val_hi": wr_val_hi,
         "mem_flag": mem_flag,
         "mem_addr_lo": mem_addr_lo, "mem_addr_hi": mem_addr_hi,
@@ -108,7 +113,11 @@ def _build_witness_jit(packed):
     p32 = jnp.uint32(P)
 
     pc = _mod_u64(packed["pc_lo"], packed["pc_hi"])
-    imm = _mod_u64(packed["imm_lo"], packed["imm_hi"])
+    imm_lo = packed["imm_lo"]
+    imm_hi = jnp.where(
+        (imm_lo >> jnp.uint32(31)) == 1, jnp.uint32(0xFFFFFFFF), jnp.uint32(0)
+    )
+    imm = _mod_u64(imm_lo, imm_hi)
     wr_val = _mod_u64(packed["wr_val_lo"], packed["wr_val_hi"])
     mem_addr = _mod_u64(packed["mem_addr_lo"], packed["mem_addr_hi"])
     mem_val = _mod_u64(packed["mem_val_lo"], packed["mem_val_hi"])
@@ -116,7 +125,7 @@ def _build_witness_jit(packed):
 
     # Registers: (32, N) forward-fill of write deltas, seeded with the
     # initial register values (mod p).
-    wr_idx = packed["wr_idx"]  # (N,)
+    wr_idx = packed["wr_idx"].astype(jnp.uint32)  # (N,)
     regs = jnp.arange(32, dtype=jnp.uint32)[:, None]
     mask = wr_idx[None, :] == regs  # (32, N)
     vals = jnp.where(mask, wr_val[None, :], jnp.uint32(0))
@@ -125,7 +134,10 @@ def _build_witness_jit(packed):
     reg_rows = jnp.where(has, filled, init_mod)
     reg_rows = reg_rows.at[0].set(jnp.zeros_like(reg_rows[0]))  # x0 hardwired
 
-    small = [packed[k] % p32 for k in ("opcode", "rd", "rs1", "rs2", "funct3", "funct7")]
+    small = [
+        packed[k].astype(jnp.uint32) % p32
+        for k in ("opcode", "rd", "rs1", "rs2", "funct3", "funct7")
+    ]
     rows = [pc] + [reg_rows[i] for i in range(32)] + small + [imm, mem_addr, mem_val, is_read]
     return jnp.stack(rows)
 

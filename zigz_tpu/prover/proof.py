@@ -119,6 +119,9 @@ class V2Section:
     # Real per-table Lasso metadata (lookups/pipeline_lasso.py):
     # table_id -> {"claimed_sum": int, "query_commitment": 32B}
     lasso_extras: dict = None
+    # Ligero PCS binding of column_evals (commitments/ligero.py):
+    pcs_root: bytes = None  # 32B column-Merkle root
+    pcs_proof: object = None  # LigeroEvalProof
 
 
 class CompactLassoList:

@@ -81,9 +81,18 @@ class Prover:
             except Exception:
                 use_native_vm = False
         self.use_native_vm = use_native_vm
-        assert protocol_version in (1, 2)
+        # v1 = reference wire parity; v2 = real zerocheck + Lasso (SHA3
+        # commitments); v3 = v2 with Poseidon2-over-BabyBear Merkle
+        # commitments (the reference's own intended direction,
+        # hash.zig:47-49, behind a proof-version bump).
+        assert protocol_version in (1, 2, 3)
+        if protocol_version == 3 and F.MODULUS != 2013265921:
+            raise ValueError("protocol_version=3 (Poseidon2 commitments) is BabyBear-only")
         self.protocol_version = protocol_version
         self.last_timings = {}
+
+    def _hash_mode(self) -> str:
+        return "poseidon2" if self.protocol_version == 3 else "sha3"
 
     def _log(self, msg: str) -> None:
         if self.verbose:
@@ -161,15 +170,15 @@ class Prover:
         # STEP 4: constraint sumcheck — v1 placeholder (prover.zig:250-288)
         # or the v2 real zerocheck (constraints/v2.py).
         proof = Proof.create(F, num_steps)
-        if self.protocol_version == 2:
-            proof.metadata.version = 2
+        if self.protocol_version >= 2:
+            proof.metadata.version = self.protocol_version
             self._generate_zerocheck_proof_v2(proof, witness, trace)
         else:
             self._generate_sumcheck_proof(proof, constraints, witness)
 
         # STEP 5: Lasso phase — v1 filler (prover.zig:292-363) or the v2
         # real per-table sumchecks (lookups/pipeline_lasso.py).
-        if self.protocol_version == 2:
+        if self.protocol_version >= 2:
             self._generate_lasso_proofs_v2(proof, trace)
         else:
             self._generate_lasso_proofs(proof, lookup_count)
@@ -290,17 +299,34 @@ class Prover:
             from ..commitments.device_forest import DeviceMerkleForest
 
             aux_forest = DeviceMerkleForest(
-                F, np.stack([aux[n] for n in aux_names]), mesh=self.mesh
+                F, np.stack([aux[n] for n in aux_names]), mesh=self.mesh,
+                hash_mode=self._hash_mode(),
             )
             roots_list = aux_forest.roots()
             aux_roots = {n: roots_list[i] for i, n in enumerate(aux_names)}
         else:
-            aux_trees = {name: SimpleMerkleTree.build(F, aux[name]) for name in aux_names}
+            aux_trees = {
+                name: SimpleMerkleTree.build(F, aux[name], self._hash_mode())
+                for name in aux_names
+            }
             aux_roots = {name: tree.get_root() for name, tree in aux_trees.items()}
 
         transcript.append_bytes(b"V2_AUX_COMMITMENTS")
         for name in sorted(aux_roots):
             transcript.append_bytes(aux_roots[name])
+
+        # Ligero PCS commitment to the five zerocheck columns — bound
+        # BEFORE any zerocheck challenge so the terminal column_evals are
+        # cryptographically tied to committed data (closes the round-1
+        # bare-claim gap; commitments/ligero.py).
+        from ..commitments.ligero import ligero_commit
+
+        t0 = time.perf_counter()
+        host_columns = v2_columns(witness, aux)
+        pcs_state = ligero_commit(F, host_columns, self._hash_mode())
+        transcript.append_bytes(b"V2_PCS_COMMIT")
+        transcript.append_bytes(pcs_state.root)
+        self.last_timings["pcs_commit_s"] = time.perf_counter() - t0
 
         # Hot loop: device zerocheck when the witness already lives on
         # device (reuses resident rows 0/1/42 — no extra transfer),
@@ -340,6 +366,14 @@ class Prover:
         proof.constraint_proof.final_point = [F.from_reduced(r) for r in zc.final_point]
         proof.constraint_proof.final_eval = F.zero()
 
+        # Ligero evaluation argument at the zerocheck terminal point: binds
+        # zc.column_evals to the committed columns.
+        from ..commitments.ligero import ligero_prove_eval
+
+        t0 = time.perf_counter()
+        pcs_proof = ligero_prove_eval(pcs_state, zc.final_point, transcript)
+        self.last_timings["pcs_eval_s"] = time.perf_counter() - t0
+
         # Aux openings at the v1-style index derived from the first
         # zerocheck challenge.
         index = zc.final_point[0] % (1 << num_vars) if num_vars else 0
@@ -353,6 +387,8 @@ class Prover:
             aux_roots=aux_roots,
             column_evals=zc.column_evals,
             aux_openings=aux_openings,
+            pcs_root=pcs_state.root,
+            pcs_proof=pcs_proof,
         )
 
     def _generate_lasso_proofs(self, proof: Proof, lookup_count: int) -> None:
@@ -405,16 +441,24 @@ class Prover:
             self.last_timings["witness_dev_s"] = time.perf_counter() - t0
             t0 = time.perf_counter()
             if device_lo is not None:
-                forest = DeviceMerkleForest(self.F, lo=device_lo, mesh=self.mesh)
+                forest = DeviceMerkleForest(
+                    self.F, lo=device_lo, mesh=self.mesh, hash_mode=self._hash_mode()
+                )
             else:
-                forest = DeviceMerkleForest(self.F, witness.matrix, mesh=self.mesh)
+                forest = DeviceMerkleForest(
+                    self.F, witness.matrix, mesh=self.mesh, hash_mode=self._hash_mode()
+                )
             self.last_timings["forest_s"] = time.perf_counter() - t0
             self._generate_commitments_forest(proof, witness, forest)
             return
         try:
             from ..commitments import host_forest
 
-            native = host_forest.available() and self.F.MODULUS < (1 << 32)
+            native = (
+                host_forest.available()
+                and self.F.MODULUS < (1 << 32)
+                and self._hash_mode() == "sha3"  # the C++ forest is SHA3-only
+            )
         except Exception:
             native = False
         if native:
@@ -458,7 +502,7 @@ class Prover:
         # PHASE 1: Merkle roots for all 43 polynomials (prover.zig:405-410).
         trees = []
         for i, poly in enumerate(polynomials):
-            commitment, tree = CommitmentScheme.commit(poly)
+            commitment, tree = CommitmentScheme.commit(poly, self._hash_mode())
             trees.append(tree)
             proof.witness_commitments[i].commitment = commitment.commitment
 

@@ -97,7 +97,7 @@ class BinarySerializer:
         self._write_sumcheck(w, proof.constraint_proof)
         self._write_lasso_proofs(w, proof.lookup_proofs)
         self._write_witness_commitments(w, proof.witness_commitments)
-        if proof.metadata.version == 2:
+        if proof.metadata.version >= 2:
             self._write_v2_section(w, proof.v2)
         return bytes(w.buf)
 
@@ -209,6 +209,29 @@ class BinarySerializer:
             w.u32(table_id)
             w.u64(extras[table_id]["claimed_sum"] % self.F.MODULUS)
             w.bytes_(extras[table_id]["query_commitment"])
+        # Ligero PCS binding: 32B root | u32 n + n x u64 u-row | u32 reps,
+        # per rep n x u64 | u32 t | u32 rows, t x rows u64 columns |
+        # t x (u32 path_len + siblings).  Directions are re-derived from
+        # the transcript indices by the verifier and not serialized.
+        import numpy as np
+
+        w.bytes_(v2.pcs_root)
+        pp = v2.pcs_proof
+        w.u32(len(pp.us[0]))
+        w.u32(len(pp.us))
+        for u in pp.us:
+            w.bytes_(np.ascontiguousarray(u, dtype="<u8").tobytes())
+        w.u32(len(pp.ws))
+        for wr in pp.ws:
+            w.bytes_(np.ascontiguousarray(wr, dtype="<u8").tobytes())
+        t, rows = pp.columns.shape
+        w.u32(t)
+        w.u32(rows)
+        w.bytes_(np.ascontiguousarray(pp.columns, dtype="<u8").tobytes())
+        for path in pp.paths:
+            w.u32(len(path.siblings))
+            for sib in path.siblings:
+                w.bytes_(sib)
 
     def _read_v2_section(self, r: _Reader):
         from ..commitments.merkle import MerklePath, OpeningProof as MerkleOpening
@@ -237,8 +260,30 @@ class BinarySerializer:
                 "claimed_sum": claimed_sum,
                 "query_commitment": q_commit,
             }
+        import numpy as np
+
+        from ..commitments.ligero import LigeroEvalProof
+
+        pcs_root = r.bytes_(32)
+        n = r.u32()
+        us = [
+            np.frombuffer(r.bytes_(8 * n), dtype="<u8").astype(np.uint64)
+            for _ in range(r.u32())
+        ]
+        ws = []
+        for _ in range(r.u32()):
+            ws.append(np.frombuffer(r.bytes_(8 * n), dtype="<u8").astype(np.uint64))
+        t = r.u32()
+        rows = r.u32()
+        columns = np.frombuffer(r.bytes_(8 * t * rows), dtype="<u8").astype(np.uint64).reshape(t, rows)
+        paths = []
+        for _ in range(t):
+            path_len = r.u32()
+            paths.append(MerklePath(siblings=[r.bytes_(32) for _ in range(path_len)]))
+        pcs_proof = LigeroEvalProof(us=us, ws=ws, columns=columns, paths=paths)
         return V2Section(aux_roots=aux_roots, column_evals=column_evals,
-                         aux_openings=aux_openings, lasso_extras=lasso_extras)
+                         aux_openings=aux_openings, lasso_extras=lasso_extras,
+                         pcs_root=pcs_root, pcs_proof=pcs_proof)
 
     # -- deserialize -------------------------------------------------------
     def deserialize(self, data: bytes) -> Proof:
@@ -249,7 +294,7 @@ class BinarySerializer:
         if magic != MAGIC:
             raise SerializationError("InvalidMagicNumber")
         version = r.u32()
-        if version not in (1, 2):
+        if version not in (1, 2, 3):
             raise SerializationError("UnsupportedVersion")
         field_modulus = r.u64()
         num_steps = r.u64()
@@ -267,7 +312,7 @@ class BinarySerializer:
         self._read_sumcheck(r, proof.constraint_proof)
         self._read_lasso_proofs(r, proof)
         self._read_witness_commitments(r, proof)
-        if version == 2:
+        if version >= 2:
             proof.v2 = self._read_v2_section(r)
         return proof
 

@@ -45,7 +45,7 @@ class Verifier:
         self.transcript = FiatShamirTranscript()
 
     def verify(self, proof: Proof, program: bytes) -> str:
-        if proof.metadata.version == 2:
+        if proof.metadata.version in (2, 3):
             return self.verify_v2(proof, program)
 
         # Fresh transcript (verifier.zig:55).
@@ -86,8 +86,16 @@ class Verifier:
         """Protocol v2: replay the PROVER's exact transcript schedule and
         verify the real constraint zerocheck (constraints/v2.py), then the
         v1-style opening checks — plus the aux-column openings and a
-        point/index consistency check the v1 verifier omits."""
-        from ..commitments.merkle import SimpleMerkleTree
+        point/index consistency check the v1 verifier omits.
+
+        Version 3 is the same protocol with Poseidon2-over-BabyBear as the
+        Merkle hasher (commitment forests only; the Fiat-Shamir transcript
+        stays SHA3)."""
+        from ..commitments.merkle import SimpleMerkleTree, hasher_for_mode
+
+        hasher = hasher_for_mode(
+            "poseidon2" if proof.metadata.version == 3 else "sha3"
+        )
         from ..constraints.v2 import NUM_V2_CONSTRAINTS, V2_DEGREE, v2_combiner_scalar
         from ..prover.proof import CompactLassoList
         from ..proofs.zerocheck import ZerocheckProof, ZerocheckVerifier
@@ -110,6 +118,12 @@ class Verifier:
         for name in sorted(proof.v2.aux_roots):
             transcript.append_bytes(proof.v2.aux_roots[name])
 
+        # Ligero PCS root bound before any zerocheck challenge.
+        if proof.v2.pcs_root is None or proof.v2.pcs_proof is None:
+            return VerificationResult.RejectInvalidCommitment
+        transcript.append_bytes(b"V2_PCS_COMMIT")
+        transcript.append_bytes(proof.v2.pcs_root)
+
         # Zerocheck replay + algebraic check.
         zc_proof = ZerocheckProof(
             num_vars=proof.metadata.num_vars,
@@ -123,6 +137,25 @@ class Verifier:
         ).verify(zc_proof, transcript)
         if not zc_ok:
             return VerificationResult.RejectInvalidSumcheck
+
+        # Ligero evaluation argument: the terminal column_evals must be
+        # consistent with the committed columns at the zerocheck point —
+        # the REAL evaluation binding (commitments/ligero.py).
+        from ..commitments.ligero import ligero_verify_eval
+
+        hash_mode = "poseidon2" if proof.metadata.version == 3 else "sha3"
+        if not ligero_verify_eval(
+            F,
+            proof.v2.pcs_root,
+            proof.metadata.num_vars,
+            sorted(proof.v2.column_evals),
+            proof.v2.column_evals,
+            [c.value for c in proof.constraint_proof.final_point],
+            proof.v2.pcs_proof,
+            transcript,
+            hash_mode,
+        ):
+            return VerificationResult.RejectInvalidCommitment
 
         # Lasso phase: real per-table sumchecks (lookups/pipeline_lasso.py).
         from ..lookups.pipeline_lasso import verify_pipeline_lasso
@@ -159,7 +192,8 @@ class Verifier:
             if not opening.value.eql(opening.proof.value):
                 return VerificationResult.RejectInvalidCommitment
             if not SimpleMerkleTree.verify_at_index(
-                F, opening.commitment, opening.proof.merkle_proof, num_vars
+                F, opening.commitment, opening.proof.merkle_proof, num_vars,
+                hasher=hasher,
             ):
                 return VerificationResult.RejectInvalidCommitment
 
@@ -173,7 +207,7 @@ class Verifier:
             if opening.index != zc_index:
                 return VerificationResult.RejectInvalidCommitment
             if not SimpleMerkleTree.verify_at_index(
-                F, proof.v2.aux_roots[name], opening, num_vars
+                F, proof.v2.aux_roots[name], opening, num_vars, hasher=hasher
             ):
                 return VerificationResult.RejectInvalidCommitment
 
