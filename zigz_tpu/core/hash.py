@@ -106,6 +106,14 @@ class FiatShamirTranscript:
     def append_bytes(self, data: bytes) -> None:
         self._hasher.update(data if isinstance(data, bytes) else bytes(data, "ascii"))
 
+    def fork(self) -> "FiatShamirTranscript":
+        """Independent copy sharing the absorbed prefix — used by the
+        prover to TRIAL challenge derivations (e.g. the logUp nonce search)
+        without mutating the live transcript."""
+        t = FiatShamirTranscript()
+        t._hasher = self._hasher.copy()
+        return t
+
     def challenge(self, F):
         """Clone-final-reabsorb challenge derivation (hash.zig:301-316)."""
         digest = self._hasher.copy().digest()

@@ -38,8 +38,15 @@ from .mle import fold_msb, sum_mod
 
 __all__ = ["DeviceZerocheckProver", "V2_ROW_ORDER", "eq_table_device"]
 
-# Stacked-row order for the v2 combiner (must match v2_columns' names).
-V2_ROW_ORDER = ("x0", "is_read", "pc", "seq", "next_pc")
+# Stacked-row order for the v2 combiner (must match v2_columns' names plus
+# the logUp columns).  "__"-prefixed rows are PUBLIC MLEs (index/selectors,
+# poly/public_mles.py): built on device from the public step count, folded
+# like any table, but never reported as column evals.
+V2_ROW_ORDER = (
+    "x0", "is_read", "pc", "seq", "next_pc", "g1", "g2",
+    "__idx__", "__sel1__", "__sel2__",
+)
+V2_COMMITTED_ROWS = tuple(n for n in V2_ROW_ORDER if not n.startswith("__"))
 
 # Remaining table width below which rounds finish on host numpy.
 HOST_TAIL = 1 << 12
@@ -73,11 +80,13 @@ def eq_table_device(taus: List[int], n: int, sharding=None):
     return _eq_table_jit(taus_m, bits)
 
 
-def _v2_combiner_dev(cols, alphas_m):
-    """Montgomery-lane twin of constraints.v2.v2_combiner (same constraint
-    order: x0 = 0; is_read, seq boolean; seq * (next_pc - pc - 4) = 0)."""
+def _v2_combiner_dev(cols, alphas_m, tb_m):
+    """Montgomery-lane twin of constraints.v2.make_v2_combiner (same
+    constraint order: x0 = 0; is_read, seq boolean; seq * (next_pc - pc -
+    4) = 0; the two logUp inverse constraints).  ``tb_m`` = mont (tau,
+    beta) scalars."""
     one = jnp.uint32(R_MOD_P)
-    x0, is_read, pc, seq, next_pc = cols
+    x0, is_read, pc, seq, next_pc, g1, g2, idx, sel1, sel2 = cols
     four_m = jnp.uint32((4 * R_MOD_P) % P)
 
     c1 = x0
@@ -86,14 +95,23 @@ def _v2_combiner_dev(cols, alphas_m):
     delta = sub_mod(sub_mod(next_pc, pc), jnp.broadcast_to(four_m, pc.shape))
     c4 = mont_mul(seq, delta)
 
+    tau = jnp.broadcast_to(tb_m[0], idx.shape)
+    beta = jnp.broadcast_to(tb_m[1], idx.shape)
+    fp1 = sub_mod(sub_mod(tau, mont_mul(beta, add_mod(idx, jnp.broadcast_to(one, idx.shape)))), next_pc)
+    fp2 = sub_mod(sub_mod(tau, mont_mul(beta, idx)), pc)
+    c5 = sub_mod(mont_mul(g1, fp1), sel1)
+    c6 = sub_mod(mont_mul(g2, fp2), sel2)
+
     acc = mont_mul(jnp.broadcast_to(alphas_m[0], c1.shape), c1)
     acc = add_mod(acc, mont_mul(jnp.broadcast_to(alphas_m[1], c2.shape), c2))
     acc = add_mod(acc, mont_mul(jnp.broadcast_to(alphas_m[2], c3.shape), c3))
-    return add_mod(acc, mont_mul(jnp.broadcast_to(alphas_m[3], c4.shape), c4))
+    acc = add_mod(acc, mont_mul(jnp.broadcast_to(alphas_m[3], c4.shape), c4))
+    acc = add_mod(acc, mont_mul(jnp.broadcast_to(alphas_m[4], c5.shape), c5))
+    return add_mod(acc, mont_mul(jnp.broadcast_to(alphas_m[5], c6.shape), c6))
 
 
 @jax.jit
-def _round_evals_jit(stacked_m, eq_m, alphas_m, t_consts_m):
+def _round_evals_jit(stacked_m, eq_m, alphas_m, t_consts_m, tb_m):
     """g(0..degree) for one round: stacked_m (C, n), eq_m (n,).
 
     t_consts_m holds (t, 1-t) mont pairs for t >= 2 (static count =
@@ -105,7 +123,9 @@ def _round_evals_jit(stacked_m, eq_m, alphas_m, t_consts_m):
     eq1 = eq_m[half:]
 
     def z_sum(cols_at_t, eq_at_t):
-        c = _v2_combiner_dev([cols_at_t[i] for i in range(cols_at_t.shape[0])], alphas_m)
+        c = _v2_combiner_dev(
+            [cols_at_t[i] for i in range(cols_at_t.shape[0])], alphas_m, tb_m
+        )
         return sum_mod(mont_mul(eq_at_t, c))
 
     evals = [z_sum(cols0, eq0), z_sum(cols1, eq1)]
@@ -129,16 +149,22 @@ class DeviceZerocheckProver:
     """Drop-in device twin of proofs.zerocheck.ZerocheckProver for the v2
     constraint system (fixed combiner), BabyBear only.
 
-    ``columns`` maps the V2_ROW_ORDER names to device or numpy canonical
-    arrays; device arrays (e.g. witness rows already resident from the
-    commitment forest) are used without another transfer."""
+    ``columns`` maps the committed V2_ROW_ORDER names to device or numpy
+    canonical arrays; device arrays (e.g. witness rows already resident
+    from the commitment forest) are used without another transfer.  The
+    "__"-prefixed public rows (index + logUp selectors) are built ON
+    DEVICE from ``num_steps`` — no transfer.  ``tau``/``beta`` are the
+    logUp fingerprint challenges (already drawn upstream)."""
 
     def __init__(self, F, columns: Dict[str, object], degree: int, num_alphas: int,
-                 mesh=None):
+                 num_steps: int, tau: int, beta: int, mesh=None):
         assert F.MODULUS == P, "device zerocheck is BabyBear-only"
         self.F = F
         self.degree = degree
         self.num_alphas = num_alphas
+        self.num_steps = num_steps
+        self.tau = tau
+        self.beta = beta
         self.mesh = mesh
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as PS
@@ -148,12 +174,20 @@ class DeviceZerocheckProver:
         else:
             self._sharding = None
             self._row_sharding = None
+        n = None
         rows = []
-        for name in V2_ROW_ORDER:
+        for name in V2_COMMITTED_ROWS:
             col = columns[name]
             if isinstance(col, np.ndarray):
                 col = jnp.asarray(col.astype(np.uint32))
+            n = col.shape[-1]
             rows.append(col)
+        idx = jnp.arange(n, dtype=jnp.int32)  # n <= 2^30 << int32 max
+        if self._sharding is not None:
+            idx = jax.device_put(idx, self._sharding)
+        sel1 = (idx <= num_steps - 2).astype(jnp.uint32)
+        sel2 = ((idx >= 1) & (idx <= num_steps - 1)).astype(jnp.uint32)
+        rows += [idx.astype(jnp.uint32), sel1, sel2]
         stacked = jnp.stack(rows)
         if self._row_sharding is not None:
             stacked = jax.device_put(stacked, self._row_sharding)
@@ -174,6 +208,9 @@ class DeviceZerocheckProver:
             [[t % p, (1 - t) % p] for t in range(2, self.degree + 1)], dtype=np.uint64
         )
         t_consts_m = jnp.asarray(np_to_mont(t_consts))
+        tb_m = jnp.asarray(
+            np_to_mont(np.array([self.tau % p, self.beta % p], dtype=np.uint64))
+        )
 
         stacked_m = to_mont(self._stacked_canonical)
         eq_m = eq_table_device(taus, n, self._sharding)
@@ -191,7 +228,9 @@ class DeviceZerocheckProver:
                 evals_this_round = self._host_round(host_tables, alphas, p)
             else:
                 dev = np.asarray(
-                    from_mont(_round_evals_jit(stacked_m, eq_m, alphas_m, t_consts_m)),
+                    from_mont(
+                        _round_evals_jit(stacked_m, eq_m, alphas_m, t_consts_m, tb_m)
+                    ),
                     dtype=np.uint64,
                 )
                 evals_this_round = [int(x) for x in dev]
@@ -208,11 +247,14 @@ class DeviceZerocheckProver:
 
         if host_tables is not None:
             column_evals = {
-                name: int(host_tables[name][0]) for name in V2_ROW_ORDER
+                name: int(host_tables[name][0]) for name in V2_COMMITTED_ROWS
             }
         else:
             finals = np.asarray(from_mont(stacked_m[:, 0]), dtype=np.uint64)
-            column_evals = {name: int(finals[i]) for i, name in enumerate(V2_ROW_ORDER)}
+            column_evals = {
+                name: int(finals[i]) for i, name in enumerate(V2_ROW_ORDER)
+                if not name.startswith("__")
+            }
         for name in sorted(column_evals):
             transcript.append_u64(column_evals[name])
 
@@ -226,13 +268,14 @@ class DeviceZerocheckProver:
 
     def _host_round(self, tables, alphas, p):
         """Identical per-round evaluation to the host ZerocheckProver."""
-        from ..constraints.v2 import v2_combiner
+        from ..constraints.v2 import make_v2_combiner
         from ..proofs.zerocheck import _eval_at_t
 
+        combiner = make_v2_combiner(self.tau, self.beta)
         evals = []
         for t in range(self.degree + 1):
             at_t = {name: _eval_at_t(tab, t, p) for name, tab in tables.items()}
-            c_vals = v2_combiner(at_t, alphas, p)
+            c_vals = combiner(at_t, alphas, p)
             z_vals = at_t["__eq__"] * c_vals % np.uint64(p)
             evals.append(int(z_vals.sum(dtype=np.uint64)) % p)
         return evals

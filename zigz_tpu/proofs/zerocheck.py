@@ -139,8 +139,12 @@ class ZerocheckProver:
             rs.append(r)
             tables = {name: _fold_msb(tab, r, p) for name, tab in tables.items()}
 
+        # "__"-prefixed tables (eq, and the public idx/selector MLEs of the
+        # PC-chain argument) are verifier-computable: no terminal evals are
+        # emitted or absorbed for them.
         column_evals = {
-            name: int(tab[0]) for name, tab in tables.items() if name != "__eq__"
+            name: int(tab[0]) for name, tab in tables.items()
+            if not name.startswith("__")
         }
         for name in sorted(column_evals):
             transcript.append_u64(column_evals[name])

@@ -122,6 +122,11 @@ class V2Section:
     # Ligero PCS binding of column_evals (commitments/ligero.py):
     pcs_root: bytes = None  # 32B column-Merkle root
     pcs_proof: object = None  # LigeroEvalProof
+    # PC-chain logUp (shift argument, constraints/v2.py c5/c6):
+    logup_nonce: int = 0  # transcript retry nonce for the tau/beta draw
+    logup_sum: int = 0  # shared value of sum(g1) == sum(g2)
+    logup_root: bytes = None  # Ligero root over the g1/g2 columns
+    logup_proof: object = None  # LigeroEvalProof (eval claim + sum claim)
 
 
 class CompactLassoList:

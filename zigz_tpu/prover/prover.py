@@ -264,11 +264,13 @@ class Prover:
 
         from ..commitments.merkle import SimpleMerkleTree
         from ..constraints.v2 import (
-            NUM_V2_CONSTRAINTS,
+            NUM_V2_ALPHAS,
             V2_DEGREE,
             build_aux_columns,
+            build_logup_columns,
+            logup_public_tables,
+            make_v2_combiner,
             v2_columns,
-            v2_combiner,
         )
         from ..proofs.zerocheck import ZerocheckProver
         from .proof import V2Section
@@ -328,6 +330,38 @@ class Prover:
         transcript.append_bytes(pcs_state.root)
         self.last_timings["pcs_commit_s"] = time.perf_counter() - t0
 
+        # PC-chain logUp (the shift argument, constraints/v2.py c5/c6):
+        # tau/beta are drawn AFTER the pc/next_pc data is bound (aux roots
+        # + Ligero root above); the nonce makes the draw retryable when a
+        # fingerprint denominator lands on zero (~2n/p per attempt).
+        t0 = time.perf_counter()
+        p = F.MODULUS
+        num_steps = witness.num_steps
+        nonce = 0
+        while True:
+            trial = transcript.fork()
+            trial.append_bytes(b"V2_LOGUP_NONCE")
+            trial.append_u64(nonce)
+            tau_lu = trial.challenge_value(p)
+            beta_lu = trial.challenge_value(p)
+            logup = build_logup_columns(
+                host_columns["pc"], host_columns["next_pc"], num_steps,
+                num_vars, tau_lu, beta_lu, p,
+            )
+            if logup is not None:
+                break
+            nonce += 1
+        transcript.append_bytes(b"V2_LOGUP_NONCE")
+        transcript.append_u64(nonce)
+        assert transcript.challenge_value(p) == tau_lu
+        assert transcript.challenge_value(p) == beta_lu
+        g1, g2, logup_sum = logup
+        logup_state = ligero_commit(F, {"g1": g1, "g2": g2}, self._hash_mode())
+        transcript.append_bytes(b"V2_LOGUP_COMMIT")
+        transcript.append_bytes(logup_state.root)
+        transcript.append_u64(logup_sum)
+        self.last_timings["logup_commit_s"] = time.perf_counter() - t0
+
         # Hot loop: device zerocheck when the witness already lives on
         # device (reuses resident rows 0/1/42 — no extra transfer),
         # falling back to the host numpy prover.  Both produce identical
@@ -344,17 +378,23 @@ class Prover:
                 device_cols = {
                     "x0": lo[1], "is_read": lo[42], "pc": lo[0],
                     "seq": aux["seq"], "next_pc": aux["next_pc"],
+                    "g1": g1, "g2": g2,
                 }
         if device_cols is not None:
             from ..ops.zerocheck_dev import DeviceZerocheckProver
 
             zc = DeviceZerocheckProver(
-                F, device_cols, V2_DEGREE, NUM_V2_CONSTRAINTS, mesh=self.mesh
+                F, device_cols, V2_DEGREE, NUM_V2_ALPHAS, num_steps,
+                tau_lu, beta_lu, mesh=self.mesh,
             ).prove(transcript)
         else:
-            columns = v2_columns(witness, aux)
+            columns = dict(host_columns)
+            columns["g1"] = g1
+            columns["g2"] = g2
+            columns.update(logup_public_tables(num_steps, num_vars, p))
             zc = ZerocheckProver(
-                F, columns, v2_combiner, V2_DEGREE, num_alphas=NUM_V2_CONSTRAINTS
+                F, columns, make_v2_combiner(tau_lu, beta_lu), V2_DEGREE,
+                num_alphas=NUM_V2_ALPHAS,
             ).prove(transcript)
 
         # Reuse the v1 wire shape: 4 round evaluations per row, challenges
@@ -368,11 +408,33 @@ class Prover:
 
         # Ligero evaluation argument at the zerocheck terminal point: binds
         # zc.column_evals to the committed columns.
-        from ..commitments.ligero import ligero_prove_eval
+        from ..commitments.ligero import (
+            LigeroClaim,
+            ligero_prove_claims,
+            ligero_prove_eval,
+        )
 
         t0 = time.perf_counter()
         pcs_proof = ligero_prove_eval(pcs_state, zc.final_point, transcript)
         self.last_timings["pcs_eval_s"] = time.perf_counter() - t0
+
+        # logUp binding: one Ligero argument carrying BOTH the evaluation
+        # claim at the zerocheck point (ties the g1/g2 terminal evals) and
+        # the hypercube-sum claim (ties sum(g1) == sum(g2) == logup_sum).
+        from ..commitments.ligero import _row_col_weights
+
+        t0 = time.perf_counter()
+        a_eval, b_eval = _row_col_weights(zc.final_point, logup_state.cn)
+        claims = [
+            LigeroClaim(a=a_eval, b=b_eval, values={}),
+            LigeroClaim(
+                a=np.ones(logup_state.m, dtype=np.uint64),
+                b=np.ones(logup_state.n, dtype=np.uint64),
+                values={},
+            ),
+        ]
+        logup_proof = ligero_prove_claims(logup_state, claims, transcript)
+        self.last_timings["logup_eval_s"] = time.perf_counter() - t0
 
         # Aux openings at the v1-style index derived from the first
         # zerocheck challenge.
@@ -389,6 +451,10 @@ class Prover:
             aux_openings=aux_openings,
             pcs_root=pcs_state.root,
             pcs_proof=pcs_proof,
+            logup_nonce=nonce,
+            logup_sum=logup_sum,
+            logup_root=logup_state.root,
+            logup_proof=logup_proof,
         )
 
     def _generate_lasso_proofs(self, proof: Proof, lookup_count: int) -> None:

@@ -181,10 +181,11 @@ class BinarySerializer:
 
 
     # -- v2 extension section ----------------------------------------------
-    # Layout: per aux column (sorted names): 32B root; then the 5 terminal
-    # column evals (sorted names) as u64; then per aux column (sorted):
-    # u64 index | u64 leaf value | u32 path_len | siblings | directions.
-    _V2_COLUMNS = ("is_read", "next_pc", "pc", "seq", "x0")
+    # Layout: per aux column (sorted names): 32B root; then the 7 terminal
+    # column evals (sorted names, incl. the logUp g columns) as u64; then
+    # per aux column (sorted): u64 index | u64 leaf value | u32 path_len |
+    # siblings | directions.
+    _V2_COLUMNS = ("g1", "g2", "is_read", "next_pc", "pc", "seq", "x0")
     _V2_AUX = ("next_pc", "seq")
 
     def _write_v2_section(self, w: _Writer, v2) -> None:
@@ -213,10 +214,18 @@ class BinarySerializer:
         # per rep n x u64 | u32 t | u32 rows, t x rows u64 columns |
         # t x (u32 path_len + siblings).  Directions are re-derived from
         # the transcript indices by the verifier and not serialized.
+        w.bytes_(v2.pcs_root)
+        self._write_ligero_proof(w, v2.pcs_proof)
+        # PC-chain logUp: nonce | shared sum | root | proof.
+        w.u64(v2.logup_nonce)
+        w.u64(v2.logup_sum % self.F.MODULUS)
+        w.bytes_(v2.logup_root)
+        self._write_ligero_proof(w, v2.logup_proof)
+
+    @staticmethod
+    def _write_ligero_proof(w: _Writer, pp) -> None:
         import numpy as np
 
-        w.bytes_(v2.pcs_root)
-        pp = v2.pcs_proof
         w.u32(len(pp.us[0]))
         w.u32(len(pp.us))
         for u in pp.us:
@@ -232,6 +241,30 @@ class BinarySerializer:
             w.u32(len(path.siblings))
             for sib in path.siblings:
                 w.bytes_(sib)
+
+    @staticmethod
+    def _read_ligero_proof(r: _Reader):
+        import numpy as np
+
+        from ..commitments.ligero import LigeroEvalProof
+        from ..commitments.merkle import MerklePath
+
+        n = r.u32()
+        us = [
+            np.frombuffer(r.bytes_(8 * n), dtype="<u8").astype(np.uint64)
+            for _ in range(r.u32())
+        ]
+        ws = []
+        for _ in range(r.u32()):
+            ws.append(np.frombuffer(r.bytes_(8 * n), dtype="<u8").astype(np.uint64))
+        t = r.u32()
+        rows = r.u32()
+        columns = np.frombuffer(r.bytes_(8 * t * rows), dtype="<u8").astype(np.uint64).reshape(t, rows)
+        paths = []
+        for _ in range(t):
+            path_len = r.u32()
+            paths.append(MerklePath(siblings=[r.bytes_(32) for _ in range(path_len)]))
+        return LigeroEvalProof(us=us, ws=ws, columns=columns, paths=paths)
 
     def _read_v2_section(self, r: _Reader):
         from ..commitments.merkle import MerklePath, OpeningProof as MerkleOpening
@@ -260,30 +293,17 @@ class BinarySerializer:
                 "claimed_sum": claimed_sum,
                 "query_commitment": q_commit,
             }
-        import numpy as np
-
-        from ..commitments.ligero import LigeroEvalProof
-
         pcs_root = r.bytes_(32)
-        n = r.u32()
-        us = [
-            np.frombuffer(r.bytes_(8 * n), dtype="<u8").astype(np.uint64)
-            for _ in range(r.u32())
-        ]
-        ws = []
-        for _ in range(r.u32()):
-            ws.append(np.frombuffer(r.bytes_(8 * n), dtype="<u8").astype(np.uint64))
-        t = r.u32()
-        rows = r.u32()
-        columns = np.frombuffer(r.bytes_(8 * t * rows), dtype="<u8").astype(np.uint64).reshape(t, rows)
-        paths = []
-        for _ in range(t):
-            path_len = r.u32()
-            paths.append(MerklePath(siblings=[r.bytes_(32) for _ in range(path_len)]))
-        pcs_proof = LigeroEvalProof(us=us, ws=ws, columns=columns, paths=paths)
+        pcs_proof = self._read_ligero_proof(r)
+        logup_nonce = r.u64()
+        logup_sum = r.u64()
+        logup_root = r.bytes_(32)
+        logup_proof = self._read_ligero_proof(r)
         return V2Section(aux_roots=aux_roots, column_evals=column_evals,
                          aux_openings=aux_openings, lasso_extras=lasso_extras,
-                         pcs_root=pcs_root, pcs_proof=pcs_proof)
+                         pcs_root=pcs_root, pcs_proof=pcs_proof,
+                         logup_nonce=logup_nonce, logup_sum=logup_sum,
+                         logup_root=logup_root, logup_proof=logup_proof)
 
     # -- deserialize -------------------------------------------------------
     def deserialize(self, data: bytes) -> Proof:

@@ -96,7 +96,11 @@ class Verifier:
         hasher = hasher_for_mode(
             "poseidon2" if proof.metadata.version == 3 else "sha3"
         )
-        from ..constraints.v2 import NUM_V2_CONSTRAINTS, V2_DEGREE, v2_combiner_scalar
+        from ..constraints.v2 import (
+            NUM_V2_ALPHAS,
+            V2_DEGREE,
+            make_v2_combiner_scalar,
+        )
         from ..prover.proof import CompactLassoList
         from ..proofs.zerocheck import ZerocheckProof, ZerocheckVerifier
 
@@ -124,16 +128,42 @@ class Verifier:
         transcript.append_bytes(b"V2_PCS_COMMIT")
         transcript.append_bytes(proof.v2.pcs_root)
 
-        # Zerocheck replay + algebraic check.
+        # PC-chain logUp replay: nonce-bound tau/beta draw, then the g1/g2
+        # commitment + shared sum (constraints/v2.py c5/c6).
+        if proof.v2.logup_root is None or proof.v2.logup_proof is None:
+            return VerificationResult.RejectInvalidCommitment
+        p = F.MODULUS
+        transcript.append_bytes(b"V2_LOGUP_NONCE")
+        transcript.append_u64(proof.v2.logup_nonce % (1 << 64))
+        tau_lu = transcript.challenge_value(p)
+        beta_lu = transcript.challenge_value(p)
+        transcript.append_bytes(b"V2_LOGUP_COMMIT")
+        transcript.append_bytes(proof.v2.logup_root)
+        transcript.append_u64(proof.v2.logup_sum % p)
+
+        # Zerocheck replay + algebraic check (the scalar combiner computes
+        # the public idx/selector MLE evaluations itself — the c5/c6 terms
+        # only trust the committed g1/g2/pc/next_pc evals, which the two
+        # Ligero arguments below bind).
+        num_steps = proof.public_io.num_steps
+        final_point = [c.value for c in proof.constraint_proof.final_point]
         zc_proof = ZerocheckProof(
             num_vars=proof.metadata.num_vars,
             degree=V2_DEGREE,
             round_evals=[[c.value for c in row] for row in proof.constraint_proof.round_polynomials],
-            final_point=[c.value for c in proof.constraint_proof.final_point],
+            final_point=final_point,
             column_evals=proof.v2.column_evals,
         )
+        required_evals = {"x0", "is_read", "pc", "seq", "next_pc", "g1", "g2"}
+        if set(proof.v2.column_evals) != required_evals:
+            return VerificationResult.RejectInvalidSumcheck
         zc_ok = ZerocheckVerifier(
-            F, v2_combiner_scalar, NUM_V2_CONSTRAINTS, V2_DEGREE
+            F,
+            make_v2_combiner_scalar(
+                num_steps, proof.metadata.num_vars, tau_lu, beta_lu, final_point
+            ),
+            NUM_V2_ALPHAS,
+            V2_DEGREE,
         ).verify(zc_proof, transcript)
         if not zc_ok:
             return VerificationResult.RejectInvalidSumcheck
@@ -141,17 +171,58 @@ class Verifier:
         # Ligero evaluation argument: the terminal column_evals must be
         # consistent with the committed columns at the zerocheck point —
         # the REAL evaluation binding (commitments/ligero.py).
-        from ..commitments.ligero import ligero_verify_eval
+        from ..commitments.ligero import (
+            LigeroClaim,
+            LigeroParams,
+            _row_col_weights,
+            ligero_verify_claims,
+            ligero_verify_eval,
+        )
 
         hash_mode = "poseidon2" if proof.metadata.version == 3 else "sha3"
+        witness_col_names = ["is_read", "next_pc", "pc", "seq", "x0"]
         if not ligero_verify_eval(
             F,
             proof.v2.pcs_root,
             proof.metadata.num_vars,
-            sorted(proof.v2.column_evals),
+            witness_col_names,
             proof.v2.column_evals,
-            [c.value for c in proof.constraint_proof.final_point],
+            final_point,
             proof.v2.pcs_proof,
+            transcript,
+            hash_mode,
+        ):
+            return VerificationResult.RejectInvalidCommitment
+
+        # logUp Ligero argument: claim 1 binds the g1/g2 terminal evals at
+        # the zerocheck point; claim 2 binds sum(g1) == sum(g2) ==
+        # logup_sum over the hypercube.  Together with c5/c6 this is the
+        # complete PC-chain multiset check.
+        import numpy as np
+
+        lp = LigeroParams()
+        cn = lp.choose_split(proof.metadata.num_vars, 2)
+        lg_m = (1 << proof.metadata.num_vars) >> cn
+        a_eval, b_eval = _row_col_weights(final_point, cn)
+        s = proof.v2.logup_sum % p
+        claims = [
+            LigeroClaim(a=a_eval, b=b_eval, values={
+                "g1": proof.v2.column_evals["g1"],
+                "g2": proof.v2.column_evals["g2"],
+            }),
+            LigeroClaim(
+                a=np.ones(lg_m, dtype=np.uint64),
+                b=np.ones(1 << cn, dtype=np.uint64),
+                values={"g1": s, "g2": s},
+            ),
+        ]
+        if not ligero_verify_claims(
+            F,
+            proof.v2.logup_root,
+            proof.metadata.num_vars,
+            ["g1", "g2"],
+            claims,
+            proof.v2.logup_proof,
             transcript,
             hash_mode,
         ):
