@@ -17,9 +17,15 @@ Query encodings (32-bit operand truncation, consistent with the catalog's
     LOAD      (address, loaded_value)    -> loaded_value (raw memory word,
                                             NOT the sign-extended rd value)
     STORE     (address, stored_value)    -> stored_value
-    BRANCH    (rs1_val, rs2_val)         -> taken?
+    BRANCH    (rs1_val, rs2_val, funct3) -> taken?  (funct3 selects the
+                                            branch comparison; it is part
+                                            of the query so the validity
+                                            gadget can bind the semantics)
 
-All values take their low 32 bits.  Per table the proof carries the
+All values are FULL 64-bit (RV64 semantics; the catalog's "32-bit table
+shapes" are reference metadata only — truncating here would make the
+query multisets inconsistent with the actual RV64 results for operands
+>= 2^32, e.g. SLTU or overflowing fibonacci).  Per table the proof carries the
 claimed hypercube sum and the SHA3 query-polynomial commitment, both
 absorbed into the transcript BEFORE any round challenge; the verifier
 replays the rounds from the bound claim.  Binding the query polynomial to
@@ -95,6 +101,7 @@ def extract_table_queries(trace) -> Dict[int, Tuple[np.ndarray, np.ndarray]]:
     cols = getattr(trace, "columns", None)
     if cols is not None:
         opcode = cols["opcode"].astype(np.uint64)
+        funct3 = cols["funct3"].astype(np.uint64)
         rs1 = cols["rs1"].astype(np.int64)
         rs2 = cols["rs2"].astype(np.int64)
         rd = cols["rd"].astype(np.int64)
@@ -107,6 +114,7 @@ def extract_table_queries(trace) -> Dict[int, Tuple[np.ndarray, np.ndarray]]:
     else:
         insts = trace.instructions
         opcode = np.fromiter((i.opcode for i in insts), dtype=np.uint64, count=n)
+        funct3 = np.fromiter((i.funct3 for i in insts), dtype=np.uint64, count=n)
         rs1 = np.fromiter((i.rs1 for i in insts), dtype=np.int64, count=n)
         rs2 = np.fromiter((i.rs2 for i in insts), dtype=np.int64, count=n)
         rd = np.fromiter((i.rd for i in insts), dtype=np.int64, count=n)
@@ -164,18 +172,22 @@ def extract_table_queries(trace) -> Dict[int, Tuple[np.ndarray, np.ndarray]]:
         is_mem = (op == Opcode.LOAD) | (op == Opcode.STORE)
         is_branch = op == Opcode.BRANCH
 
-        in0 = np.where(is_mem, mem_addr[mask], rs1_val[mask]) & _M32
+        in0 = np.where(is_mem, mem_addr[mask], rs1_val[mask])
         in1 = np.where(
             is_mem,
             mem_val[mask],
             np.where(is_imm, imm[mask], rs2_val[mask]),
-        ) & _M32
+        )
         taken = (next_pc[mask] != pcs[mask] + 4).astype(np.uint64)
         outv = np.where(
             is_branch, taken, np.where(is_mem, mem_val[mask], rd_after[mask])
-        ) & _M32
+        )
 
-        out[table_id] = (np.stack([in0, in1], axis=1), outv[:, None])
+        if table_id == TABLE_IDS["BEQ"]:
+            inputs = np.stack([in0, in1, funct3[mask]], axis=1)
+        else:
+            inputs = np.stack([in0, in1], axis=1)
+        out[table_id] = (inputs, outv[:, None])
     return out
 
 

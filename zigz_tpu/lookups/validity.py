@@ -1,0 +1,1022 @@
+"""Lookup VALIDITY argument: queries are genuine table entries.
+
+The reference's pipeline Lasso never proves that a looked-up output is
+correct — its own "complete implementation" comment (prover.zig:351-357)
+sketches a multiset/decomposition argument that was never built, and our
+round-1 pipeline_lasso.py proved only a sumcheck over the hash-encoded
+query polynomial (no table, no multiplicities).  This module closes that
+gap for the operand tables with a logUp-based chunked lookup argument:
+
+* Every query table with algebraic RV64 semantics gets a GADGET that
+  re-expresses its queries as committed columns (4 x 16-bit limbs +
+  carries/borrows, or 8 x 8-bit chunk triples) over the padded query
+  domain.  Semantics are FULL 64-bit (the catalog's "32-bit table
+  shapes" are reference metadata; truncation would reject honest RV64
+  traces with operands >= 2^32).
+* Pointwise validity is enforced by two instruments:
+    - zerocheck constraints (limb identities, carry booleanity), and
+    - logUp multiset inclusion of chunk tuples in SMALL subtables
+      (2^16 entries) whose multilinear extensions have closed forms the
+      verifier evaluates itself — the TPU answer to the reference's
+      naive 2^33-entry subtable enumeration (table_decomposition.zig:
+      86-128, strategy "Procedural" at :20-26).
+* logUp soundness ordering: query columns and table-side multiplicities
+  are Ligero-committed BEFORE the fingerprint challenge tau is drawn;
+  the inverse columns (g on the query side, h = m/(tau - key) on the
+  table side) are committed after; zerochecks prove the inverse
+  identities pointwise; Ligero sum claims pin the hypercube sums, and
+  the verifier checks  sum(g over all uses of subtable S) == sum(h_S)
+  — the logUp multiset equation.
+
+Subtable key encodings (all < 2^24 < p, injective):
+
+    RANGE16:  key(x) = x                     (range check, 2^16 entries)
+    AND8/OR8/XOR8: key(a,b) = a + 2^8 b + 2^16 op(a,b)
+
+Gadget constraint systems (all degree <= 2; zerocheck degree 3):
+
+    ADD  (out = in0 + in1 mod 2^64), SUB via out + in1 = in0:
+         x_j + y_j + c_{j-1} - z_j - 2^16 c_j  = 0    (j = 0..3)
+         c_j (1 - c_j) = 0
+         limbs x/y/z_j range-checked via RANGE16.
+      Every term is < 2^17 in magnitude, so the mod-p identities hold
+      over the integers — carries + range checks make this exactly
+      64-bit addition (no wrap-around ambiguity at p ~ 2^31).
+
+    AND/OR/XOR: 8-bit chunk triples (a_k, b_k, o_k), k = 0..7, each
+      included in the matching op subtable; the chunks ARE the committed
+      query representation (out = sum 2^{8k} o_k by definition).
+
+    SLT/SLTU: 4-limb borrow chain x - y = d - 2^64 b3 with d
+      range-checked, so the borrow-out b3 IS the comparison; SLT biases
+      both top limbs by +2^15 (sign flip) via a range-checked split.
+
+    BRANCH (all variants share one catalog table): queries carry
+      funct3; one-hot selectors bound to funct3 route equality (per-limb
+      inverse gadgets + product tree) and the two borrow chains into the
+      committed ``taken`` bit.
+
+Scope note (documented gap, shared with the reference): the committed
+query columns are not yet tied to the 43-MLE execution witness — that
+needs Jolt's read/write-memory argument over the register file.  What IS
+proven: the committed query multiset consists exclusively of genuine
+table entries, so a trace carrying a forged lookup output (e.g. a wrong
+ADD result) has no satisfying assignment (tests/test_lookup_validity.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..poly.public_mles import idx_eval, np_inv
+from ..proofs.zerocheck import ZerocheckProof, ZerocheckProver, ZerocheckVerifier
+
+__all__ = [
+    "GADGETS",
+    "GADGET_TABLE_IDS",
+    "LookupValidityProof",
+    "TableValidityRecord",
+    "SubtableSideRecord",
+    "prove_lookup_validity",
+    "verify_lookup_validity",
+]
+
+_M8 = np.uint64(0xFF)
+_M16 = np.uint64(0xFFFF)
+VALIDITY_DEGREE = 3  # deg(eq * C): all gadget constraints are degree <= 2
+
+
+# ---------------------------------------------------------------------------
+# Subtables: dense prover twins + verifier closed-form key MLEs
+
+
+def _bit_var(rs: List[int], num_vars: int, bit: int) -> int:
+    """Fold variable controlling index bit ``bit`` (MSB-first fold:
+    rs[j] <-> bit num_vars-1-j, matching proofs/zerocheck.py)."""
+    return rs[num_vars - 1 - bit]
+
+
+def _bitwise_key_eval(op: str, rs: List[int], p: int) -> int:
+    """key(a,b) = a + 2^8 b + 2^16 op(a,b) as a multilinear closed form
+    over the 16-bit domain x = a + 2^8 b."""
+    acc = 0
+    for i in range(8):
+        a_i = _bit_var(rs, 16, i) % p
+        b_i = _bit_var(rs, 16, 8 + i) % p
+        ab = a_i * b_i % p
+        if op == "AND":
+            o_i = ab
+        elif op == "OR":
+            o_i = (a_i + b_i - ab) % p
+        else:  # XOR
+            o_i = (a_i + b_i - 2 * ab) % p
+        acc = (acc + (1 << i) * a_i + (1 << (8 + i)) * b_i + (1 << (16 + i)) * o_i) % p
+    return acc
+
+
+def _bitwise_dense_key(op: str, p: int) -> np.ndarray:
+    x = np.arange(1 << 16, dtype=np.uint64)
+    a = x & _M8
+    b = x >> np.uint64(8)
+    if op == "AND":
+        o = a & b
+    elif op == "OR":
+        o = a | b
+    else:
+        o = a ^ b
+    return (x + (o << np.uint64(16))) % np.uint64(p)
+
+
+@dataclass(frozen=True)
+class Subtable:
+    name: str
+    num_vars: int
+
+    def dense_key(self, p: int) -> np.ndarray:
+        if self.name == "RANGE16":
+            return np.arange(1 << 16, dtype=np.uint64) % np.uint64(p)
+        return _bitwise_dense_key(self.name[:-1], p)  # "AND8" -> "AND"
+
+    def key_eval(self, rs: List[int], p: int) -> int:
+        if self.name == "RANGE16":
+            return idx_eval(16, rs, p)
+        return _bitwise_key_eval(self.name[:-1], rs, p)
+
+
+SUBTABLES: Dict[str, Subtable] = {
+    name: Subtable(name, 16) for name in ("RANGE16", "AND8", "OR8", "XOR8")
+}
+
+
+# ---------------------------------------------------------------------------
+# Gadgets
+
+# An inclusion is (g_column_name, subtable_name, key_spec) where key_spec
+# maps column names to integer coefficients: key = sum coef * col.
+Inclusion = Tuple[str, str, Dict[str, int]]
+
+
+def _pad_cols(arrays: List[np.ndarray], n_pad: int) -> List[np.ndarray]:
+    out = []
+    for a in arrays:
+        b = np.zeros(n_pad, dtype=np.uint64)
+        b[: a.shape[0]] = a
+        out.append(b)
+    return out
+
+
+def _limbs(prefix: str, v: np.ndarray) -> Dict[str, np.ndarray]:
+    """Four little-endian 16-bit limbs of a 64-bit value."""
+    return {
+        f"{prefix}{j}": (v >> np.uint64(16 * j)) & _M16 for j in range(4)
+    }
+
+
+_LIMB = tuple(range(4))
+
+
+class _AddSubGadget:
+    """ADD: z = x + y mod 2^64 via a 4-limb carry chain; SUB reuses it as
+    z + y = x with the roles (x, y, z) = (out, in1, in0)."""
+
+    columns = tuple(f"c{j}" for j in _LIMB) + tuple(
+        f"{pre}{j}" for pre in ("x", "y", "z") for j in _LIMB
+    )
+    inclusions: Tuple[Inclusion, ...] = tuple(
+        (f"g_{pre}{j}", "RANGE16", {f"{pre}{j}": 1})
+        for pre in ("x", "y", "z") for j in _LIMB
+    )
+
+    def __init__(self, is_sub: bool):
+        self.is_sub = is_sub
+
+    def build(self, inputs: np.ndarray, outputs: np.ndarray, n_pad: int, p: int):
+        if self.is_sub:
+            x, y, z = _pad_cols([outputs[:, 0], inputs[:, 1], inputs[:, 0]], n_pad)
+        else:
+            x, y, z = _pad_cols([inputs[:, 0], inputs[:, 1], outputs[:, 0]], n_pad)
+        cols = {**_limbs("x", x), **_limbs("y", y), **_limbs("z", z)}
+        carry = np.zeros(n_pad, dtype=np.uint64)
+        for j in _LIMB:
+            carry = (cols[f"x{j}"] + cols[f"y{j}"] + carry) >> np.uint64(16)
+            cols[f"c{j}"] = carry
+        return cols
+
+    @staticmethod
+    def constraint_arrays(cols, p: int) -> List[np.ndarray]:
+        P = np.uint64(p)
+        sixt = np.uint64(1 << 16)
+        one = np.uint64(1)
+        terms = []
+        for j in _LIMB:
+            cin = cols[f"c{j-1}"] if j else 0
+            terms.append(
+                (cols[f"x{j}"] + cols[f"y{j}"] + cin + (P - cols[f"z{j}"])
+                 + (P - sixt * cols[f"c{j}"] % P)) % P
+            )
+        for j in _LIMB:
+            terms.append(cols[f"c{j}"] * ((one + P - cols[f"c{j}"]) % P) % P)
+        return terms
+
+    @staticmethod
+    def constraint_scalars(ev, p: int) -> List[int]:
+        terms = []
+        for j in _LIMB:
+            cin = ev[f"c{j-1}"] if j else 0
+            terms.append(
+                (ev[f"x{j}"] + ev[f"y{j}"] + cin - ev[f"z{j}"]
+                 - (1 << 16) * ev[f"c{j}"]) % p
+            )
+        for j in _LIMB:
+            terms.append(ev[f"c{j}"] * (1 - ev[f"c{j}"]) % p)
+        return terms
+
+
+class _BitwiseGadget:
+    """AND/OR/XOR via 8-bit chunk triples over the full 64-bit operands;
+    no algebraic constraints — each chunk triple's inclusion in the op
+    subtable IS the semantics."""
+
+    columns = tuple(
+        f"{kind}{k}" for k in range(8) for kind in ("a", "b", "o")
+    )
+
+    def __init__(self, op: str):
+        self.op = op
+        self.inclusions: Tuple[Inclusion, ...] = tuple(
+            (f"g{k}", f"{op}8", {f"a{k}": 1, f"b{k}": 1 << 8, f"o{k}": 1 << 16})
+            for k in range(8)
+        )
+
+    def build(self, inputs: np.ndarray, outputs: np.ndarray, n_pad: int, p: int):
+        a, b, o = _pad_cols([inputs[:, 0], inputs[:, 1], outputs[:, 0]], n_pad)
+        cols = {}
+        for k in range(8):
+            sh = np.uint64(8 * k)
+            cols[f"a{k}"] = (a >> sh) & _M8
+            cols[f"b{k}"] = (b >> sh) & _M8
+            cols[f"o{k}"] = (o >> sh) & _M8
+        return cols
+
+    @staticmethod
+    def constraint_arrays(cols, p: int) -> List[np.ndarray]:
+        return []
+
+    @staticmethod
+    def constraint_scalars(ev, p: int) -> List[int]:
+        return []
+
+
+def _borrow_chain_arrays(cols, p: int, xp: str, yp: str, dp: str, bp: str,
+                         sign: bool) -> List[np.ndarray]:
+    """x - y = d - 2^64 b3 limb constraints (vectorized).  With ``sign``
+    the top limb is biased by +2^15 on both sides (x3 - 2^16 s_x etc.),
+    turning the borrow-out into the SIGNED comparison."""
+    P = np.uint64(p)
+    sixt = np.uint64(1 << 16)
+    terms = []
+    for j in _LIMB:
+        xs = cols[f"{xp}{j}"]
+        ys = cols[f"{yp}{j}"]
+        bin_ = cols[f"{bp}{j-1}"] if j else 0
+        t = (xs + (P - ys) + (P - bin_ if j else 0) + (P - cols[f"{dp}{j}"])
+             + sixt * cols[f"{bp}{j}"] % P) % P
+        if sign and j == 3:
+            t = (t + (P - sixt * cols["s_x"] % P) + sixt * cols["s_y"] % P) % P
+        terms.append(t % P)
+    return terms
+
+
+def _borrow_chain_scalars(ev, p: int, xp: str, yp: str, dp: str, bp: str,
+                          sign: bool) -> List[int]:
+    terms = []
+    for j in _LIMB:
+        t = (ev[f"{xp}{j}"] - ev[f"{yp}{j}"] - (ev[f"{bp}{j-1}"] if j else 0)
+             - ev[f"{dp}{j}"] + (1 << 16) * ev[f"{bp}{j}"]) % p
+        if sign and j == 3:
+            t = (t - (1 << 16) * ev["s_x"] + (1 << 16) * ev["s_y"]) % p
+        terms.append(t)
+    return terms
+
+
+def _compare_build(x: np.ndarray, y: np.ndarray, signed: bool, p: int):
+    """Borrow-chain advice for x < y over 64 bits (optionally signed via
+    the +2^63 bias)."""
+    if signed:
+        bias = np.uint64(1 << 63)
+        xe, ye = x ^ bias, y ^ bias
+    else:
+        xe, ye = x, y
+    d = xe - ye  # mod 2^64 (numpy wraps)
+    cols = _limbs("d" if not signed else "d", d)
+    borrow = np.zeros(len(x), dtype=np.uint64)
+    out = {}
+    for j in _LIMB:
+        xs = (xe >> np.uint64(16 * j)) & _M16
+        ys = (ye >> np.uint64(16 * j)) & _M16
+        borrow = (xs < ys + borrow).astype(np.uint64)
+        out[f"b{j}"] = borrow
+    return cols, out
+
+
+class _SltuGadget:
+    """SLTU: out = 1 iff in0 < in1 (unsigned 64-bit) via a 4-limb borrow
+    chain: in0 - in1 = d - 2^64 b3 with d range-checked, so b3 IS the
+    borrow."""
+
+    columns = tuple(f"b{j}" for j in _LIMB) + tuple(
+        f"{pre}{j}" for pre in ("d", "x", "y") for j in _LIMB
+    ) + ("o",)
+    inclusions: Tuple[Inclusion, ...] = tuple(
+        (f"g_{pre}{j}", "RANGE16", {f"{pre}{j}": 1})
+        for pre in ("x", "y", "d") for j in _LIMB
+    )
+    signed = False
+
+    def build(self, inputs: np.ndarray, outputs: np.ndarray, n_pad: int, p: int):
+        x, y, o = _pad_cols([inputs[:, 0], inputs[:, 1], outputs[:, 0]], n_pad)
+        cols = {**_limbs("x", x), **_limbs("y", y), "o": o}
+        d_cols, b_cols = _compare_build(x, y, self.signed, p)
+        cols.update(d_cols)
+        cols.update(b_cols)
+        if self.signed:
+            cols["s_x"] = cols["x3"] >> np.uint64(15)
+            cols["s_y"] = cols["y3"] >> np.uint64(15)
+            cols["rx2"] = (cols["x3"] & np.uint64(0x7FFF)) * np.uint64(2)
+            cols["ry2"] = (cols["y3"] & np.uint64(0x7FFF)) * np.uint64(2)
+        return cols
+
+    def constraint_arrays(self, cols, p: int) -> List[np.ndarray]:
+        P = np.uint64(p)
+        one = np.uint64(1)
+        terms = _borrow_chain_arrays(cols, p, "x", "y", "d", "b", self.signed)
+        bools = [f"b{j}" for j in _LIMB] + (["s_x", "s_y"] if self.signed else [])
+        for b in bools:
+            terms.append(cols[b] * ((one + P - cols[b]) % P) % P)
+        if self.signed:
+            sixt = np.uint64(1 << 16)
+            two = np.uint64(2)
+            terms.append((two * cols["x3"] + (P - sixt * cols["s_x"] % P)
+                          + (P - cols["rx2"])) % P)
+            terms.append((two * cols["y3"] + (P - sixt * cols["s_y"] % P)
+                          + (P - cols["ry2"])) % P)
+        terms.append((cols["o"] + P - cols["b3"]) % P)
+        return terms
+
+    def constraint_scalars(self, ev, p: int) -> List[int]:
+        terms = _borrow_chain_scalars(ev, p, "x", "y", "d", "b", self.signed)
+        bools = [f"b{j}" for j in _LIMB] + (["s_x", "s_y"] if self.signed else [])
+        for b in bools:
+            terms.append(ev[b] * (1 - ev[b]) % p)
+        if self.signed:
+            terms.append((2 * ev["x3"] - (1 << 16) * ev["s_x"] - ev["rx2"]) % p)
+            terms.append((2 * ev["y3"] - (1 << 16) * ev["s_y"] - ev["ry2"]) % p)
+        terms.append((ev["o"] - ev["b3"]) % p)
+        return terms
+
+
+class _SltGadget(_SltuGadget):
+    """SLT: signed 64-bit compare by biasing both operands with +2^63
+    (sign-bit flip on the top limb) and reusing the unsigned borrow chain.
+    The sign split 2*x3 = 2^16*s_x + rx2 with rx2 range-checked forces
+    s_x = top bit of x3."""
+
+    columns = _SltuGadget.columns + ("rx2", "ry2", "s_x", "s_y")
+    inclusions: Tuple[Inclusion, ...] = _SltuGadget.inclusions + tuple(
+        (f"g_{c}", "RANGE16", {c: 1}) for c in ("rx2", "ry2")
+    )
+    signed = True
+
+
+# funct3 encodings of the six RV64 branch comparisons (rv64i BRANCH).
+_BRANCH_F3 = {"t_eq": 0, "t_ne": 1, "t_lt": 4, "t_ge": 5, "t_ltu": 6, "t_geu": 7}
+
+
+class _BranchGadget:
+    """All branch variants share one catalog table (instruction_table
+    :267-271); queries carry (rs1_val, rs2_val, funct3) -> taken.  The
+    gadget one-hot-decodes funct3 into the six comparisons and proves
+    ``taken`` against equality + signed/unsigned 64-bit borrow
+    sub-gadgets.  The signed chain shares the unsigned chain's limbs
+    0..2 borrows (the +2^63 bias only changes the top limb), adding just
+    sd3/sb3."""
+
+    columns = (
+        tuple(f"b{j}" for j in _LIMB)
+        + tuple(f"{pre}{j}" for pre in ("d", "x", "y") for j in _LIMB)
+        + tuple(f"e{j}" for j in _LIMB)
+        + tuple(f"i{j}" for j in _LIMB)
+        + ("e", "e01", "e23", "f3", "o", "rx2", "ry2", "s_x", "s_y",
+           "sb3", "sd3", "t_eq", "t_ge", "t_geu", "t_lt", "t_ltu", "t_ne")
+    )
+    inclusions: Tuple[Inclusion, ...] = tuple(
+        (f"g_{pre}{j}", "RANGE16", {f"{pre}{j}": 1})
+        for pre in ("x", "y", "d") for j in _LIMB
+    ) + tuple(
+        (f"g_{c}", "RANGE16", {c: 1}) for c in ("rx2", "ry2", "sd3")
+    )
+
+    _BOOLS = ("t_eq", "t_ne", "t_lt", "t_ge", "t_ltu", "t_geu",
+              "b0", "b1", "b2", "b3", "s_x", "s_y", "sb3")
+
+    def build(self, inputs: np.ndarray, outputs: np.ndarray, n_pad: int, p: int):
+        n = inputs.shape[0]
+        x, y, f3 = _pad_cols([inputs[:, 0], inputs[:, 1], inputs[:, 2]], n_pad)
+        o = np.ones(n_pad, dtype=np.uint64)  # padding: BEQ(0,0) is taken
+        o[:n] = outputs[:, 0]
+        cols = {**_limbs("x", x), **_limbs("y", y), "f3": f3, "o": o}
+        for name, enc in _BRANCH_F3.items():
+            cols[name] = (f3 == enc).astype(np.uint64)
+        # Equality sub-gadget per limb: e_j = 1[diff == 0], i_j = inverse
+        # of the diff (0 when equal); product tree keeps degree <= 2.
+        for j in _LIMB:
+            diff = (cols[f"x{j}"] + np.uint64(p) - cols[f"y{j}"]) % np.uint64(p)
+            cols[f"e{j}"] = (diff == 0).astype(np.uint64)
+            cols[f"i{j}"] = np_inv(diff, p)
+        cols["e01"] = cols["e0"] * cols["e1"]
+        cols["e23"] = cols["e2"] * cols["e3"]
+        cols["e"] = cols["e01"] * cols["e23"]
+        # Unsigned borrow chain.
+        d_cols, b_cols = _compare_build(x, y, False, p)
+        cols.update(d_cols)
+        cols.update(b_cols)
+        # Signed: bias both; limbs 0..2 are unchanged so only the top limb
+        # of the difference and the final borrow differ.
+        bias = np.uint64(1 << 63)
+        sd = (x ^ bias) - (y ^ bias)
+        cols["sd3"] = (sd >> np.uint64(48)) & _M16
+        cols["sb3"] = ((x ^ bias) < (y ^ bias)).astype(np.uint64)
+        cols["s_x"] = cols["x3"] >> np.uint64(15)
+        cols["s_y"] = cols["y3"] >> np.uint64(15)
+        cols["rx2"] = (cols["x3"] & np.uint64(0x7FFF)) * np.uint64(2)
+        cols["ry2"] = (cols["y3"] & np.uint64(0x7FFF)) * np.uint64(2)
+        return cols
+
+    @staticmethod
+    def constraint_arrays(cols, p: int) -> List[np.ndarray]:
+        P = np.uint64(p)
+        sixt = np.uint64(1 << 16)
+        one = np.uint64(1)
+        two = np.uint64(2)
+        terms = [
+            cols[b] * ((one + P - cols[b]) % P) % P for b in _BranchGadget._BOOLS
+        ]
+        onehot = (sum(cols[t] for t in _BRANCH_F3) + P - one) % P
+        f3bind = (cols["f3"] + sum(
+            (P - np.uint64(enc) * cols[name] % P) for name, enc in _BRANCH_F3.items()
+        )) % P
+        terms += [onehot, f3bind]
+        for j in _LIMB:
+            diff = (cols[f"x{j}"] + P - cols[f"y{j}"]) % P
+            terms.append((diff * cols[f"i{j}"] % P + cols[f"e{j}"] + P - one) % P)
+            terms.append(cols[f"e{j}"] * diff % P)
+        terms.append((cols["e01"] + P - cols["e0"] * cols["e1"] % P) % P)
+        terms.append((cols["e23"] + P - cols["e2"] * cols["e3"] % P) % P)
+        terms.append((cols["e"] + P - cols["e01"] * cols["e23"] % P) % P)
+        terms += _borrow_chain_arrays(cols, p, "x", "y", "d", "b", False)
+        terms.append((two * cols["x3"] + (P - sixt * cols["s_x"] % P)
+                      + (P - cols["rx2"])) % P)
+        terms.append((two * cols["y3"] + (P - sixt * cols["s_y"] % P)
+                      + (P - cols["ry2"])) % P)
+        # Signed top limb: x3 - 2^16 s_x - y3 + 2^16 s_y - b2 - sd3 + 2^16 sb3.
+        terms.append((cols["x3"] + (P - sixt * cols["s_x"] % P)
+                      + (P - cols["y3"]) + sixt * cols["s_y"] % P
+                      + (P - cols["b2"]) + (P - cols["sd3"])
+                      + sixt * cols["sb3"] % P) % P)
+        taken = (cols["t_eq"] * cols["e"]
+                 + cols["t_ne"] * ((one + P - cols["e"]) % P)
+                 + cols["t_lt"] * cols["sb3"]
+                 + cols["t_ge"] * ((one + P - cols["sb3"]) % P)
+                 + cols["t_ltu"] * cols["b3"]
+                 + cols["t_geu"] * ((one + P - cols["b3"]) % P)) % P
+        terms.append((cols["o"] + P - taken) % P)
+        return terms
+
+    @staticmethod
+    def constraint_scalars(ev, p: int) -> List[int]:
+        terms = [ev[b] * (1 - ev[b]) % p for b in _BranchGadget._BOOLS]
+        terms.append((sum(ev[t] for t in _BRANCH_F3) - 1) % p)
+        terms.append((ev["f3"] - sum(enc * ev[name] for name, enc in _BRANCH_F3.items())) % p)
+        for j in _LIMB:
+            diff = (ev[f"x{j}"] - ev[f"y{j}"]) % p
+            terms.append((diff * ev[f"i{j}"] + ev[f"e{j}"] - 1) % p)
+            terms.append(ev[f"e{j}"] * diff % p)
+        terms.append((ev["e01"] - ev["e0"] * ev["e1"]) % p)
+        terms.append((ev["e23"] - ev["e2"] * ev["e3"]) % p)
+        terms.append((ev["e"] - ev["e01"] * ev["e23"]) % p)
+        terms += _borrow_chain_scalars(ev, p, "x", "y", "d", "b", False)
+        terms.append((2 * ev["x3"] - (1 << 16) * ev["s_x"] - ev["rx2"]) % p)
+        terms.append((2 * ev["y3"] - (1 << 16) * ev["s_y"] - ev["ry2"]) % p)
+        terms.append((ev["x3"] - (1 << 16) * ev["s_x"] - ev["y3"]
+                      + (1 << 16) * ev["s_y"] - ev["b2"] - ev["sd3"]
+                      + (1 << 16) * ev["sb3"]) % p)
+        taken = (ev["t_eq"] * ev["e"] + ev["t_ne"] * (1 - ev["e"])
+                 + ev["t_lt"] * ev["sb3"] + ev["t_ge"] * (1 - ev["sb3"])
+                 + ev["t_ltu"] * ev["b3"] + ev["t_geu"] * (1 - ev["b3"])) % p
+        terms.append((ev["o"] - taken) % p)
+        return terms
+
+
+# table_id -> gadget (ids per lookups/pipeline_lasso.TABLE_IDS catalog
+# order ADD..STORE).  LOAD/STORE have no static semantics (memory
+# consistency is a separate argument); SLL/SRL/SRA are the next build
+# phase (shamt-keyed subtables).
+GADGETS = {
+    0: _AddSubGadget(is_sub=False),  # ADD
+    1: _AddSubGadget(is_sub=True),   # SUB
+    2: _BitwiseGadget("AND"),
+    3: _BitwiseGadget("OR"),
+    4: _BitwiseGadget("XOR"),
+    8: _SltGadget(),
+    9: _SltuGadget(),
+    10: _BranchGadget(),
+}
+GADGET_TABLE_IDS = frozenset(GADGETS)
+
+
+# ---------------------------------------------------------------------------
+# Proof structures
+
+
+@dataclass
+class TableValidityRecord:
+    table_id: int
+    num_queries: int
+    num_vars: int
+    root_cols: bytes
+    root_g: bytes
+    zc: ZerocheckProof
+    cols_proof: object  # LigeroEvalProof (eval claim at zc point)
+    g_proof: object  # LigeroEvalProof (eval claim + per-column sum claim)
+    g_sums: Dict[str, int]
+
+
+@dataclass
+class SubtableSideRecord:
+    names: List[str]  # used subtables, sorted
+    root_m: bytes
+    root_h: bytes
+    zc: ZerocheckProof
+    m_proof: object
+    h_proof: object
+    h_sums: Dict[str, int]
+
+
+@dataclass
+class LookupValidityProof:
+    nonce: int
+    tables: List[TableValidityRecord]
+    table_side: Optional[SubtableSideRecord]
+
+
+# ---------------------------------------------------------------------------
+# Combiners
+
+
+def _key_array(cols, spec: Dict[str, int], p: int) -> np.ndarray:
+    P = np.uint64(p)
+    acc = None
+    for name, coef in sorted(spec.items()):
+        term = np.uint64(coef % p) * cols[name] % P
+        acc = term if acc is None else (acc + term) % P
+    return acc
+
+
+def _key_scalar(ev, spec: Dict[str, int], p: int) -> int:
+    return sum(coef * ev[name] for name, coef in spec.items()) % p
+
+
+def _make_query_combiner(gadget, tau: int):
+    def combiner(cols, alphas: List[int], p: int):
+        P = np.uint64(p)
+        terms = gadget.constraint_arrays(cols, p)
+        for g_name, _sub, spec in gadget.inclusions:
+            denom = (np.uint64(tau % p) + P - _key_array(cols, spec, p)) % P
+            terms.append((cols[g_name] * denom + P - np.uint64(1)) % P)
+        acc = np.zeros_like(next(iter(cols.values())))
+        for alpha, term in zip(alphas, terms):
+            acc = (acc + np.uint64(alpha) * term) % P
+        return acc
+
+    return combiner
+
+
+def _make_query_combiner_scalar(gadget, tau: int):
+    def combiner_scalar(ev, alphas: List[int], p: int) -> int:
+        terms = gadget.constraint_scalars(ev, p)
+        for g_name, _sub, spec in gadget.inclusions:
+            denom = (tau - _key_scalar(ev, spec, p)) % p
+            terms.append((ev[g_name] * denom - 1) % p)
+        return sum(a * t for a, t in zip(alphas, terms)) % p
+
+    return combiner_scalar
+
+
+def _make_table_combiner(names: List[str], tau: int):
+    def combiner(cols, alphas: List[int], p: int):
+        P = np.uint64(p)
+        acc = np.zeros_like(next(iter(cols.values())))
+        for j, name in enumerate(names):
+            denom = (np.uint64(tau % p) + P - cols[f"__key_{name}__"]) % P
+            term = (cols[f"h_{name}"] * denom + P - cols[f"m_{name}"]) % P
+            acc = (acc + np.uint64(alphas[j]) * term) % P
+        return acc
+
+    return combiner
+
+
+def _make_table_combiner_scalar(names: List[str], tau: int, final_point: List[int]):
+    def combiner_scalar(ev, alphas: List[int], p: int) -> int:
+        acc = 0
+        for j, name in enumerate(names):
+            key_r = SUBTABLES[name].key_eval(final_point, p)
+            term = (ev[f"h_{name}"] * ((tau - key_r) % p) - ev[f"m_{name}"]) % p
+            acc = (acc + alphas[j] * term) % p
+        return acc
+
+    return combiner_scalar
+
+
+def _num_constraints(gadget) -> int:
+    return len(gadget.constraint_scalars(
+        {c: 0 for c in gadget.columns}, 2013265921
+    )) + len(gadget.inclusions)
+
+
+def _qvars(n: int) -> int:
+    """Query-domain variables: >= 1 so every instance has rounds."""
+    return max(1, (max(n, 1) - 1).bit_length())
+
+
+# ---------------------------------------------------------------------------
+# Prover
+
+
+def prove_lookup_validity(F, transcript, queries_by_table, hash_mode: str = "sha3",
+                          _forge_hook=None, _unsafe_skip_self_checks=False) -> LookupValidityProof:
+    """Prove every gadget-covered query is a genuine table entry.
+
+    ``queries_by_table``: table_id -> (inputs (n,2), outputs (n,1)).
+    ``_forge_hook`` / ``_unsafe_skip_self_checks`` are test seams: the
+    hook mutates a table's column dict before commitment and the flag
+    suppresses the honest-prover assertions — together they model a
+    malicious prover (tests/test_lookup_validity.py)."""
+    from ..commitments.ligero import LigeroClaim, _row_col_weights, ligero_commit, ligero_prove_claims
+
+    p = F.MODULUS
+    if p >= (1 << 31):
+        raise ValueError("lookup validity requires a field modulus < 2^31")
+    table_ids = sorted(t for t in queries_by_table if t in GADGET_TABLE_IDS)
+
+    transcript.append_bytes(b"LV_BEGIN")
+    transcript.append_u64(len(table_ids))
+    if not table_ids:
+        return LookupValidityProof(nonce=0, tables=[], table_side=None)
+
+    # Phase 1: commit query columns per table (tau-independent).
+    per_table = {}
+    used_subs = set()
+    for tid in table_ids:
+        gadget = GADGETS[tid]
+        inputs, outputs = queries_by_table[tid]
+        nq = inputs.shape[0]
+        v = _qvars(nq)
+        cols = gadget.build(inputs, outputs, 1 << v, p)
+        if _forge_hook is not None:
+            _forge_hook(tid, cols)
+        if not _unsafe_skip_self_checks:
+            for j, arr in enumerate(gadget.constraint_arrays(cols, p)):
+                if np.any(arr != 0):
+                    bad = int(np.nonzero(arr)[0][0])
+                    raise AssertionError(
+                        f"lookup validity violated: table {tid} row {bad} breaks "
+                        f"constraint {j} (forged lookup output?)"
+                    )
+        state = ligero_commit(F, cols, hash_mode)
+        transcript.append_bytes(b"LV_TABLE")
+        transcript.append_u64(tid)
+        transcript.append_u64(nq)
+        transcript.append_u64(v)
+        transcript.append_bytes(state.root)
+        per_table[tid] = dict(gadget=gadget, cols=cols, state=state, nq=nq, v=v)
+        used_subs.update(sub for _, sub, _ in gadget.inclusions)
+
+    # Phase 2: multiplicities over each used subtable domain (also
+    # tau-independent; counting validates every query key is in-table).
+    sub_names = sorted(used_subs)
+    dense_keys = {name: SUBTABLES[name].dense_key(p) for name in sub_names}
+    m_cols = {f"m_{name}": np.zeros(1 << SUBTABLES[name].num_vars, dtype=np.uint64)
+              for name in sub_names}
+    for tid in table_ids:
+        info = per_table[tid]
+        for _g_name, sub, spec in info["gadget"].inclusions:
+            keys = _key_array(info["cols"], spec, p)
+            size = 1 << SUBTABLES[sub].num_vars
+            x = (keys & np.uint64(size - 1)).astype(np.int64)
+            if not np.array_equal(dense_keys[sub][x], keys) and not _unsafe_skip_self_checks:
+                bad = int(np.nonzero(dense_keys[sub][x] != keys)[0][0])
+                raise AssertionError(
+                    f"lookup validity violated: table {tid} row {bad} is not a "
+                    f"{sub} entry (forged lookup output?)"
+                )
+            m_cols[f"m_{sub}"] += np.bincount(x, minlength=size).astype(np.uint64)
+    m_state = ligero_commit(F, m_cols, hash_mode)
+    transcript.append_bytes(b"LV_MULT")
+    transcript.append_u64(len(sub_names))
+    for name in sub_names:
+        transcript.append_bytes(name.encode())
+    transcript.append_bytes(m_state.root)
+
+    # Phase 3: fingerprint challenges (nonce-retryable: ~2^-15 per draw a
+    # denominator lands on zero somewhere).
+    nonce = 0
+    while True:
+        trial = transcript.fork()
+        trial.append_bytes(b"LV_CHAL")
+        trial.append_u64(nonce)
+        tau = trial.challenge_value(p)
+        gamma = trial.challenge_value(p)  # reserved for multi-word keys (shifts)
+        ok = all(
+            int((((tau - dense_keys[name].astype(np.int64)) % p) == 0).sum()) == 0
+            for name in sub_names
+        )
+        if ok:
+            for tid in table_ids:
+                info = per_table[tid]
+                for _g, _sub, spec in info["gadget"].inclusions:
+                    keys = _key_array(info["cols"], spec, p)
+                    if np.any((np.uint64(tau) + np.uint64(p) - keys) % np.uint64(p) == 0):
+                        ok = False
+                        break
+                if not ok:
+                    break
+        if ok:
+            break
+        nonce += 1
+    transcript.append_bytes(b"LV_CHAL")
+    transcript.append_u64(nonce)
+    assert transcript.challenge_value(p) == tau
+    assert transcript.challenge_value(p) == gamma
+
+    # Phase 4: inverse columns (query side g, table side h) + commitments.
+    P64 = np.uint64(p)
+    for tid in table_ids:
+        info = per_table[tid]
+        g_cols = {}
+        for g_name, _sub, spec in info["gadget"].inclusions:
+            keys = _key_array(info["cols"], spec, p)
+            g_cols[g_name] = np_inv((np.uint64(tau) + P64 - keys) % P64, p)
+        info["g_cols"] = g_cols
+        info["g_state"] = ligero_commit(F, g_cols, hash_mode)
+        info["g_sums"] = {
+            name: int(col.sum(dtype=np.uint64)) % p for name, col in g_cols.items()
+        }
+        transcript.append_bytes(b"LV_G")
+        transcript.append_bytes(info["g_state"].root)
+        for name in sorted(info["g_sums"]):
+            transcript.append_u64(info["g_sums"][name])
+
+    h_cols = {}
+    h_sums = {}
+    for name in sub_names:
+        denom = (np.uint64(tau) + P64 - dense_keys[name]) % P64
+        h = m_cols[f"m_{name}"] * np_inv(denom, p) % P64
+        h_cols[f"h_{name}"] = h
+        h_sums[name] = int(h.sum(dtype=np.uint64)) % p
+    h_state = ligero_commit(F, h_cols, hash_mode)
+    transcript.append_bytes(b"LV_H")
+    transcript.append_bytes(h_state.root)
+    for name in sub_names:
+        transcript.append_u64(h_sums[name])
+
+    # Honest-prover grand-sum self-check (the logUp identity).
+    use_sums = {name: 0 for name in sub_names}
+    for tid in table_ids:
+        info = per_table[tid]
+        for g_name, sub, _spec in info["gadget"].inclusions:
+            use_sums[sub] = (use_sums[sub] + info["g_sums"][g_name]) % p
+    for name in sub_names:
+        if use_sums[name] != h_sums[name] and not _unsafe_skip_self_checks:
+            raise AssertionError(f"lookup validity violated: {name} multiset mismatch")
+
+    # Phase 5: zerochecks + Ligero bindings.
+    records = []
+    for tid in table_ids:
+        info = per_table[tid]
+        gadget = info["gadget"]
+        all_cols = dict(info["cols"])
+        all_cols.update(info["g_cols"])
+        zc = ZerocheckProver(
+            F, all_cols, _make_query_combiner(gadget, tau), VALIDITY_DEGREE,
+            num_alphas=_num_constraints(gadget),
+        ).prove(transcript)
+
+        a, b = _row_col_weights(zc.final_point, info["state"].cn)
+        cols_proof = ligero_prove_claims(
+            info["state"], [LigeroClaim(a=a, b=b, values={})], transcript
+        )
+        ag, bg = _row_col_weights(zc.final_point, info["g_state"].cn)
+        g_claims = [
+            LigeroClaim(a=ag, b=bg, values={}),
+            LigeroClaim(
+                a=np.ones(info["g_state"].m, dtype=np.uint64),
+                b=np.ones(info["g_state"].n, dtype=np.uint64),
+                values={},
+            ),
+        ]
+        g_proof = ligero_prove_claims(info["g_state"], g_claims, transcript)
+        records.append(TableValidityRecord(
+            table_id=tid, num_queries=info["nq"], num_vars=info["v"],
+            root_cols=info["state"].root, root_g=info["g_state"].root,
+            zc=zc, cols_proof=cols_proof, g_proof=g_proof, g_sums=info["g_sums"],
+        ))
+
+    table_cols = dict(m_cols)
+    table_cols.update(h_cols)
+    for name in sub_names:
+        table_cols[f"__key_{name}__"] = dense_keys[name]
+    zc_t = ZerocheckProver(
+        F, table_cols, _make_table_combiner(sub_names, tau), VALIDITY_DEGREE,
+        num_alphas=len(sub_names),
+    ).prove(transcript)
+    am, bm = _row_col_weights(zc_t.final_point, m_state.cn)
+    m_proof = ligero_prove_claims(
+        m_state, [LigeroClaim(a=am, b=bm, values={})], transcript
+    )
+    ah, bh = _row_col_weights(zc_t.final_point, h_state.cn)
+    h_claims = [
+        LigeroClaim(a=ah, b=bh, values={}),
+        LigeroClaim(
+            a=np.ones(h_state.m, dtype=np.uint64),
+            b=np.ones(h_state.n, dtype=np.uint64),
+            values={},
+        ),
+    ]
+    h_proof = ligero_prove_claims(h_state, h_claims, transcript)
+    table_side = SubtableSideRecord(
+        names=sub_names, root_m=m_state.root, root_h=h_state.root,
+        zc=zc_t, m_proof=m_proof, h_proof=h_proof, h_sums=h_sums,
+    )
+    return LookupValidityProof(nonce=nonce, tables=records, table_side=table_side)
+
+
+# ---------------------------------------------------------------------------
+# Verifier
+
+
+def verify_lookup_validity(F, transcript, lv: LookupValidityProof,
+                           lasso_counts: Dict[int, int],
+                           hash_mode: str = "sha3") -> bool:
+    """Replay the validity phase.  ``lasso_counts``: table_id ->
+    num_lookups from the (already verified) pipeline Lasso records; every
+    gadget-covered table there MUST carry a validity record with the same
+    query count — a prover cannot silently omit the argument."""
+    from ..commitments.ligero import (
+        LigeroClaim,
+        LigeroParams,
+        _row_col_weights,
+        ligero_verify_claims,
+    )
+
+    p = F.MODULUS
+    expected_ids = sorted(t for t in lasso_counts if t in GADGET_TABLE_IDS)
+    if [r.table_id for r in lv.tables] != expected_ids:
+        return False
+
+    transcript.append_bytes(b"LV_BEGIN")
+    transcript.append_u64(len(lv.tables))
+    if not lv.tables:
+        return lv.table_side is None
+
+    used_subs = set()
+    for rec in lv.tables:
+        gadget = GADGETS[rec.table_id]
+        if rec.num_queries != lasso_counts[rec.table_id]:
+            return False
+        if rec.num_vars != _qvars(rec.num_queries):
+            return False
+        transcript.append_bytes(b"LV_TABLE")
+        transcript.append_u64(rec.table_id)
+        transcript.append_u64(rec.num_queries)
+        transcript.append_u64(rec.num_vars)
+        transcript.append_bytes(rec.root_cols)
+        used_subs.update(sub for _, sub, _ in gadget.inclusions)
+
+    sub_names = sorted(used_subs)
+    ts = lv.table_side
+    if ts is None or ts.names != sub_names:
+        return False
+    transcript.append_bytes(b"LV_MULT")
+    transcript.append_u64(len(sub_names))
+    for name in sub_names:
+        transcript.append_bytes(name.encode())
+    transcript.append_bytes(ts.root_m)
+
+    transcript.append_bytes(b"LV_CHAL")
+    transcript.append_u64(lv.nonce % (1 << 64))
+    tau = transcript.challenge_value(p)
+    transcript.challenge_value(p)  # gamma (reserved)
+
+    for rec in lv.tables:
+        transcript.append_bytes(b"LV_G")
+        transcript.append_bytes(rec.root_g)
+        for name in sorted(rec.g_sums):
+            transcript.append_u64(rec.g_sums[name] % p)
+    transcript.append_bytes(b"LV_H")
+    transcript.append_bytes(ts.root_h)
+    for name in sub_names:
+        transcript.append_u64(ts.h_sums[name] % p)
+
+    params = LigeroParams()
+    for rec in lv.tables:
+        gadget = GADGETS[rec.table_id]
+        g_names = sorted(g for g, _s, _k in gadget.inclusions)
+        col_names = sorted(gadget.columns)
+        if set(rec.zc.column_evals) != set(col_names) | set(g_names):
+            return False
+        if rec.zc.num_vars != rec.num_vars or rec.zc.degree != VALIDITY_DEGREE:
+            return False
+        ok = ZerocheckVerifier(
+            F, _make_query_combiner_scalar(gadget, tau),
+            _num_constraints(gadget), VALIDITY_DEGREE,
+        ).verify(rec.zc, transcript)
+        if not ok:
+            return False
+
+        cn_c = params.choose_split(rec.num_vars, len(col_names))
+        a, b = _row_col_weights(rec.zc.final_point, cn_c)
+        if not ligero_verify_claims(
+            F, rec.root_cols, rec.num_vars, col_names,
+            [LigeroClaim(a=a, b=b,
+                         values={n: rec.zc.column_evals[n] for n in col_names})],
+            rec.cols_proof, transcript, hash_mode,
+        ):
+            return False
+        cn_g = params.choose_split(rec.num_vars, len(g_names))
+        ag, bg = _row_col_weights(rec.zc.final_point, cn_g)
+        m_g = (1 << rec.num_vars) >> cn_g
+        g_claims = [
+            LigeroClaim(a=ag, b=bg,
+                        values={n: rec.zc.column_evals[n] for n in g_names}),
+            LigeroClaim(
+                a=np.ones(m_g, dtype=np.uint64),
+                b=np.ones(1 << cn_g, dtype=np.uint64),
+                values={n: rec.g_sums[n] % p for n in g_names},
+            ),
+        ]
+        if not ligero_verify_claims(
+            F, rec.root_g, rec.num_vars, g_names, g_claims,
+            rec.g_proof, transcript, hash_mode,
+        ):
+            return False
+
+    # Table side.
+    tv = 16  # all current subtables are 16-var
+    m_names = [f"m_{n}" for n in sub_names]
+    h_names = [f"h_{n}" for n in sub_names]
+    if set(ts.zc.column_evals) != set(m_names) | set(h_names):
+        return False
+    if ts.zc.num_vars != tv or ts.zc.degree != VALIDITY_DEGREE:
+        return False
+    ok = ZerocheckVerifier(
+        F, _make_table_combiner_scalar(sub_names, tau, ts.zc.final_point),
+        len(sub_names), VALIDITY_DEGREE,
+    ).verify(ts.zc, transcript)
+    if not ok:
+        return False
+    cn_m = params.choose_split(tv, len(m_names))
+    am, bm = _row_col_weights(ts.zc.final_point, cn_m)
+    if not ligero_verify_claims(
+        F, ts.root_m, tv, m_names,
+        [LigeroClaim(a=am, b=bm,
+                     values={n: ts.zc.column_evals[n] for n in m_names})],
+        ts.m_proof, transcript, hash_mode,
+    ):
+        return False
+    cn_h = params.choose_split(tv, len(h_names))
+    ah, bh = _row_col_weights(ts.zc.final_point, cn_h)
+    m_h = (1 << tv) >> cn_h
+    h_claims = [
+        LigeroClaim(a=ah, b=bh,
+                    values={n: ts.zc.column_evals[n] for n in h_names}),
+        LigeroClaim(
+            a=np.ones(m_h, dtype=np.uint64),
+            b=np.ones(1 << cn_h, dtype=np.uint64),
+            values={f"h_{n}": ts.h_sums[n] % p for n in sub_names},
+        ),
+    ]
+    if not ligero_verify_claims(
+        F, ts.root_h, tv, h_names, h_claims, ts.h_proof, transcript, hash_mode,
+    ):
+        return False
+
+    # The logUp grand-sum equation: per subtable, the query-side inverse
+    # sums across every use must equal the table-side sum.
+    use_sums = {name: 0 for name in sub_names}
+    for rec in lv.tables:
+        for g_name, sub, _spec in GADGETS[rec.table_id].inclusions:
+            use_sums[sub] = (use_sums[sub] + rec.g_sums[g_name]) % p
+    return all(use_sums[n] == ts.h_sums[n] % p for n in sub_names)

@@ -127,6 +127,9 @@ class V2Section:
     logup_sum: int = 0  # shared value of sum(g1) == sum(g2)
     logup_root: bytes = None  # Ligero root over the g1/g2 columns
     logup_proof: object = None  # LigeroEvalProof (eval claim + sum claim)
+    # Lookup validity argument (lookups/validity.py): proves every
+    # gadget-covered query is a genuine table entry.
+    lookup_validity: object = None  # LookupValidityProof
 
 
 class CompactLassoList:

@@ -498,6 +498,17 @@ class Prover:
         proof.lookup_proofs = proofs
         proof.v2.lasso_extras = extras
 
+        # Lookup VALIDITY: prove the query multisets consist of genuine
+        # table entries (lookups/validity.py — the reference's own roadmap
+        # sketch at prover.zig:351-357, built for real).
+        from ..lookups.validity import prove_lookup_validity
+
+        t0 = time.perf_counter()
+        proof.v2.lookup_validity = prove_lookup_validity(
+            self.F, self.transcript, queries, self._hash_mode()
+        )
+        self.last_timings["lookup_validity_s"] = time.perf_counter() - t0
+
     def _generate_commitments(self, proof: Proof, witness) -> None:
         if self._use_device_commitments(witness.num_steps):
             from ..commitments.device_forest import DeviceMerkleForest

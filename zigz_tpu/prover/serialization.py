@@ -221,6 +221,7 @@ class BinarySerializer:
         w.u64(v2.logup_sum % self.F.MODULUS)
         w.bytes_(v2.logup_root)
         self._write_ligero_proof(w, v2.logup_proof)
+        self._write_lookup_validity(w, v2.lookup_validity)
 
     @staticmethod
     def _write_ligero_proof(w: _Writer, pp) -> None:
@@ -241,6 +242,126 @@ class BinarySerializer:
             w.u32(len(path.siblings))
             for sib in path.siblings:
                 w.bytes_(sib)
+
+    # -- lookup validity (lookups/validity.py) -----------------------------
+    # Layout: u64 nonce | u32 num_tables; per table (ids ascending):
+    # u32 table_id | u64 num_queries | u32 num_vars | 32B root_cols |
+    # 32B root_g | zerocheck | ligero cols_proof | ligero g_proof |
+    # per sorted g name: u64 sum.  Then u8 has_table_side and, if set:
+    # u32 num_subs + length-prefixed ascii names | 32B root_m | 32B root_h
+    # | zerocheck | ligero m_proof | ligero h_proof | per name: u64 sum.
+    # Zerocheck: u32 num_vars | u32 degree | rounds (num_vars x degree+1
+    # u64) | point (num_vars u64) | evals in sorted-name order (names are
+    # re-derived from the gadget/subtable specs, never trusted from the
+    # wire).
+
+    def _write_zerocheck(self, w: _Writer, zc) -> None:
+        p = self.F.MODULUS
+        w.u32(zc.num_vars)
+        w.u32(zc.degree)
+        for row in zc.round_evals:
+            for g in row:
+                w.u64(g % p)
+        for r_ in zc.final_point:
+            w.u64(r_ % p)
+        for name in sorted(zc.column_evals):
+            w.u64(zc.column_evals[name] % p)
+
+    @staticmethod
+    def _read_zerocheck(r: _Reader, eval_names):
+        from ..proofs.zerocheck import ZerocheckProof
+
+        num_vars = r.u32()
+        degree = r.u32()
+        rounds = [[r.u64() for _ in range(degree + 1)] for _ in range(num_vars)]
+        point = [r.u64() for _ in range(num_vars)]
+        evals = {name: r.u64() for name in sorted(eval_names)}
+        return ZerocheckProof(
+            num_vars=num_vars, degree=degree, round_evals=rounds,
+            final_point=point, column_evals=evals,
+        )
+
+    def _write_lookup_validity(self, w: _Writer, lv) -> None:
+        if lv is None:
+            from ..lookups.validity import LookupValidityProof
+
+            lv = LookupValidityProof(nonce=0, tables=[], table_side=None)
+        w.u64(lv.nonce)
+        w.u32(len(lv.tables))
+        for rec in lv.tables:
+            w.u32(rec.table_id)
+            w.u64(rec.num_queries)
+            w.u32(rec.num_vars)
+            w.bytes_(rec.root_cols)
+            w.bytes_(rec.root_g)
+            self._write_zerocheck(w, rec.zc)
+            self._write_ligero_proof(w, rec.cols_proof)
+            self._write_ligero_proof(w, rec.g_proof)
+            for name in sorted(rec.g_sums):
+                w.u64(rec.g_sums[name] % self.F.MODULUS)
+        ts = lv.table_side
+        w.u8(1 if ts is not None else 0)
+        if ts is None:
+            return
+        w.u32(len(ts.names))
+        for name in ts.names:
+            data = name.encode()
+            w.u8(len(data))
+            w.bytes_(data)
+        w.bytes_(ts.root_m)
+        w.bytes_(ts.root_h)
+        self._write_zerocheck(w, ts.zc)
+        self._write_ligero_proof(w, ts.m_proof)
+        self._write_ligero_proof(w, ts.h_proof)
+        for name in ts.names:
+            w.u64(ts.h_sums[name] % self.F.MODULUS)
+
+    def _read_lookup_validity(self, r: _Reader):
+        from ..lookups.validity import (
+            GADGETS,
+            LookupValidityProof,
+            SubtableSideRecord,
+            TableValidityRecord,
+        )
+
+        nonce = r.u64()
+        tables = []
+        for _ in range(r.u32()):
+            table_id = r.u32()
+            gadget = GADGETS.get(table_id)
+            if gadget is None:
+                raise SerializationError(f"unknown validity gadget table {table_id}")
+            num_queries = r.u64()
+            num_vars = r.u32()
+            root_cols = r.bytes_(32)
+            root_g = r.bytes_(32)
+            g_names = sorted(g for g, _s, _k in gadget.inclusions)
+            zc = self._read_zerocheck(r, list(gadget.columns) + g_names)
+            cols_proof = self._read_ligero_proof(r)
+            g_proof = self._read_ligero_proof(r)
+            g_sums = {name: r.u64() for name in g_names}
+            tables.append(TableValidityRecord(
+                table_id=table_id, num_queries=num_queries, num_vars=num_vars,
+                root_cols=root_cols, root_g=root_g, zc=zc,
+                cols_proof=cols_proof, g_proof=g_proof, g_sums=g_sums,
+            ))
+        table_side = None
+        if r.u8():
+            names = []
+            for _ in range(r.u32()):
+                names.append(r.bytes_(r.u8()).decode())
+            root_m = r.bytes_(32)
+            root_h = r.bytes_(32)
+            eval_names = [f"m_{n}" for n in names] + [f"h_{n}" for n in names]
+            zc = self._read_zerocheck(r, eval_names)
+            m_proof = self._read_ligero_proof(r)
+            h_proof = self._read_ligero_proof(r)
+            h_sums = {name: r.u64() for name in names}
+            table_side = SubtableSideRecord(
+                names=names, root_m=root_m, root_h=root_h, zc=zc,
+                m_proof=m_proof, h_proof=h_proof, h_sums=h_sums,
+            )
+        return LookupValidityProof(nonce=nonce, tables=tables, table_side=table_side)
 
     @staticmethod
     def _read_ligero_proof(r: _Reader):
@@ -299,11 +420,13 @@ class BinarySerializer:
         logup_sum = r.u64()
         logup_root = r.bytes_(32)
         logup_proof = self._read_ligero_proof(r)
+        lookup_validity = self._read_lookup_validity(r)
         return V2Section(aux_roots=aux_roots, column_evals=column_evals,
                          aux_openings=aux_openings, lasso_extras=lasso_extras,
                          pcs_root=pcs_root, pcs_proof=pcs_proof,
                          logup_nonce=logup_nonce, logup_sum=logup_sum,
-                         logup_root=logup_root, logup_proof=logup_proof)
+                         logup_root=logup_root, logup_proof=logup_proof,
+                         lookup_validity=lookup_validity)
 
     # -- deserialize -------------------------------------------------------
     def deserialize(self, data: bytes) -> Proof:

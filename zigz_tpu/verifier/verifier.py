@@ -237,6 +237,17 @@ class Verifier:
         ):
             return VerificationResult.RejectInvalidLookup
 
+        # Lookup validity: every gadget-covered query multiset must be
+        # proven to consist of genuine table entries (lookups/validity.py).
+        from ..lookups.validity import LookupValidityProof, verify_lookup_validity
+
+        lasso_counts = {l.table_id: l.num_lookups for l in proof.lookup_proofs}
+        lv = proof.v2.lookup_validity
+        if lv is None:
+            lv = LookupValidityProof(nonce=0, tables=[], table_side=None)
+        if not verify_lookup_validity(F, transcript, lv, lasso_counts, hash_mode):
+            return VerificationResult.RejectInvalidLookup
+
         # Commitment phase: bind roots, re-derive points, CHECK them.
         transcript.append_bytes(b"POLY_COMMITMENTS")
         for c in proof.witness_commitments:
