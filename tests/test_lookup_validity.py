@@ -78,6 +78,16 @@ def _mk_queries(table_id, n):
         out = in0 | in1
     elif table_id == 4:
         out = in0 ^ in1
+    elif table_id in (5, 6, 7):
+        # Shift tables: only the low 6 bits of in1 matter; keep some rows
+        # with garbage upper bits in in1 to exercise the yq binding.
+        s = (in1 & np.uint64(63)).astype(np.uint64)
+        if table_id == 5:
+            out = in0 << s
+        elif table_id == 6:
+            out = in0 >> s
+        else:
+            out = (s0 >> s.astype(np.int64)).view(np.uint64)
     elif table_id == 8:
         out = (s0 < s1).astype(np.uint64)
     elif table_id == 9:
@@ -153,6 +163,45 @@ def test_engine_multi_table_and_counts():
     assert not verify_lookup_validity(
         F, FiatShamirTranscript(), lv, {0: 10, 1: 5, 2: 12, 4: 14}
     )
+
+
+@pytest.mark.parametrize("table_id", [5, 6, 7])
+def test_engine_forged_shift_output_rejected(table_id):
+    """Wrong shift result: honest prover catches it; a self-check-bypassing
+    prover's argument fails verification (the staged-shifter zerocheck)."""
+    queries = {table_id: _mk_queries(table_id, 16)}
+
+    def forge(tid, cols):
+        cols["z1"] = cols["z1"].copy()
+        cols["z1"][4] = (cols["z1"][4] + 1) % (1 << 16)
+
+    with pytest.raises(AssertionError, match="lookup validity violated"):
+        prove_lookup_validity(F, FiatShamirTranscript(), queries, _forge_hook=forge)
+    lv = prove_lookup_validity(
+        F, FiatShamirTranscript(), queries, _forge_hook=forge,
+        _unsafe_skip_self_checks=True,
+    )
+    assert not verify_lookup_validity(F, FiatShamirTranscript(), lv, {table_id: 16})
+
+
+def test_engine_forged_shift_amount_rejected():
+    """Claiming a different shift amount than y encodes must break the
+    y0 = s + 64*yq binding (alpha/beta one-hots left for the forged s)."""
+    queries = {6: _mk_queries(6, 16)}
+
+    def forge(tid, cols):
+        # Pretend row 3 shifted by s+1: rebuild nothing, just bump y0 so
+        # the committed query differs from the shifter's s decomposition.
+        cols["y0"] = cols["y0"].copy()
+        cols["y0"][3] = (cols["y0"][3] + 1) % (1 << 16)
+
+    with pytest.raises(AssertionError, match="lookup validity violated"):
+        prove_lookup_validity(F, FiatShamirTranscript(), queries, _forge_hook=forge)
+    lv = prove_lookup_validity(
+        F, FiatShamirTranscript(), queries, _forge_hook=forge,
+        _unsafe_skip_self_checks=True,
+    )
+    assert not verify_lookup_validity(F, FiatShamirTranscript(), lv, {6: 16})
 
 
 @pytest.mark.parametrize("table_id,col", [(0, "z0"), (4, "o2")])
@@ -255,10 +304,10 @@ def _bne(rs1, rs2, off):
 
 
 def _alu_program():
-    """ADDI x1, ADDI x2, then ADD/SUB/AND/OR/XOR/SLT/SLTU over them, a
-    taken BNE, EBREAK."""
+    """ADDI x1, ADDI x2, then ADD/SUB/AND/OR/XOR/shift/SLT/SLTU over
+    them, a taken BNE, EBREAK."""
     return struct.pack(
-        "<13I",
+        "<16I",
         _addi(1, 0, 0x2AB),
         _addi(2, 0, 0x173),
         _op(3, 1, 2, 0b000),        # ADD
@@ -266,6 +315,9 @@ def _alu_program():
         _op(5, 1, 2, 0b111),        # AND
         _op(6, 1, 2, 0b110),        # OR
         _op(7, 1, 2, 0b100),        # XOR
+        _op(8, 1, 2, 0b001),        # SLL (s = 0x173 & 63 = 51)
+        _op(9, 1, 2, 0b101),        # SRL
+        _op(10, 4, 2, 0b101, 0x20),  # SRA (x4 = x1-x2 keeps it simple)
         _op(28, 1, 2, 0b010),       # SLT
         _op(29, 1, 2, 0b011),       # SLTU
         _bne(1, 2, 8),              # taken, skips the next ADDI
@@ -285,8 +337,10 @@ def test_alu_program_end_to_end(version):
     assert proof.public_io.final_regs[28] == 0  # 0x2AB < 0x173 is false
     assert proof.public_io.final_regs[30] == 0  # branch taken
     assert proof.public_io.final_regs[31] == 7
+    assert proof.public_io.final_regs[8] == (0x2AB << 51) % (1 << 64)
+    assert proof.public_io.final_regs[9] == 0x2AB >> 51
     assert {r.table_id for r in proof.v2.lookup_validity.tables} == {
-        0, 1, 2, 3, 4, 8, 9, 10
+        0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10
     }
     assert Verifier(F).verify(proof, program) == VerificationResult.Accept
     ser = BinarySerializer(F)

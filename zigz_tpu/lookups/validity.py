@@ -51,6 +51,17 @@ Gadget constraint systems (all degree <= 2; zerocheck degree 3):
       range-checked, so the borrow-out b3 IS the comparison; SLT biases
       both top limbs by +2^15 (sign flip) via a range-checked split.
 
+    SLL/SRL/SRA (s = y & 63, RV64): a staged 128-bit shifter computes
+      x * 2^t in 16-bit limbs — t = 16a + b with a one-hot and b in
+      bits; 2^b via two committed partial products; limb rotation by a;
+      per-limb w_j * 2^b = lo_j + 2^16 hi_j with lo/hi range-checked
+      (shifted sub-limb pieces never overlap, so v_j = lo_j + hi_{j-1}
+      is carry-free).  SLL reads the low half of x * 2^s; SRL reads the
+      HIGH half of x * 2^(64-s) (exactly x >> s); SRA adds
+      sign * fill-mask limbs derived from the same one-hot.  The shift
+      amount is bound to the query by y0 = s + 64*yq with 64*yq
+      range-checked.
+
     BRANCH (all variants share one catalog table): queries carry
       funct3; one-hot selectors bound to funct3 route equality (per-limb
       inverse gadgets + product tree) and the two borrow chains into the
@@ -391,6 +402,200 @@ class _SltGadget(_SltuGadget):
     signed = True
 
 
+def _sub_m(a, b, p):
+    """a - b mod p for python ints AND canonical uint64 numpy arrays
+    (a + p stays < 2^32, so uint64 never wraps)."""
+    return (a + p - b) % p
+
+
+def _mul_m(a, b, p):
+    return a * b % p
+
+
+class _ShiftGadget:
+    """SLL/SRL/SRA: out = x << s / x >> s (logical/arithmetic), s = y & 63
+    (state.py:248-260, :328-340 — RV64 shamt is the low 6 bits of rs2/imm).
+
+    Core is a staged 128-bit shifter proving v = x * 2^t as 8 carry-free
+    16-bit limbs:
+
+      * t = 16*alpha + beta: ``A{i}`` one-hot selects alpha, ``b{i}``
+        bits give beta; ``pb = 2^beta`` via two degree-2 partial
+        products (pb01, pb23).
+      * limb rotation: w_j = sum_i A_i * x_{j-i}            (j = 0..7)
+      * sub-limb shift: w_j * pb = lo_j + 2^16 * hi_j with lo/hi
+        RANGE16-checked — the unique decomposition of a < 2^32 value.
+        v_j = lo_j + hi_{j-1}: lo_j's low beta bits are zero and
+        hi_{j-1} < 2^beta, so the sum is carry-free and < 2^16.
+
+    SLL: t = s (alpha in [0,3] keeps the decomposition of y0 unique),
+         z_j = v_j (mod-2^64 truncation = dropping the high limbs).
+    SRL: t = 64 - s (alpha in [0,4]; s has its own one-hot ``sa{i}`` +
+         bits ``sb{i}``, linked by 16a+b + 16sa+sb = 64), z_j = v_{4+j}
+         — the high half of x * 2^(64-s) IS x >> s.
+    SRA: SRL plus sign fill: z_j = v_{4+j} + sgn * mk_j where mk_j are
+         the limbs of 2^64 - 2^(64-s) (committed, bound to the one-hot)
+         and sgn is x's top bit via the 2*x3 = 2^16*sgn + rx2 split.
+         Fill bits sit strictly above the SRL result, so no carries.
+
+    The shift amount binds to the query via y0 = (16sa+sb) + 64*yq with
+    64*yq RANGE16-checked (yq < 2^10, unique since s < 64 <= 2^6).
+    """
+
+    def __init__(self, kind: str):
+        assert kind in ("SLL", "SRL", "SRA")
+        self.kind = kind
+        na = self._n_alpha = 4 if kind == "SLL" else 5
+        cols = [f"{pre}{j}" for pre in ("x", "y", "z") for j in _LIMB]
+        cols += ["yq", "pb01", "pb23", "pb"]
+        cols += [f"b{i}" for i in range(4)]
+        cols += [f"A{i}" for i in range(na)]
+        if kind != "SLL":
+            cols += [f"sa{i}" for i in range(4)] + [f"sb{i}" for i in range(4)]
+        cols += [f"w{j}" for j in range(8)]
+        cols += [f"lo{j}" for j in range(8)]
+        cols += [f"hi{j}" for j in range(7)]
+        if kind == "SRA":
+            cols += ["sgn", "rx2"] + [f"mk{j}" for j in _LIMB]
+        self.columns = tuple(sorted(cols))
+        inc = [
+            (f"g_{pre}{j}", "RANGE16", {f"{pre}{j}": 1})
+            for pre in ("x", "y", "z") for j in _LIMB
+        ]
+        inc.append(("g_yq", "RANGE16", {"yq": 64}))
+        inc += [(f"g_lo{j}", "RANGE16", {f"lo{j}": 1}) for j in range(8)]
+        inc += [(f"g_hi{j}", "RANGE16", {f"hi{j}": 1}) for j in range(7)]
+        if kind == "SRA":
+            inc.append(("g_rx2", "RANGE16", {"rx2": 1}))
+        self.inclusions: Tuple[Inclusion, ...] = tuple(inc)
+
+    def build(self, inputs: np.ndarray, outputs: np.ndarray, n_pad: int, p: int):
+        one = np.uint64(1)
+        x, y, z = _pad_cols([inputs[:, 0], inputs[:, 1], outputs[:, 0]], n_pad)
+        cols = {**_limbs("x", x), **_limbs("y", y), **_limbs("z", z)}
+        s = y & np.uint64(63)
+        cols["yq"] = (y & _M16) >> np.uint64(6)
+        t = s if self.kind == "SLL" else np.uint64(64) - s
+        alpha = t >> np.uint64(4)
+        beta = t & np.uint64(15)
+        for i in range(4):
+            cols[f"b{i}"] = (beta >> np.uint64(i)) & one
+        for i in range(self._n_alpha):
+            cols[f"A{i}"] = (alpha == i).astype(np.uint64)
+        if self.kind != "SLL":
+            for i in range(4):
+                cols[f"sa{i}"] = ((s >> np.uint64(4)) == i).astype(np.uint64)
+                cols[f"sb{i}"] = (s >> np.uint64(i)) & one
+        pb = one << beta
+        cols["pb01"] = (one + cols["b0"]) * (one + np.uint64(3) * cols["b1"])
+        cols["pb23"] = (one + np.uint64(15) * cols["b2"]) * (
+            one + np.uint64(255) * cols["b3"]
+        )
+        cols["pb"] = pb
+        for j in range(8):
+            w = np.zeros(n_pad, dtype=np.uint64)
+            for i in range(self._n_alpha):
+                if 0 <= j - i <= 3:
+                    w += cols[f"A{i}"] * cols[f"x{j - i}"]
+            cols[f"w{j}"] = w
+            prod = w * pb
+            cols[f"lo{j}"] = prod & _M16
+            if j < 7:
+                cols[f"hi{j}"] = prod >> np.uint64(16)
+        if self.kind == "SRA":
+            cols["sgn"] = cols["x3"] >> np.uint64(15)
+            cols["rx2"] = (cols["x3"] & np.uint64(0x7FFF)) * np.uint64(2)
+            for j in _LIMB:
+                low = np.where(
+                    alpha > j, np.uint64(0xFFFF),
+                    np.where(alpha == j, pb - one, np.uint64(0)),
+                )
+                cols[f"mk{j}"] = np.uint64(0xFFFF) - low
+        return cols
+
+    def _terms(self, ev, p: int):
+        """Constraint terms; ev values are python ints OR canonical
+        uint64 arrays — every operation goes through _sub_m/_mul_m."""
+        na = self._n_alpha
+        one = 1 % p
+        terms = []
+        bools = [f"A{i}" for i in range(na)] + [f"b{i}" for i in range(4)]
+        if self.kind != "SLL":
+            bools += [f"sa{i}" for i in range(4)] + [f"sb{i}" for i in range(4)]
+        if self.kind == "SRA":
+            bools.append("sgn")
+        for name in bools:
+            terms.append(_mul_m(ev[name], _sub_m(one, ev[name], p), p))
+        onehot_a = 0
+        for i in range(na):
+            onehot_a = (onehot_a + ev[f"A{i}"]) % p
+        terms.append(_sub_m(onehot_a, one, p))
+        t_lin = 0
+        for i in range(na):
+            t_lin = (t_lin + (16 * i % p) * ev[f"A{i}"]) % p
+        for i in range(4):
+            t_lin = (t_lin + (1 << i) * ev[f"b{i}"]) % p
+        if self.kind == "SLL":
+            s_lin = t_lin
+        else:
+            onehot_s = 0
+            s_lin = 0
+            for i in range(4):
+                onehot_s = (onehot_s + ev[f"sa{i}"]) % p
+                s_lin = (s_lin + (16 * i % p) * ev[f"sa{i}"]
+                         + (1 << i) * ev[f"sb{i}"]) % p
+            terms.append(_sub_m(onehot_s, one, p))
+            terms.append(_sub_m((t_lin + s_lin) % p, 64 % p, p))
+        # y0 = s + 64*yq.
+        terms.append(_sub_m(ev["y0"], (s_lin + 64 * ev["yq"]) % p, p))
+        # pb = 2^beta via two partial products.
+        terms.append(_sub_m(
+            ev["pb01"],
+            _mul_m((one + ev["b0"]) % p, (one + 3 * ev["b1"]) % p, p), p))
+        terms.append(_sub_m(
+            ev["pb23"],
+            _mul_m((one + 15 * ev["b2"]) % p, (one + 255 * ev["b3"]) % p, p), p))
+        terms.append(_sub_m(ev["pb"], _mul_m(ev["pb01"], ev["pb23"], p), p))
+        # Rotation and sub-limb shift.
+        for j in range(8):
+            rot = 0
+            for i in range(na):
+                if 0 <= j - i <= 3:
+                    rot = (rot + _mul_m(ev[f"A{i}"], ev[f"x{j - i}"], p)) % p
+            terms.append(_sub_m(ev[f"w{j}"], rot, p))
+            rhs = ev[f"lo{j}"] if j == 7 else (
+                ev[f"lo{j}"] + (1 << 16) * ev[f"hi{j}"]
+            ) % p
+            terms.append(_sub_m(_mul_m(ev[f"w{j}"], ev["pb"], p), rhs, p))
+        # Output limbs.
+        off = 0 if self.kind == "SLL" else 4
+        for j in _LIMB:
+            v = ev[f"lo{off + j}"]
+            if off + j > 0:
+                v = (v + ev[f"hi{off + j - 1}"]) % p
+            if self.kind == "SRA":
+                v = (v + _mul_m(ev["sgn"], ev[f"mk{j}"], p)) % p
+            terms.append(_sub_m(ev[f"z{j}"], v, p))
+        if self.kind == "SRA":
+            terms.append(_sub_m(
+                2 * ev["x3"] % p, ((1 << 16) * ev["sgn"] + ev["rx2"]) % p, p))
+            # mk_j = 0xFFFF - (0xFFFF*[j < alpha] + (pb-1)*[j == alpha]).
+            for j in _LIMB:
+                above = 0
+                for i in range(j + 1, na):
+                    above = (above + ev[f"A{i}"]) % p
+                low = (0xFFFF * above
+                       + _mul_m(ev[f"A{j}"], _sub_m(ev["pb"], one, p), p)) % p
+                terms.append(_sub_m(ev[f"mk{j}"], _sub_m(0xFFFF % p, low, p), p))
+        return terms
+
+    def constraint_arrays(self, cols, p: int) -> List[np.ndarray]:
+        return self._terms(cols, p)
+
+    def constraint_scalars(self, ev, p: int) -> List[int]:
+        return self._terms(ev, p)
+
+
 # funct3 encodings of the six RV64 branch comparisons (rv64i BRANCH).
 _BRANCH_F3 = {"t_eq": 0, "t_ne": 1, "t_lt": 4, "t_ge": 5, "t_ltu": 6, "t_geu": 7}
 
@@ -522,14 +727,16 @@ class _BranchGadget:
 
 # table_id -> gadget (ids per lookups/pipeline_lasso.TABLE_IDS catalog
 # order ADD..STORE).  LOAD/STORE have no static semantics (memory
-# consistency is a separate argument); SLL/SRL/SRA are the next build
-# phase (shamt-keyed subtables).
+# consistency is a separate argument).
 GADGETS = {
     0: _AddSubGadget(is_sub=False),  # ADD
     1: _AddSubGadget(is_sub=True),   # SUB
     2: _BitwiseGadget("AND"),
     3: _BitwiseGadget("OR"),
     4: _BitwiseGadget("XOR"),
+    5: _ShiftGadget("SLL"),
+    6: _ShiftGadget("SRL"),
+    7: _ShiftGadget("SRA"),
     8: _SltGadget(),
     9: _SltuGadget(),
     10: _BranchGadget(),
