@@ -350,6 +350,30 @@ def test_alu_program_end_to_end(version):
     assert Verifier(F).verify(restored, program) == VerificationResult.Accept
 
 
+def test_alu_writes_to_x0_stay_honest():
+    """Writes to x0 are discarded (rd_after = 0) but the table entry's
+    output is the operation result — extraction must emit the semantic
+    output so honest traces keep passing the validity argument."""
+    program = struct.pack(
+        "<8I",
+        _addi(1, 0, 5),
+        _addi(2, 0, 7),
+        _op(0, 1, 2, 0b000),        # ADD  x0, x1, x2  (result 12, dropped)
+        _op(0, 1, 2, 0b100),        # XOR  x0
+        _op(0, 1, 2, 0b001),        # SLL  x0
+        _op(0, 1, 2, 0b011),        # SLTU x0
+        _addi(0, 1, 3),             # ADDI x0, x1, 3
+        0x00100073,
+    )
+    proof = Prover(F, seed=0, protocol_version=2).prove(
+        program, 0x1000, None, 1 << 8, None, None
+    )
+    assert Verifier(F).verify(proof, program) == VerificationResult.Accept
+    # The ADD queries carry the semantic outputs, not rd_after.
+    add_rec = next(r for r in proof.v2.lookup_validity.tables if r.table_id == 0)
+    assert add_rec.num_queries == 4  # 2 ADDI + ADD x0 + ADDI x0
+
+
 def test_forged_add_output_rejected_end_to_end(monkeypatch):
     """The VERDICT gate: a trace containing a WRONG ADD result is caught.
     Forge the extracted query output for the ADD table; the honest prover

@@ -131,6 +131,22 @@ def extract_table_queries(trace) -> Dict[int, Tuple[np.ndarray, np.ndarray]]:
         next_pc = np.fromiter(trace.next_pcs, dtype=np.uint64, count=n)
         pcs = np.fromiter(trace.pcs, dtype=np.uint64, count=n)
 
+    def _alu_semantics(table_id: int, in0: np.ndarray, in1: np.ndarray) -> np.ndarray:
+        """RV64 result for the ten ALU tables (state.py:245-263)."""
+        s = in1 & np.uint64(63)
+        return {
+            0: lambda: in0 + in1,
+            1: lambda: in0 - in1,
+            2: lambda: in0 & in1,
+            3: lambda: in0 | in1,
+            4: lambda: in0 ^ in1,
+            5: lambda: in0 << s,
+            6: lambda: in0 >> s,
+            7: lambda: (in0.view(np.int64) >> s.astype(np.int64)).view(np.uint64),
+            8: lambda: (in0.view(np.int64) < in1.view(np.int64)).astype(np.uint64),
+            9: lambda: (in0 < in1).astype(np.uint64),
+        }[table_id]()
+
     steps = np.arange(n)
     if cols is not None:
         native = None
@@ -182,6 +198,15 @@ def extract_table_queries(trace) -> Dict[int, Tuple[np.ndarray, np.ndarray]]:
         outv = np.where(
             is_branch, taken, np.where(is_mem, mem_val[mask], rd_after[mask])
         )
+        if table_id <= TABLE_IDS["SLTU"]:
+            # ALU writes to x0 are discarded by the register file, so
+            # rd_after is 0 there — but the TABLE entry's output is the
+            # operation result (an honest `ADD x0, x1, x2` must stay a
+            # genuine table entry for the validity argument).  Recompute
+            # the semantic output on those rows.
+            x0_rows = rd[mask] == 0
+            if x0_rows.any():
+                outv = np.where(x0_rows, _alu_semantics(table_id, in0, in1), outv)
 
         if table_id == TABLE_IDS["BEQ"]:
             inputs = np.stack([in0, in1, funct3[mask]], axis=1)
