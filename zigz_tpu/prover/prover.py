@@ -472,7 +472,10 @@ class Prover:
         if lookup_count > 0:
             import numpy as np
 
-            ids = np.arange(lookup_count, dtype=np.uint64) % np.uint64(F.MODULUS)
+            ids = np.arange(lookup_count, dtype=np.uint64)
+            if lookup_count > F.MODULUS:
+                # uint64 vector mod is ~2s at 2^22 and a no-op below p.
+                ids %= np.uint64(F.MODULUS)
             stream = np.empty((lookup_count, 19), dtype=np.uint8)
             stream[:, :11] = np.frombuffer(b"LASSO_TABLE", dtype=np.uint8)
             stream[:, 11:] = (
