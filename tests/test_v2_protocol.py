@@ -258,3 +258,52 @@ def test_v2_rejects_tampered_pcs_column():
     proof = _prove_v2_simple(program)
     proof.v2.pcs_proof.columns[3][1] = (int(proof.v2.pcs_proof.columns[3][1]) + 1) % F.MODULUS
     assert Verifier(F).verify(proof, program) == VerificationResult.RejectInvalidCommitment
+
+
+# -- register memory check (constraints/regcheck.py) ------------------------
+
+def test_v2_rejects_missing_regcheck():
+    program = _nop_add_program()
+    proof = _prove_v2_simple(program)
+    assert proof.v2.regcheck is not None
+    proof.v2.regcheck = None
+    assert (
+        Verifier(F).verify(proof, program)
+        == VerificationResult.RejectInvalidRegisterAccess
+    )
+
+
+def test_v2_rejects_tampered_regcheck_over_wire():
+    """Tamper the deserialized regcheck multiset sum: the logUp grand
+    equation (or its Ligero sum binding) must fail."""
+    program = _nop_add_program()
+    proof = _prove_v2_simple(program)
+    ser = BinarySerializer(F)
+    restored = ser.deserialize(ser.serialize(proof))
+    restored.v2.regcheck.g_sums["g_r1"] = (
+        restored.v2.regcheck.g_sums["g_r1"] + 1
+    ) % F.MODULUS
+    assert (
+        Verifier(F).verify(restored, program)
+        == VerificationResult.RejectInvalidRegisterAccess
+    )
+
+
+def test_v2_rejects_forged_regcheck_final_ts():
+    program = _nop_add_program()
+    proof = _prove_v2_simple(program)
+    proof.v2.regcheck.final_ts[5] = (proof.v2.regcheck.final_ts[5] + 1) % (1 << 32)
+    assert (
+        Verifier(F).verify(proof, program)
+        == VerificationResult.RejectInvalidRegisterAccess
+    )
+
+
+def test_v2_regcheck_covers_ecall_read_writes():
+    """ECALL_READ writes a0 though the instruction's rd is 0; the access
+    model must still balance (the fibonacci guest consumes the tape)."""
+    guest = fibonacci_guest()
+    loaded = elf.load(guest)
+    proof = _prove_v2(guest, loaded.entry_pc, loaded.segments, [9])
+    assert proof.v2.regcheck is not None
+    assert Verifier(F).verify(proof, guest) == VerificationResult.Accept

@@ -1,0 +1,599 @@
+"""Register-file consistency: offline memory checking over the trace.
+
+The reference constrains register dataflow only as metadata
+("register_updates", builder.zig:77-149 TODO); protocol v2 proves it for
+real with a Spice-style offline memory check (the standard zkVM read/
+write-set argument) over the 32-cell register file:
+
+* Every step performs THREE accesses, each modeled read-then-write:
+    access 1 (ts 3i+1): read cell rs1(i)  -> value rv1, write rv1 back
+    access 2 (ts 3i+2): read cell rs2(i)  -> value rv2, write rv2 back
+    access 3 (ts 3i+3): read cell wr(i)   -> old value ov, write wv
+  where wr is the trace's authoritative per-step write register
+  (reg_write_idx — NOT always the decoded rd: ECALL_READ writes a0,
+  state.py:_exec_system) and wv its post-step value (0 for x0 — the
+  file hardwires it, state.py:_wr).
+* Committed advice per step: the three cell indices, the four values
+  (as 4 x 16-bit range-checked limbs each), and the three read
+  timestamps (range-decomposed, with the lag ts_w - 1 - ts_r also
+  range-decomposed so every read strictly precedes its write).  Write
+  timestamps are the PUBLIC 3*idx+m — the verifier evaluates the idx
+  MLE itself (poly/public_mles.py).
+* logUp multiset equation (drawn after the advice commitment):
+
+      RS + FINAL == WS + INIT          over tuples (cell, value, ts)
+
+  fingerprinted as kappa = a + g*l0 + g^2*l1 + g^3*l2 + g^4*l3 + g^5*ts.
+  INIT tuples are (r, initial_regs[r], 0) — public; FINAL tuples are
+  (r, final_regs[r], final_ts[r]) with final_regs from PublicIO (public)
+  and final_ts explicit in the proof, so the verifier computes both
+  sums itself.  The committed sides live in inverse columns g_r*/g_w*
+  whose hypercube sums are pinned by Ligero sum claims, and whose
+  pointwise correctness (g * (tau - kappa) = sel over the real rows) is
+  a zerocheck constraint.  Uniqueness of write timestamps + per-access
+  read-before-write ordering then force every read to return the last
+  written value (Blum et al.; Spice; Jolt's memory argument).
+
+Together with the public anchoring at BOTH ends (initial_regs, the
+final_regs the verifier already checks against the VM claim), this makes
+the committed rv/wv dataflow the unique register history consistent with
+the public register state — the "register_updates" constraint, for real.
+
+Range checks reuse the RANGE16 logUp pattern from lookups/validity.py
+(multiplicity column over the 2^16 domain, closed-form key MLE).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..poly.public_mles import idx_eval, idx_table, le_indicator_eval, le_table, np_inv
+from ..proofs.zerocheck import ZerocheckProof, ZerocheckProver, ZerocheckVerifier
+
+__all__ = [
+    "RegCheckProof",
+    "RegAccessColumns",
+    "extract_access_columns",
+    "prove_regcheck",
+    "verify_regcheck",
+    "REGCHECK_DEGREE",
+]
+
+_M16 = np.uint64(0xFFFF)
+REGCHECK_DEGREE = 3  # deg(eq * C), constraints are degree <= 2
+
+# (column, coefficient) pairs whose scaled values are RANGE16-checked.
+# tl1/dl1 carry coefficient 16: 16*x < 2^16 bounds x < 2^12, so every
+# reconstructed timestamp/lag is < 2^28.  That bound is deliberately
+# tighter than "< p": a negative integer lag maps mod p into
+# (p - 2^28, p), which is DISJOINT from the representable [0, 2^28)
+# because p - 2^28 > 2^28 — so the decomposition constraint holds over
+# the integers and rt <= ts_w - 1 is genuinely enforced (with p ~ 2^31
+# and 2^30-bounded limbs the two windows would overlap).
+_VALUE_COLS = tuple(f"{pre}_{k}" for pre in ("rv1", "rv2", "ov", "wv") for k in range(4))
+_RANGED = tuple((c, 1) for c in _VALUE_COLS) + tuple(
+    (f"{pre}{m}", coef) for m in (1, 2, 3)
+    for pre, coef in (("tl0_", 1), ("tl1_", 16), ("dl0_", 1), ("dl1_", 16))
+)
+
+COLUMNS = (
+    ("a1", "a2", "a3", "rt1", "rt2", "rt3")
+    + _VALUE_COLS
+    + tuple(f"{pre}{m}" for m in (1, 2, 3) for pre in ("tl0_", "tl1_", "dl0_", "dl1_"))
+)
+G_MEM = tuple(f"g_{side}{m}" for side in ("r", "w") for m in (1, 2, 3))
+G_RNG = tuple(f"gr_{c}" for c, _ in _RANGED)
+NUM_CONSTRAINTS = 6 + 3 + 3 + len(_RANGED)  # logUp, ts-decomp, lag-decomp, ranges
+
+
+@dataclass
+class RegAccessColumns:
+    """Per-step access data (length n, unpadded, canonical uint64)."""
+
+    cells: np.ndarray      # (3, n) rs1/rs2/rd indices
+    values: np.ndarray     # (4, n) rv1/rv2/ov/wv as u64
+    read_ts: np.ndarray    # (3, n)
+    final_ts: List[int]    # per register, ts of last access (0 = untouched)
+
+
+def extract_access_columns(rs1, rs2, rd, rv1, rv2, ov, wv) -> RegAccessColumns:
+    """Derive read timestamps by replaying the deterministic access
+    schedule (ts 3i+1, 3i+2, 3i+3), vectorized via a stable sort."""
+    n = len(rs1)
+    cells = np.stack([
+        np.asarray(rs1, dtype=np.uint64),
+        np.asarray(rs2, dtype=np.uint64),
+        np.asarray(rd, dtype=np.uint64),
+    ])
+    values = np.stack([
+        np.asarray(rv1, dtype=np.uint64),
+        np.asarray(rv2, dtype=np.uint64),
+        np.asarray(ov, dtype=np.uint64),
+        np.asarray(wv, dtype=np.uint64),
+    ])
+    flat_cells = cells.T.reshape(-1)               # access order: step-major
+    ts = np.arange(1, 3 * n + 1, dtype=np.uint64)
+    order = np.argsort(flat_cells, kind="stable")  # groups cells, keeps ts order
+    prev_ts = np.zeros(3 * n, dtype=np.uint64)
+    same = flat_cells[order][1:] == flat_cells[order][:-1]
+    prev_ts[order[1:]] = np.where(same, ts[order[:-1]], np.uint64(0))
+    read_ts = prev_ts.reshape(n, 3).T
+    final_ts = [0] * 32
+    if n:
+        last = np.zeros(32, dtype=np.uint64)
+        np.maximum.at(last, flat_cells.astype(np.int64), ts)
+        final_ts = [int(x) for x in last]
+    return RegAccessColumns(cells=cells, values=values, read_ts=read_ts,
+                            final_ts=final_ts)
+
+
+# ---------------------------------------------------------------------------
+# Proof structure
+
+
+@dataclass
+class RegCheckProof:
+    nonce: int
+    num_vars: int
+    final_ts: List[int]          # 32 entries
+    root_cols: bytes
+    root_g: bytes
+    root_m: bytes
+    root_h: bytes
+    zc: ZerocheckProof           # trace-domain zerocheck
+    zc_table: ZerocheckProof     # RANGE16-domain zerocheck
+    cols_proof: object
+    g_proof: object
+    m_proof: object
+    h_proof: object
+    g_sums: Dict[str, int]       # per g column (mem + range)
+    h_sum: int
+
+
+# ---------------------------------------------------------------------------
+# Fingerprints and combiners
+
+
+def _gamma_powers(gamma: int, p: int) -> List[int]:
+    gs = [1]
+    for _ in range(5):
+        gs.append(gs[-1] * gamma % p)
+    return gs
+
+
+def _kappa_parts(m: int, side: str, gp: List[int]):
+    """(addr_col, value_col_prefix, ts) spec for access m and side r/w."""
+    val_prefix = {1: "rv1", 2: "rv2", 3: ("ov" if side == "r" else "wv")}[m]
+    return f"a{m}", val_prefix
+
+
+def _make_combiner(tau_m: int, tau_r: int, gamma: int, p: int):
+    gp = _gamma_powers(gamma, p)
+
+    def combiner(cols, alphas: List[int], p_: int):
+        P = np.uint64(p)
+        sel = cols["__sel__"]
+        idx = cols["__idx__"]
+        terms = []
+        for m in (1, 2, 3):
+            for side in ("r", "w"):
+                a_name, vpre = _kappa_parts(m, side, gp)
+                kappa = cols[a_name].copy()
+                for k in range(4):
+                    kappa = (kappa + np.uint64(gp[k + 1]) * cols[f"{vpre}_{k}"]) % P
+                if side == "r":
+                    ts = cols[f"rt{m}"]
+                else:
+                    ts = (np.uint64(3) * idx + np.uint64(m)) % P
+                kappa = (kappa + np.uint64(gp[5]) * ts) % P
+                denom = (np.uint64(tau_m) + P - kappa) % P
+                terms.append((cols[f"g_{side}{m}"] * denom + P - sel) % P)
+        for m in (1, 2, 3):
+            # rt = tl0 + 2^16 tl1  and  3 idx + m - 1 - rt = dl0 + 2^16 dl1.
+            recon = (cols[f"tl0_{m}"] + np.uint64(1 << 16) * cols[f"tl1_{m}"]) % P
+            terms.append((cols[f"rt{m}"] + P - recon) % P)
+            lag = (np.uint64(3) * idx + np.uint64(m - 1)) % P
+            recon_d = (cols[f"dl0_{m}"] + np.uint64(1 << 16) * cols[f"dl1_{m}"]) % P
+            terms.append((lag + P + P - cols[f"rt{m}"] - recon_d) % P)
+        for c, coef in _RANGED:
+            denom = (np.uint64(tau_r) + P - np.uint64(coef) * cols[c] % P) % P
+            terms.append((cols[f"gr_{c}"] * denom + P - np.uint64(1)) % P)
+        acc = np.zeros_like(sel)
+        for alpha, t in zip(alphas, terms):
+            acc = (acc + np.uint64(alpha) * t) % P
+        return acc
+
+    return combiner
+
+
+def _make_combiner_scalar(tau_m: int, tau_r: int, gamma: int, num_steps: int,
+                          num_vars: int, p: int):
+    gp = _gamma_powers(gamma, p)
+
+    def combiner_scalar(ev, alphas: List[int], p_: int) -> int:
+        rs = combiner_scalar.final_point
+        sel = le_indicator_eval(num_steps - 1, num_vars, rs, p)
+        idx = idx_eval(num_vars, rs, p)
+        terms = []
+        for m in (1, 2, 3):
+            for side in ("r", "w"):
+                a_name, vpre = _kappa_parts(m, side, gp)
+                kappa = ev[a_name]
+                for k in range(4):
+                    kappa = (kappa + gp[k + 1] * ev[f"{vpre}_{k}"]) % p
+                ts = ev[f"rt{m}"] if side == "r" else (3 * idx + m) % p
+                kappa = (kappa + gp[5] * ts) % p
+                terms.append((ev[f"g_{side}{m}"] * ((tau_m - kappa) % p) - sel) % p)
+        for m in (1, 2, 3):
+            recon = (ev[f"tl0_{m}"] + (1 << 16) * ev[f"tl1_{m}"]) % p
+            terms.append((ev[f"rt{m}"] - recon) % p)
+            lag = (3 * idx + m - 1) % p
+            recon_d = (ev[f"dl0_{m}"] + (1 << 16) * ev[f"dl1_{m}"]) % p
+            terms.append((lag - ev[f"rt{m}"] - recon_d) % p)
+        for c, coef in _RANGED:
+            terms.append((ev[f"gr_{c}"] * ((tau_r - coef * ev[c]) % p) - 1) % p)
+        return sum(a * t for a, t in zip(alphas, terms)) % p
+
+    combiner_scalar.final_point = None
+    return combiner_scalar
+
+
+def _make_table_combiner(tau_r: int):
+    def combiner(cols, alphas: List[int], p: int):
+        P = np.uint64(p)
+        denom = (np.uint64(tau_r) + P - cols["__key__"]) % P
+        return np.uint64(alphas[0]) * ((cols["h"] * denom + P - cols["m"]) % P) % P
+
+    return combiner
+
+
+def _make_table_combiner_scalar(tau_r: int, final_point: List[int]):
+    def combiner_scalar(ev, alphas: List[int], p: int) -> int:
+        key = idx_eval(16, final_point, p)
+        return alphas[0] * ((ev["h"] * ((tau_r - key) % p) - ev["m"]) % p) % p
+
+    return combiner_scalar
+
+
+def _boundary_sum(tau_m: int, gamma: int, regs: List[int], ts: List[int], p: int) -> int:
+    """sum_r 1/(tau - kappa(r, regs[r], ts[r])) — computed by BOTH sides."""
+    gp = _gamma_powers(gamma, p)
+    acc = 0
+    for r in range(32):
+        v = regs[r] if r < len(regs) else 0
+        kappa = r
+        for k in range(4):
+            kappa = (kappa + gp[k + 1] * ((v >> (16 * k)) & 0xFFFF)) % p
+        kappa = (kappa + gp[5] * (ts[r] % p)) % p
+        d = (tau_m - kappa) % p
+        if d == 0:
+            return None  # nonce retry
+        acc = (acc + pow(d, p - 2, p)) % p
+    return acc
+
+
+# ---------------------------------------------------------------------------
+# Prover
+
+
+def _limb(v: np.ndarray, k: int) -> np.ndarray:
+    return (v >> np.uint64(16 * k)) & _M16
+
+
+def prove_regcheck(F, transcript, access: RegAccessColumns, num_vars: int,
+                   initial_regs: Optional[List[int]], final_regs: List[int],
+                   hash_mode: str = "sha3", _forge_hook=None,
+                   _unsafe_skip_self_checks=False) -> RegCheckProof:
+    from ..commitments.ligero import LigeroClaim, _row_col_weights, ligero_commit, ligero_prove_claims
+
+    p = F.MODULUS
+    if p >= (1 << 31):
+        raise ValueError("regcheck requires a field modulus < 2^31")
+    n = access.cells.shape[1]
+    padded = 1 << num_vars
+    init = list(initial_regs) if initial_regs is not None else [0] * 32
+    ts_w_max = 3 * padded + 3
+    assert ts_w_max < (1 << 30), "trace too long for the 2-limb ts decomposition"
+
+    cols: Dict[str, np.ndarray] = {}
+
+    def _pad(a):
+        b = np.zeros(padded, dtype=np.uint64)
+        b[:n] = a
+        return b
+
+    for m in (1, 2, 3):
+        cols[f"a{m}"] = _pad(access.cells[m - 1])
+        cols[f"rt{m}"] = _pad(access.read_ts[m - 1])
+    for j, pre in enumerate(("rv1", "rv2", "ov", "wv")):
+        for k in range(4):
+            cols[f"{pre}_{k}"] = _pad(_limb(access.values[j], k))
+    idx = np.arange(padded, dtype=np.uint64)
+    for m in (1, 2, 3):
+        rt = cols[f"rt{m}"]
+        cols[f"tl0_{m}"] = rt & _M16
+        cols[f"tl1_{m}"] = rt >> np.uint64(16)
+        lag = 3 * idx + np.uint64(m - 1) - rt  # >= 0 for honest advice
+        cols[f"dl0_{m}"] = lag & _M16
+        cols[f"dl1_{m}"] = lag >> np.uint64(16)
+
+    if _forge_hook is not None:
+        _forge_hook(cols)
+
+    # Multiplicities over RANGE16 for every ranged (scaled) column.
+    m_col = np.zeros(1 << 16, dtype=np.uint64)
+    ok_rows = True
+    for c, coef in _RANGED:
+        scaled = np.uint64(coef) * cols[c]
+        if np.any(scaled > _M16):
+            ok_rows = False
+            if not _unsafe_skip_self_checks:
+                raise AssertionError(f"regcheck violated: column {c} out of range")
+            scaled = scaled & _M16
+        m_col += np.bincount(scaled.astype(np.int64), minlength=1 << 16).astype(np.uint64)
+
+    transcript.append_bytes(b"RC_BEGIN")
+    transcript.append_u64(n)
+    for r in range(32):
+        transcript.append_u64(final_regs[r] if r < len(final_regs) else 0)
+    for r in range(32):
+        transcript.append_u64(access.final_ts[r])
+    state = ligero_commit(F, cols, hash_mode)
+    transcript.append_bytes(state.root)
+    m_state = ligero_commit(F, {"m": m_col}, hash_mode)
+    transcript.append_bytes(b"RC_MULT")
+    transcript.append_bytes(m_state.root)
+
+    # Challenges with nonce retry on zero denominators.
+    P64 = np.uint64(p)
+    sel = le_table(n - 1, num_vars)
+    gp = None
+    nonce = 0
+    while True:
+        trial = transcript.fork()
+        trial.append_bytes(b"RC_CHAL")
+        trial.append_u64(nonce)
+        tau_m = trial.challenge_value(p)
+        tau_r = trial.challenge_value(p)
+        gamma = trial.challenge_value(p)
+        gp = _gamma_powers(gamma, p)
+        ok = tau_r >= (1 << 16)
+        denoms = {}
+        if ok:
+            for m in (1, 2, 3):
+                for side in ("r", "w"):
+                    a_name, vpre = _kappa_parts(m, side, gp)
+                    kappa = cols[a_name].copy()
+                    for k in range(4):
+                        kappa = (kappa + np.uint64(gp[k + 1]) * cols[f"{vpre}_{k}"]) % P64
+                    ts = cols[f"rt{m}"] if side == "r" else (np.uint64(3) * idx % P64 + np.uint64(m)) % P64
+                    kappa = (kappa + np.uint64(gp[5]) * ts) % P64
+                    d = (np.uint64(tau_m) + P64 - kappa) % P64
+                    if np.any((d == 0) & (sel == 1)):
+                        ok = False
+                        break
+                    denoms[f"g_{side}{m}"] = d
+                if not ok:
+                    break
+        init_sum = final_sum = None
+        if ok:
+            init_sum = _boundary_sum(tau_m, gamma, init, [0] * 32, p)
+            final_sum = _boundary_sum(tau_m, gamma, final_regs, access.final_ts, p)
+            ok = init_sum is not None and final_sum is not None
+        if ok:
+            break
+        nonce += 1
+    transcript.append_bytes(b"RC_CHAL")
+    transcript.append_u64(nonce)
+    assert transcript.challenge_value(p) == tau_m
+    assert transcript.challenge_value(p) == tau_r
+    assert transcript.challenge_value(p) == gamma
+
+    # Inverse columns.
+    g_cols: Dict[str, np.ndarray] = {}
+    for name, d in denoms.items():
+        g_cols[name] = sel * np_inv(d, p) % P64
+    for c, coef in _RANGED:
+        d = (np.uint64(tau_r) + P64 - np.uint64(coef) * cols[c] % P64) % P64
+        g_cols[f"gr_{c}"] = np_inv(d, p)
+    h_col = m_col % P64 * np_inv(
+        (np.uint64(tau_r) + P64 - idx_table(16, p)) % P64, p
+    ) % P64
+
+    g_state = ligero_commit(F, g_cols, hash_mode)
+    g_sums = {name: int(col.sum(dtype=np.uint64) % P64) for name, col in g_cols.items()}
+    h_state = ligero_commit(F, {"h": h_col}, hash_mode)
+    h_sum = int(h_col.sum(dtype=np.uint64) % P64)
+    transcript.append_bytes(b"RC_G")
+    transcript.append_bytes(g_state.root)
+    for name in sorted(g_sums):
+        transcript.append_u64(g_sums[name])
+    transcript.append_bytes(b"RC_H")
+    transcript.append_bytes(h_state.root)
+    transcript.append_u64(h_sum)
+
+    if not _unsafe_skip_self_checks:
+        lhs = (sum(g_sums[f"g_r{m}"] for m in (1, 2, 3)) + final_sum) % p
+        rhs = (sum(g_sums[f"g_w{m}"] for m in (1, 2, 3)) + init_sum) % p
+        if lhs != rhs:
+            raise AssertionError("regcheck violated: register multiset mismatch")
+        rng_lhs = sum(g_sums[f"gr_{c}"] for c, _ in _RANGED) % p
+        if rng_lhs != h_sum:
+            raise AssertionError("regcheck violated: range multiset mismatch")
+
+    # Zerochecks + Ligero bindings.
+    all_cols = dict(cols)
+    all_cols.update(g_cols)
+    all_cols["__sel__"] = sel
+    all_cols["__idx__"] = idx % P64
+    zc = ZerocheckProver(
+        F, all_cols, _make_combiner(tau_m, tau_r, gamma, p), REGCHECK_DEGREE,
+        num_alphas=NUM_CONSTRAINTS,
+    ).prove(transcript)
+
+    a, b = _row_col_weights(zc.final_point, state.cn)
+    cols_proof = ligero_prove_claims(state, [LigeroClaim(a=a, b=b, values={})], transcript)
+    ag, bg = _row_col_weights(zc.final_point, g_state.cn)
+    g_proof = ligero_prove_claims(g_state, [
+        LigeroClaim(a=ag, b=bg, values={}),
+        LigeroClaim(a=np.ones(g_state.m, dtype=np.uint64),
+                    b=np.ones(g_state.n, dtype=np.uint64), values={}),
+    ], transcript)
+
+    table_cols = {"m": m_col, "h": h_col, "__key__": idx_table(16, p)}
+    zc_t = ZerocheckProver(
+        F, table_cols, _make_table_combiner(tau_r), REGCHECK_DEGREE, num_alphas=1,
+    ).prove(transcript)
+    am, bm = _row_col_weights(zc_t.final_point, m_state.cn)
+    m_proof = ligero_prove_claims(m_state, [LigeroClaim(a=am, b=bm, values={})], transcript)
+    ah, bh = _row_col_weights(zc_t.final_point, h_state.cn)
+    h_proof = ligero_prove_claims(h_state, [
+        LigeroClaim(a=ah, b=bh, values={}),
+        LigeroClaim(a=np.ones(h_state.m, dtype=np.uint64),
+                    b=np.ones(h_state.n, dtype=np.uint64), values={}),
+    ], transcript)
+
+    return RegCheckProof(
+        nonce=nonce, num_vars=num_vars, final_ts=list(access.final_ts),
+        root_cols=state.root, root_g=g_state.root, root_m=m_state.root,
+        root_h=h_state.root, zc=zc, zc_table=zc_t, cols_proof=cols_proof,
+        g_proof=g_proof, m_proof=m_proof, h_proof=h_proof,
+        g_sums=g_sums, h_sum=h_sum,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Verifier
+
+
+def verify_regcheck(F, transcript, rc: RegCheckProof, num_steps: int,
+                    num_vars: int, initial_regs: Optional[List[int]],
+                    final_regs: List[int], hash_mode: str = "sha3") -> bool:
+    from ..commitments.ligero import (
+        LigeroClaim,
+        LigeroParams,
+        _row_col_weights,
+        ligero_verify_claims,
+    )
+
+    p = F.MODULUS
+    init = list(initial_regs) if initial_regs is not None else [0] * 32
+    if rc.num_vars != num_vars or len(rc.final_ts) != 32:
+        return False
+    if any(not (0 <= t <= 3 * num_steps) for t in rc.final_ts):
+        return False
+
+    transcript.append_bytes(b"RC_BEGIN")
+    transcript.append_u64(num_steps)
+    for r in range(32):
+        transcript.append_u64(final_regs[r] if r < len(final_regs) else 0)
+    for r in range(32):
+        transcript.append_u64(rc.final_ts[r])
+    transcript.append_bytes(rc.root_cols)
+    transcript.append_bytes(b"RC_MULT")
+    transcript.append_bytes(rc.root_m)
+
+    transcript.append_bytes(b"RC_CHAL")
+    transcript.append_u64(rc.nonce % (1 << 64))
+    tau_m = transcript.challenge_value(p)
+    tau_r = transcript.challenge_value(p)
+    gamma = transcript.challenge_value(p)
+    if tau_r < (1 << 16):
+        return False
+
+    g_names = sorted(G_MEM + G_RNG)
+    if set(rc.g_sums) != set(g_names):
+        return False
+    transcript.append_bytes(b"RC_G")
+    transcript.append_bytes(rc.root_g)
+    for name in g_names:
+        transcript.append_u64(rc.g_sums[name] % p)
+    transcript.append_bytes(b"RC_H")
+    transcript.append_bytes(rc.root_h)
+    transcript.append_u64(rc.h_sum % p)
+
+    col_names = sorted(COLUMNS)
+    if set(rc.zc.column_evals) != set(col_names) | set(g_names):
+        return False
+    if rc.zc.num_vars != num_vars or rc.zc.degree != REGCHECK_DEGREE:
+        return False
+    comb = _make_combiner_scalar(tau_m, tau_r, gamma, num_steps, num_vars, p)
+    comb.final_point = rc.zc.final_point
+    if not ZerocheckVerifier(F, comb, NUM_CONSTRAINTS, REGCHECK_DEGREE).verify(
+        rc.zc, transcript
+    ):
+        return False
+
+    params = LigeroParams()
+    cn_c = params.choose_split(num_vars, len(col_names))
+    a, b = _row_col_weights(rc.zc.final_point, cn_c)
+    if not ligero_verify_claims(
+        F, rc.root_cols, num_vars, col_names,
+        [LigeroClaim(a=a, b=b,
+                     values={nm: rc.zc.column_evals[nm] for nm in col_names})],
+        rc.cols_proof, transcript, hash_mode,
+    ):
+        return False
+    cn_g = params.choose_split(num_vars, len(g_names))
+    ag, bg = _row_col_weights(rc.zc.final_point, cn_g)
+    m_g = (1 << num_vars) >> cn_g
+    if not ligero_verify_claims(
+        F, rc.root_g, num_vars, g_names,
+        [
+            LigeroClaim(a=ag, b=bg,
+                        values={nm: rc.zc.column_evals[nm] for nm in g_names}),
+            LigeroClaim(a=np.ones(m_g, dtype=np.uint64),
+                        b=np.ones(1 << cn_g, dtype=np.uint64),
+                        values={nm: rc.g_sums[nm] % p for nm in g_names}),
+        ],
+        rc.g_proof, transcript, hash_mode,
+    ):
+        return False
+
+    # RANGE16 table side.
+    if set(rc.zc_table.column_evals) != {"m", "h"}:
+        return False
+    if rc.zc_table.num_vars != 16 or rc.zc_table.degree != REGCHECK_DEGREE:
+        return False
+    if not ZerocheckVerifier(
+        F, _make_table_combiner_scalar(tau_r, rc.zc_table.final_point), 1,
+        REGCHECK_DEGREE,
+    ).verify(rc.zc_table, transcript):
+        return False
+    cn_m = params.choose_split(16, 1)
+    am, bm = _row_col_weights(rc.zc_table.final_point, cn_m)
+    if not ligero_verify_claims(
+        F, rc.root_m, 16, ["m"],
+        [LigeroClaim(a=am, b=bm, values={"m": rc.zc_table.column_evals["m"]})],
+        rc.m_proof, transcript, hash_mode,
+    ):
+        return False
+    cn_h = params.choose_split(16, 1)
+    ah, bh = _row_col_weights(rc.zc_table.final_point, cn_h)
+    m_h = (1 << 16) >> cn_h
+    if not ligero_verify_claims(
+        F, rc.root_h, 16, ["h"],
+        [
+            LigeroClaim(a=ah, b=bh, values={"h": rc.zc_table.column_evals["h"]}),
+            LigeroClaim(a=np.ones(m_h, dtype=np.uint64),
+                        b=np.ones(1 << cn_h, dtype=np.uint64),
+                        values={"h": rc.h_sum % p}),
+        ],
+        rc.h_proof, transcript, hash_mode,
+    ):
+        return False
+
+    # Grand equations: the register multiset and the range multiset.
+    init_sum = _boundary_sum(tau_m, gamma, init, [0] * 32, p)
+    final_sum = _boundary_sum(tau_m, gamma, final_regs, rc.final_ts, p)
+    if init_sum is None or final_sum is None:
+        return False
+    lhs = (sum(rc.g_sums[f"g_r{m}"] for m in (1, 2, 3)) + final_sum) % p
+    rhs = (sum(rc.g_sums[f"g_w{m}"] for m in (1, 2, 3)) + init_sum) % p
+    if lhs != rhs:
+        return False
+    rng_lhs = sum(rc.g_sums[f"gr_{c}"] for c, _ in _RANGED) % p
+    return rng_lhs == rc.h_sum % p

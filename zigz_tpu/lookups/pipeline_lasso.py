@@ -94,6 +94,117 @@ class _LastWriteReader:
         return np.where(reg == 0, np.uint64(0), vals)
 
 
+def instruction_registers(trace):
+    """(rs1, rs2, rd) int64 register-index arrays, one entry per step."""
+    n = trace.step_count()
+    cols = getattr(trace, "columns", None)
+    if cols is not None:
+        return (
+            cols["rs1"].astype(np.int64),
+            cols["rs2"].astype(np.int64),
+            cols["rd"].astype(np.int64),
+        )
+    insts = trace.instructions
+    return (
+        np.fromiter((i.rs1 for i in insts), dtype=np.int64, count=n),
+        np.fromiter((i.rs2 for i in insts), dtype=np.int64, count=n),
+        np.fromiter((i.rd for i in insts), dtype=np.int64, count=n),
+    )
+
+
+def operand_values(trace, rs1=None, rs2=None, rd=None):
+    """Per-step register operand values, cached on the trace object:
+    (rs1_val, rs2_val, rd_after, rd_before) — the register values read by
+    rs1/rs2, and the rd cell's value after/before the step.  Shared by
+    the query extraction and the register memory check
+    (constraints/regcheck.py), which must see the SAME values."""
+    cached = getattr(trace, "_operand_cache", None)
+    if cached is not None:
+        return cached
+    n = trace.step_count()
+    cols = getattr(trace, "columns", None)
+    if rs1 is None:
+        rs1, rs2, rd = instruction_registers(trace)
+    steps = np.arange(n)
+    if cols is not None:
+        reader = _LastWriteReader(
+            cols["reg_write_idx"], cols["reg_write_val"], trace.initial_regs, n
+        )
+        rd_before = reader.values(rd, steps, inclusive=False)
+        native = None
+        try:
+            from ..runtime import native_operand_values
+
+            native = native_operand_values(
+                cols["reg_write_idx"], cols["reg_write_val"], trace.initial_regs,
+                cols["rs1"], cols["rs2"], cols["rd"],
+            )
+        except Exception:
+            native = None
+        if native is not None:
+            rs1_val, rs2_val, rd_after = native
+        else:
+            rs1_val = reader.values(rs1, steps, inclusive=False)
+            rs2_val = reader.values(rs2, steps, inclusive=False)
+            rd_after = reader.values(rd, steps, inclusive=True)
+    else:
+        after = trace.regs_matrix()
+        init = np.asarray(trace.initial_regs, dtype=np.uint64)
+        prev = np.maximum(steps - 1, 0)
+        rs1_val = np.where(rs1 == 0, np.uint64(0),
+                           np.where(steps > 0, after[rs1, prev], init[rs1]))
+        rs2_val = np.where(rs2 == 0, np.uint64(0),
+                           np.where(steps > 0, after[rs2, prev], init[rs2]))
+        rd_after = after[rd, steps]
+        rd_before = np.where(rd == 0, np.uint64(0),
+                             np.where(steps > 0, after[rd, prev], init[rd]))
+    result = (rs1_val, rs2_val, rd_after, rd_before)
+    try:
+        trace._operand_cache = result
+    except Exception:
+        pass
+    return result
+
+
+def write_access_values(trace):
+    """Per-step register WRITE access, cached on the trace object:
+    (wr, ov, wv) — the written cell index (0 when the step writes no
+    register), its value before the step, and its value after.  Uses the
+    trace's authoritative per-step write record (reg_write_idx/val),
+    which can differ from the decoded rd: ECALL_READ writes a0 while the
+    instruction's rd is 0 (state.py:_exec_system)."""
+    cached = getattr(trace, "_write_access_cache", None)
+    if cached is not None:
+        return cached
+    n = trace.step_count()
+    steps = np.arange(n)
+    cols = getattr(trace, "columns", None)
+    if cols is not None:
+        wr = cols["reg_write_idx"].astype(np.int64)
+        wv_raw = cols["reg_write_val"]
+        reader = _LastWriteReader(
+            cols["reg_write_idx"], cols["reg_write_val"], trace.initial_regs, n
+        )
+        ov = reader.values(wr, steps, inclusive=False)
+    else:
+        wr = np.fromiter((w[0] for w in trace.reg_writes), dtype=np.int64, count=n)
+        wv_raw = np.fromiter(
+            (w[1] for w in trace.reg_writes), dtype=np.uint64, count=n
+        )
+        after = trace.regs_matrix()
+        init = np.asarray(trace.initial_regs, dtype=np.uint64)
+        prev = np.maximum(steps - 1, 0)
+        ov = np.where(wr == 0, np.uint64(0),
+                      np.where(steps > 0, after[wr, prev], init[wr]))
+    wv = np.where(wr == 0, np.uint64(0), wv_raw.astype(np.uint64))
+    result = (wr, ov, wv)
+    try:
+        trace._write_access_cache = result
+    except Exception:
+        pass
+    return result
+
+
 def extract_table_queries(trace) -> Dict[int, Tuple[np.ndarray, np.ndarray]]:
     """table_id -> (inputs (n_t, 2), outputs (n_t, 1)) uint64 arrays, in
     step order (the multiset the lookup argument ranges over)."""
@@ -147,36 +258,7 @@ def extract_table_queries(trace) -> Dict[int, Tuple[np.ndarray, np.ndarray]]:
             9: lambda: (in0 < in1).astype(np.uint64),
         }[table_id]()
 
-    steps = np.arange(n)
-    if cols is not None:
-        native = None
-        try:
-            from ..runtime import native_operand_values
-
-            native = native_operand_values(
-                cols["reg_write_idx"], cols["reg_write_val"], trace.initial_regs,
-                cols["rs1"], cols["rs2"], cols["rd"],
-            )
-        except Exception:
-            native = None
-        if native is not None:
-            rs1_val, rs2_val, rd_after = native
-        else:
-            reader = _LastWriteReader(
-                cols["reg_write_idx"], cols["reg_write_val"], trace.initial_regs, n
-            )
-            rs1_val = reader.values(rs1, steps, inclusive=False)
-            rs2_val = reader.values(rs2, steps, inclusive=False)
-            rd_after = reader.values(rd, steps, inclusive=True)
-    else:
-        after = trace.regs_matrix()
-        init = np.asarray(trace.initial_regs, dtype=np.uint64)
-        prev = np.maximum(steps - 1, 0)
-        rs1_val = np.where(rs1 == 0, np.uint64(0),
-                           np.where(steps > 0, after[rs1, prev], init[rs1]))
-        rs2_val = np.where(rs2 == 0, np.uint64(0),
-                           np.where(steps > 0, after[rs2, prev], init[rs2]))
-        rd_after = after[rd, steps]
+    rs1_val, rs2_val, rd_after, _rd_before = operand_values(trace, rs1, rs2, rd)
 
     out: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
     for table_id in range(len(TABLE_NAMES)):

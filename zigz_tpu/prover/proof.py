@@ -130,6 +130,10 @@ class V2Section:
     # Lookup validity argument (lookups/validity.py): proves every
     # gadget-covered query is a genuine table entry.
     lookup_validity: object = None  # LookupValidityProof
+    # Register-file offline memory check (constraints/regcheck.py): the
+    # reference's "register_updates" metadata TODO (builder.zig:77-149),
+    # proven for real under protocol v2.
+    regcheck: object = None  # RegCheckProof
 
 
 class CompactLassoList:
@@ -192,6 +196,9 @@ class VerificationResult:
     RejectInvalidLookup = "RejectInvalidLookup"
     RejectInvalidCommitment = "RejectInvalidCommitment"
     RejectInvalidPublicIO = "RejectInvalidPublicIO"
+    # v2-only extension (no counterpart in verifier.zig): the register-file
+    # offline memory check (constraints/regcheck.py) failed.
+    RejectInvalidRegisterAccess = "RejectInvalidRegisterAccess"
 
 
 @dataclass

@@ -180,6 +180,7 @@ class Prover:
         # real per-table sumchecks (lookups/pipeline_lasso.py).
         if self.protocol_version >= 2:
             self._generate_lasso_proofs_v2(proof, trace)
+            self._generate_regcheck(proof, trace, initial_regs, final_state)
         else:
             self._generate_lasso_proofs(proof, lookup_count)
         t3 = time.perf_counter()
@@ -511,6 +512,32 @@ class Prover:
             self.F, self.transcript, queries, self._hash_mode()
         )
         self.last_timings["lookup_validity_s"] = time.perf_counter() - t0
+
+    def _generate_regcheck(self, proof: Proof, trace, initial_regs, final_state) -> None:
+        """Register-file offline memory check (constraints/regcheck.py):
+        the reference's "register_updates" constraint — metadata only at
+        builder.zig:77-149 — proven for real.  rs1/rs2 reads must return
+        last-written values; the step's write access uses the trace's
+        authoritative (reg_write_idx, reg_write_val) record (which is NOT
+        always rd: ECALL_READ writes a0); both ends are anchored at the
+        public register state."""
+        from ..constraints.regcheck import extract_access_columns, prove_regcheck
+        from ..lookups.pipeline_lasso import (
+            instruction_registers,
+            operand_values,
+            write_access_values,
+        )
+
+        t0 = time.perf_counter()
+        rs1, rs2, rd = instruction_registers(trace)
+        rv1, rv2, _rd_after, _rd_before = operand_values(trace, rs1, rs2, rd)
+        wr, ov, wv = write_access_values(trace)
+        access = extract_access_columns(rs1, rs2, wr, rv1, rv2, ov, wv)
+        proof.v2.regcheck = prove_regcheck(
+            self.F, self.transcript, access, proof.metadata.num_vars,
+            initial_regs, final_state["final_regs"], self._hash_mode(),
+        )
+        self.last_timings["regcheck_s"] = time.perf_counter() - t0
 
     def _generate_commitments(self, proof: Proof, witness) -> None:
         if self._use_device_commitments(witness.num_steps):

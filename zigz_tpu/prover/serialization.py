@@ -222,6 +222,65 @@ class BinarySerializer:
         w.bytes_(v2.logup_root)
         self._write_ligero_proof(w, v2.logup_proof)
         self._write_lookup_validity(w, v2.lookup_validity)
+        self._write_regcheck(w, v2.regcheck)
+
+    # -- register memory check (constraints/regcheck.py) -------------------
+    # Layout: u8 present and, if set: u64 nonce | u32 num_vars | 32 x u64
+    # final_ts | 4 x 32B roots (cols, g, m, h) | zerocheck (trace domain) |
+    # zerocheck (RANGE16 domain) | 4 ligero proofs (cols, g, m, h) | per
+    # sorted g name: u64 sum | u64 h_sum.  Column/eval names are fixed by
+    # the module's COLUMNS/G_MEM/G_RNG specs, never read from the wire.
+
+    def _write_regcheck(self, w: _Writer, rc) -> None:
+        w.u8(1 if rc is not None else 0)
+        if rc is None:
+            return
+        p = self.F.MODULUS
+        w.u64(rc.nonce)
+        w.u32(rc.num_vars)
+        for t in rc.final_ts:
+            w.u64(t)
+        w.bytes_(rc.root_cols)
+        w.bytes_(rc.root_g)
+        w.bytes_(rc.root_m)
+        w.bytes_(rc.root_h)
+        self._write_zerocheck(w, rc.zc)
+        self._write_zerocheck(w, rc.zc_table)
+        self._write_ligero_proof(w, rc.cols_proof)
+        self._write_ligero_proof(w, rc.g_proof)
+        self._write_ligero_proof(w, rc.m_proof)
+        self._write_ligero_proof(w, rc.h_proof)
+        for name in sorted(rc.g_sums):
+            w.u64(rc.g_sums[name] % p)
+        w.u64(rc.h_sum % p)
+
+    def _read_regcheck(self, r: _Reader):
+        if not r.u8():
+            return None
+        from ..constraints.regcheck import COLUMNS, G_MEM, G_RNG, RegCheckProof
+
+        nonce = r.u64()
+        num_vars = r.u32()
+        final_ts = [r.u64() for _ in range(32)]
+        root_cols = r.bytes_(32)
+        root_g = r.bytes_(32)
+        root_m = r.bytes_(32)
+        root_h = r.bytes_(32)
+        g_names = sorted(G_MEM + G_RNG)
+        zc = self._read_zerocheck(r, list(COLUMNS) + g_names)
+        zc_table = self._read_zerocheck(r, ["m", "h"])
+        cols_proof = self._read_ligero_proof(r)
+        g_proof = self._read_ligero_proof(r)
+        m_proof = self._read_ligero_proof(r)
+        h_proof = self._read_ligero_proof(r)
+        g_sums = {name: r.u64() for name in g_names}
+        h_sum = r.u64()
+        return RegCheckProof(
+            nonce=nonce, num_vars=num_vars, final_ts=final_ts,
+            root_cols=root_cols, root_g=root_g, root_m=root_m, root_h=root_h,
+            zc=zc, zc_table=zc_table, cols_proof=cols_proof, g_proof=g_proof,
+            m_proof=m_proof, h_proof=h_proof, g_sums=g_sums, h_sum=h_sum,
+        )
 
     @staticmethod
     def _write_ligero_proof(w: _Writer, pp) -> None:
@@ -421,12 +480,13 @@ class BinarySerializer:
         logup_root = r.bytes_(32)
         logup_proof = self._read_ligero_proof(r)
         lookup_validity = self._read_lookup_validity(r)
+        regcheck = self._read_regcheck(r)
         return V2Section(aux_roots=aux_roots, column_evals=column_evals,
                          aux_openings=aux_openings, lasso_extras=lasso_extras,
                          pcs_root=pcs_root, pcs_proof=pcs_proof,
                          logup_nonce=logup_nonce, logup_sum=logup_sum,
                          logup_root=logup_root, logup_proof=logup_proof,
-                         lookup_validity=lookup_validity)
+                         lookup_validity=lookup_validity, regcheck=regcheck)
 
     # -- deserialize -------------------------------------------------------
     def deserialize(self, data: bytes) -> Proof:

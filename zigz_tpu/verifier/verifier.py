@@ -248,6 +248,21 @@ class Verifier:
         if not verify_lookup_validity(F, transcript, lv, lasso_counts, hash_mode):
             return VerificationResult.RejectInvalidLookup
 
+        # Register-file offline memory check (constraints/regcheck.py):
+        # reads must return last-written values, anchored at the PUBLIC
+        # initial/final register state from PublicIO.
+        from ..constraints.regcheck import verify_regcheck
+
+        if proof.v2.regcheck is None:
+            return VerificationResult.RejectInvalidRegisterAccess
+        io = proof.public_io
+        if not verify_regcheck(
+            F, transcript, proof.v2.regcheck, proof.metadata.num_steps,
+            proof.metadata.num_vars, io.initial_regs,
+            io.final_regs or [0] * 32, hash_mode,
+        ):
+            return VerificationResult.RejectInvalidRegisterAccess
+
         # Commitment phase: bind roots, re-derive points, CHECK them.
         transcript.append_bytes(b"POLY_COMMITMENTS")
         for c in proof.witness_commitments:
