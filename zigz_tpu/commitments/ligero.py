@@ -102,11 +102,53 @@ def _twiddles(n: int) -> List[np.ndarray]:
     return stages
 
 
+_native_ntt_state = "untested"  # "untested" | "ok" | "unavailable"
+
+
+def _native_ntt(rows: np.ndarray, n_out: int):
+    """Dispatch to the threaded C++ row encoder (runtime/ntt.cpp), self-
+    tested against the numpy path once per process; None on any miss."""
+    global _native_ntt_state
+    if _native_ntt_state == "unavailable" or n_out < 2:
+        return None
+    try:
+        from ..runtime import native_ntt_rows
+    except Exception:
+        _native_ntt_state = "unavailable"
+        return None
+    tw = np.concatenate(_twiddles(n_out))
+    br = _bit_reverse_indices(n_out)
+    if _native_ntt_state == "untested":
+        rng = np.random.default_rng(0)
+        probe = rng.integers(0, P, size=(3, 8), dtype=np.uint64)
+        got = native_ntt_rows(probe, 32, np.concatenate(_twiddles(32)),
+                              _bit_reverse_indices(32))
+        if got is None or not np.array_equal(got, _ntt_pow2_numpy(probe, 32)):
+            _native_ntt_state = "unavailable"
+            return None
+        _native_ntt_state = "ok"
+        if n_out == 32:
+            tw = np.concatenate(_twiddles(n_out))
+    flat = rows.reshape(-1, rows.shape[-1])
+    out = native_ntt_rows(flat, n_out, tw, br)
+    if out is None:
+        _native_ntt_state = "unavailable"
+        return None
+    return out.reshape(rows.shape[:-1] + (n_out,))
+
+
 def ntt_pow2(rows: np.ndarray, n_out: int) -> np.ndarray:
     """Evaluate each row's coefficient vector on the size-n_out subgroup.
 
     rows: (..., n) canonical uint64, n <= n_out (zero-padded).  Returns
     (..., n_out).  Exact u64 arithmetic: products < 2^62, sums < 2^63."""
+    native = _native_ntt(np.asarray(rows, dtype=np.uint64), n_out)
+    if native is not None:
+        return native
+    return _ntt_pow2_numpy(np.asarray(rows, dtype=np.uint64), n_out)
+
+
+def _ntt_pow2_numpy(rows: np.ndarray, n_out: int) -> np.ndarray:
     pad = n_out - rows.shape[-1]
     if pad:
         rows = np.concatenate(
@@ -202,6 +244,14 @@ def _hash_columns(encoded: np.ndarray, hash_mode: str) -> bytes:
         return state[:8].T.astype("<u4").tobytes()
     import hashlib
 
+    try:
+        from ..runtime import native_sha3_matrix_columns
+
+        native = native_sha3_matrix_columns(encoded)
+        if native is not None:
+            return native
+    except Exception:
+        pass
     cols = np.ascontiguousarray(encoded.T, dtype="<u8")  # (n_e, rows)
     out = bytearray(n_e * 32)
     sha3 = hashlib.sha3_256

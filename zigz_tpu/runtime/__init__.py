@@ -77,7 +77,9 @@ def _load():
         lib = ctypes.CDLL(_LIB)
     except OSError:
         return None
-    for name in ("zigz_sha3_leaves_u64", "zigz_sha3_merge", "zigz_sha3_batch", "zigz_sha3_tree"):
+    for name in ("zigz_sha3_leaves_u64", "zigz_sha3_merge", "zigz_sha3_batch",
+                 "zigz_sha3_tree", "zigz_sha3_long_batch",
+                 "zigz_sha3_matrix_columns"):
         getattr(lib, name).restype = None
     if not _self_test(lib):
         sys.stderr.write("zigz_tpu.runtime: native SHA3 failed self-test; using Python backend\n")
@@ -264,3 +266,110 @@ def native_lasso_hash_rows(inputs, outputs, modulus):
         ctypes.c_uint64(modulus), res.ctypes.data_as(ctypes.c_void_p),
     )
     return res
+
+
+# ---------------------------------------------------------------------------
+# Optional: threaded NTT row encoding (ntt.cpp) for the Ligero PCS.
+# ---------------------------------------------------------------------------
+
+_NTT_SRC = os.path.join(_HERE, "ntt.cpp")
+_NTT_LIB = os.path.join(_HERE, "libzigz_ntt.so")
+_ntt_lib = None
+_ntt_checked = False
+
+
+def _load_ntt():
+    global _ntt_lib, _ntt_checked
+    if _ntt_checked:
+        return _ntt_lib
+    _ntt_checked = True
+    try:
+        if not (
+            os.path.exists(_NTT_LIB)
+            and os.path.getmtime(_NTT_LIB) >= os.path.getmtime(_NTT_SRC)
+        ):
+            result = subprocess.run(
+                ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-pthread",
+                 _NTT_SRC, "-o", _NTT_LIB],
+                capture_output=True, timeout=120,
+            )
+            if result.returncode != 0:
+                return None
+        lib = ctypes.CDLL(_NTT_LIB)
+        lib.zigz_ntt_rows.restype = None
+        _ntt_lib = lib
+        return lib
+    except Exception:
+        return None
+
+
+def native_ntt_rows(rows: np.ndarray, n_out: int, twiddles_flat: np.ndarray,
+                    bitrev: np.ndarray):
+    """(rows, n_in) -> (rows, n_out) NTT per row, or None when the native
+    lib is unavailable.  twiddles_flat/bitrev come from the caller's cache
+    (commitments/ligero.py) so both backends share one table source."""
+    lib = _load_ntt()
+    if lib is None:
+        return None
+    rows = np.ascontiguousarray(rows, dtype=np.uint64)
+    tw = np.ascontiguousarray(twiddles_flat, dtype=np.uint64)
+    br = np.ascontiguousarray(bitrev, dtype=np.int64)
+    nrows, n_in = rows.shape
+    out = np.empty((nrows, n_out), dtype=np.uint64)
+    lib.zigz_ntt_rows(
+        rows.ctypes.data_as(ctypes.c_void_p), ctypes.c_size_t(nrows),
+        ctypes.c_size_t(n_in), out.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_size_t(n_out), tw.ctypes.data_as(ctypes.c_void_p),
+        br.ctypes.data_as(ctypes.c_void_p), ctypes.c_int(NUM_THREADS),
+    )
+    return out
+
+
+def native_sha3_long_batch(msgs: np.ndarray):
+    """SHA3-256 over the rows of a 2-D uint8 array (equal-length messages),
+    or None when unavailable.  Self-tested against hashlib on first use."""
+    global _long_batch_ok
+    if _lib is None or not hasattr(_lib, "zigz_sha3_long_batch"):
+        return None
+    if "_long_batch_ok" not in globals():
+        probe = np.frombuffer(bytes(range(256)) * 2, dtype=np.uint8).reshape(2, 256)
+        out = np.empty(2 * 32, dtype=np.uint8)
+        _lib.zigz_sha3_long_batch(
+            probe.ctypes.data_as(ctypes.c_void_p), ctypes.c_size_t(256),
+            ctypes.c_size_t(2), out.ctypes.data_as(ctypes.c_void_p),
+            ctypes.c_int(1),
+        )
+        _long_batch_ok = all(
+            out.tobytes()[i * 32 : (i + 1) * 32]
+            == hashlib.sha3_256(probe[i].tobytes()).digest()
+            for i in range(2)
+        )
+    if not _long_batch_ok:
+        return None
+    msgs = np.ascontiguousarray(msgs, dtype=np.uint8)
+    n, length = msgs.shape
+    out = np.empty(n * 32, dtype=np.uint8)
+    _lib.zigz_sha3_long_batch(
+        msgs.ctypes.data_as(ctypes.c_void_p), ctypes.c_size_t(length),
+        ctypes.c_size_t(n), out.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_int(NUM_THREADS),
+    )
+    return out.tobytes()
+
+
+def native_sha3_matrix_columns(matrix: np.ndarray):
+    """Per-column SHA3-256 digests of a row-major (rows, n) uint64 matrix
+    (no transpose copy), or None when unavailable."""
+    if _lib is None or not hasattr(_lib, "zigz_sha3_matrix_columns"):
+        return None
+    if native_sha3_long_batch(np.zeros((1, 8), dtype=np.uint8)) is None:
+        return None  # reuse the long-batch self-test gate
+    matrix = np.ascontiguousarray(matrix, dtype=np.uint64)
+    rows, n = matrix.shape
+    out = np.empty(n * 32, dtype=np.uint8)
+    _lib.zigz_sha3_matrix_columns(
+        matrix.ctypes.data_as(ctypes.c_void_p), ctypes.c_size_t(rows),
+        ctypes.c_size_t(n), out.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_int(NUM_THREADS),
+    )
+    return out.tobytes()

@@ -1,0 +1,66 @@
+// Threaded iterative DIT NTT over BabyBear coefficient rows.
+//
+// Replaces the numpy hot loop in commitments/ligero.py:ntt_pow2 (the
+// Reed-Solomon row encoding behind every Ligero commitment).  The Python
+// side passes the cached bit-reversal permutation and per-stage twiddle
+// tables so both backends share one source of truth; results are
+// byte-identical (exact uint64 arithmetic, products < 2^62) and the
+// loader self-tests against the numpy path before installing.
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+static const uint64_t P = 2013265921ull;  // BabyBear
+
+static void ntt_row_range(const uint64_t* in, size_t n_in, uint64_t* out,
+                          size_t n_out, const uint64_t* twiddles,
+                          const int64_t* bitrev, size_t row_begin,
+                          size_t row_end) {
+    for (size_t r = row_begin; r < row_end; ++r) {
+        const uint64_t* src = in + r * n_in;
+        uint64_t* x = out + r * n_out;
+        for (size_t j = 0; j < n_out; ++j) {
+            int64_t s = bitrev[j];
+            x[j] = (static_cast<size_t>(s) < n_in) ? src[s] : 0;
+        }
+        const uint64_t* tw = twiddles;
+        for (size_t half = 1; half < n_out; half *= 2) {
+            const size_t len = half * 2;
+            for (size_t base = 0; base < n_out; base += len) {
+                uint64_t* lo = x + base;
+                uint64_t* hi = x + base + half;
+                for (size_t i = 0; i < half; ++i) {
+                    uint64_t a = lo[i];
+                    uint64_t b = hi[i] * tw[i] % P;
+                    lo[i] = (a + b) % P;
+                    hi[i] = (a + P - b) % P;
+                }
+            }
+            tw += half;
+        }
+    }
+}
+
+extern "C" void zigz_ntt_rows(const uint64_t* in, size_t rows, size_t n_in,
+                              uint64_t* out, size_t n_out,
+                              const uint64_t* twiddles, const int64_t* bitrev,
+                              int num_threads) {
+    if (rows == 0 || n_out == 0) return;
+    size_t want = static_cast<size_t>(num_threads > 0 ? num_threads : 1);
+    size_t nthreads = rows < want ? rows : want;
+    if (nthreads <= 1) {
+        ntt_row_range(in, n_in, out, n_out, twiddles, bitrev, 0, rows);
+        return;
+    }
+    std::vector<std::thread> threads;
+    size_t chunk = (rows + nthreads - 1) / nthreads;
+    for (size_t t = 0; t < nthreads; ++t) {
+        size_t begin = t * chunk;
+        if (begin >= rows) break;
+        size_t end = begin + chunk < rows ? begin + chunk : rows;
+        threads.emplace_back(ntt_row_range, in, n_in, out, n_out, twiddles,
+                             bitrev, begin, end);
+    }
+    for (auto& th : threads) th.join();
+}

@@ -93,6 +93,35 @@ inline void sha3_256_small(const uint8_t* msg, size_t len, uint8_t out[32]) {
   std::memcpy(out, st, 32);
 }
 
+// SHA3-256 of an arbitrary-length message (multi-block absorb).
+inline void sha3_256_long(const uint8_t* msg, size_t len, uint8_t out[32]) {
+  uint64_t st[25];
+  std::memset(st, 0, sizeof(st));
+  const size_t rate = 136;
+  while (len >= rate) {
+    for (int i = 0; i < 17; ++i) {
+      uint64_t lane;
+      std::memcpy(&lane, msg + i * 8, 8);
+      st[i] ^= lane;
+    }
+    keccakf(st);
+    msg += rate;
+    len -= rate;
+  }
+  uint8_t block[136];
+  std::memset(block, 0, sizeof(block));
+  std::memcpy(block, msg, len);
+  block[len] = 0x06;
+  block[135] |= 0x80;
+  for (int i = 0; i < 17; ++i) {
+    uint64_t lane;
+    std::memcpy(&lane, block + i * 8, 8);
+    st[i] ^= lane;
+  }
+  keccakf(st);
+  std::memcpy(out, st, 32);
+}
+
 void run_parallel(size_t n, int num_threads, const std::function<void(size_t, size_t)>& fn) {
   if (num_threads <= 1 || n < 4096) {
     fn(0, n);
@@ -147,6 +176,33 @@ void zigz_sha3_batch(const uint8_t* msgs, size_t len, size_t n, uint8_t* out,
 // Build a full binary Merkle level structure in one call: given n leaf
 // digests (32B each, n a power of two), writes all internal levels
 // concatenated (n/2 + n/4 + ... + 1 digests) into out.
+// SHA3-256 over n equal-length messages of ANY length (Ligero column
+// leaves: rows*8 bytes each) -> n 32-byte digests.
+void zigz_sha3_long_batch(const uint8_t* msgs, size_t len, size_t n,
+                          uint8_t* out, int num_threads) {
+  run_parallel(n, num_threads, [&](size_t lo, size_t hi) {
+    for (size_t i = lo; i < hi; ++i) {
+      sha3_256_long(msgs + i * len, len, out + i * 32);
+    }
+  });
+}
+
+// Hash the COLUMNS of a row-major (rows, n) u64 matrix: digest j =
+// SHA3-256(col_j as LE u64s).  Saves the host-side transpose copy for
+// Ligero leaf hashing; each thread gathers its column into a local
+// buffer and absorbs it.
+void zigz_sha3_matrix_columns(const uint64_t* matrix, size_t rows, size_t n,
+                              uint8_t* out, int num_threads) {
+  run_parallel(n, num_threads, [&](size_t lo, size_t hi) {
+    std::vector<uint64_t> buf(rows);
+    for (size_t j = lo; j < hi; ++j) {
+      for (size_t i = 0; i < rows; ++i) buf[i] = matrix[i * n + j];
+      sha3_256_long(reinterpret_cast<const uint8_t*>(buf.data()), rows * 8,
+                    out + j * 32);
+    }
+  });
+}
+
 void zigz_sha3_tree(const uint8_t* leaves, size_t n, uint8_t* out,
                     int num_threads) {
   const uint8_t* cur = leaves;
