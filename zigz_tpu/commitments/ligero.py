@@ -350,8 +350,7 @@ def ligero_prove_claims(state: LigeroCommitState, claims: List[LigeroClaim],
         gpow = np.array([pow(gamma, k, P) for k in range(B)], dtype=np.uint64)
         a_hat = (np.repeat(gpow, state.m) * np.tile(claim.a % p, B)) % p  # (B*m,)
         u = (a_hat[:, None] * state.matrix % p).sum(axis=0, dtype=np.uint64) % p
-        for val in u:
-            transcript.append_u64(int(val))
+        transcript.append_u64s(u)
         us.append(u)
 
     ws = []
@@ -360,8 +359,7 @@ def ligero_prove_claims(state: LigeroCommitState, claims: List[LigeroClaim],
             [transcript.challenge_value(P) for _ in range(B * state.m)], dtype=np.uint64
         )
         w = (rho[:, None] * state.matrix % p).sum(axis=0, dtype=np.uint64) % p
-        for val in w:
-            transcript.append_u64(int(val))
+        transcript.append_u64s(w)
         ws.append(w)
 
     indices = [transcript.challenge_value(P) % state.n_e for _ in range(params.num_queries)]
@@ -405,8 +403,7 @@ def ligero_verify_claims(F, root: bytes, num_vars: int, names: List[str],
         a_hat = (np.repeat(gpow, m) * np.tile(claim.a % p, B)) % p
         a_hats.append(a_hat)
         u = u_raw.astype(np.uint64) % p
-        for val in u:
-            transcript.append_u64(int(val))
+        transcript.append_u64s(u)
         combined = 0
         for k, name in enumerate(names):
             combined = (combined + int(gpow[k]) * (claim.values[name] % P)) % P
@@ -418,8 +415,7 @@ def ligero_verify_claims(F, root: bytes, num_vars: int, names: List[str],
         rho = np.array(
             [transcript.challenge_value(P) for _ in range(B * m)], dtype=np.uint64
         )
-        for val in w:
-            transcript.append_u64(int(val) % P)
+        transcript.append_u64s(np.asarray(w, dtype=np.uint64) % p)
         rhos.append(rho)
 
     indices = [transcript.challenge_value(P) % n_e for _ in range(params.num_queries)]

@@ -106,6 +106,14 @@ class FiatShamirTranscript:
     def append_bytes(self, data: bytes) -> None:
         self._hasher.update(data if isinstance(data, bytes) else bytes(data, "ascii"))
 
+    def append_u64s(self, values) -> None:
+        """Absorb an array of canonical u64s as one LE blob — byte-
+        identical to repeated ``append_u64`` calls (the transcript is a
+        raw streaming absorber with no per-append framing)."""
+        import numpy as np
+
+        self._hasher.update(np.ascontiguousarray(values, dtype="<u8").tobytes())
+
     def fork(self) -> "FiatShamirTranscript":
         """Independent copy sharing the absorbed prefix — used by the
         prover to TRIAL challenge derivations (e.g. the logUp nonce search)

@@ -94,6 +94,35 @@ def np_modpow(base: np.ndarray, exponent: int, p: int) -> np.ndarray:
     return result
 
 
+_native_inv_state = "untested"
+
+
 def np_inv(values: np.ndarray, p: int) -> np.ndarray:
-    """Batched Fermat inversion; maps 0 to 0 (callers mask zeros)."""
+    """Batched inversion; maps 0 to 0 (callers mask zeros).  Uses the
+    native Montgomery batch-inverse (runtime/ntt.cpp, one modpow total)
+    when available — self-tested against the Fermat path once — else
+    vectorized square-and-multiply."""
+    global _native_inv_state
+    if _native_inv_state != "unavailable":
+        try:
+            from ..runtime import native_batch_inv
+        except Exception:
+            native_batch_inv = None
+        if native_batch_inv is None:
+            _native_inv_state = "unavailable"
+        else:
+            if _native_inv_state == "untested":
+                probe = np.array([0, 1, 2, p - 1, 12345 % p], dtype=np.uint64)
+                got = native_batch_inv(probe, p)
+                if got is None or not np.array_equal(
+                    got, np_modpow(probe, p - 2, p) * (probe != 0)
+                ):
+                    _native_inv_state = "unavailable"
+                else:
+                    _native_inv_state = "ok"
+            if _native_inv_state == "ok":
+                out = native_batch_inv(np.asarray(values, dtype=np.uint64), p)
+                if out is not None:
+                    return out
+                _native_inv_state = "unavailable"
     return np_modpow(values, p - 2, p)

@@ -373,3 +373,17 @@ def native_sha3_matrix_columns(matrix: np.ndarray):
         ctypes.c_int(NUM_THREADS),
     )
     return out.tobytes()
+
+
+def native_batch_inv(values: np.ndarray, p: int):
+    """Montgomery batch inversion mod p (zeros map to zero), or None."""
+    lib = _load_ntt()
+    if lib is None or not hasattr(lib, "zigz_batch_inv"):
+        return None
+    vals = np.ascontiguousarray(values, dtype=np.uint64)
+    out = np.empty(vals.shape, dtype=np.uint64)
+    lib.zigz_batch_inv(
+        vals.ctypes.data_as(ctypes.c_void_p), ctypes.c_size_t(vals.size),
+        ctypes.c_uint64(p), out.ctypes.data_as(ctypes.c_void_p),
+    )
+    return out

@@ -64,3 +64,37 @@ extern "C" void zigz_ntt_rows(const uint64_t* in, size_t rows, size_t n_in,
     }
     for (auto& th : threads) th.join();
 }
+
+static uint64_t modpow(uint64_t base, uint64_t exp, uint64_t p) {
+    uint64_t result = 1, acc = base % p;
+    while (exp) {
+        if (exp & 1) result = result * acc % p;
+        acc = acc * acc % p;
+        exp >>= 1;
+    }
+    return result;
+}
+
+// Montgomery batch inversion (one modpow + 3n mults); zeros map to zero,
+// matching poly/public_mles.py:np_inv.  Exact for p < 2^31.
+extern "C" void zigz_batch_inv(const uint64_t* in, size_t n, uint64_t p,
+                               uint64_t* out) {
+    if (n == 0) return;
+    std::vector<uint64_t> prefix(n);
+    uint64_t acc = 1;
+    for (size_t i = 0; i < n; ++i) {
+        uint64_t v = in[i] % p;
+        prefix[i] = acc;
+        if (v) acc = acc * v % p;
+    }
+    uint64_t inv = modpow(acc, p - 2, p);
+    for (size_t i = n; i-- > 0;) {
+        uint64_t v = in[i] % p;
+        if (v) {
+            out[i] = inv * prefix[i] % p;
+            inv = inv * v % p;
+        } else {
+            out[i] = 0;
+        }
+    }
+}
