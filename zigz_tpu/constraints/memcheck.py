@@ -1,0 +1,627 @@
+"""RAM consistency: byte-level offline memory checking over the trace.
+
+The reference treats data memory as an execution-only structure
+(memory.zig sparse byte map; nothing in builder.zig constrains loads
+against stores) — so a dishonest trace could return ANY value from a
+LOAD.  Protocol v2 closes this with the same Spice-style offline
+memory check as the register file ([[constraints/regcheck.py]]), over
+byte cells instead of 32 registers:
+
+* Every LOAD/STORE of size s touches nbytes = 1 << s consecutive byte
+  cells; each touched byte is ONE access row, modeled read-then-write:
+    LOAD  byte k: read cell addr+k -> vr, write vr back   (st = 0)
+    STORE byte k: read cell addr+k -> vr, write the new
+                  byte vw = (value >> 8k) & 0xFF          (st = 1)
+  Rows are laid out in execution order; the write timestamp of row j is
+  the PUBLIC j + 1 (idx MLE), read timestamps are committed advice with
+  range-decomposed lag (idx - rt = dl0 + 2^16 dl1), exactly regcheck's
+  ordering argument.
+* Committed advice per row: 4 x 16-bit address limbs, the read/written
+  byte values vr/vw (range-checked < 256 via coefficient 256), the
+  store flag st (boolean; (1-st)*(vw-vr)=0 keeps LOAD rows from
+  mutating memory), and the rt/lag limb decompositions.
+* logUp multiset equation over tuples (addr, byte, ts), fingerprinted
+  kappa = a0 + g*a1 + g^2*a2 + g^3*a3 + g^4*v + g^5*ts:
+
+      RS + FINAL == WS + INIT
+
+  INIT tuples are (a, initial_byte(a), 0) over the touched-address set;
+  the VERIFIER computes initial_byte itself from the public program
+  (ELF segments, or the raw image at initial_pc — the same data the VM
+  loaded, memory.zig:35-37 unmapped-reads-0).  FINAL tuples
+  (a, final_val, final_ts) travel explicitly in the proof (sorted,
+  deduplicated), so the verifier computes both boundary sums itself.
+
+An extra address may appear in the touched list only as a fixed point
+(final == init, ts 0), which cancels; omitting or mis-reporting a
+genuinely touched byte breaks the multiset balance.
+
+Range checks reuse the RANGE16 logUp pattern (multiplicity column over
+the 2^16 domain, closed-form key MLE), as in regcheck.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..poly.public_mles import idx_eval, idx_table, le_indicator_eval, le_table, np_inv
+from ..proofs.zerocheck import ZerocheckProof, ZerocheckProver, ZerocheckVerifier
+
+__all__ = [
+    "MemCheckProof",
+    "ByteAccessColumns",
+    "initial_memory_map",
+    "extract_byte_accesses",
+    "prove_memcheck",
+    "verify_memcheck",
+    "MEMCHECK_DEGREE",
+]
+
+_M16 = np.uint64(0xFFFF)
+_M64 = (1 << 64) - 1
+MEMCHECK_DEGREE = 3  # deg(eq * C), constraints are degree <= 2
+
+# (column, coefficient) pairs whose scaled values are RANGE16-checked.
+# vr/vw carry coefficient 256 (256*x < 2^16 bounds the byte), tl1/dl1
+# coefficient 16 (bounds ts and lag < 2^28; see regcheck.py on why the
+# tight bound makes the decomposition hold over the integers).
+_RANGED = (
+    ("a0", 1), ("a1", 1), ("a2", 1), ("a3", 1),
+    ("vr", 256), ("vw", 256),
+    ("tl0", 1), ("tl1", 16), ("dl0", 1), ("dl1", 16),
+)
+
+COLUMNS = ("a0", "a1", "a2", "a3", "vr", "vw", "st", "rt",
+           "tl0", "tl1", "dl0", "dl1")
+G_MEM = ("g_r", "g_w")
+G_RNG = tuple(f"gr_{c}" for c, _ in _RANGED)
+# logUp r/w, rt decomp, lag decomp, st boolean, load-preserves, ranges.
+NUM_CONSTRAINTS = 2 + 1 + 1 + 1 + 1 + len(_RANGED)
+
+
+@dataclass
+class ByteAccessColumns:
+    """Per-byte-access data (length A, unpadded, canonical uint64)."""
+
+    addr: np.ndarray       # (A,) byte addresses
+    vr: np.ndarray         # (A,) byte read
+    vw: np.ndarray         # (A,) byte written (== vr for loads)
+    st: np.ndarray         # (A,) store flag
+    read_ts: np.ndarray    # (A,)
+    touched: List[Tuple[int, int, int]]  # sorted (addr, final_val, final_ts)
+
+
+def initial_memory_map(program: bytes, initial_pc: int,
+                       segments=None) -> Dict[int, int]:
+    """addr -> byte of the pre-execution memory image.  Mirrors the
+    prover's load (prover.py:_execute_*): ELF segments when given or
+    sniffed (magic b"\\x7fELF"), else the raw image at initial_pc."""
+    if segments is None and program[:4] == b"\x7fELF":
+        from .. import elf
+
+        segments = elf.load(program).segments
+    mem: Dict[int, int] = {}
+    if segments is not None:
+        for seg in segments:
+            base = seg.vaddr
+            for i, b in enumerate(seg.data):
+                mem[(base + i) & _M64] = b
+    else:
+        for i, b in enumerate(program):
+            mem[(initial_pc + i) & _M64] = b
+    return mem
+
+
+def extract_byte_accesses(trace, init_mem: Dict[int, int]) -> ByteAccessColumns:
+    """Replay the trace's per-step memory accesses into the byte-access
+    stream (execution order, one row per touched byte)."""
+    mem = dict(init_mem)
+    last_ts: Dict[int, int] = {}
+    addrs: List[int] = []
+    vrs: List[int] = []
+    vws: List[int] = []
+    sts: List[int] = []
+    rts: List[int] = []
+    touched_addrs: set = set()
+    pos = 0
+    for acc in trace.memory_accesses:
+        if acc is None:
+            continue
+        nbytes = 1 << acc.size
+        is_store = acc.access_type == 1
+        for k in range(nbytes):
+            a = (acc.address + k) & _M64
+            old = mem.get(a, 0)
+            if is_store:
+                new = (acc.value >> (8 * k)) & 0xFF
+                mem[a] = new
+            else:
+                new = old
+            addrs.append(a)
+            vrs.append(old)
+            vws.append(new)
+            sts.append(1 if is_store else 0)
+            rts.append(last_ts.get(a, 0))
+            pos += 1
+            last_ts[a] = pos
+            touched_addrs.add(a)
+    touched = [
+        (a, mem.get(a, 0), last_ts[a]) for a in sorted(touched_addrs)
+    ]
+    return ByteAccessColumns(
+        addr=np.array(addrs, dtype=np.uint64),
+        vr=np.array(vrs, dtype=np.uint64),
+        vw=np.array(vws, dtype=np.uint64),
+        st=np.array(sts, dtype=np.uint64),
+        read_ts=np.array(rts, dtype=np.uint64),
+        touched=touched,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Proof structure
+
+
+@dataclass
+class MemCheckProof:
+    nonce: int
+    num_vars: int
+    num_accesses: int
+    touched: List[Tuple[int, int, int]]  # sorted (addr, final_val, final_ts)
+    root_cols: bytes
+    root_g: bytes
+    root_m: bytes
+    root_h: bytes
+    zc: ZerocheckProof           # access-domain zerocheck
+    zc_table: ZerocheckProof     # RANGE16-domain zerocheck
+    cols_proof: object
+    g_proof: object
+    m_proof: object
+    h_proof: object
+    g_sums: Dict[str, int]
+    h_sum: int
+
+
+# ---------------------------------------------------------------------------
+# Fingerprints and combiners
+
+
+def _gamma_powers(gamma: int, p: int) -> List[int]:
+    gs = [1]
+    for _ in range(5):
+        gs.append(gs[-1] * gamma % p)
+    return gs
+
+
+def _make_combiner(tau_m: int, tau_r: int, gamma: int, p: int):
+    gp = _gamma_powers(gamma, p)
+
+    def combiner(cols, alphas: List[int], p_: int):
+        P = np.uint64(p)
+        sel = cols["__sel__"]
+        idx = cols["__idx__"]
+        addr_fp = cols["a0"].copy()
+        for k in (1, 2, 3):
+            addr_fp = (addr_fp + np.uint64(gp[k]) * cols[f"a{k}"]) % P
+        terms = []
+        for side in ("r", "w"):
+            v = cols["vr"] if side == "r" else cols["vw"]
+            ts = cols["rt"] if side == "r" else (idx + np.uint64(1)) % P
+            kappa = (addr_fp + np.uint64(gp[4]) * v % P
+                     + np.uint64(gp[5]) * ts) % P
+            denom = (np.uint64(tau_m) + P - kappa % P) % P
+            terms.append((cols[f"g_{side}"] * denom + P - sel) % P)
+        recon = (cols["tl0"] + np.uint64(1 << 16) * cols["tl1"]) % P
+        terms.append((cols["rt"] + P - recon) % P)
+        recon_d = (cols["dl0"] + np.uint64(1 << 16) * cols["dl1"]) % P
+        terms.append((idx + P + P - cols["rt"] - recon_d) % P)
+        st = cols["st"]
+        terms.append((st * ((np.uint64(1) + P - st) % P)) % P)
+        terms.append(((np.uint64(1) + P - st) % P)
+                     * ((cols["vw"] + P - cols["vr"]) % P) % P)
+        for c, coef in _RANGED:
+            denom = (np.uint64(tau_r) + P - np.uint64(coef) * cols[c] % P) % P
+            terms.append((cols[f"gr_{c}"] * denom + P - np.uint64(1)) % P)
+        acc = np.zeros_like(sel)
+        for alpha, t in zip(alphas, terms):
+            acc = (acc + np.uint64(alpha) * t) % P
+        return acc
+
+    return combiner
+
+
+def _make_combiner_scalar(tau_m: int, tau_r: int, gamma: int, num_rows: int,
+                          num_vars: int, p: int):
+    gp = _gamma_powers(gamma, p)
+
+    def combiner_scalar(ev, alphas: List[int], p_: int) -> int:
+        rs = combiner_scalar.final_point
+        sel = le_indicator_eval(num_rows - 1, num_vars, rs, p) if num_rows else 0
+        idx = idx_eval(num_vars, rs, p)
+        addr_fp = ev["a0"]
+        for k in (1, 2, 3):
+            addr_fp = (addr_fp + gp[k] * ev[f"a{k}"]) % p
+        terms = []
+        for side in ("r", "w"):
+            v = ev["vr"] if side == "r" else ev["vw"]
+            ts = ev["rt"] if side == "r" else (idx + 1) % p
+            kappa = (addr_fp + gp[4] * v + gp[5] * ts) % p
+            terms.append((ev[f"g_{side}"] * ((tau_m - kappa) % p) - sel) % p)
+        recon = (ev["tl0"] + (1 << 16) * ev["tl1"]) % p
+        terms.append((ev["rt"] - recon) % p)
+        recon_d = (ev["dl0"] + (1 << 16) * ev["dl1"]) % p
+        terms.append((idx - ev["rt"] - recon_d) % p)
+        terms.append(ev["st"] * ((1 - ev["st"]) % p) % p)
+        terms.append((1 - ev["st"]) % p * ((ev["vw"] - ev["vr"]) % p) % p)
+        for c, coef in _RANGED:
+            terms.append((ev[f"gr_{c}"] * ((tau_r - coef * ev[c]) % p) - 1) % p)
+        return sum(a * t for a, t in zip(alphas, terms)) % p
+
+    combiner_scalar.final_point = None
+    return combiner_scalar
+
+
+def _make_table_combiner(tau_r: int):
+    def combiner(cols, alphas: List[int], p: int):
+        P = np.uint64(p)
+        denom = (np.uint64(tau_r) + P - cols["__key__"]) % P
+        return np.uint64(alphas[0]) * ((cols["h"] * denom + P - cols["m"]) % P) % P
+
+    return combiner
+
+
+def _make_table_combiner_scalar(tau_r: int, final_point: List[int]):
+    def combiner_scalar(ev, alphas: List[int], p: int) -> int:
+        key = idx_eval(16, final_point, p)
+        return alphas[0] * ((ev["h"] * ((tau_r - key) % p) - ev["m"]) % p) % p
+
+    return combiner_scalar
+
+
+def _addr_limbs(a: int) -> List[int]:
+    return [(a >> (16 * k)) & 0xFFFF for k in range(4)]
+
+
+def _boundary_sum(tau_m: int, gamma: int,
+                  entries: List[Tuple[int, int, int]], p: int) -> Optional[int]:
+    """sum 1/(tau - kappa(addr, value, ts)) over (addr, value, ts) tuples
+    — computed identically by prover and verifier."""
+    gp = _gamma_powers(gamma, p)
+    acc = 0
+    for a, v, ts in entries:
+        limbs = _addr_limbs(a)
+        kappa = 0
+        for k in range(4):
+            kappa = (kappa + gp[k] * limbs[k]) % p
+        kappa = (kappa + gp[4] * (v % p) + gp[5] * (ts % p)) % p
+        d = (tau_m - kappa) % p
+        if d == 0:
+            return None  # nonce retry
+        acc = (acc + pow(d, p - 2, p)) % p
+    return acc
+
+
+# ---------------------------------------------------------------------------
+# Prover
+
+
+def prove_memcheck(F, transcript, access: ByteAccessColumns,
+                   init_mem: Dict[int, int], hash_mode: str = "sha3",
+                   _forge_hook=None,
+                   _unsafe_skip_self_checks=False) -> MemCheckProof:
+    from ..commitments.ligero import LigeroClaim, _row_col_weights, ligero_commit, ligero_prove_claims
+
+    p = F.MODULUS
+    if p >= (1 << 31):
+        raise ValueError("memcheck requires a field modulus < 2^31")
+    A = len(access.addr)
+    num_vars = max(1, (max(A, 1) - 1).bit_length() or 1)
+    padded = 1 << num_vars
+    assert padded < (1 << 28), "access stream too long for the ts decomposition"
+
+    cols: Dict[str, np.ndarray] = {}
+
+    def _pad(a):
+        b = np.zeros(padded, dtype=np.uint64)
+        b[:A] = a
+        return b
+
+    for k in range(4):
+        cols[f"a{k}"] = _pad((access.addr >> np.uint64(16 * k)) & _M16)
+    cols["vr"] = _pad(access.vr)
+    cols["vw"] = _pad(access.vw)
+    cols["st"] = _pad(access.st)
+    cols["rt"] = _pad(access.read_ts)
+    idx = np.arange(padded, dtype=np.uint64)
+    rt = cols["rt"]
+    cols["tl0"] = rt & _M16
+    cols["tl1"] = rt >> np.uint64(16)
+    lag = idx - rt  # >= 0 for honest advice (rt <= position)
+    cols["dl0"] = lag & _M16
+    cols["dl1"] = lag >> np.uint64(16)
+
+    if _forge_hook is not None:
+        _forge_hook(cols)
+
+    # Multiplicities over RANGE16 for every ranged (scaled) column.
+    m_col = np.zeros(1 << 16, dtype=np.uint64)
+    for c, coef in _RANGED:
+        scaled = np.uint64(coef) * cols[c]
+        if np.any(scaled > _M16):
+            if not _unsafe_skip_self_checks:
+                raise AssertionError(f"memcheck violated: column {c} out of range")
+            scaled = scaled & _M16
+        m_col += np.bincount(scaled.astype(np.int64), minlength=1 << 16).astype(np.uint64)
+
+    transcript.append_bytes(b"MC_BEGIN")
+    transcript.append_u64(A)
+    transcript.append_u64(len(access.touched))
+    for a, fv, fts in access.touched:
+        transcript.append_u64(a)
+        transcript.append_u64(fv)
+        transcript.append_u64(fts)
+    state = ligero_commit(F, cols, hash_mode)
+    transcript.append_bytes(state.root)
+    m_state = ligero_commit(F, {"m": m_col}, hash_mode)
+    transcript.append_bytes(b"MC_MULT")
+    transcript.append_bytes(m_state.root)
+
+    # Challenges with nonce retry on zero denominators.
+    P64 = np.uint64(p)
+    sel = le_table(A - 1, num_vars) if A else np.zeros(padded, dtype=np.uint64)
+    nonce = 0
+    while True:
+        trial = transcript.fork()
+        trial.append_bytes(b"MC_CHAL")
+        trial.append_u64(nonce)
+        tau_m = trial.challenge_value(p)
+        tau_r = trial.challenge_value(p)
+        gamma = trial.challenge_value(p)
+        gp = _gamma_powers(gamma, p)
+        ok = tau_r >= (1 << 16)
+        denoms = {}
+        if ok:
+            addr_fp = cols["a0"].copy()
+            for k in (1, 2, 3):
+                addr_fp = (addr_fp + np.uint64(gp[k]) * cols[f"a{k}"]) % P64
+            for side in ("r", "w"):
+                v = cols["vr"] if side == "r" else cols["vw"]
+                ts = cols["rt"] if side == "r" else (idx + np.uint64(1)) % P64
+                kappa = (addr_fp + np.uint64(gp[4]) * v % P64
+                         + np.uint64(gp[5]) * ts) % P64
+                d = (np.uint64(tau_m) + P64 - kappa) % P64
+                if np.any((d == 0) & (sel == 1)):
+                    ok = False
+                    break
+                denoms[f"g_{side}"] = d
+        init_sum = final_sum = None
+        if ok:
+            init_entries = [(a, init_mem.get(a, 0), 0) for a, _fv, _ft in access.touched]
+            init_sum = _boundary_sum(tau_m, gamma, init_entries, p)
+            final_sum = _boundary_sum(tau_m, gamma, access.touched, p)
+            ok = init_sum is not None and final_sum is not None
+        if ok:
+            break
+        nonce += 1
+    transcript.append_bytes(b"MC_CHAL")
+    transcript.append_u64(nonce)
+    assert transcript.challenge_value(p) == tau_m
+    assert transcript.challenge_value(p) == tau_r
+    assert transcript.challenge_value(p) == gamma
+
+    # Inverse columns.
+    g_cols: Dict[str, np.ndarray] = {}
+    for name, d in denoms.items():
+        g_cols[name] = sel * np_inv(d, p) % P64
+    for c, coef in _RANGED:
+        d = (np.uint64(tau_r) + P64 - np.uint64(coef) * cols[c] % P64) % P64
+        g_cols[f"gr_{c}"] = np_inv(d, p)
+    h_col = m_col % P64 * np_inv(
+        (np.uint64(tau_r) + P64 - idx_table(16, p)) % P64, p
+    ) % P64
+
+    g_state = ligero_commit(F, g_cols, hash_mode)
+    g_sums = {name: int(col.sum(dtype=np.uint64) % P64) for name, col in g_cols.items()}
+    h_state = ligero_commit(F, {"h": h_col}, hash_mode)
+    h_sum = int(h_col.sum(dtype=np.uint64) % P64)
+    transcript.append_bytes(b"MC_G")
+    transcript.append_bytes(g_state.root)
+    for name in sorted(g_sums):
+        transcript.append_u64(g_sums[name])
+    transcript.append_bytes(b"MC_H")
+    transcript.append_bytes(h_state.root)
+    transcript.append_u64(h_sum)
+
+    if not _unsafe_skip_self_checks:
+        lhs = (g_sums["g_r"] + final_sum) % p
+        rhs = (g_sums["g_w"] + init_sum) % p
+        if lhs != rhs:
+            raise AssertionError("memcheck violated: memory multiset mismatch")
+        rng_lhs = sum(g_sums[f"gr_{c}"] for c, _ in _RANGED) % p
+        if rng_lhs != h_sum:
+            raise AssertionError("memcheck violated: range multiset mismatch")
+
+    # Zerochecks + Ligero bindings.
+    all_cols = dict(cols)
+    all_cols.update(g_cols)
+    all_cols["__sel__"] = sel
+    all_cols["__idx__"] = idx % P64
+    zc = ZerocheckProver(
+        F, all_cols, _make_combiner(tau_m, tau_r, gamma, p), MEMCHECK_DEGREE,
+        num_alphas=NUM_CONSTRAINTS,
+    ).prove(transcript)
+
+    a, b = _row_col_weights(zc.final_point, state.cn)
+    cols_proof = ligero_prove_claims(state, [LigeroClaim(a=a, b=b, values={})], transcript)
+    ag, bg = _row_col_weights(zc.final_point, g_state.cn)
+    g_proof = ligero_prove_claims(g_state, [
+        LigeroClaim(a=ag, b=bg, values={}),
+        LigeroClaim(a=np.ones(g_state.m, dtype=np.uint64),
+                    b=np.ones(g_state.n, dtype=np.uint64), values={}),
+    ], transcript)
+
+    table_cols = {"m": m_col, "h": h_col, "__key__": idx_table(16, p)}
+    zc_t = ZerocheckProver(
+        F, table_cols, _make_table_combiner(tau_r), MEMCHECK_DEGREE, num_alphas=1,
+    ).prove(transcript)
+    am, bm = _row_col_weights(zc_t.final_point, m_state.cn)
+    m_proof = ligero_prove_claims(m_state, [LigeroClaim(a=am, b=bm, values={})], transcript)
+    ah, bh = _row_col_weights(zc_t.final_point, h_state.cn)
+    h_proof = ligero_prove_claims(h_state, [
+        LigeroClaim(a=ah, b=bh, values={}),
+        LigeroClaim(a=np.ones(h_state.m, dtype=np.uint64),
+                    b=np.ones(h_state.n, dtype=np.uint64), values={}),
+    ], transcript)
+
+    return MemCheckProof(
+        nonce=nonce, num_vars=num_vars, num_accesses=A,
+        touched=list(access.touched), root_cols=state.root, root_g=g_state.root,
+        root_m=m_state.root, root_h=h_state.root, zc=zc, zc_table=zc_t,
+        cols_proof=cols_proof, g_proof=g_proof, m_proof=m_proof,
+        h_proof=h_proof, g_sums=g_sums, h_sum=h_sum,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Verifier
+
+
+def verify_memcheck(F, transcript, mc: MemCheckProof, num_steps: int,
+                    init_mem: Dict[int, int], hash_mode: str = "sha3") -> bool:
+    from ..commitments.ligero import (
+        LigeroClaim,
+        LigeroParams,
+        _row_col_weights,
+        ligero_verify_claims,
+    )
+
+    p = F.MODULUS
+    A = mc.num_accesses
+    if not (0 <= A <= 8 * num_steps):
+        return False
+    if mc.num_vars != max(1, (max(A, 1) - 1).bit_length() or 1):
+        return False
+    if len(mc.touched) > max(A, 1):
+        return False
+    prev = -1
+    for a, fv, fts in mc.touched:
+        if not (0 <= a <= _M64 and prev < a):
+            return False  # sorted, deduplicated addresses
+        if not (0 <= fv < 256 and 0 <= fts <= A):
+            return False
+        prev = a
+
+    transcript.append_bytes(b"MC_BEGIN")
+    transcript.append_u64(A)
+    transcript.append_u64(len(mc.touched))
+    for a, fv, fts in mc.touched:
+        transcript.append_u64(a)
+        transcript.append_u64(fv)
+        transcript.append_u64(fts)
+    transcript.append_bytes(mc.root_cols)
+    transcript.append_bytes(b"MC_MULT")
+    transcript.append_bytes(mc.root_m)
+
+    transcript.append_bytes(b"MC_CHAL")
+    transcript.append_u64(mc.nonce % (1 << 64))
+    tau_m = transcript.challenge_value(p)
+    tau_r = transcript.challenge_value(p)
+    gamma = transcript.challenge_value(p)
+    if tau_r < (1 << 16):
+        return False
+
+    g_names = sorted(G_MEM + G_RNG)
+    if set(mc.g_sums) != set(g_names):
+        return False
+    transcript.append_bytes(b"MC_G")
+    transcript.append_bytes(mc.root_g)
+    for name in g_names:
+        transcript.append_u64(mc.g_sums[name] % p)
+    transcript.append_bytes(b"MC_H")
+    transcript.append_bytes(mc.root_h)
+    transcript.append_u64(mc.h_sum % p)
+
+    col_names = sorted(COLUMNS)
+    if set(mc.zc.column_evals) != set(col_names) | set(g_names):
+        return False
+    if mc.zc.num_vars != mc.num_vars or mc.zc.degree != MEMCHECK_DEGREE:
+        return False
+    comb = _make_combiner_scalar(tau_m, tau_r, gamma, A, mc.num_vars, p)
+    comb.final_point = mc.zc.final_point
+    if not ZerocheckVerifier(F, comb, NUM_CONSTRAINTS, MEMCHECK_DEGREE).verify(
+        mc.zc, transcript
+    ):
+        return False
+
+    params = LigeroParams()
+    cn_c = params.choose_split(mc.num_vars, len(col_names))
+    a, b = _row_col_weights(mc.zc.final_point, cn_c)
+    if not ligero_verify_claims(
+        F, mc.root_cols, mc.num_vars, col_names,
+        [LigeroClaim(a=a, b=b,
+                     values={nm: mc.zc.column_evals[nm] for nm in col_names})],
+        mc.cols_proof, transcript, hash_mode,
+    ):
+        return False
+    cn_g = params.choose_split(mc.num_vars, len(g_names))
+    ag, bg = _row_col_weights(mc.zc.final_point, cn_g)
+    m_g = (1 << mc.num_vars) >> cn_g
+    if not ligero_verify_claims(
+        F, mc.root_g, mc.num_vars, g_names,
+        [
+            LigeroClaim(a=ag, b=bg,
+                        values={nm: mc.zc.column_evals[nm] for nm in g_names}),
+            LigeroClaim(a=np.ones(m_g, dtype=np.uint64),
+                        b=np.ones(1 << cn_g, dtype=np.uint64),
+                        values={nm: mc.g_sums[nm] % p for nm in g_names}),
+        ],
+        mc.g_proof, transcript, hash_mode,
+    ):
+        return False
+
+    # RANGE16 table side.
+    if set(mc.zc_table.column_evals) != {"m", "h"}:
+        return False
+    if mc.zc_table.num_vars != 16 or mc.zc_table.degree != MEMCHECK_DEGREE:
+        return False
+    if not ZerocheckVerifier(
+        F, _make_table_combiner_scalar(tau_r, mc.zc_table.final_point), 1,
+        MEMCHECK_DEGREE,
+    ).verify(mc.zc_table, transcript):
+        return False
+    cn_m = params.choose_split(16, 1)
+    am, bm = _row_col_weights(mc.zc_table.final_point, cn_m)
+    if not ligero_verify_claims(
+        F, mc.root_m, 16, ["m"],
+        [LigeroClaim(a=am, b=bm, values={"m": mc.zc_table.column_evals["m"]})],
+        mc.m_proof, transcript, hash_mode,
+    ):
+        return False
+    cn_h = params.choose_split(16, 1)
+    ah, bh = _row_col_weights(mc.zc_table.final_point, cn_h)
+    m_h = (1 << 16) >> cn_h
+    if not ligero_verify_claims(
+        F, mc.root_h, 16, ["h"],
+        [
+            LigeroClaim(a=ah, b=bh, values={"h": mc.zc_table.column_evals["h"]}),
+            LigeroClaim(a=np.ones(m_h, dtype=np.uint64),
+                        b=np.ones(1 << cn_h, dtype=np.uint64),
+                        values={"h": mc.h_sum % p}),
+        ],
+        mc.h_proof, transcript, hash_mode,
+    ):
+        return False
+
+    # Grand equations: the memory multiset and the range multiset.
+    init_entries = [(a, init_mem.get(a, 0), 0) for a, _fv, _ft in mc.touched]
+    init_sum = _boundary_sum(tau_m, gamma, init_entries, p)
+    final_sum = _boundary_sum(tau_m, gamma, mc.touched, p)
+    if init_sum is None or final_sum is None:
+        return False
+    if (mc.g_sums["g_r"] + final_sum) % p != (mc.g_sums["g_w"] + init_sum) % p:
+        return False
+    rng_lhs = sum(mc.g_sums[f"gr_{c}"] for c, _ in _RANGED) % p
+    return rng_lhs == mc.h_sum % p

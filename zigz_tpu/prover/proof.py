@@ -134,6 +134,10 @@ class V2Section:
     # reference's "register_updates" metadata TODO (builder.zig:77-149),
     # proven for real under protocol v2.
     regcheck: object = None  # RegCheckProof
+    # RAM byte-level offline memory check (constraints/memcheck.py):
+    # loads must return last-stored bytes, anchored at the public
+    # initial image (the reference's memory.zig is execution-only).
+    memcheck: object = None  # MemCheckProof
 
 
 class CompactLassoList:
@@ -196,9 +200,11 @@ class VerificationResult:
     RejectInvalidLookup = "RejectInvalidLookup"
     RejectInvalidCommitment = "RejectInvalidCommitment"
     RejectInvalidPublicIO = "RejectInvalidPublicIO"
-    # v2-only extension (no counterpart in verifier.zig): the register-file
-    # offline memory check (constraints/regcheck.py) failed.
+    # v2-only extensions (no counterpart in verifier.zig): the register-file
+    # offline memory check (constraints/regcheck.py) failed, or the RAM
+    # byte-level memory check (constraints/memcheck.py) failed.
     RejectInvalidRegisterAccess = "RejectInvalidRegisterAccess"
+    RejectInvalidMemoryAccess = "RejectInvalidMemoryAccess"
 
 
 @dataclass

@@ -181,6 +181,7 @@ class Prover:
         if self.protocol_version >= 2:
             self._generate_lasso_proofs_v2(proof, trace)
             self._generate_regcheck(proof, trace, initial_regs, final_state)
+            self._generate_memcheck(proof, trace, program, entry_pc, segments)
         else:
             self._generate_lasso_proofs(proof, lookup_count)
         t3 = time.perf_counter()
@@ -538,6 +539,26 @@ class Prover:
             initial_regs, final_state["final_regs"], self._hash_mode(),
         )
         self.last_timings["regcheck_s"] = time.perf_counter() - t0
+
+    def _generate_memcheck(self, proof: Proof, trace, program, entry_pc, segments) -> None:
+        """RAM byte-level offline memory check (constraints/memcheck.py):
+        every LOAD byte must return the last-stored value (or the public
+        initial image — the reference's memory.zig:35-37 unmapped-reads-0
+        semantics), proven with the same Spice-style argument as the
+        register file."""
+        from ..constraints.memcheck import (
+            extract_byte_accesses,
+            initial_memory_map,
+            prove_memcheck,
+        )
+
+        t0 = time.perf_counter()
+        init_mem = initial_memory_map(program, entry_pc, segments)
+        access = extract_byte_accesses(trace, init_mem)
+        proof.v2.memcheck = prove_memcheck(
+            self.F, self.transcript, access, init_mem, self._hash_mode(),
+        )
+        self.last_timings["memcheck_s"] = time.perf_counter() - t0
 
     def _generate_commitments(self, proof: Proof, witness) -> None:
         if self._use_device_commitments(witness.num_steps):

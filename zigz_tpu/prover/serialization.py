@@ -223,6 +223,7 @@ class BinarySerializer:
         self._write_ligero_proof(w, v2.logup_proof)
         self._write_lookup_validity(w, v2.lookup_validity)
         self._write_regcheck(w, v2.regcheck)
+        self._write_memcheck(w, v2.memcheck)
 
     # -- register memory check (constraints/regcheck.py) -------------------
     # Layout: u8 present and, if set: u64 nonce | u32 num_vars | 32 x u64
@@ -280,6 +281,70 @@ class BinarySerializer:
             root_cols=root_cols, root_g=root_g, root_m=root_m, root_h=root_h,
             zc=zc, zc_table=zc_table, cols_proof=cols_proof, g_proof=g_proof,
             m_proof=m_proof, h_proof=h_proof, g_sums=g_sums, h_sum=h_sum,
+        )
+
+    # -- RAM byte memory check (constraints/memcheck.py) --------------------
+    # Layout mirrors regcheck with a touched-address list in place of the
+    # 32 final_ts slots: u8 present and, if set: u64 nonce | u32 num_vars |
+    # u64 num_accesses | u32 touched count, per entry u64 addr | u64
+    # final_val | u64 final_ts | 4 x 32B roots | 2 zerochecks | 4 ligero
+    # proofs | per sorted g name: u64 sum | u64 h_sum.
+
+    def _write_memcheck(self, w: _Writer, mc) -> None:
+        w.u8(1 if mc is not None else 0)
+        if mc is None:
+            return
+        p = self.F.MODULUS
+        w.u64(mc.nonce)
+        w.u32(mc.num_vars)
+        w.u64(mc.num_accesses)
+        w.u32(len(mc.touched))
+        for a, fv, fts in mc.touched:
+            w.u64(a)
+            w.u64(fv)
+            w.u64(fts)
+        w.bytes_(mc.root_cols)
+        w.bytes_(mc.root_g)
+        w.bytes_(mc.root_m)
+        w.bytes_(mc.root_h)
+        self._write_zerocheck(w, mc.zc)
+        self._write_zerocheck(w, mc.zc_table)
+        self._write_ligero_proof(w, mc.cols_proof)
+        self._write_ligero_proof(w, mc.g_proof)
+        self._write_ligero_proof(w, mc.m_proof)
+        self._write_ligero_proof(w, mc.h_proof)
+        for name in sorted(mc.g_sums):
+            w.u64(mc.g_sums[name] % p)
+        w.u64(mc.h_sum % p)
+
+    def _read_memcheck(self, r: _Reader):
+        if not r.u8():
+            return None
+        from ..constraints.memcheck import COLUMNS, G_MEM, G_RNG, MemCheckProof
+
+        nonce = r.u64()
+        num_vars = r.u32()
+        num_accesses = r.u64()
+        touched = [(r.u64(), r.u64(), r.u64()) for _ in range(r.u32())]
+        root_cols = r.bytes_(32)
+        root_g = r.bytes_(32)
+        root_m = r.bytes_(32)
+        root_h = r.bytes_(32)
+        g_names = sorted(G_MEM + G_RNG)
+        zc = self._read_zerocheck(r, list(COLUMNS) + g_names)
+        zc_table = self._read_zerocheck(r, ["m", "h"])
+        cols_proof = self._read_ligero_proof(r)
+        g_proof = self._read_ligero_proof(r)
+        m_proof = self._read_ligero_proof(r)
+        h_proof = self._read_ligero_proof(r)
+        g_sums = {name: r.u64() for name in g_names}
+        h_sum = r.u64()
+        return MemCheckProof(
+            nonce=nonce, num_vars=num_vars, num_accesses=num_accesses,
+            touched=touched, root_cols=root_cols, root_g=root_g,
+            root_m=root_m, root_h=root_h, zc=zc, zc_table=zc_table,
+            cols_proof=cols_proof, g_proof=g_proof, m_proof=m_proof,
+            h_proof=h_proof, g_sums=g_sums, h_sum=h_sum,
         )
 
     @staticmethod
@@ -481,12 +546,14 @@ class BinarySerializer:
         logup_proof = self._read_ligero_proof(r)
         lookup_validity = self._read_lookup_validity(r)
         regcheck = self._read_regcheck(r)
+        memcheck = self._read_memcheck(r)
         return V2Section(aux_roots=aux_roots, column_evals=column_evals,
                          aux_openings=aux_openings, lasso_extras=lasso_extras,
                          pcs_root=pcs_root, pcs_proof=pcs_proof,
                          logup_nonce=logup_nonce, logup_sum=logup_sum,
                          logup_root=logup_root, logup_proof=logup_proof,
-                         lookup_validity=lookup_validity, regcheck=regcheck)
+                         lookup_validity=lookup_validity, regcheck=regcheck,
+                         memcheck=memcheck)
 
     # -- deserialize -------------------------------------------------------
     def deserialize(self, data: bytes) -> Proof:

@@ -263,6 +263,20 @@ class Verifier:
         ):
             return VerificationResult.RejectInvalidRegisterAccess
 
+        # RAM byte-level offline memory check (constraints/memcheck.py):
+        # loads must return last-stored bytes, anchored at the PUBLIC
+        # initial memory image the verifier rebuilds from the program.
+        from ..constraints.memcheck import initial_memory_map, verify_memcheck
+
+        if proof.v2.memcheck is None:
+            return VerificationResult.RejectInvalidMemoryAccess
+        init_mem = initial_memory_map(program, io.initial_pc)
+        if not verify_memcheck(
+            F, transcript, proof.v2.memcheck, proof.metadata.num_steps,
+            init_mem, hash_mode,
+        ):
+            return VerificationResult.RejectInvalidMemoryAccess
+
         # Commitment phase: bind roots, re-derive points, CHECK them.
         transcript.append_bytes(b"POLY_COMMITMENTS")
         for c in proof.witness_commitments:
