@@ -474,17 +474,26 @@ class Prover:
         if lookup_count > 0:
             import numpy as np
 
-            ids = np.arange(lookup_count, dtype=np.uint64)
-            if lookup_count > F.MODULUS:
-                # uint64 vector mod is ~2s at 2^22 and a no-op below p.
-                ids %= np.uint64(F.MODULUS)
-            stream = np.empty((lookup_count, 19), dtype=np.uint8)
-            stream[:, :11] = np.frombuffer(b"LASSO_TABLE", dtype=np.uint8)
-            stream[:, 11:] = (
-                np.frombuffer(np.ascontiguousarray(ids, dtype="<u8").tobytes(), dtype=np.uint8)
-                .reshape(lookup_count, 8)
-            )
-            transcript.append_bytes(stream.tobytes())
+            from ..runtime import native_lasso_id_stream
+
+            stream = native_lasso_id_stream(lookup_count, F.MODULUS)
+            if stream is not None:
+                # numpy buffers satisfy the buffer protocol — absorb with
+                # no intermediate bytes copy.
+                transcript._hasher.update(stream)
+            else:
+                ids = np.arange(lookup_count, dtype=np.uint64)
+                if lookup_count > F.MODULUS:
+                    # uint64 vector mod is ~2s at 2^22 and a no-op below p.
+                    ids %= np.uint64(F.MODULUS)
+                stream = np.empty((lookup_count, 19), dtype=np.uint8)
+                stream[:, :11] = np.frombuffer(b"LASSO_TABLE", dtype=np.uint8)
+                stream[:, 11:] = (
+                    np.frombuffer(
+                        np.ascontiguousarray(ids, dtype="<u8").tobytes(), dtype=np.uint8
+                    ).reshape(lookup_count, 8)
+                )
+                transcript.append_bytes(stream.tobytes())
 
         proof.lookup_proofs = CompactLassoList(F, lookup_count)
 

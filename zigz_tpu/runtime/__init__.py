@@ -375,6 +375,43 @@ def native_sha3_matrix_columns(matrix: np.ndarray):
     return out.tobytes()
 
 
+_id_stream_ok = None
+_id_stream_buf = None
+
+
+def native_lasso_id_stream(count: int, p: int):
+    """The v1 Lasso phase's "LASSO_TABLE" + LE64(i % p) byte stream as one
+    native buffer (a reused module-level scratch — consume before the next
+    call), or None when unavailable.  Self-tested against the numpy
+    construction on first use."""
+    global _id_stream_ok, _id_stream_buf
+    lib = _load_ntt()
+    if lib is None or not hasattr(lib, "zigz_lasso_id_stream"):
+        return None
+    if _id_stream_ok is None:
+        probe = np.empty(3 * 19, dtype=np.uint8)
+        lib.zigz_lasso_id_stream(
+            ctypes.c_uint64(3), ctypes.c_uint64(2), probe.ctypes.data_as(ctypes.c_void_p),
+            ctypes.c_int(1),
+        )
+        want = b"".join(
+            b"LASSO_TABLE" + (i % 2).to_bytes(8, "little") for i in range(3)
+        )
+        _id_stream_ok = probe.tobytes() == want
+    if not _id_stream_ok:
+        return None
+    # Reuse one scratch buffer: a fresh 80 MB np.empty page-faults ~0.3 s
+    # at 2^22 rows, 40x the fill itself.
+    if _id_stream_buf is None or _id_stream_buf.size < count * 19:
+        _id_stream_buf = np.empty(count * 19, dtype=np.uint8)
+    out = _id_stream_buf[: count * 19]
+    lib.zigz_lasso_id_stream(
+        ctypes.c_uint64(count), ctypes.c_uint64(p),
+        out.ctypes.data_as(ctypes.c_void_p), ctypes.c_int(NUM_THREADS),
+    )
+    return out
+
+
 def native_batch_inv(values: np.ndarray, p: int):
     """Montgomery batch inversion mod p (zeros map to zero), or None."""
     lib = _load_ntt()

@@ -65,6 +65,40 @@ extern "C" void zigz_ntt_rows(const uint64_t* in, size_t rows, size_t n_in,
     for (auto& th : threads) th.join();
 }
 
+// v1 Lasso phase byte stream: count records of "LASSO_TABLE" + LE64(i % p)
+// (prover.zig:292-363's absorption schedule).  The numpy strided-byte
+// assembly of the same stream costs ~0.7 s at 2^22 rows; this is memcpy
+// speed.
+extern "C" void zigz_lasso_id_stream(uint64_t count, uint64_t p,
+                                     uint8_t* out, int num_threads) {
+    static const char tag[11] = {'L', 'A', 'S', 'S', 'O', '_',
+                                 'T', 'A', 'B', 'L', 'E'};
+    size_t want = static_cast<size_t>(num_threads > 0 ? num_threads : 1);
+    size_t nthreads = count < 4096 ? 1 : want;
+    auto fill = [out, p](uint64_t begin, uint64_t end) {
+        uint8_t* dst = out + begin * 19;
+        for (uint64_t i = begin; i < end; ++i) {
+            std::memcpy(dst, tag, 11);
+            uint64_t v = i % p;
+            std::memcpy(dst + 11, &v, 8);  // little-endian host assumed (x86)
+            dst += 19;
+        }
+    };
+    if (nthreads <= 1) {
+        fill(0, count);
+        return;
+    }
+    std::vector<std::thread> threads;
+    uint64_t chunk = (count + nthreads - 1) / nthreads;
+    for (size_t t = 0; t < nthreads; ++t) {
+        uint64_t begin = t * chunk;
+        if (begin >= count) break;
+        uint64_t end = begin + chunk < count ? begin + chunk : count;
+        threads.emplace_back(fill, begin, end);
+    }
+    for (auto& th : threads) th.join();
+}
+
 static uint64_t modpow(uint64_t base, uint64_t exp, uint64_t p) {
     uint64_t result = 1, acc = base % p;
     while (exp) {
