@@ -139,15 +139,18 @@ def _build_forest_lo(lo2d, K: int, D: int, sharding=None, hash_mode="sha3"):
     if sharding is not None:
         lo = jax.device_put(lo, sharding)
     level = leaf_fn(lo)
-    # Per-level sync: deeply enqueued async chains degrade ~80x through the
-    # axon tunnel (a fully-async 2^22 build completes in ~9 s where the
-    # same chain with per-level blocking finishes in ~0.1 s).  The sync
-    # cost itself is ~1 ms per level.
-    level.block_until_ready()
+    # Sync discipline (measured on the axon tunnel): block_until_ready is
+    # effectively a NO-OP — only a data fetch actually waits — and a
+    # 1-element fetch costs a multi-second pipeline stall when the queue
+    # is deep.  A fully-async chained build runs the whole 2^22 forest in
+    # ~1.2 s where one tiny fetch per level took 140 s.  So: one small
+    # fetch after the leaf pass bounds the per-group queue, the merge
+    # chain stays async, and the constructor's top-level transfer is the
+    # real barrier.
+    np.asarray(jax.device_get(level[0, :1]))
     kept = []
     for k in range(K):
         nxt = merge_fn(level)
-        nxt.block_until_ready()
         if k >= D:
             kept.append(level)
         else:
