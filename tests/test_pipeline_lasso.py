@@ -145,3 +145,37 @@ def test_device_rounds_bit_equal():
         assert [c.value for c in host[1]] == [c.value for c in other[1]]
         assert host[2].value == other[2].value
     assert t_host.challenge_value(F.MODULUS) == t_dev.challenge_value(F.MODULUS) == t_mesh.challenge_value(F.MODULUS)
+
+
+def test_v2_classification_m_ext_and_wide_shamt():
+    """v2 must not classify M-extension ops or >=32-bit immediate shifts
+    into 64-bit ALU tables the results don't satisfy (the reference's
+    catalog mapping does: MUL->SUB via the funct7==0 test, SRLI shamt>=33
+    -> SRA via funct7's shamt bit).  Regression: honest traces with these
+    instructions were rejected by the validity argument."""
+    a = Assembler()
+    a.li("t0", 7)
+    a.li("t1", 6)
+    a.mul("t2", "t0", "t1")      # M-ext: no v2 table
+    a.mulh("t3", "t0", "t1")     # M-ext: no v2 table
+    a.srli("t4", "t0", 33)       # logical, shamt bit 5 set -> SRL
+    a.srai("t5", "t0", 40)       # arithmetic -> SRA
+    a.ebreak()
+    queries = extract_table_queries(_trace(a.assemble()))
+
+    assert TABLE_IDS["SUB"] not in queries       # MUL must not land here
+    srl_in, srl_out = queries[TABLE_IDS["SRL"]]
+    assert list(srl_in[0]) == [7, 33] and srl_out[0][0] == 7 >> 33
+    sra_in, sra_out = queries[TABLE_IDS["SRA"]]
+    # SRAI's I-imm carries the funct7 bits (0b0100000 << 5 | shamt); the
+    # gadget masks s = in1 & 63, so the raw imm is the query input.
+    assert list(sra_in[0]) == [7, 1024 + 40] and sra_out[0][0] == 7 >> 40
+
+    # End-to-end: v2 prove+verify of the same program accepts.
+    from zigz_tpu.prover.prover import Prover
+    from zigz_tpu.verifier.verifier import Verifier
+
+    proof = Prover(F, seed=0, protocol_version=2).prove(
+        a.assemble(), 0x1000, None, 1000, None, None
+    )
+    assert Verifier(F).verify(proof, a.assemble()) == "Accept"

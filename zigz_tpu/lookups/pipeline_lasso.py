@@ -67,6 +67,60 @@ TABLE_NAMES = (
 TABLE_IDS = {name: i for i, name in enumerate(TABLE_NAMES)}
 
 
+def v2_lookup_ids(opcode: np.ndarray, funct3: np.ndarray, funct7: np.ndarray,
+                  imm: np.ndarray) -> np.ndarray:
+    """Semantically correct per-step table ids for protocol v2 (-1 = no
+    table).
+
+    The reference's catalog mapping (instruction_table.zig:243-274,
+    mirrored in get_table_metadata) classifies by funct3 with a
+    funct7==0 test only — fine for v1 (nothing checks semantics; the
+    count feeds the transcript), but WRONG for the v2 validity argument,
+    which proves each query IS a genuine table entry:
+
+      * M-extension ops (OP/funct7=1: MUL..REMU) land on SUB/SLL/XOR/...
+        whose 64-bit semantics they do not satisfy — honest traces were
+        rejected.  v2 classifies them as no-table (their semantics need
+        dedicated gadgets; ROADMAP).
+      * RV64 immediate shifts use funct7's low bit as shamt bit 5, so
+        SRLI with shamt >= 32 was classified SRA.  v2 tests bit 30
+        (the actual SRL/SRA discriminator) instead.
+      * Word ops (OP_32/OP_IMM_32) wrap at 32 bits and were already
+        unmapped (get_table_metadata returns None); unchanged here.
+
+    v1 keeps the reference mapping bit-for-bit (wire parity)."""
+    op = opcode.astype(np.int64)
+    f3 = funct3.astype(np.int64)
+    f7 = funct7.astype(np.int64)
+    out = np.full(op.shape, -1, dtype=np.int64)
+
+    srx = np.where(f7 & 0b0100000, TABLE_IDS["SRA"], TABLE_IDS["SRL"])
+    base = np.choose(f3, [
+        np.where(op == Opcode.OP,
+                 np.where(f7 & 0b0100000, TABLE_IDS["SUB"], TABLE_IDS["ADD"]),
+                 np.full_like(op, TABLE_IDS["ADD"])),
+        np.full_like(op, TABLE_IDS["SLL"]),
+        np.full_like(op, TABLE_IDS["SLT"]),
+        np.full_like(op, TABLE_IDS["SLTU"]),
+        np.full_like(op, TABLE_IDS["XOR"]),
+        srx,
+        np.full_like(op, TABLE_IDS["OR"]),
+        np.full_like(op, TABLE_IDS["AND"]),
+    ])
+    is_op = op == Opcode.OP
+    is_opimm = op == Opcode.OP_IMM
+    # OP: funct7 must be one of {0, 0b0100000}; funct7=1 is the M
+    # extension (no 64-bit ALU table), anything else never executes.
+    op_ok = is_op & ((f7 == 0) | (f7 == 0b0100000))
+    # OP_IMM: funct7's low bit is shamt bit 5 for the shift immediates,
+    # so only bit 30 participates in classification.
+    out = np.where(op_ok | is_opimm, base, out)
+    out = np.where(op == Opcode.LOAD, np.int64(TABLE_IDS["LOAD"]), out)
+    out = np.where(op == Opcode.STORE, np.int64(TABLE_IDS["STORE"]), out)
+    out = np.where(op == Opcode.BRANCH, np.int64(TABLE_IDS["BEQ"]), out)
+    return out
+
+
 class _LastWriteReader:
     """Register values at arbitrary steps via last-write binary search.
 
@@ -213,11 +267,11 @@ def extract_table_queries(trace) -> Dict[int, Tuple[np.ndarray, np.ndarray]]:
     if cols is not None:
         opcode = cols["opcode"].astype(np.uint64)
         funct3 = cols["funct3"].astype(np.uint64)
+        funct7 = cols["funct7"].astype(np.uint64)
         rs1 = cols["rs1"].astype(np.int64)
         rs2 = cols["rs2"].astype(np.int64)
         rd = cols["rd"].astype(np.int64)
         imm = cols["imm"].astype(np.uint64)
-        lookup_id = cols["lookup_id"].astype(np.int64)
         mem_addr = cols["mem_addr"].astype(np.uint64)
         mem_val = cols["mem_val"].astype(np.uint64)
         next_pc = cols["next_pc"].astype(np.uint64)
@@ -226,16 +280,11 @@ def extract_table_queries(trace) -> Dict[int, Tuple[np.ndarray, np.ndarray]]:
         insts = trace.instructions
         opcode = np.fromiter((i.opcode for i in insts), dtype=np.uint64, count=n)
         funct3 = np.fromiter((i.funct3 for i in insts), dtype=np.uint64, count=n)
+        funct7 = np.fromiter((i.funct7 for i in insts), dtype=np.uint64, count=n)
         rs1 = np.fromiter((i.rs1 for i in insts), dtype=np.int64, count=n)
         rs2 = np.fromiter((i.rs2 for i in insts), dtype=np.int64, count=n)
         rd = np.fromiter((i.rd for i in insts), dtype=np.int64, count=n)
         imm = np.fromiter((i.imm & _M64 for i in insts), dtype=np.uint64, count=n)
-        from ..isa.instruction_table import get_table_metadata
-
-        lookup_id = np.array(
-            [TABLE_IDS[t.name] if t is not None else -1 for t in trace.lookup_tables],
-            dtype=np.int64,
-        )
         accesses = trace.memory_accesses
         mem_addr = np.array([a.address if a else 0 for a in accesses], dtype=np.uint64)
         mem_val = np.array([a.value if a else 0 for a in accesses], dtype=np.uint64)
@@ -259,6 +308,7 @@ def extract_table_queries(trace) -> Dict[int, Tuple[np.ndarray, np.ndarray]]:
         }[table_id]()
 
     rs1_val, rs2_val, rd_after, _rd_before = operand_values(trace, rs1, rs2, rd)
+    lookup_id = v2_lookup_ids(opcode, funct3, funct7, imm)
 
     out: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
     for table_id in range(len(TABLE_NAMES)):
