@@ -1,0 +1,230 @@
+"""Bytecode fetch+decode argument (constraints/bytecode.py).
+
+The reference never constrains fetch or decode — the witness's
+opcode/funct/rs/imm columns are unchecked advice (witness.zig:134-215).
+These tests gate our Jolt-style bytecode memory check: every executed
+step must run the instruction the PUBLIC program stores at its pc, so a
+proof made for program A must not verify against a program B that
+differs in any executed instruction.
+"""
+
+import numpy as np
+import pytest
+
+from zigz_tpu import elf
+from zigz_tpu.core.field import BabyBear as F
+from zigz_tpu.constraints.bytecode import (
+    build_bytecode_table,
+    decode_fields,
+    step_static_columns,
+)
+from zigz_tpu.guest.programs import fibonacci_guest
+from zigz_tpu.isa import rv64i
+from zigz_tpu.prover.prover import Prover
+from zigz_tpu.prover.proof import VerificationResult
+from zigz_tpu.prover.serialization import BinarySerializer
+from zigz_tpu.verifier.verifier import Verifier
+
+P = F.MODULUS
+
+
+def _nop_add_program():
+    # addi x1, x0, 3 ; addi x2, x0, 4 ; 29x add x3, x1, x2 ; ecall
+    return bytes([0x93, 0x00, 0x30, 0x00, 0x13, 0x01, 0x40, 0x00]
+                 + [0xB3, 0x81, 0x20, 0x00] * 29 + [0x73, 0x00, 0x10, 0x00])
+
+
+def _prove(program, entry=0x1000, segments=None, tape=None):
+    return Prover(F, seed=0, protocol_version=2).prove(
+        program, entry, None, 1 << 16, segments, tape
+    )
+
+
+# -- vectorized decoder twin -------------------------------------------------
+
+
+def test_decode_fields_matches_scalar_decoder():
+    """decode_fields is a vectorized twin of isa/rv64i.decode; cross-check
+    every decodable word of the fibonacci guest's text segment."""
+    loaded = elf.load(fibonacci_guest())
+    words = []
+    for seg in loaded.segments:
+        data = bytes(seg.data)
+        for off in range(0, len(data) - 3):
+            w = int.from_bytes(data[off:off + 4], "little")
+            if w & 0x7F:
+                words.append(w)
+    words = np.array(words, dtype=np.uint32)
+    op, rd, f3, rs1, rs2, f7, imm = decode_fields(words)
+    checked = 0
+    for i, w in enumerate(words):
+        try:
+            inst = rv64i.decode(int(w))
+        except Exception:
+            continue
+        assert op[i] == inst.opcode and rd[i] == inst.rd
+        assert f3[i] == inst.funct3 and f7[i] == inst.funct7
+        assert rs1[i] == inst.rs1 and rs2[i] == inst.rs2
+        assert int(imm[i]) == inst.imm & ((1 << 64) - 1)
+        checked += 1
+    assert checked > 20
+
+
+def test_table_covers_executed_pcs():
+    program = _nop_add_program()
+    table = build_bytecode_table(program, 0x1000, None, P)
+    pcs = np.arange(0x1000, 0x1000 + len(program), 4, dtype=np.uint64)
+    pos = np.searchsorted(table.addrs, pcs)
+    assert np.all(table.addrs[pos] == pcs)
+    # Aligned rows carry the decode of their word.
+    row0 = pos[0]
+    assert table.cols["a1"][row0] == 0 and table.cols["wrs"][row0] == 1
+    assert table.cols["imm_0"][row0] == 3  # addi x1, x0, 3
+
+
+# -- end-to-end accept / reject ---------------------------------------------
+
+
+def test_e2e_accept_with_branches_and_ecalls():
+    guest = fibonacci_guest()
+    loaded = elf.load(guest)
+    proof = _prove(guest, loaded.entry_pc, loaded.segments, [9])
+    assert proof.v2.bytecode is not None
+    assert Verifier(F).verify(proof, guest) == VerificationResult.Accept
+
+
+def test_missing_bytecode_rejected():
+    program = _nop_add_program()
+    proof = _prove(program)
+    proof.v2.bytecode = None
+    assert (
+        Verifier(F).verify(proof, program)
+        == VerificationResult.RejectInvalidBytecode
+    )
+
+
+def _claim_program(proof, forged: bytes):
+    """Malicious-prover move: claim the proof is for `forged` by setting
+    the (prover-controlled) PublicIO hash; the committed trace still ran
+    the original program.  The sha256 gate passes — only the bytecode
+    argument can catch the mismatch."""
+    from hashlib import sha256
+
+    proof.public_io.program_hash = sha256(forged).digest()
+    return proof
+
+
+def test_wrong_program_rejected():
+    """A proof whose committed trace ran program A must not verify as a
+    proof of program B differing in one executed instruction — here the
+    first ADDI's immediate (3 -> 5), which no prior argument observed
+    (the word is never loaded as data, only fetched).  The public-IO
+    hash swap diverges the transcript, so rejection may surface at any
+    layer; what matters is that it is NOT Accept."""
+    program = _nop_add_program()
+    proof = _prove(program)
+    forged = bytearray(program)
+    assert forged[2] == 0x30
+    forged[2] = 0x50
+    _claim_program(proof, bytes(forged))
+    assert (
+        Verifier(F).verify(proof, bytes(forged)) != VerificationResult.Accept
+    )
+
+
+def test_forged_decoded_immediate_rejected():
+    """Isolate the bytecode argument: an otherwise-honest prover commits
+    a decode tuple whose immediate limb disagrees with the program at
+    one executed step.  The honest prover's self-check trips; bypassing
+    it, the fetch logUp (g_sum vs h_sum over diverged fingerprints)
+    rejects."""
+    program = _nop_add_program()
+    prover = Prover(F, seed=0, protocol_version=2)
+
+    def forge(lk, table):
+        lk["imm_0"] = lk["imm_0"].copy()
+        lk["imm_0"][0] = (int(lk["imm_0"][0]) + 1) % (1 << 16)
+
+    prover._bc_forge_hook = forge
+    with pytest.raises(AssertionError, match="fetch multiset mismatch"):
+        prover.prove(program, 0x1000, None, 1 << 16, None, None)
+
+    prover = Prover(F, seed=0, protocol_version=2)
+    prover._bc_forge_hook = forge
+    prover._bc_unsafe = True
+    proof = prover.prove(program, 0x1000, None, 1 << 16, None, None)
+    assert (
+        Verifier(F).verify(proof, program)
+        == VerificationResult.RejectInvalidBytecode
+    )
+
+
+def test_forged_table_id_rejected():
+    """Claim an executed ADD used the SUB lookup table: the tbl1 slot of
+    the committed tuple diverges from the public decode."""
+    program = _nop_add_program()
+    prover = Prover(F, seed=0, protocol_version=2)
+
+    def forge(lk, table):
+        lk["tbl1"] = lk["tbl1"].copy()
+        lk["tbl1"][2] = (int(lk["tbl1"][2]) + 1) % P
+
+    prover._bc_forge_hook = forge
+    prover._bc_unsafe = True
+    proof = prover.prove(program, 0x1000, None, 1 << 16, None, None)
+    assert (
+        Verifier(F).verify(proof, program)
+        == VerificationResult.RejectInvalidBytecode
+    )
+
+
+def test_tampered_decode_eval_rejected():
+    program = _nop_add_program()
+    proof = _prove(program)
+    ser = BinarySerializer(F)
+    restored = ser.deserialize(ser.serialize(proof))
+    bc = restored.v2.bytecode
+    bc.zc.column_evals["tbl1"] = (bc.zc.column_evals["tbl1"] + 1) % P
+    assert (
+        Verifier(F).verify(restored, program)
+        == VerificationResult.RejectInvalidBytecode
+    )
+
+
+def test_tampered_multiset_sum_rejected():
+    program = _nop_add_program()
+    proof = _prove(program)
+    ser = BinarySerializer(F)
+    restored = ser.deserialize(ser.serialize(proof))
+    restored.v2.bytecode.g_sum = (restored.v2.bytecode.g_sum + 1) % P
+    assert (
+        Verifier(F).verify(restored, program)
+        == VerificationResult.RejectInvalidBytecode
+    )
+
+
+def test_tampered_external_reg_eval_rejected():
+    """The bytecode zerocheck consumes regcheck columns (read cells);
+    forging the claimed regcheck eval must break either the zerocheck
+    linkage or the Ligero binding to the regcheck root."""
+    program = _nop_add_program()
+    proof = _prove(program)
+    ser = BinarySerializer(F)
+    restored = ser.deserialize(ser.serialize(proof))
+    bc = restored.v2.bytecode
+    bc.reg_evals["a1"] = (bc.reg_evals["a1"] + 1) % P
+    assert (
+        Verifier(F).verify(restored, program)
+        == VerificationResult.RejectInvalidBytecode
+    )
+
+
+def test_serialization_roundtrip_bytes_stable():
+    program = _nop_add_program()
+    proof = _prove(program)
+    ser = BinarySerializer(F)
+    data = ser.serialize(proof)
+    restored = ser.deserialize(data)
+    assert restored.v2.bytecode is not None
+    assert ser.serialize(restored) == data
+    assert Verifier(F).verify(restored, program) == VerificationResult.Accept

@@ -1,0 +1,833 @@
+"""Bytecode (fetch + decode) argument: every executed step runs the
+instruction the PUBLIC program stores at its pc.
+
+The reference never constrains fetch or decode — the witness's
+opcode/funct/rs/imm columns are unchecked advice (witness.zig:134-215),
+and our round-2 regcheck/validity arguments inherited that gap: the
+committed access cells (a1/a2/a3) and query/selector columns were advice
+too.  This module closes it with a Jolt-style *bytecode memory check*
+(Jolt's read-only bytecode argument, built here as a logUp):
+
+* The verifier DECODES THE PROGRAM ITSELF.  Every address whose 4-byte
+  little-endian window (over the initial memory image; unmapped bytes
+  read 0, memory.zig:35-37) has a nonzero opcode field is a table entry
+  carrying the full static decode tuple: read cells (rs1, rs2), the
+  static write cell, funct3, the v2 lookup-table id, the sequential-pc
+  flag, the 4x16-bit limbs of the u64-bitcast immediate, and the
+  per-class selector flags the other v2 arguments consume.  A step can
+  only execute a decodable word (decode(0) rejects and the VM halts
+  without recording, state.py:step), so every traced pc IS in the table.
+
+* Per step, the prover commits the SAME tuple as columns over the trace
+  domain, and a logUp multiset inclusion (committed multiplicities over
+  the program domain; fingerprints drawn after both commitments) forces
+  every step's tuple to equal the table row at its pc:
+
+      sum_steps sel(x)/(tau - kappa(x)) == sum_addrs m(j)/(tau - kappa_j)
+
+  kappa combines the slots with powers of gamma; the pc slot makes the
+  tuple injective per address.  pc itself is the Ligero-committed v2
+  zerocheck column, anchored at PublicIO.initial_pc here (eq_0
+  constraint) and chained by the c5/c6 shift argument — so the pc
+  stream, and with it every decoded field, is grounded in the public
+  program.
+
+* SYSTEM steps additionally expose the syscall state: their table rows
+  read cells (17, 10) = (a7, a0) — the regcheck extraction mirrors this
+  — and committed c_read/c_commit flags select the ECALL kind from the
+  PROVEN a7 value (rv1), with the write cell tied to
+  a3 = (1-fsys)*wrs + 10*fsys*c_read: exactly ECALL_READ writes a0
+  (state.py:_exec_system), everything else writes the static cell.
+
+The committed c_commit flag (1 exactly at ECALL_COMMIT steps, proven
+from the regcheck'd a7 value) is the anchor for the output-tape
+binding (see outputs.py once built): the multiset of (counter, a0)
+pairs at commit steps vs the PUBLIC outputs list.
+
+Soundness preconditions (asserted at prove time, documented):
+program addresses < p (the pc slot is a mod-p value) and no
+self-modifying code (the table decodes the INITIAL image; stores that
+overwrite later-executed code would make honest proving fail, never
+unsound verification).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..isa.rv64i import Opcode
+from ..lookups.pipeline_lasso import TABLE_IDS, v2_lookup_ids
+from ..poly.public_mles import (
+    eq_zero_eval,
+    le_indicator_eval,
+    le_table,
+    np_inv,
+)
+from ..proofs.zerocheck import ZerocheckProof, ZerocheckProver, ZerocheckVerifier
+
+__all__ = [
+    "BYTECODE_SLOTS",
+    "BytecodeProof",
+    "build_bytecode_table",
+    "step_static_columns",
+    "prove_bytecode",
+    "verify_bytecode",
+    "BYTECODE_DEGREE",
+]
+
+_M16 = np.uint64(0xFFFF)
+_M64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+# Fingerprint slot order (gamma^1..gamma^len assigned in this order; the
+# pc slot is gamma^1).  "a1"/"a2" are the regcheck read cells; all other
+# slots are columns of the linkage commitment (step side) / public decode
+# outputs (table side).
+BYTECODE_SLOTS = (
+    "pc", "a1", "a2", "wrs", "f3", "tbl1", "seqb",
+    "imm_0", "imm_1", "imm_2", "imm_3",
+    "fsys", "fecall", "fimm", "frs2", "fwr",
+    "fbr", "fjal", "fjalr", "fneg", "flk",
+)
+# Step-side committed columns (the linkage commitment): every slot that
+# is not already committed elsewhere (pc lives in the v2 PCS; a1/a2 in
+# the regcheck commitment) plus the syscall-kind machinery.
+LINK_COLUMNS = tuple(s for s in BYTECODE_SLOTS if s not in ("pc", "a1", "a2")) + (
+    "c_read", "c_commit", "inv_r", "inv_c",
+)
+# Referenced external columns (prefixed in the zerocheck column dict).
+_REG_REFS = ("a1", "a2", "a3", "rv1_0", "rv1_1", "rv1_2", "rv1_3")
+_PCS_REFS = ("pc",)
+
+BYTECODE_DEGREE = 4  # deg(eq * C); the ECALL completeness gadgets are deg 3
+NUM_BC_CONSTRAINTS = 13
+
+# Opcode classes that architecturally write rd (state.py:_exec_*).
+_WRITES_RD = (
+    Opcode.OP, Opcode.OP_32, Opcode.OP_IMM, Opcode.OP_IMM_32,
+    Opcode.LOAD, Opcode.LUI, Opcode.AUIPC, Opcode.JAL, Opcode.JALR,
+)
+_NONSEQ = (Opcode.BRANCH, Opcode.JAL, Opcode.JALR, Opcode.SYSTEM)
+# Gadget-covered v2 tables (lookups/validity.py GADGETS): the ten 64-bit
+# ALU tables + the shared branch table.
+_GADGET_IDS = tuple(range(10)) + (TABLE_IDS["BEQ"],)
+
+
+def decode_fields(words: np.ndarray):
+    """Vectorized twin of isa/rv64i.decode for uint32 word arrays.
+
+    Returns (op, rd, f3, rs1, rs2, f7, imm_u64) with imm the u64 bitcast
+    of the per-format sign-extended immediate; callers must pre-filter
+    opcode-0 words (decode() raises InvalidInstruction there)."""
+    w = words.astype(np.uint64)
+    op = (w & np.uint64(0x7F)).astype(np.int64)
+    rd = ((w >> np.uint64(7)) & np.uint64(0x1F)).astype(np.int64)
+    f3 = ((w >> np.uint64(12)) & np.uint64(0x07)).astype(np.int64)
+    rs1 = ((w >> np.uint64(15)) & np.uint64(0x1F)).astype(np.int64)
+    rs2 = ((w >> np.uint64(20)) & np.uint64(0x1F)).astype(np.int64)
+    f7 = ((w >> np.uint64(25)) & np.uint64(0x7F)).astype(np.int64)
+
+    def sext(v, sign_mask, width_mask):
+        v = v.astype(np.int64)
+        return np.where(v & sign_mask, v - (width_mask + 1), v)
+
+    imm_i = sext((w >> np.uint64(20)) & np.uint64(0xFFF), 0x800, 0xFFF)
+    imm_s = sext((((w >> np.uint64(25)) & np.uint64(0x7F)) << np.uint64(5))
+                 | ((w >> np.uint64(7)) & np.uint64(0x1F)), 0x800, 0xFFF)
+    imm_b = sext(
+        (((w >> np.uint64(31)) & np.uint64(1)) << np.uint64(12))
+        | (((w >> np.uint64(7)) & np.uint64(1)) << np.uint64(11))
+        | (((w >> np.uint64(25)) & np.uint64(0x3F)) << np.uint64(5))
+        | (((w >> np.uint64(8)) & np.uint64(0x0F)) << np.uint64(1)),
+        0x1000, 0x1FFF,
+    )
+    imm_u = sext(w & np.uint64(0xFFFFF000), 0x80000000, 0xFFFFFFFF)
+    imm_j = sext(
+        (((w >> np.uint64(31)) & np.uint64(1)) << np.uint64(20))
+        | (((w >> np.uint64(12)) & np.uint64(0xFF)) << np.uint64(12))
+        | (((w >> np.uint64(20)) & np.uint64(1)) << np.uint64(11))
+        | (((w >> np.uint64(21)) & np.uint64(0x3FF)) << np.uint64(1)),
+        0x100000, 0x1FFFFF,
+    )
+
+    # Format per opcode (rv64i.instruction_format; unknown -> R, imm=0).
+    fmt_i = np.isin(op, (Opcode.OP_IMM, Opcode.OP_IMM_32, Opcode.JALR,
+                         Opcode.LOAD, Opcode.LOAD_FP, Opcode.MISC_MEM,
+                         Opcode.SYSTEM))
+    fmt_s = np.isin(op, (Opcode.STORE, Opcode.STORE_FP))
+    fmt_b = op == Opcode.BRANCH
+    fmt_u = np.isin(op, (Opcode.LUI, Opcode.AUIPC))
+    fmt_j = op == Opcode.JAL
+    imm = np.zeros_like(imm_i)
+    imm = np.where(fmt_i, imm_i, imm)
+    imm = np.where(fmt_s, imm_s, imm)
+    imm = np.where(fmt_b, imm_b, imm)
+    imm = np.where(fmt_u, imm_u, imm)
+    imm = np.where(fmt_j, imm_j, imm)
+    return op, rd, f3, rs1, rs2, f7, imm.view(np.uint64)
+
+
+def step_static_columns(op, rd, f3, rs1, rs2, f7, imm_u64) -> Dict[str, np.ndarray]:
+    """The static decode tuple (all BYTECODE_SLOTS except pc), shared by
+    the table builder and the step-side extraction so both sides use one
+    formula set."""
+    op = np.asarray(op, dtype=np.int64)
+    rd = np.asarray(rd, dtype=np.int64)
+    imm_u64 = np.asarray(imm_u64, dtype=np.uint64)
+    tbl = v2_lookup_ids(op, np.asarray(f3), np.asarray(f7), imm_u64)
+    is_sys = op == Opcode.SYSTEM
+    writes = np.isin(op, _WRITES_RD)
+    flk = np.isin(tbl, _GADGET_IDS)
+    is_alu = (tbl >= 0) & (tbl <= TABLE_IDS["SLTU"])
+
+    cols = {
+        # SYSTEM reads (a7, a0) — mirrored by the regcheck extraction.
+        "a1": np.where(is_sys, np.int64(17), np.asarray(rs1, dtype=np.int64)).astype(np.uint64),
+        "a2": np.where(is_sys, np.int64(10), np.asarray(rs2, dtype=np.int64)).astype(np.uint64),
+        "wrs": np.where(writes, rd, np.int64(0)).astype(np.uint64),
+        "f3": np.asarray(f3, dtype=np.uint64),
+        "tbl1": (tbl + 1).astype(np.uint64),
+        "seqb": (~np.isin(op, _NONSEQ)).astype(np.uint64),
+        "fsys": is_sys.astype(np.uint64),
+        "fecall": (is_sys & (imm_u64 == 0) & (np.asarray(f3) == 0)).astype(np.uint64),
+        "fimm": ((op == Opcode.OP_IMM) & flk).astype(np.uint64),
+        "frs2": (((op == Opcode.OP) & flk) | (op == Opcode.BRANCH)).astype(np.uint64),
+        "fwr": (is_alu & (rd != 0)).astype(np.uint64),
+        "fbr": (op == Opcode.BRANCH).astype(np.uint64),
+        "fjal": (op == Opcode.JAL).astype(np.uint64),
+        "fjalr": (op == Opcode.JALR).astype(np.uint64),
+        "fneg": (imm_u64 >> np.uint64(63)).astype(np.uint64),
+        "flk": flk.astype(np.uint64),
+    }
+    for k in range(4):
+        cols[f"imm_{k}"] = (imm_u64 >> np.uint64(16 * k)) & _M16
+    return cols
+
+
+@dataclass
+class BytecodeTable:
+    """Public decode table over the initial memory image."""
+
+    addrs: np.ndarray  # (t,) instruction addresses (uint64, < p)
+    cols: Dict[str, np.ndarray]  # slot -> (t,) values, incl. "pc" = addrs
+    num_vars: int  # table domain: 2^num_vars >= t
+
+    @property
+    def size(self) -> int:
+        return len(self.addrs)
+
+    def padded(self, name: str) -> np.ndarray:
+        out = np.zeros(1 << self.num_vars, dtype=np.uint64)
+        out[: self.size] = self.cols[name]
+        return out
+
+    def kappa(self, tau: int, gamma: int, p: int) -> np.ndarray:
+        """(2^u,) padded fingerprint key table (padding rows combine to 0,
+        which the nonce loop keeps distinct from tau)."""
+        P = np.uint64(p)
+        acc = np.zeros(1 << self.num_vars, dtype=np.uint64)
+        g = 1
+        for slot in BYTECODE_SLOTS:
+            g = g * gamma % p
+            acc[: self.size] = (acc[: self.size]
+                                + np.uint64(g) * (self.cols[slot] % P)) % P
+        return acc
+
+
+def build_bytecode_table(program: bytes, entry_pc: int,
+                         segments=None, p: int = 2013265921) -> BytecodeTable:
+    """Decode every address of the initial image whose word has a nonzero
+    opcode field (candidates: [seg_start-3, seg_end) per segment — a
+    fetch window must overlap a segment to contain a nonzero byte)."""
+    if segments is None and program[:4] == b"\x7fELF":
+        from .. import elf
+
+        segments = elf.load(program).segments
+    ranges = []
+    if segments is not None:
+        for seg in segments:
+            ranges.append((seg.vaddr - 3, seg.vaddr + len(seg.data)))
+    else:
+        ranges.append((entry_pc - 3, entry_pc + len(program)))
+
+    cand = np.unique(np.concatenate([
+        np.arange(max(lo, 0), hi, dtype=np.uint64) for lo, hi in ranges
+    ])) if ranges else np.zeros(0, dtype=np.uint64)
+
+    # Fetch 4 LE bytes per candidate.  Dense fast path: one contiguous
+    # image spanning the segments (vectorized gather); the sparse dict is
+    # only for pathological >64 MB address spreads.
+    if len(cand):
+        lo_a = int(cand.min())
+        hi_a = int(cand.max()) + 4
+        if hi_a - lo_a <= (1 << 26):
+            dense = np.zeros(hi_a - lo_a, dtype=np.uint64)
+            if segments is not None:
+                for seg in segments:
+                    data = np.frombuffer(bytes(seg.data), dtype=np.uint8)
+                    s = seg.vaddr - lo_a
+                    dense[s : s + len(data)] = data
+            else:
+                data = np.frombuffer(program, dtype=np.uint8)
+                dense[entry_pc - lo_a : entry_pc - lo_a + len(data)] = data
+            off = (cand - np.uint64(lo_a)).astype(np.int64)
+            byte_arr = np.stack([dense[off + k] for k in range(4)], axis=1)
+        else:
+            from .memcheck import initial_memory_map
+
+            mem = initial_memory_map(program, entry_pc, segments)
+            byte_arr = np.zeros((len(cand), 4), dtype=np.uint64)
+            for k in range(4):
+                byte_arr[:, k] = [mem.get(int(a) + k, 0) for a in cand]
+    else:
+        byte_arr = np.zeros((0, 4), dtype=np.uint64)
+    words = (byte_arr[:, 0] | (byte_arr[:, 1] << np.uint64(8))
+             | (byte_arr[:, 2] << np.uint64(16)) | (byte_arr[:, 3] << np.uint64(24)))
+    keep = (words & np.uint64(0x7F)) != 0
+    addrs = cand[keep]
+    words = words[keep]
+    assert addrs.size == 0 or int(addrs.max()) < p, (
+        "bytecode argument requires program addresses < p"
+    )
+
+    cols = step_static_columns(*decode_fields(words.astype(np.uint32)))
+    cols["pc"] = addrs % np.uint64(p)
+    num_vars = max(1, int(max(addrs.size, 1) - 1).bit_length())
+    return BytecodeTable(addrs=addrs, cols=cols, num_vars=num_vars)
+
+
+# ---------------------------------------------------------------------------
+# Combiners
+
+
+def _gammas(gamma: int, p: int) -> List[int]:
+    out = []
+    g = 1
+    for _ in BYTECODE_SLOTS:
+        g = g * gamma % p
+        out.append(g)
+    return out
+
+
+def _kappa_step_arrays(cols, gp: List[int], p: int) -> np.ndarray:
+    P = np.uint64(p)
+    acc = np.zeros_like(cols["ref_pc"])
+    for g, slot in zip(gp, BYTECODE_SLOTS):
+        if slot == "pc":
+            arr = cols["ref_pc"]
+        elif slot in ("a1", "a2"):
+            arr = cols[f"ref_{slot}"]
+        else:
+            arr = cols[slot]
+        acc = (acc + np.uint64(g) * arr) % P
+    return acc
+
+
+def _kappa_step_scalar(ev, gp: List[int], p: int) -> int:
+    acc = 0
+    for g, slot in zip(gp, BYTECODE_SLOTS):
+        if slot in ("pc", "a1", "a2"):
+            acc = (acc + g * ev[f"ref_{slot}"]) % p
+        else:
+            acc = (acc + g * ev[slot]) % p
+    return acc
+
+
+def _rv1_combined(get, p: int):
+    acc = get("ref_rv1_0")
+    for k in range(1, 4):
+        acc = (acc + ((1 << (16 * k)) % p) * get(f"ref_rv1_{k}")) % p
+    return acc
+
+
+def _make_step_combiner(tau: int, gamma: int, entry_pc: int, num_steps: int,
+                        num_vars: int, p: int):
+    gp = _gammas(gamma, p)
+
+    def combiner(cols, alphas: List[int], p_: int):
+        P = np.uint64(p)
+        one = np.uint64(1)
+        sel = cols["__sel__"]
+        eq0 = cols["__eq0__"]
+        kappa = _kappa_step_arrays(cols, gp, p)
+        rv1c = _rv1_combined(lambda n: cols[n], p) % P
+        terms = [
+            (cols["g_bc"] * ((np.uint64(tau) + P - kappa) % P) + P - sel) % P,
+            eq0 * ((cols["ref_pc"] + P - np.uint64(entry_pc % p)) % P) % P,
+            (cols["ref_a3"]
+             + P - ((one + P - cols["fsys"]) % P) * cols["wrs"] % P
+             + P - np.uint64(10) * cols["fsys"] % P * cols["c_read"] % P) % P,
+            cols["c_read"] * ((one + P - cols["c_read"]) % P) % P,
+            cols["c_commit"] * ((one + P - cols["c_commit"]) % P) % P,
+            cols["c_read"] * ((rv1c + P - np.uint64(2)) % P) % P,
+            cols["c_commit"] * ((rv1c + P - one) % P) % P,
+            ((one + P - cols["fecall"]) % P) * cols["c_read"] % P,
+            ((one + P - cols["fecall"]) % P) * cols["c_commit"] % P,
+            cols["fecall"] * ((cols["c_read"] + P - one
+                               + ((rv1c + P - np.uint64(2)) % P) * cols["inv_r"] % P) % P) % P,
+            cols["fecall"] * ((cols["c_commit"] + P - one
+                               + ((rv1c + P - one) % P) * cols["inv_c"] % P) % P) % P,
+            ((one + P - sel) % P) * cols["c_read"] % P,
+            ((one + P - sel) % P) * cols["c_commit"] % P,
+        ]
+        acc = np.zeros_like(sel)
+        for alpha, t in zip(alphas, terms):
+            acc = (acc + np.uint64(alpha) * t) % P
+        return acc
+
+    def combiner_scalar(ev, alphas: List[int], p_: int) -> int:
+        rs = combiner_scalar.final_point
+        sel = le_indicator_eval(num_steps - 1, num_vars, rs, p)
+        eq0 = eq_zero_eval(rs, p)
+        kappa = _kappa_step_scalar(ev, gp, p)
+        rv1c = _rv1_combined(lambda n: ev[n], p)
+        terms = [
+            (ev["g_bc"] * ((tau - kappa) % p) - sel) % p,
+            eq0 * ((ev["ref_pc"] - entry_pc) % p) % p,
+            (ev["ref_a3"] - (1 - ev["fsys"]) * ev["wrs"]
+             - 10 * ev["fsys"] * ev["c_read"]) % p,
+            ev["c_read"] * (1 - ev["c_read"]) % p,
+            ev["c_commit"] * (1 - ev["c_commit"]) % p,
+            ev["c_read"] * ((rv1c - 2) % p) % p,
+            ev["c_commit"] * ((rv1c - 1) % p) % p,
+            (1 - ev["fecall"]) * ev["c_read"] % p,
+            (1 - ev["fecall"]) * ev["c_commit"] % p,
+            ev["fecall"] * ((ev["c_read"] - 1 + (rv1c - 2) * ev["inv_r"]) % p) % p,
+            ev["fecall"] * ((ev["c_commit"] - 1 + (rv1c - 1) * ev["inv_c"]) % p) % p,
+            (1 - sel) * ev["c_read"] % p,
+            (1 - sel) * ev["c_commit"] % p,
+        ]
+        return sum(a * t for a, t in zip(alphas, terms)) % p
+
+    combiner_scalar.final_point = None
+    return combiner, combiner_scalar
+
+
+def _make_table_combiner(tau: int, kappa_table: np.ndarray, p: int):
+    def combiner(cols, alphas: List[int], p_: int):
+        P = np.uint64(p)
+        denom = (np.uint64(tau) + P - cols["__key__"]) % P
+        return np.uint64(alphas[0]) * ((cols["h"] * denom + P - cols["m"]) % P) % P
+
+    def combiner_scalar(ev, alphas: List[int], p_: int) -> int:
+        rs = combiner_scalar.final_point
+        # Public key MLE: fold the dense table (verifier-computable).
+        tab = kappa_table.copy()
+        for r in rs:
+            half = tab.shape[-1] // 2
+            om = np.uint64((1 - r) % p)
+            tab = (om * tab[:half] + np.uint64(r % p) * tab[half:]) % np.uint64(p)
+        key = int(tab[0])
+        return alphas[0] * ((ev["h"] * ((tau - key) % p) - ev["m"]) % p) % p
+
+    combiner_scalar.final_point = None
+    return combiner, combiner_scalar
+
+
+# ---------------------------------------------------------------------------
+# Proof structure
+
+
+@dataclass
+class BytecodeProof:
+    nonce: int
+    num_vars: int  # step domain
+    table_vars: int  # program-table domain
+    root_lk: bytes
+    root_m: bytes
+    root_g: bytes
+    root_h: bytes
+    zc: ZerocheckProof  # step-domain zerocheck
+    zc_table: ZerocheckProof  # program-domain zerocheck
+    lk_proof: object
+    g_proof: object
+    m_proof: object
+    h_proof: object
+    reg_proof: object  # claims on the REGCHECK commitment at zc point
+    pcs_proof: object  # claims on the v2 PCS commitment at zc point
+    reg_evals: Dict[str, int]  # full eval dict for the regcheck columns
+    pcs_evals: Dict[str, int]  # full eval dict for the PCS columns
+    g_sum: int
+    h_sum: int
+
+
+# ---------------------------------------------------------------------------
+# Prover
+
+
+def _trace_decode_arrays(trace):
+    n = trace.step_count()
+    cols = getattr(trace, "columns", None)
+    if cols is not None:
+        return (
+            cols["opcode"].astype(np.int64), cols["rd"].astype(np.int64),
+            cols["funct3"].astype(np.int64), cols["rs1"].astype(np.int64),
+            cols["rs2"].astype(np.int64), cols["funct7"].astype(np.int64),
+            cols["imm"].astype(np.int64).view(np.uint64),
+        )
+    insts = trace.instructions
+    mk = lambda f, dt: np.fromiter((f(i) for i in insts), dtype=dt, count=n)
+    return (
+        mk(lambda i: i.opcode, np.int64), mk(lambda i: i.rd, np.int64),
+        mk(lambda i: i.funct3, np.int64), mk(lambda i: i.rs1, np.int64),
+        mk(lambda i: i.rs2, np.int64), mk(lambda i: i.funct7, np.int64),
+        mk(lambda i: i.imm & ((1 << 64) - 1), np.uint64),
+    )
+
+
+def prove_bytecode(F, transcript, trace, program: bytes, entry_pc: int,
+                   segments, num_vars: int,
+                   reg_cols: Dict[str, np.ndarray], reg_state,
+                   pcs_cols: Dict[str, np.ndarray], pcs_state,
+                   hash_mode: str = "sha3", _forge_hook=None,
+                   _unsafe_skip_self_checks=False) -> BytecodeProof:
+    from ..commitments.ligero import (
+        LigeroClaim,
+        _row_col_weights,
+        ligero_commit,
+        ligero_prove_claims,
+    )
+
+    p = F.MODULUS
+    if p >= (1 << 31):
+        raise ValueError("bytecode argument requires a field modulus < 2^31")
+    n = trace.step_count()
+    padded = 1 << num_vars
+
+    table = build_bytecode_table(program, entry_pc, segments, p)
+
+    # Step-side static tuple + syscall flags.
+    op, rd, f3, rs1, rs2, f7, imm_u = _trace_decode_arrays(trace)
+    step_cols = step_static_columns(op, rd, f3, rs1, rs2, f7, imm_u)
+
+    def _pad(a):
+        out = np.zeros(padded, dtype=np.uint64)
+        out[:n] = a
+        return out
+
+    lk: Dict[str, np.ndarray] = {}
+    for name in LINK_COLUMNS:
+        if name in step_cols:
+            lk[name] = _pad(step_cols[name])
+
+    P64 = np.uint64(p)
+    rv1c = reg_cols["rv1_0"].copy()
+    for k in range(1, 4):
+        rv1c = (rv1c + np.uint64((1 << (16 * k)) % p) * reg_cols[f"rv1_{k}"]) % P64
+    fecall = lk["fecall"]
+    lk["c_read"] = ((fecall == 1) & (rv1c == 2)).astype(np.uint64)
+    lk["c_commit"] = ((fecall == 1) & (rv1c == 1)).astype(np.uint64)
+    lk["inv_r"] = np_inv((rv1c + P64 - np.uint64(2)) % P64, p) * fecall % P64
+    lk["inv_c"] = np_inv((rv1c + P64 - np.uint64(1)) % P64, p) * fecall % P64
+
+    if _forge_hook is not None:
+        _forge_hook(lk, table)
+
+    # Multiplicities over the program domain.
+    m_col = np.zeros(1 << table.num_vars, dtype=np.uint64)
+    if n:
+        pcs = np.asarray(
+            trace.columns["pc"] if getattr(trace, "columns", None) is not None
+            else np.fromiter(trace.pcs, dtype=np.uint64, count=n),
+            dtype=np.uint64,
+        )
+        pos = np.searchsorted(table.addrs, pcs)
+        ok = (pos < table.size) & (table.addrs[np.minimum(pos, table.size - 1)] == pcs)
+        if not ok.all() and not _unsafe_skip_self_checks:
+            bad = int(np.nonzero(~ok)[0][0])
+            raise AssertionError(
+                f"bytecode argument violated: step {bad} fetches pc={pcs[bad]:#x} "
+                f"outside the decoded program image (self-modifying code?)"
+            )
+        np.add.at(m_col, pos[ok], 1)
+
+    transcript.append_bytes(b"BC_BEGIN")
+    transcript.append_u64(n)
+    transcript.append_u64(table.num_vars)
+    lk_state = ligero_commit(F, lk, hash_mode)
+    transcript.append_bytes(lk_state.root)
+    m_state = ligero_commit(F, {"m": m_col}, hash_mode)
+    transcript.append_bytes(b"BC_MULT")
+    transcript.append_bytes(m_state.root)
+
+    # Fingerprint challenges (nonce retry on zero denominators).
+    sel = le_table(n - 1, num_vars)
+    nonce = 0
+    while True:
+        trial = transcript.fork()
+        trial.append_bytes(b"BC_CHAL")
+        trial.append_u64(nonce)
+        tau = trial.challenge_value(p)
+        gamma = trial.challenge_value(p)
+        gp = _gammas(gamma, p)
+        kap_t = table.kappa(tau=0, gamma=gamma, p=p)  # keys only (tau unused)
+        denom_t = (np.uint64(tau) + P64 - kap_t) % P64
+        ok = tau != 0 and not np.any(denom_t == 0)
+        if ok:
+            ref = {
+                "ref_pc": pcs_cols["pc"] % P64,
+                "ref_a1": reg_cols["a1"],
+                "ref_a2": reg_cols["a2"],
+            }
+            kap_s = _kappa_step_arrays({**lk, **ref}, gp, p)
+            ok = not np.any(((np.uint64(tau) + P64 - kap_s) % P64 == 0) & (sel == 1))
+        if ok:
+            break
+        nonce += 1
+    transcript.append_bytes(b"BC_CHAL")
+    transcript.append_u64(nonce)
+    assert transcript.challenge_value(p) == tau
+    assert transcript.challenge_value(p) == gamma
+
+    # Inverse columns.
+    g_bc = sel * np_inv((np.uint64(tau) + P64 - kap_s) % P64, p) % P64
+    h_col = m_col % P64 * np_inv(denom_t, p) % P64
+    g_state = ligero_commit(F, {"g_bc": g_bc}, hash_mode)
+    h_state = ligero_commit(F, {"h": h_col}, hash_mode)
+    g_sum = int(g_bc.sum(dtype=np.uint64) % P64)
+    h_sum = int(h_col.sum(dtype=np.uint64) % P64)
+    transcript.append_bytes(b"BC_G")
+    transcript.append_bytes(g_state.root)
+    transcript.append_u64(g_sum)
+    transcript.append_bytes(b"BC_H")
+    transcript.append_bytes(h_state.root)
+    transcript.append_u64(h_sum)
+    if g_sum != h_sum and not _unsafe_skip_self_checks:
+        raise AssertionError("bytecode argument violated: fetch multiset mismatch")
+
+    # Step-domain zerocheck.
+    zc_cols = dict(lk)
+    zc_cols["g_bc"] = g_bc
+    for name in _REG_REFS:
+        zc_cols[f"ref_{name}"] = reg_cols[name]
+    zc_cols["ref_pc"] = pcs_cols["pc"] % P64
+    zc_cols["__sel__"] = sel
+    zc_cols["__eq0__"] = np.zeros(padded, dtype=np.uint64)
+    zc_cols["__eq0__"][0] = 1
+    combiner, combiner_scalar = _make_step_combiner(
+        tau, gamma, entry_pc % p, n, num_vars, p
+    )
+    zc = ZerocheckProver(
+        F, zc_cols, combiner, BYTECODE_DEGREE, num_alphas=NUM_BC_CONSTRAINTS
+    ).prove(transcript)
+
+    # Program-domain zerocheck (public key MLE).
+    t_combiner, _ = _make_table_combiner(tau, kap_t, p)
+    zc_t = ZerocheckProver(
+        F, {"m": m_col, "h": h_col, "__key__": kap_t}, t_combiner,
+        BYTECODE_DEGREE, num_alphas=1,
+    ).prove(transcript)
+
+    # Ligero bindings at the step-zerocheck point.
+    a, b = _row_col_weights(zc.final_point, lk_state.cn)
+    lk_proof = ligero_prove_claims(lk_state, [LigeroClaim(a=a, b=b, values={})], transcript)
+    ag, bg = _row_col_weights(zc.final_point, g_state.cn)
+    g_proof = ligero_prove_claims(g_state, [
+        LigeroClaim(a=ag, b=bg, values={}),
+        LigeroClaim(a=np.ones(g_state.m, dtype=np.uint64),
+                    b=np.ones(g_state.n, dtype=np.uint64), values={}),
+    ], transcript)
+    # External commitments: full-column eval claims at the SAME point.
+    ar, br = _row_col_weights(zc.final_point, reg_state.cn)
+    reg_proof = ligero_prove_claims(reg_state, [LigeroClaim(a=ar, b=br, values={})], transcript)
+    ap, bp = _row_col_weights(zc.final_point, pcs_state.cn)
+    pcs_proof = ligero_prove_claims(pcs_state, [LigeroClaim(a=ap, b=bp, values={})], transcript)
+    reg_evals = {
+        name: _mle_eval(reg_cols[name], zc.final_point, p)
+        for name in reg_state.names
+    }
+    pcs_evals = {
+        name: _mle_eval(pcs_cols[name] % P64, zc.final_point, p)
+        for name in pcs_state.names
+    }
+    for name in sorted(reg_evals):
+        transcript.append_u64(reg_evals[name])
+    for name in sorted(pcs_evals):
+        transcript.append_u64(pcs_evals[name])
+
+    # Table-side bindings.
+    am, bm = _row_col_weights(zc_t.final_point, m_state.cn)
+    m_proof = ligero_prove_claims(m_state, [LigeroClaim(a=am, b=bm, values={})], transcript)
+    ah, bh = _row_col_weights(zc_t.final_point, h_state.cn)
+    h_proof = ligero_prove_claims(h_state, [
+        LigeroClaim(a=ah, b=bh, values={}),
+        LigeroClaim(a=np.ones(h_state.m, dtype=np.uint64),
+                    b=np.ones(h_state.n, dtype=np.uint64), values={}),
+    ], transcript)
+
+    return BytecodeProof(
+        nonce=nonce, num_vars=num_vars, table_vars=table.num_vars,
+        root_lk=lk_state.root, root_m=m_state.root, root_g=g_state.root,
+        root_h=h_state.root, zc=zc, zc_table=zc_t, lk_proof=lk_proof,
+        g_proof=g_proof, m_proof=m_proof, h_proof=h_proof,
+        reg_proof=reg_proof, pcs_proof=pcs_proof,
+        reg_evals=reg_evals, pcs_evals=pcs_evals, g_sum=g_sum, h_sum=h_sum,
+    )
+
+
+def _mle_eval(col: np.ndarray, rs: List[int], p: int) -> int:
+    tab = col.astype(np.uint64) % np.uint64(p)
+    for r in rs:
+        half = tab.shape[-1] // 2
+        om = np.uint64((1 - r) % p)
+        tab = (om * tab[:half] + np.uint64(r % p) * tab[half:]) % np.uint64(p)
+    return int(tab[0])
+
+
+# ---------------------------------------------------------------------------
+# Verifier
+
+
+def verify_bytecode(F, transcript, bc: BytecodeProof, program: bytes,
+                    entry_pc: int, num_steps: int, num_vars: int,
+                    reg_root: bytes, reg_names: List[str],
+                    pcs_root: bytes, pcs_names: List[str],
+                    hash_mode: str = "sha3") -> bool:
+    from ..commitments.ligero import (
+        LigeroClaim,
+        LigeroParams,
+        _row_col_weights,
+        ligero_verify_claims,
+    )
+
+    p = F.MODULUS
+    if bc.num_vars != num_vars:
+        return False
+    table = build_bytecode_table(program, entry_pc, None, p)
+    if bc.table_vars != table.num_vars:
+        return False
+
+    transcript.append_bytes(b"BC_BEGIN")
+    transcript.append_u64(num_steps)
+    transcript.append_u64(table.num_vars)
+    transcript.append_bytes(bc.root_lk)
+    transcript.append_bytes(b"BC_MULT")
+    transcript.append_bytes(bc.root_m)
+
+    transcript.append_bytes(b"BC_CHAL")
+    transcript.append_u64(bc.nonce % (1 << 64))
+    tau = transcript.challenge_value(p)
+    gamma = transcript.challenge_value(p)
+    if tau == 0:
+        return False
+    kap_t = table.kappa(tau=0, gamma=gamma, p=p)
+    if np.any((np.uint64(tau) + np.uint64(p) - kap_t) % np.uint64(p) == 0):
+        return False
+
+    transcript.append_bytes(b"BC_G")
+    transcript.append_bytes(bc.root_g)
+    transcript.append_u64(bc.g_sum % p)
+    transcript.append_bytes(b"BC_H")
+    transcript.append_bytes(bc.root_h)
+    transcript.append_u64(bc.h_sum % p)
+    if bc.g_sum % p != bc.h_sum % p:
+        return False
+
+    lk_names = sorted(LINK_COLUMNS)
+    expected_cols = (set(lk_names) | {"g_bc"}
+                     | {f"ref_{n}" for n in _REG_REFS} | {"ref_pc"})
+    if set(bc.zc.column_evals) != expected_cols:
+        return False
+    if bc.zc.num_vars != num_vars or bc.zc.degree != BYTECODE_DEGREE:
+        return False
+    _, combiner_scalar = _make_step_combiner(
+        tau, gamma, entry_pc % p, num_steps, num_vars, p
+    )
+    combiner_scalar.final_point = bc.zc.final_point
+    if not ZerocheckVerifier(F, combiner_scalar, NUM_BC_CONSTRAINTS,
+                             BYTECODE_DEGREE).verify(bc.zc, transcript):
+        return False
+
+    if bc.zc_table.num_vars != table.num_vars or bc.zc_table.degree != BYTECODE_DEGREE:
+        return False
+    if set(bc.zc_table.column_evals) != {"m", "h"}:
+        return False
+    _, t_scalar = _make_table_combiner(tau, kap_t, p)
+    t_scalar.final_point = bc.zc_table.final_point
+    if not ZerocheckVerifier(F, t_scalar, 1, BYTECODE_DEGREE).verify(
+        bc.zc_table, transcript
+    ):
+        return False
+
+    params = LigeroParams()
+    # Linkage columns.
+    cn = params.choose_split(num_vars, len(lk_names))
+    a, b = _row_col_weights(bc.zc.final_point, cn)
+    if not ligero_verify_claims(
+        F, bc.root_lk, num_vars, lk_names,
+        [LigeroClaim(a=a, b=b, values={nm: bc.zc.column_evals[nm] for nm in lk_names})],
+        bc.lk_proof, transcript, hash_mode,
+    ):
+        return False
+    # g_bc eval + hypercube sum.
+    cn_g = params.choose_split(num_vars, 1)
+    ag, bg = _row_col_weights(bc.zc.final_point, cn_g)
+    m_g = (1 << num_vars) >> cn_g
+    if not ligero_verify_claims(
+        F, bc.root_g, num_vars, ["g_bc"],
+        [
+            LigeroClaim(a=ag, b=bg, values={"g_bc": bc.zc.column_evals["g_bc"]}),
+            LigeroClaim(a=np.ones(m_g, dtype=np.uint64),
+                        b=np.ones(1 << cn_g, dtype=np.uint64),
+                        values={"g_bc": bc.g_sum % p}),
+        ],
+        bc.g_proof, transcript, hash_mode,
+    ):
+        return False
+    # External references: the claimed full-column eval dicts must agree
+    # with the zerocheck's terminal evaluations on the referenced names,
+    # and the Ligero claims tie them to the regcheck / v2 PCS roots.
+    if set(bc.reg_evals) != set(reg_names) or set(bc.pcs_evals) != set(pcs_names):
+        return False
+    for name in _REG_REFS:
+        if bc.reg_evals[name] % p != bc.zc.column_evals[f"ref_{name}"] % p:
+            return False
+    if bc.pcs_evals["pc"] % p != bc.zc.column_evals["ref_pc"] % p:
+        return False
+    cn_r = params.choose_split(num_vars, len(reg_names))
+    ar, br = _row_col_weights(bc.zc.final_point, cn_r)
+    if not ligero_verify_claims(
+        F, reg_root, num_vars, sorted(reg_names),
+        [LigeroClaim(a=ar, b=br,
+                     values={nm: bc.reg_evals[nm] % p for nm in reg_names})],
+        bc.reg_proof, transcript, hash_mode,
+    ):
+        return False
+    cn_p = params.choose_split(num_vars, len(pcs_names))
+    ap, bp = _row_col_weights(bc.zc.final_point, cn_p)
+    if not ligero_verify_claims(
+        F, pcs_root, num_vars, sorted(pcs_names),
+        [LigeroClaim(a=ap, b=bp,
+                     values={nm: bc.pcs_evals[nm] % p for nm in pcs_names})],
+        bc.pcs_proof, transcript, hash_mode,
+    ):
+        return False
+    for name in sorted(bc.reg_evals):
+        transcript.append_u64(bc.reg_evals[name] % p)
+    for name in sorted(bc.pcs_evals):
+        transcript.append_u64(bc.pcs_evals[name] % p)
+
+    # Table side.
+    cn_m = params.choose_split(table.num_vars, 1)
+    am, bm = _row_col_weights(bc.zc_table.final_point, cn_m)
+    if not ligero_verify_claims(
+        F, bc.root_m, table.num_vars, ["m"],
+        [LigeroClaim(a=am, b=bm, values={"m": bc.zc_table.column_evals["m"]})],
+        bc.m_proof, transcript, hash_mode,
+    ):
+        return False
+    cn_h = params.choose_split(table.num_vars, 1)
+    ah, bh = _row_col_weights(bc.zc_table.final_point, cn_h)
+    m_h = (1 << table.num_vars) >> cn_h
+    return ligero_verify_claims(
+        F, bc.root_h, table.num_vars, ["h"],
+        [
+            LigeroClaim(a=ah, b=bh, values={"h": bc.zc_table.column_evals["h"]}),
+            LigeroClaim(a=np.ones(m_h, dtype=np.uint64),
+                        b=np.ones(1 << cn_h, dtype=np.uint64),
+                        values={"h": bc.h_sum % p}),
+        ],
+        bc.h_proof, transcript, hash_mode,
+    )

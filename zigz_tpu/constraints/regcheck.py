@@ -286,7 +286,8 @@ def _limb(v: np.ndarray, k: int) -> np.ndarray:
 def prove_regcheck(F, transcript, access: RegAccessColumns, num_vars: int,
                    initial_regs: Optional[List[int]], final_regs: List[int],
                    hash_mode: str = "sha3", _forge_hook=None,
-                   _unsafe_skip_self_checks=False) -> RegCheckProof:
+                   _unsafe_skip_self_checks=False,
+                   _return_state: bool = False) -> RegCheckProof:
     from ..commitments.ligero import LigeroClaim, _row_col_weights, ligero_commit, ligero_prove_claims
 
     p = F.MODULUS
@@ -456,13 +457,18 @@ def prove_regcheck(F, transcript, access: RegAccessColumns, num_vars: int,
                     b=np.ones(h_state.n, dtype=np.uint64), values={}),
     ], transcript)
 
-    return RegCheckProof(
+    rc = RegCheckProof(
         nonce=nonce, num_vars=num_vars, final_ts=list(access.final_ts),
         root_cols=state.root, root_g=g_state.root, root_m=m_state.root,
         root_h=h_state.root, zc=zc, zc_table=zc_t, cols_proof=cols_proof,
         g_proof=g_proof, m_proof=m_proof, h_proof=h_proof,
         g_sums=g_sums, h_sum=h_sum,
     )
+    if _return_state:
+        # The bytecode/linkage argument (constraints/bytecode.py) issues
+        # additional Ligero claims on this commitment at its own point.
+        return rc, cols, state
+    return rc
 
 
 # ---------------------------------------------------------------------------

@@ -148,6 +148,47 @@ class _LastWriteReader:
         return np.where(reg == 0, np.uint64(0), vals)
 
 
+def system_read_override(trace, rs1, rs2, rv1, rv2):
+    """Regcheck read cells for SYSTEM steps: (17, 10) = (a7, a0) instead
+    of the decoded rs1/rs2 (both 0 for ECALL/EBREAK words).  ECALL
+    dispatches on a7 and ECALL_COMMIT publishes a0 (state.py:
+    _exec_system); routing those registers through the regcheck read
+    accesses makes their values PROVEN columns the bytecode argument's
+    syscall flags and the output-tape binding can consume.  The static
+    decode table (constraints/bytecode.py) carries the same (17, 10)
+    cells for SYSTEM rows, so the fetch logUp stays satisfied."""
+    n = trace.step_count()
+    cols = getattr(trace, "columns", None)
+    if cols is not None:
+        op = cols["opcode"].astype(np.int64)
+    else:
+        op = np.fromiter((i.opcode for i in trace.instructions), dtype=np.int64, count=n)
+    sys_rows = np.nonzero(op == Opcode.SYSTEM)[0]
+    if len(sys_rows) == 0:
+        return rs1, rs2, rv1, rv2
+    rs1 = np.array(rs1, dtype=np.int64, copy=True)
+    rs2 = np.array(rs2, dtype=np.int64, copy=True)
+    rv1 = np.array(rv1, dtype=np.uint64, copy=True)
+    rv2 = np.array(rv2, dtype=np.uint64, copy=True)
+    rs1[sys_rows] = 17
+    rs2[sys_rows] = 10
+    if cols is not None:
+        reader = _LastWriteReader(
+            cols["reg_write_idx"], cols["reg_write_val"], trace.initial_regs, n
+        )
+        c17 = np.full(len(sys_rows), 17, dtype=np.int64)
+        c10 = np.full(len(sys_rows), 10, dtype=np.int64)
+        rv1[sys_rows] = reader.values(c17, sys_rows, inclusive=False)
+        rv2[sys_rows] = reader.values(c10, sys_rows, inclusive=False)
+    else:
+        after = trace.regs_matrix()
+        init = np.asarray(trace.initial_regs, dtype=np.uint64)
+        prev = np.maximum(sys_rows - 1, 0)
+        rv1[sys_rows] = np.where(sys_rows > 0, after[17, prev], init[17])
+        rv2[sys_rows] = np.where(sys_rows > 0, after[10, prev], init[10])
+    return rs1, rs2, rv1, rv2
+
+
 def instruction_registers(trace):
     """(rs1, rs2, rd) int64 register-index arrays, one entry per step."""
     n = trace.step_count()

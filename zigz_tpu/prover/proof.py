@@ -138,6 +138,10 @@ class V2Section:
     # loads must return last-stored bytes, anchored at the public
     # initial image (the reference's memory.zig is execution-only).
     memcheck: object = None  # MemCheckProof
+    # Bytecode fetch+decode argument (constraints/bytecode.py): every
+    # step's decoded tuple is proven to equal the public program's decode
+    # at its pc (Jolt-style bytecode memory check).
+    bytecode: object = None  # BytecodeProof
 
 
 class CompactLassoList:
@@ -205,6 +209,8 @@ class VerificationResult:
     # byte-level memory check (constraints/memcheck.py) failed.
     RejectInvalidRegisterAccess = "RejectInvalidRegisterAccess"
     RejectInvalidMemoryAccess = "RejectInvalidMemoryAccess"
+    # The bytecode fetch/decode argument (constraints/bytecode.py) failed.
+    RejectInvalidBytecode = "RejectInvalidBytecode"
 
 
 @dataclass

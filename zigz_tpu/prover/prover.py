@@ -182,6 +182,7 @@ class Prover:
             self._generate_lasso_proofs_v2(proof, trace)
             self._generate_regcheck(proof, trace, initial_regs, final_state)
             self._generate_memcheck(proof, trace, program, entry_pc, segments)
+            self._generate_bytecode(proof, trace, program, entry_pc, segments)
         else:
             self._generate_lasso_proofs(proof, lookup_count)
         t3 = time.perf_counter()
@@ -331,6 +332,9 @@ class Prover:
         transcript.append_bytes(b"V2_PCS_COMMIT")
         transcript.append_bytes(pcs_state.root)
         self.last_timings["pcs_commit_s"] = time.perf_counter() - t0
+        # Retained for the bytecode argument's extra claims at its point.
+        self._v2_pcs_state = pcs_state
+        self._v2_pcs_cols = host_columns
 
         # PC-chain logUp (the shift argument, constraints/v2.py c5/c6):
         # tau/beta are drawn AFTER the pc/next_pc data is bound (aux roots
@@ -535,6 +539,7 @@ class Prover:
         from ..lookups.pipeline_lasso import (
             instruction_registers,
             operand_values,
+            system_read_override,
             write_access_values,
         )
 
@@ -542,10 +547,14 @@ class Prover:
         rs1, rs2, rd = instruction_registers(trace)
         rv1, rv2, _rd_after, _rd_before = operand_values(trace, rs1, rs2, rd)
         wr, ov, wv = write_access_values(trace)
+        # SYSTEM steps read (a7, a0) so the syscall dispatch state is a
+        # proven column (consumed by the bytecode argument).
+        rs1, rs2, rv1, rv2 = system_read_override(trace, rs1, rs2, rv1, rv2)
         access = extract_access_columns(rs1, rs2, wr, rv1, rv2, ov, wv)
-        proof.v2.regcheck = prove_regcheck(
+        proof.v2.regcheck, self._rc_cols, self._rc_state = prove_regcheck(
             self.F, self.transcript, access, proof.metadata.num_vars,
             initial_regs, final_state["final_regs"], self._hash_mode(),
+            _return_state=True,
         )
         self.last_timings["regcheck_s"] = time.perf_counter() - t0
 
@@ -568,6 +577,25 @@ class Prover:
             self.F, self.transcript, access, init_mem, self._hash_mode(),
         )
         self.last_timings["memcheck_s"] = time.perf_counter() - t0
+
+    def _generate_bytecode(self, proof: Proof, trace, program, entry_pc, segments) -> None:
+        """Bytecode (fetch+decode) argument (constraints/bytecode.py):
+        every step's decoded tuple — read cells, write cell, funct3,
+        table id, immediate limbs, class flags — is proven to equal the
+        PUBLIC program's decode at its pc, with pc(0) anchored at the
+        public entry point.  Issues extra Ligero claims on the regcheck
+        and v2 PCS commitments retained from the earlier phases."""
+        from ..constraints.bytecode import prove_bytecode
+
+        t0 = time.perf_counter()
+        proof.v2.bytecode = prove_bytecode(
+            self.F, self.transcript, trace, program, entry_pc, segments,
+            proof.metadata.num_vars, self._rc_cols, self._rc_state,
+            self._v2_pcs_cols, self._v2_pcs_state, self._hash_mode(),
+            _forge_hook=getattr(self, "_bc_forge_hook", None),
+            _unsafe_skip_self_checks=getattr(self, "_bc_unsafe", False),
+        )
+        self.last_timings["bytecode_s"] = time.perf_counter() - t0
 
     def _generate_commitments(self, proof: Proof, witness) -> None:
         if self._use_device_commitments(witness.num_steps):

@@ -224,6 +224,7 @@ class BinarySerializer:
         self._write_lookup_validity(w, v2.lookup_validity)
         self._write_regcheck(w, v2.regcheck)
         self._write_memcheck(w, v2.memcheck)
+        self._write_bytecode(w, v2.bytecode)
 
     # -- register memory check (constraints/regcheck.py) -------------------
     # Layout: u8 present and, if set: u64 nonce | u32 num_vars | 32 x u64
@@ -345,6 +346,82 @@ class BinarySerializer:
             root_m=root_m, root_h=root_h, zc=zc, zc_table=zc_table,
             cols_proof=cols_proof, g_proof=g_proof, m_proof=m_proof,
             h_proof=h_proof, g_sums=g_sums, h_sum=h_sum,
+        )
+
+    # -- bytecode fetch/decode argument (constraints/bytecode.py) -----------
+    # Layout: u8 present and, if set: u64 nonce | u32 num_vars | u32
+    # table_vars | 4 x 32B roots (lk, m, g, h) | zerocheck (step domain) |
+    # zerocheck (program domain) | 6 ligero proofs (lk, g, reg, pcs, m, h)
+    # | per sorted regcheck column: u64 eval | per sorted PCS column: u64
+    # eval | u64 g_sum | u64 h_sum.  Names fixed by module specs.
+
+    def _write_bytecode(self, w: _Writer, bc) -> None:
+        w.u8(1 if bc is not None else 0)
+        if bc is None:
+            return
+        p = self.F.MODULUS
+        w.u64(bc.nonce)
+        w.u32(bc.num_vars)
+        w.u32(bc.table_vars)
+        w.bytes_(bc.root_lk)
+        w.bytes_(bc.root_m)
+        w.bytes_(bc.root_g)
+        w.bytes_(bc.root_h)
+        self._write_zerocheck(w, bc.zc)
+        self._write_zerocheck(w, bc.zc_table)
+        self._write_ligero_proof(w, bc.lk_proof)
+        self._write_ligero_proof(w, bc.g_proof)
+        self._write_ligero_proof(w, bc.reg_proof)
+        self._write_ligero_proof(w, bc.pcs_proof)
+        self._write_ligero_proof(w, bc.m_proof)
+        self._write_ligero_proof(w, bc.h_proof)
+        for name in sorted(bc.reg_evals):
+            w.u64(bc.reg_evals[name] % p)
+        for name in sorted(bc.pcs_evals):
+            w.u64(bc.pcs_evals[name] % p)
+        w.u64(bc.g_sum % p)
+        w.u64(bc.h_sum % p)
+
+    def _read_bytecode(self, r: _Reader):
+        if not r.u8():
+            return None
+        from ..constraints.bytecode import (
+            _PCS_REFS,
+            _REG_REFS,
+            LINK_COLUMNS,
+            BytecodeProof,
+        )
+        from ..constraints.regcheck import COLUMNS as RC_COLUMNS
+
+        nonce = r.u64()
+        num_vars = r.u32()
+        table_vars = r.u32()
+        root_lk = r.bytes_(32)
+        root_m = r.bytes_(32)
+        root_g = r.bytes_(32)
+        root_h = r.bytes_(32)
+        zc_names = (list(LINK_COLUMNS) + ["g_bc"]
+                    + [f"ref_{n}" for n in _REG_REFS] + ["ref_pc"])
+        zc = self._read_zerocheck(r, zc_names)
+        zc_table = self._read_zerocheck(r, ["m", "h"])
+        lk_proof = self._read_ligero_proof(r)
+        g_proof = self._read_ligero_proof(r)
+        reg_proof = self._read_ligero_proof(r)
+        pcs_proof = self._read_ligero_proof(r)
+        m_proof = self._read_ligero_proof(r)
+        h_proof = self._read_ligero_proof(r)
+        reg_evals = {name: r.u64() for name in sorted(RC_COLUMNS)}
+        pcs_names = sorted(["x0", "is_read", "pc", "seq", "next_pc"])
+        pcs_evals = {name: r.u64() for name in pcs_names}
+        g_sum = r.u64()
+        h_sum = r.u64()
+        return BytecodeProof(
+            nonce=nonce, num_vars=num_vars, table_vars=table_vars,
+            root_lk=root_lk, root_m=root_m, root_g=root_g, root_h=root_h,
+            zc=zc, zc_table=zc_table, lk_proof=lk_proof, g_proof=g_proof,
+            m_proof=m_proof, h_proof=h_proof, reg_proof=reg_proof,
+            pcs_proof=pcs_proof, reg_evals=reg_evals, pcs_evals=pcs_evals,
+            g_sum=g_sum, h_sum=h_sum,
         )
 
     @staticmethod
@@ -547,13 +624,14 @@ class BinarySerializer:
         lookup_validity = self._read_lookup_validity(r)
         regcheck = self._read_regcheck(r)
         memcheck = self._read_memcheck(r)
+        bytecode = self._read_bytecode(r)
         return V2Section(aux_roots=aux_roots, column_evals=column_evals,
                          aux_openings=aux_openings, lasso_extras=lasso_extras,
                          pcs_root=pcs_root, pcs_proof=pcs_proof,
                          logup_nonce=logup_nonce, logup_sum=logup_sum,
                          logup_root=logup_root, logup_proof=logup_proof,
                          lookup_validity=lookup_validity, regcheck=regcheck,
-                         memcheck=memcheck)
+                         memcheck=memcheck, bytecode=bytecode)
 
     # -- deserialize -------------------------------------------------------
     def deserialize(self, data: bytes) -> Proof:

@@ -277,6 +277,24 @@ class Verifier:
         ):
             return VerificationResult.RejectInvalidMemoryAccess
 
+        # Bytecode fetch+decode argument (constraints/bytecode.py): each
+        # step's decoded tuple must equal the PUBLIC program's decode at
+        # its pc (the verifier decodes the program itself), with pc(0)
+        # anchored at the public entry point.
+        from ..constraints.bytecode import verify_bytecode
+        from ..constraints.regcheck import COLUMNS as RC_COLUMNS
+
+        if proof.v2.bytecode is None:
+            return VerificationResult.RejectInvalidBytecode
+        if not verify_bytecode(
+            F, transcript, proof.v2.bytecode, program, io.initial_pc,
+            proof.metadata.num_steps, proof.metadata.num_vars,
+            proof.v2.regcheck.root_cols, sorted(RC_COLUMNS),
+            proof.v2.pcs_root, sorted(["x0", "is_read", "pc", "seq", "next_pc"]),
+            hash_mode,
+        ):
+            return VerificationResult.RejectInvalidBytecode
+
         # Commitment phase: bind roots, re-derive points, CHECK them.
         transcript.append_bytes(b"POLY_COMMITMENTS")
         for c in proof.witness_commitments:
