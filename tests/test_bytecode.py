@@ -219,6 +219,93 @@ def test_tampered_external_reg_eval_rejected():
     )
 
 
+# -- output-tape binding ------------------------------------------------------
+
+
+def _prove_fib():
+    guest = fibonacci_guest()
+    loaded = elf.load(guest)
+    return guest, _prove(guest, loaded.entry_pc, loaded.segments, [8])
+
+
+def test_forged_public_outputs_rejected():
+    """Claiming outputs the trace never committed must not verify."""
+    guest, proof = _prove_fib()
+    assert proof.public_io.outputs  # fib guest commits two values
+    proof.public_io.outputs = list(proof.public_io.outputs)
+    proof.public_io.outputs[0] += 1
+    assert Verifier(F).verify(proof, guest) != VerificationResult.Accept
+
+
+def test_extra_public_output_rejected():
+    guest, proof = _prove_fib()
+    proof.public_io.outputs = list(proof.public_io.outputs) + [12345]
+    assert Verifier(F).verify(proof, guest) != VerificationResult.Accept
+
+
+def test_outputs_on_outputless_program_rejected():
+    """A program with no ECALL_COMMIT cannot be claimed to output anything."""
+    program = _nop_add_program()
+    proof = _prove(program)
+    assert not proof.public_io.outputs
+    proof.public_io.outputs = [42]
+    assert Verifier(F).verify(proof, program) != VerificationResult.Accept
+
+
+def test_prover_rejects_inconsistent_tape():
+    """The honest prover's self-check: trace commits != public outputs."""
+    from zigz_tpu.constraints import bytecode as bc_mod
+
+    guest = fibonacci_guest()
+    loaded = elf.load(guest)
+    prover = Prover(F, seed=0, protocol_version=2)
+    old = bc_mod.prove_bytecode
+
+    def patched(*args, **kwargs):
+        kwargs["outputs"] = [999]
+        return old(*args, **kwargs)
+
+    bc_mod.prove_bytecode = patched
+    try:
+        with pytest.raises(AssertionError, match="output tape mismatch"):
+            prover.prove(guest, loaded.entry_pc, None, 1 << 16,
+                         loaded.segments, [8])
+    finally:
+        bc_mod.prove_bytecode = old
+
+
+def test_forged_counter_chain_rejected():
+    """Skipping a commit-counter increment breaks the index-shift logUp."""
+    guest = fibonacci_guest()
+    loaded = elf.load(guest)
+    prover = Prover(F, seed=0, protocol_version=2)
+
+    def forge(lk, table):
+        rows = np.nonzero(lk["c_commit"] == 1)[0]
+        lk["cnt"] = lk["cnt"].copy()
+        lk["cnt"][int(rows[-1]) + 1 :] = 0  # forget the last commit
+
+    prover._bc_forge_hook = forge
+    prover._bc_unsafe = True
+    proof = prover.prove(guest, loaded.entry_pc, None, 1 << 16,
+                         loaded.segments, [8])
+    assert (
+        Verifier(F).verify(proof, guest)
+        == VerificationResult.RejectInvalidBytecode
+    )
+
+
+def test_tampered_gout_sum_rejected():
+    guest, proof = _prove_fib()
+    ser = BinarySerializer(F)
+    restored = ser.deserialize(ser.serialize(proof))
+    restored.v2.bytecode.gout_sum = (restored.v2.bytecode.gout_sum + 1) % P
+    assert (
+        Verifier(F).verify(restored, guest)
+        == VerificationResult.RejectInvalidBytecode
+    )
+
+
 def test_serialization_roundtrip_bytes_stable():
     program = _nop_add_program()
     proof = _prove(program)

@@ -39,10 +39,17 @@ too.  This module closes it with a Jolt-style *bytecode memory check*
   a3 = (1-fsys)*wrs + 10*fsys*c_read: exactly ECALL_READ writes a0
   (state.py:_exec_system), everything else writes the static cell.
 
-The committed c_commit flag (1 exactly at ECALL_COMMIT steps, proven
-from the regcheck'd a7 value) is the anchor for the output-tape
-binding (see outputs.py once built): the multiset of (counter, a0)
-pairs at commit steps vs the PUBLIC outputs list.
+Output-tape binding (built here, on top of the proven c_commit flag):
+a committed commit-counter column cnt with cnt(0) = 0 and
+cnt(x+1) = cnt(x) + c_commit(x) (the same index-shift logUp as the
+v2 PC chain, over public idx/selector MLEs), plus a logUp equating
+the multiset {(cnt, a0-value limbs) at commit steps} with the PUBLIC
+{(j, outputs[j] limbs)} — the j-th committed output IS the a0 value
+(= the regcheck-proven rv2 read) at the j-th ECALL_COMMIT.  The
+public side is small, so the verifier evaluates its logUp sum
+directly (no table commitment); counter keys are injective and the
+value limbs are 16-bit (regcheck RANGE16), so multiset equality
+pins order, count, and every value exactly.
 
 Soundness preconditions (asserted at prove time, documented):
 program addresses < p (the pc slot is a mod-p value) and no
@@ -62,6 +69,8 @@ from ..isa.rv64i import Opcode
 from ..lookups.pipeline_lasso import TABLE_IDS, v2_lookup_ids
 from ..poly.public_mles import (
     eq_zero_eval,
+    idx_eval,
+    idx_table,
     le_indicator_eval,
     le_table,
     np_inv,
@@ -80,6 +89,7 @@ __all__ = [
 
 _M16 = np.uint64(0xFFFF)
 _M64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+_int64_mask = (1 << 64) - 1
 
 # Fingerprint slot order (gamma^1..gamma^len assigned in this order; the
 # pc slot is gamma^1).  "a1"/"a2" are the regcheck read cells; all other
@@ -95,14 +105,17 @@ BYTECODE_SLOTS = (
 # is not already committed elsewhere (pc lives in the v2 PCS; a1/a2 in
 # the regcheck commitment) plus the syscall-kind machinery.
 LINK_COLUMNS = tuple(s for s in BYTECODE_SLOTS if s not in ("pc", "a1", "a2")) + (
-    "c_read", "c_commit", "inv_r", "inv_c",
+    "c_read", "c_commit", "inv_r", "inv_c", "cnt",
 )
 # Referenced external columns (prefixed in the zerocheck column dict).
-_REG_REFS = ("a1", "a2", "a3", "rv1_0", "rv1_1", "rv1_2", "rv1_3")
+# rv2 is the a0 value at SYSTEM steps (system_read_override) — the
+# committed output the tape binding consumes.
+_REG_REFS = ("a1", "a2", "a3", "rv1_0", "rv1_1", "rv1_2", "rv1_3",
+             "rv2_0", "rv2_1", "rv2_2", "rv2_3")
 _PCS_REFS = ("pc",)
 
 BYTECODE_DEGREE = 4  # deg(eq * C); the ECALL completeness gadgets are deg 3
-NUM_BC_CONSTRAINTS = 13
+NUM_BC_CONSTRAINTS = 17
 
 # Opcode classes that architecturally write rd (state.py:_exec_*).
 _WRITES_RD = (
@@ -342,17 +355,39 @@ def _rv1_combined(get, p: int):
     return acc
 
 
+def _out_betas(beta_o: int, p: int) -> List[int]:
+    """beta_o^1..beta_o^5: counter slot then the four 16-bit value limbs."""
+    out, g = [], 1
+    for _ in range(5):
+        g = g * beta_o % p
+        out.append(g)
+    return out
+
+
 def _make_step_combiner(tau: int, gamma: int, entry_pc: int, num_steps: int,
-                        num_vars: int, p: int):
+                        num_vars: int, p: int,
+                        tau_c: int, beta_c: int, tau_o: int, beta_o: int):
     gp = _gammas(gamma, p)
+    ob = _out_betas(beta_o, p)
 
     def combiner(cols, alphas: List[int], p_: int):
         P = np.uint64(p)
         one = np.uint64(1)
         sel = cols["__sel__"]
         eq0 = cols["__eq0__"]
+        idx = cols["__idx__"]
+        sel1 = cols["__sel1__"]
+        sel2 = cols["__sel2__"]
         kappa = _kappa_step_arrays(cols, gp, p)
         rv1c = _rv1_combined(lambda n: cols[n], p) % P
+        key_out = np.uint64(ob[0]) * cols["cnt"] % P
+        for k in range(4):
+            key_out = (key_out + np.uint64(ob[k + 1]) * cols[f"ref_rv2_{k}"]) % P
+        den_c1 = (np.uint64(tau_c) + P
+                  - np.uint64(beta_c) * ((idx + one) % P) % P
+                  + P - cols["cnt"] + P - cols["c_commit"]) % P
+        den_c2 = (np.uint64(tau_c) + P - np.uint64(beta_c) * idx % P
+                  + P - cols["cnt"]) % P
         terms = [
             (cols["g_bc"] * ((np.uint64(tau) + P - kappa) % P) + P - sel) % P,
             eq0 * ((cols["ref_pc"] + P - np.uint64(entry_pc % p)) % P) % P,
@@ -371,6 +406,12 @@ def _make_step_combiner(tau: int, gamma: int, entry_pc: int, num_steps: int,
                                + ((rv1c + P - one) % P) * cols["inv_c"] % P) % P) % P,
             ((one + P - sel) % P) * cols["c_read"] % P,
             ((one + P - sel) % P) * cols["c_commit"] % P,
+            # Commit-counter chain (index-shift logUp) + anchor + tape logUp.
+            (cols["g_c1"] * den_c1 % P + P - sel1) % P,
+            (cols["g_c2"] * den_c2 % P + P - sel2) % P,
+            eq0 * cols["cnt"] % P,
+            (cols["g_out"] * ((np.uint64(tau_o) + P - key_out) % P) % P
+             + P - cols["c_commit"]) % P,
         ]
         acc = np.zeros_like(sel)
         for alpha, t in zip(alphas, terms):
@@ -381,8 +422,14 @@ def _make_step_combiner(tau: int, gamma: int, entry_pc: int, num_steps: int,
         rs = combiner_scalar.final_point
         sel = le_indicator_eval(num_steps - 1, num_vars, rs, p)
         eq0 = eq_zero_eval(rs, p)
+        idx = idx_eval(num_vars, rs, p)
+        sel1 = le_indicator_eval(num_steps - 2, num_vars, rs, p)
+        sel2 = (le_indicator_eval(num_steps - 1, num_vars, rs, p) - eq0) % p
         kappa = _kappa_step_scalar(ev, gp, p)
         rv1c = _rv1_combined(lambda n: ev[n], p)
+        key_out = ob[0] * ev["cnt"] % p
+        for k in range(4):
+            key_out = (key_out + ob[k + 1] * ev[f"ref_rv2_{k}"]) % p
         terms = [
             (ev["g_bc"] * ((tau - kappa) % p) - sel) % p,
             eq0 * ((ev["ref_pc"] - entry_pc) % p) % p,
@@ -398,6 +445,11 @@ def _make_step_combiner(tau: int, gamma: int, entry_pc: int, num_steps: int,
             ev["fecall"] * ((ev["c_commit"] - 1 + (rv1c - 1) * ev["inv_c"]) % p) % p,
             (1 - sel) * ev["c_read"] % p,
             (1 - sel) * ev["c_commit"] % p,
+            (ev["g_c1"] * ((tau_c - beta_c * (idx + 1) - ev["cnt"]
+                            - ev["c_commit"]) % p) - sel1) % p,
+            (ev["g_c2"] * ((tau_c - beta_c * idx - ev["cnt"]) % p) - sel2) % p,
+            eq0 * ev["cnt"] % p,
+            (ev["g_out"] * ((tau_o - key_out) % p) - ev["c_commit"]) % p,
         ]
         return sum(a * t for a, t in zip(alphas, terms)) % p
 
@@ -451,6 +503,12 @@ class BytecodeProof:
     pcs_evals: Dict[str, int]  # full eval dict for the PCS columns
     g_sum: int
     h_sum: int
+    # Output-tape binding: commit-counter chain sums (must be equal) and
+    # the step-side tape logUp sum (must equal the verifier's own sum
+    # over the public outputs list).
+    gc1_sum: int = 0
+    gc2_sum: int = 0
+    gout_sum: int = 0
 
 
 # ---------------------------------------------------------------------------
@@ -481,7 +539,7 @@ def prove_bytecode(F, transcript, trace, program: bytes, entry_pc: int,
                    segments, num_vars: int,
                    reg_cols: Dict[str, np.ndarray], reg_state,
                    pcs_cols: Dict[str, np.ndarray], pcs_state,
-                   hash_mode: str = "sha3", _forge_hook=None,
+                   hash_mode: str = "sha3", outputs=None, _forge_hook=None,
                    _unsafe_skip_self_checks=False) -> BytecodeProof:
     from ..commitments.ligero import (
         LigeroClaim,
@@ -521,6 +579,26 @@ def prove_bytecode(F, transcript, trace, program: bytes, entry_pc: int,
     lk["c_commit"] = ((fecall == 1) & (rv1c == 1)).astype(np.uint64)
     lk["inv_r"] = np_inv((rv1c + P64 - np.uint64(2)) % P64, p) * fecall % P64
     lk["inv_c"] = np_inv((rv1c + P64 - np.uint64(1)) % P64, p) * fecall % P64
+    # Commit counter: number of ECALL_COMMITs strictly before step x
+    # (padding rows continue the final count; only idx <= n-2 is chained).
+    cnt = np.zeros(padded, dtype=np.uint64)
+    np.cumsum(lk["c_commit"][: max(n - 1, 0)], out=cnt[1:n])
+    if n:
+        cnt[n:] = cnt[n - 1] + lk["c_commit"][n - 1]
+    lk["cnt"] = cnt % P64
+
+    outs = [int(v) & _int64_mask for v in (outputs or [])]
+    if not _unsafe_skip_self_checks:
+        commit_rows = np.nonzero(lk["c_commit"][:n] == 1)[0]
+        got = [
+            sum(int(reg_cols[f"rv2_{k}"][r]) << (16 * k) for k in range(4))
+            for r in commit_rows
+        ]
+        if got != outs:
+            raise AssertionError(
+                "bytecode argument violated: output tape mismatch "
+                f"(trace commits {got}, public claims {outs})"
+            )
 
     if _forge_hook is not None:
         _forge_hook(lk, table)
@@ -554,6 +632,14 @@ def prove_bytecode(F, transcript, trace, program: bytes, entry_pc: int,
 
     # Fingerprint challenges (nonce retry on zero denominators).
     sel = le_table(n - 1, num_vars)
+    sel1 = le_table(n - 2, num_vars)
+    sel2 = le_table(n - 1, num_vars)
+    sel2[0] = 0
+    idx = idx_table(num_vars, p)
+    out_limbs = np.array(
+        [[(v >> (16 * k)) & 0xFFFF for k in range(4)] for v in outs],
+        dtype=np.uint64,
+    ).reshape(len(outs), 4)
     nonce = 0
     while True:
         trial = transcript.fork()
@@ -561,10 +647,14 @@ def prove_bytecode(F, transcript, trace, program: bytes, entry_pc: int,
         trial.append_u64(nonce)
         tau = trial.challenge_value(p)
         gamma = trial.challenge_value(p)
+        tau_c = trial.challenge_value(p)
+        beta_c = trial.challenge_value(p)
+        tau_o = trial.challenge_value(p)
+        beta_o = trial.challenge_value(p)
         gp = _gammas(gamma, p)
         kap_t = table.kappa(tau=0, gamma=gamma, p=p)  # keys only (tau unused)
         denom_t = (np.uint64(tau) + P64 - kap_t) % P64
-        ok = tau != 0 and not np.any(denom_t == 0)
+        ok = tau != 0 and tau_c != 0 and tau_o != 0 and not np.any(denom_t == 0)
         if ok:
             ref = {
                 "ref_pc": pcs_cols["pc"] % P64,
@@ -574,40 +664,82 @@ def prove_bytecode(F, transcript, trace, program: bytes, entry_pc: int,
             kap_s = _kappa_step_arrays({**lk, **ref}, gp, p)
             ok = not np.any(((np.uint64(tau) + P64 - kap_s) % P64 == 0) & (sel == 1))
         if ok:
+            den_c1 = (np.uint64(tau_c) + P64
+                      - np.uint64(beta_c) * ((idx + np.uint64(1)) % P64) % P64
+                      + P64 - lk["cnt"] + P64 - lk["c_commit"]) % P64
+            den_c2 = (np.uint64(tau_c) + P64 - np.uint64(beta_c) * idx % P64
+                      + P64 - lk["cnt"]) % P64
+            ob = _out_betas(beta_o, p)
+            key_out = np.uint64(ob[0]) * lk["cnt"] % P64
+            for k in range(4):
+                key_out = (key_out + np.uint64(ob[k + 1]) * reg_cols[f"rv2_{k}"]) % P64
+            den_out = (np.uint64(tau_o) + P64 - key_out) % P64
+            pub_keys = (np.uint64(ob[0]) * (np.arange(len(outs), dtype=np.uint64) % P64)
+                        + (out_limbs * np.array(ob[1:], dtype=np.uint64)).sum(axis=1)) % P64
+            den_pub = (np.uint64(tau_o) + P64 - pub_keys) % P64
+            ok = (not np.any((den_c1 == 0) & (sel1 == 1))
+                  and not np.any((den_c2 == 0) & (sel2 == 1))
+                  and not np.any((den_out == 0) & (lk["c_commit"] == 1))
+                  and not np.any(den_pub == 0))
+        if ok:
             break
         nonce += 1
     transcript.append_bytes(b"BC_CHAL")
     transcript.append_u64(nonce)
     assert transcript.challenge_value(p) == tau
-    assert transcript.challenge_value(p) == gamma
+    for expect in (gamma, tau_c, beta_c, tau_o, beta_o):
+        assert transcript.challenge_value(p) == expect
 
     # Inverse columns.
     g_bc = sel * np_inv((np.uint64(tau) + P64 - kap_s) % P64, p) % P64
     h_col = m_col % P64 * np_inv(denom_t, p) % P64
-    g_state = ligero_commit(F, {"g_bc": g_bc}, hash_mode)
+    g_c1 = sel1 * np_inv(den_c1, p) % P64
+    g_c2 = sel2 * np_inv(den_c2, p) % P64
+    g_out = lk["c_commit"] * np_inv(den_out, p) % P64
+    g_state = ligero_commit(
+        F, {"g_bc": g_bc, "g_c1": g_c1, "g_c2": g_c2, "g_out": g_out}, hash_mode
+    )
     h_state = ligero_commit(F, {"h": h_col}, hash_mode)
     g_sum = int(g_bc.sum(dtype=np.uint64) % P64)
     h_sum = int(h_col.sum(dtype=np.uint64) % P64)
+    gc1_sum = int(g_c1.sum(dtype=np.uint64) % P64)
+    gc2_sum = int(g_c2.sum(dtype=np.uint64) % P64)
+    gout_sum = int(g_out.sum(dtype=np.uint64) % P64)
     transcript.append_bytes(b"BC_G")
     transcript.append_bytes(g_state.root)
     transcript.append_u64(g_sum)
+    transcript.append_u64(gc1_sum)
+    transcript.append_u64(gc2_sum)
+    transcript.append_u64(gout_sum)
     transcript.append_bytes(b"BC_H")
     transcript.append_bytes(h_state.root)
     transcript.append_u64(h_sum)
-    if g_sum != h_sum and not _unsafe_skip_self_checks:
-        raise AssertionError("bytecode argument violated: fetch multiset mismatch")
+    if not _unsafe_skip_self_checks:
+        if g_sum != h_sum:
+            raise AssertionError("bytecode argument violated: fetch multiset mismatch")
+        if gc1_sum != gc2_sum:
+            raise AssertionError("bytecode argument violated: counter chain mismatch")
+        pub_sum = int(np_inv(den_pub, p).sum(dtype=np.uint64) % P64) if len(outs) else 0
+        if gout_sum != pub_sum:
+            raise AssertionError("bytecode argument violated: output tape mismatch")
 
     # Step-domain zerocheck.
     zc_cols = dict(lk)
     zc_cols["g_bc"] = g_bc
+    zc_cols["g_c1"] = g_c1
+    zc_cols["g_c2"] = g_c2
+    zc_cols["g_out"] = g_out
     for name in _REG_REFS:
         zc_cols[f"ref_{name}"] = reg_cols[name]
     zc_cols["ref_pc"] = pcs_cols["pc"] % P64
     zc_cols["__sel__"] = sel
     zc_cols["__eq0__"] = np.zeros(padded, dtype=np.uint64)
     zc_cols["__eq0__"][0] = 1
+    zc_cols["__idx__"] = idx
+    zc_cols["__sel1__"] = sel1
+    zc_cols["__sel2__"] = sel2
     combiner, combiner_scalar = _make_step_combiner(
-        tau, gamma, entry_pc % p, n, num_vars, p
+        tau, gamma, entry_pc % p, n, num_vars, p, tau_c, beta_c, tau_o, beta_o
     )
     zc = ZerocheckProver(
         F, zc_cols, combiner, BYTECODE_DEGREE, num_alphas=NUM_BC_CONSTRAINTS
@@ -664,6 +796,7 @@ def prove_bytecode(F, transcript, trace, program: bytes, entry_pc: int,
         g_proof=g_proof, m_proof=m_proof, h_proof=h_proof,
         reg_proof=reg_proof, pcs_proof=pcs_proof,
         reg_evals=reg_evals, pcs_evals=pcs_evals, g_sum=g_sum, h_sum=h_sum,
+        gc1_sum=gc1_sum, gc2_sum=gc2_sum, gout_sum=gout_sum,
     )
 
 
@@ -684,7 +817,7 @@ def verify_bytecode(F, transcript, bc: BytecodeProof, program: bytes,
                     entry_pc: int, num_steps: int, num_vars: int,
                     reg_root: bytes, reg_names: List[str],
                     pcs_root: bytes, pcs_names: List[str],
-                    hash_mode: str = "sha3") -> bool:
+                    hash_mode: str = "sha3", outputs=None) -> bool:
     from ..commitments.ligero import (
         LigeroClaim,
         LigeroParams,
@@ -710,30 +843,54 @@ def verify_bytecode(F, transcript, bc: BytecodeProof, program: bytes,
     transcript.append_u64(bc.nonce % (1 << 64))
     tau = transcript.challenge_value(p)
     gamma = transcript.challenge_value(p)
-    if tau == 0:
+    tau_c = transcript.challenge_value(p)
+    beta_c = transcript.challenge_value(p)
+    tau_o = transcript.challenge_value(p)
+    beta_o = transcript.challenge_value(p)
+    if tau == 0 or tau_c == 0 or tau_o == 0:
         return False
     kap_t = table.kappa(tau=0, gamma=gamma, p=p)
     if np.any((np.uint64(tau) + np.uint64(p) - kap_t) % np.uint64(p) == 0):
         return False
+    # Public side of the output-tape logUp: the verifier sums it itself.
+    outs = [int(v) & _int64_mask for v in (outputs or [])]
+    ob = _out_betas(beta_o, p)
+    pub_sum = 0
+    for j, v in enumerate(outs):
+        key = ob[0] * (j % p) % p
+        for k in range(4):
+            key = (key + ob[k + 1] * ((v >> (16 * k)) & 0xFFFF)) % p
+        den = (tau_o - key) % p
+        if den == 0:
+            return False
+        pub_sum = (pub_sum + pow(den, p - 2, p)) % p
 
     transcript.append_bytes(b"BC_G")
     transcript.append_bytes(bc.root_g)
     transcript.append_u64(bc.g_sum % p)
+    transcript.append_u64(bc.gc1_sum % p)
+    transcript.append_u64(bc.gc2_sum % p)
+    transcript.append_u64(bc.gout_sum % p)
     transcript.append_bytes(b"BC_H")
     transcript.append_bytes(bc.root_h)
     transcript.append_u64(bc.h_sum % p)
     if bc.g_sum % p != bc.h_sum % p:
         return False
+    if bc.gc1_sum % p != bc.gc2_sum % p:
+        return False
+    if bc.gout_sum % p != pub_sum:
+        return False
 
     lk_names = sorted(LINK_COLUMNS)
-    expected_cols = (set(lk_names) | {"g_bc"}
+    expected_cols = (set(lk_names) | {"g_bc", "g_c1", "g_c2", "g_out"}
                      | {f"ref_{n}" for n in _REG_REFS} | {"ref_pc"})
     if set(bc.zc.column_evals) != expected_cols:
         return False
     if bc.zc.num_vars != num_vars or bc.zc.degree != BYTECODE_DEGREE:
         return False
     _, combiner_scalar = _make_step_combiner(
-        tau, gamma, entry_pc % p, num_steps, num_vars, p
+        tau, gamma, entry_pc % p, num_steps, num_vars, p,
+        tau_c, beta_c, tau_o, beta_o,
     )
     combiner_scalar.final_point = bc.zc.final_point
     if not ZerocheckVerifier(F, combiner_scalar, NUM_BC_CONSTRAINTS,
@@ -761,17 +918,21 @@ def verify_bytecode(F, transcript, bc: BytecodeProof, program: bytes,
         bc.lk_proof, transcript, hash_mode,
     ):
         return False
-    # g_bc eval + hypercube sum.
-    cn_g = params.choose_split(num_vars, 1)
+    # g-column evals + hypercube sums (fetch, counter chain, tape).
+    g_names = ["g_bc", "g_c1", "g_c2", "g_out"]
+    cn_g = params.choose_split(num_vars, len(g_names))
     ag, bg = _row_col_weights(bc.zc.final_point, cn_g)
     m_g = (1 << num_vars) >> cn_g
+    g_sums = {"g_bc": bc.g_sum % p, "g_c1": bc.gc1_sum % p,
+              "g_c2": bc.gc2_sum % p, "g_out": bc.gout_sum % p}
     if not ligero_verify_claims(
-        F, bc.root_g, num_vars, ["g_bc"],
+        F, bc.root_g, num_vars, g_names,
         [
-            LigeroClaim(a=ag, b=bg, values={"g_bc": bc.zc.column_evals["g_bc"]}),
+            LigeroClaim(a=ag, b=bg,
+                        values={nm: bc.zc.column_evals[nm] for nm in g_names}),
             LigeroClaim(a=np.ones(m_g, dtype=np.uint64),
                         b=np.ones(1 << cn_g, dtype=np.uint64),
-                        values={"g_bc": bc.g_sum % p}),
+                        values=g_sums),
         ],
         bc.g_proof, transcript, hash_mode,
     ):

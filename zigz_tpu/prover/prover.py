@@ -182,7 +182,8 @@ class Prover:
             self._generate_lasso_proofs_v2(proof, trace)
             self._generate_regcheck(proof, trace, initial_regs, final_state)
             self._generate_memcheck(proof, trace, program, entry_pc, segments)
-            self._generate_bytecode(proof, trace, program, entry_pc, segments)
+            self._generate_bytecode(proof, trace, program, entry_pc, segments,
+                                    final_state["output_tape"])
         else:
             self._generate_lasso_proofs(proof, lookup_count)
         t3 = time.perf_counter()
@@ -578,13 +579,16 @@ class Prover:
         )
         self.last_timings["memcheck_s"] = time.perf_counter() - t0
 
-    def _generate_bytecode(self, proof: Proof, trace, program, entry_pc, segments) -> None:
+    def _generate_bytecode(self, proof: Proof, trace, program, entry_pc,
+                           segments, output_tape) -> None:
         """Bytecode (fetch+decode) argument (constraints/bytecode.py):
         every step's decoded tuple — read cells, write cell, funct3,
         table id, immediate limbs, class flags — is proven to equal the
         PUBLIC program's decode at its pc, with pc(0) anchored at the
-        public entry point.  Issues extra Ligero claims on the regcheck
-        and v2 PCS commitments retained from the earlier phases."""
+        public entry point, and the public output tape bound to the
+        proven a0 values at ECALL_COMMIT steps.  Issues extra Ligero
+        claims on the regcheck and v2 PCS commitments retained from the
+        earlier phases."""
         from ..constraints.bytecode import prove_bytecode
 
         t0 = time.perf_counter()
@@ -592,6 +596,7 @@ class Prover:
             self.F, self.transcript, trace, program, entry_pc, segments,
             proof.metadata.num_vars, self._rc_cols, self._rc_state,
             self._v2_pcs_cols, self._v2_pcs_state, self._hash_mode(),
+            outputs=output_tape,
             _forge_hook=getattr(self, "_bc_forge_hook", None),
             _unsafe_skip_self_checks=getattr(self, "_bc_unsafe", False),
         )

@@ -381,6 +381,9 @@ class BinarySerializer:
             w.u64(bc.pcs_evals[name] % p)
         w.u64(bc.g_sum % p)
         w.u64(bc.h_sum % p)
+        w.u64(bc.gc1_sum % p)
+        w.u64(bc.gc2_sum % p)
+        w.u64(bc.gout_sum % p)
 
     def _read_bytecode(self, r: _Reader):
         if not r.u8():
@@ -400,7 +403,7 @@ class BinarySerializer:
         root_m = r.bytes_(32)
         root_g = r.bytes_(32)
         root_h = r.bytes_(32)
-        zc_names = (list(LINK_COLUMNS) + ["g_bc"]
+        zc_names = (list(LINK_COLUMNS) + ["g_bc", "g_c1", "g_c2", "g_out"]
                     + [f"ref_{n}" for n in _REG_REFS] + ["ref_pc"])
         zc = self._read_zerocheck(r, zc_names)
         zc_table = self._read_zerocheck(r, ["m", "h"])
@@ -415,6 +418,9 @@ class BinarySerializer:
         pcs_evals = {name: r.u64() for name in pcs_names}
         g_sum = r.u64()
         h_sum = r.u64()
+        gc1_sum = r.u64()
+        gc2_sum = r.u64()
+        gout_sum = r.u64()
         return BytecodeProof(
             nonce=nonce, num_vars=num_vars, table_vars=table_vars,
             root_lk=root_lk, root_m=root_m, root_g=root_g, root_h=root_h,
@@ -422,6 +428,7 @@ class BinarySerializer:
             m_proof=m_proof, h_proof=h_proof, reg_proof=reg_proof,
             pcs_proof=pcs_proof, reg_evals=reg_evals, pcs_evals=pcs_evals,
             g_sum=g_sum, h_sum=h_sum,
+            gc1_sum=gc1_sum, gc2_sum=gc2_sum, gout_sum=gout_sum,
         )
 
     @staticmethod

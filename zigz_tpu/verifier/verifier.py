@@ -291,7 +291,7 @@ class Verifier:
             proof.metadata.num_steps, proof.metadata.num_vars,
             proof.v2.regcheck.root_cols, sorted(RC_COLUMNS),
             proof.v2.pcs_root, sorted(["x0", "is_read", "pc", "seq", "next_pc"]),
-            hash_mode,
+            hash_mode, outputs=io.outputs,
         ):
             return VerificationResult.RejectInvalidBytecode
 
