@@ -306,6 +306,87 @@ def test_tampered_gout_sum_rejected():
     )
 
 
+# -- witness linkage (constraints/linkage.py) --------------------------------
+
+
+def test_substituted_valid_query_rejected():
+    """THE linkage property: replace an executed ADD query with a
+    DIFFERENT genuine ADD table entry.  The validity argument alone is
+    satisfied (it is a real table row); only the step<->query multiset
+    linkage can catch that it is not what the trace executed."""
+    program = _nop_add_program()
+    prover = Prover(F, seed=0, protocol_version=2)
+
+    def forge(tid, cols):
+        if tid != 0:
+            return
+        # row 0: (x, y, z) -> (x+1, y, z+1) stays a valid 64-bit ADD row
+        # as long as limb 0 doesn't overflow (values here are tiny).
+        cols["x0"] = cols["x0"].copy()
+        cols["z0"] = cols["z0"].copy()
+        cols["x0"][0] += 1
+        cols["z0"][0] += 1
+
+    prover._lv_forge_hook = forge
+    with pytest.raises(AssertionError, match="multiset mismatch"):
+        prover.prove(program, 0x1000, None, 1 << 16, None, None)
+
+    prover = Prover(F, seed=0, protocol_version=2)
+    prover._lv_forge_hook = forge
+    prover._lv_unsafe = True
+    prover._bc_unsafe = True
+    proof = prover.prove(program, 0x1000, None, 1 << 16, None, None)
+    assert (
+        Verifier(F).verify(proof, program)
+        == VerificationResult.RejectInvalidBytecode
+    )
+
+
+def test_forged_step_result_rejected():
+    """A step-side result column disagreeing with the linked query (and
+    the regcheck write value) must be rejected."""
+    program = _nop_add_program()
+    prover = Prover(F, seed=0, protocol_version=2)
+
+    def forge(lk, table):
+        lk["res_0"] = lk["res_0"].copy()
+        lk["res_0"][2] = (int(lk["res_0"][2]) + 1) % (1 << 16)
+
+    prover._bc_forge_hook = forge
+    prover._bc_unsafe = True
+    proof = prover.prove(program, 0x1000, None, 1 << 16, None, None)
+    assert (
+        Verifier(F).verify(proof, program)
+        == VerificationResult.RejectInvalidBytecode
+    )
+
+
+def test_tampered_link_sum_rejected():
+    program = _nop_add_program()
+    proof = _prove(program)
+    ser = BinarySerializer(F)
+    restored = ser.deserialize(ser.serialize(proof))
+    assert restored.v2.bytecode.links
+    restored.v2.bytecode.links[0].g_sum = (
+        restored.v2.bytecode.links[0].g_sum + 1
+    ) % P
+    assert (
+        Verifier(F).verify(restored, program)
+        == VerificationResult.RejectInvalidBytecode
+    )
+
+
+def test_missing_link_records_rejected():
+    program = _nop_add_program()
+    proof = _prove(program)
+    assert proof.v2.bytecode.links
+    proof.v2.bytecode.links = []
+    assert (
+        Verifier(F).verify(proof, program)
+        == VerificationResult.RejectInvalidBytecode
+    )
+
+
 def test_serialization_roundtrip_bytes_stable():
     program = _nop_add_program()
     proof = _prove(program)

@@ -106,16 +106,21 @@ BYTECODE_SLOTS = (
 # the regcheck commitment) plus the syscall-kind machinery.
 LINK_COLUMNS = tuple(s for s in BYTECODE_SLOTS if s not in ("pc", "a1", "a2")) + (
     "c_read", "c_commit", "inv_r", "inv_c", "cnt",
+    # Witness-linkage slots (constraints/linkage.py): the lookup result
+    # limbs (tied to the regcheck write value whenever fwr = 1) and the
+    # branch taken bit (tied to the branch table's proven output).
+    "res_0", "res_1", "res_2", "res_3", "taken_b",
 )
 # Referenced external columns (prefixed in the zerocheck column dict).
 # rv2 is the a0 value at SYSTEM steps (system_read_override) — the
 # committed output the tape binding consumes.
 _REG_REFS = ("a1", "a2", "a3", "rv1_0", "rv1_1", "rv1_2", "rv1_3",
-             "rv2_0", "rv2_1", "rv2_2", "rv2_3")
+             "rv2_0", "rv2_1", "rv2_2", "rv2_3",
+             "wv_0", "wv_1", "wv_2", "wv_3")
 _PCS_REFS = ("pc",)
 
 BYTECODE_DEGREE = 4  # deg(eq * C); the ECALL completeness gadgets are deg 3
-NUM_BC_CONSTRAINTS = 17
+NUM_BC_CONSTRAINTS = 22
 
 # Opcode classes that architecturally write rd (state.py:_exec_*).
 _WRITES_RD = (
@@ -366,9 +371,13 @@ def _out_betas(beta_o: int, p: int) -> List[int]:
 
 def _make_step_combiner(tau: int, gamma: int, entry_pc: int, num_steps: int,
                         num_vars: int, p: int,
-                        tau_c: int, beta_c: int, tau_o: int, beta_o: int):
+                        tau_c: int, beta_c: int, tau_o: int, beta_o: int,
+                        tau_l: int, delta: int):
+    from .linkage import link_deltas
+
     gp = _gammas(gamma, p)
     ob = _out_betas(beta_o, p)
+    dl = link_deltas(delta, p)
 
     def combiner(cols, alphas: List[int], p_: int):
         P = np.uint64(p)
@@ -413,6 +422,30 @@ def _make_step_combiner(tau: int, gamma: int, entry_pc: int, num_steps: int,
             (cols["g_out"] * ((np.uint64(tau_o) + P - key_out) % P) % P
              + P - cols["c_commit"]) % P,
         ]
+        # Witness linkage: fingerprint the step's (tbl, in0, in1, s)
+        # tuple from PROVEN columns; g_lk_s matches the query side.
+        falu = (cols["flk"] + P - cols["fbr"]) % P
+        kappa_lk = np.uint64(dl[0]) * cols["tbl1"] % P
+        for k in range(4):
+            kappa_lk = (kappa_lk
+                        + np.uint64(dl[1 + k]) * cols[f"ref_rv1_{k}"]) % P
+            in1k = (cols["fimm"] * cols[f"imm_{k}"]
+                    + cols["frs2"] * cols[f"ref_rv2_{k}"]) % P
+            kappa_lk = (kappa_lk + np.uint64(dl[5 + k]) * in1k) % P
+        s0 = (falu * cols["res_0"] + cols["fbr"] * cols["f3"]) % P
+        s1 = (falu * cols["res_1"] + cols["fbr"] * cols["taken_b"]) % P
+        s2 = falu * cols["res_2"] % P
+        s3 = falu * cols["res_3"] % P
+        for k, sk in enumerate((s0, s1, s2, s3)):
+            kappa_lk = (kappa_lk + np.uint64(dl[9 + k]) * sk) % P
+        terms.append(
+            (cols["g_lk_s"] * ((np.uint64(tau_l) + P - kappa_lk) % P) % P
+             + P - cols["flk"]) % P
+        )
+        for k in range(4):
+            terms.append(
+                cols["fwr"] * ((cols[f"res_{k}"] + P - cols[f"ref_wv_{k}"]) % P) % P
+            )
         acc = np.zeros_like(sel)
         for alpha, t in zip(alphas, terms):
             acc = (acc + np.uint64(alpha) * t) % P
@@ -451,10 +484,52 @@ def _make_step_combiner(tau: int, gamma: int, entry_pc: int, num_steps: int,
             eq0 * ev["cnt"] % p,
             (ev["g_out"] * ((tau_o - key_out) % p) - ev["c_commit"]) % p,
         ]
+        falu = (ev["flk"] - ev["fbr"]) % p
+        kappa_lk = dl[0] * ev["tbl1"] % p
+        for k in range(4):
+            kappa_lk = (kappa_lk + dl[1 + k] * ev[f"ref_rv1_{k}"]) % p
+            in1k = (ev["fimm"] * ev[f"imm_{k}"]
+                    + ev["frs2"] * ev[f"ref_rv2_{k}"]) % p
+            kappa_lk = (kappa_lk + dl[5 + k] * in1k) % p
+        s_ev = [
+            (falu * ev["res_0"] + ev["fbr"] * ev["f3"]) % p,
+            (falu * ev["res_1"] + ev["fbr"] * ev["taken_b"]) % p,
+            falu * ev["res_2"] % p,
+            falu * ev["res_3"] % p,
+        ]
+        for k, sk in enumerate(s_ev):
+            kappa_lk = (kappa_lk + dl[9 + k] * sk) % p
+        terms.append(
+            (ev["g_lk_s"] * ((tau_l - kappa_lk) % p) - ev["flk"]) % p
+        )
+        for k in range(4):
+            terms.append(ev["fwr"] * ((ev[f"res_{k}"] - ev[f"ref_wv_{k}"]) % p) % p)
         return sum(a * t for a, t in zip(alphas, terms)) % p
 
     combiner_scalar.final_point = None
     return combiner, combiner_scalar
+
+
+def _step_link_denoms(lk, reg_cols, tau_l: int, dl: List[int], p: int) -> np.ndarray:
+    """Step-side linkage denominators tau_l - kappa_lk (dense twin of the
+    combiner's fingerprint, for inverse-column construction)."""
+    P = np.uint64(p)
+    falu = (lk["flk"] + P - lk["fbr"]) % P
+    kappa = np.uint64(dl[0]) * lk["tbl1"] % P
+    for k in range(4):
+        kappa = (kappa + np.uint64(dl[1 + k]) * reg_cols[f"rv1_{k}"]) % P
+        in1k = (lk["fimm"] * lk[f"imm_{k}"]
+                + lk["frs2"] * reg_cols[f"rv2_{k}"]) % P
+        kappa = (kappa + np.uint64(dl[5 + k]) * in1k) % P
+    s = [
+        (falu * lk["res_0"] + lk["fbr"] * lk["f3"]) % P,
+        (falu * lk["res_1"] + lk["fbr"] * lk["taken_b"]) % P,
+        falu * lk["res_2"] % P,
+        falu * lk["res_3"] % P,
+    ]
+    for k in range(4):
+        kappa = (kappa + np.uint64(dl[9 + k]) * s[k]) % P
+    return (np.uint64(tau_l) + P - kappa) % P
 
 
 def _make_table_combiner(tau: int, kappa_table: np.ndarray, p: int):
@@ -509,6 +584,10 @@ class BytecodeProof:
     gc1_sum: int = 0
     gc2_sum: int = 0
     gout_sum: int = 0
+    # Witness linkage: step-side g sum and per-table query-side records
+    # (constraints/linkage.py).
+    glk_sum: int = 0
+    links: Optional[list] = None
 
 
 # ---------------------------------------------------------------------------
@@ -539,7 +618,8 @@ def prove_bytecode(F, transcript, trace, program: bytes, entry_pc: int,
                    segments, num_vars: int,
                    reg_cols: Dict[str, np.ndarray], reg_state,
                    pcs_cols: Dict[str, np.ndarray], pcs_state,
-                   hash_mode: str = "sha3", outputs=None, _forge_hook=None,
+                   hash_mode: str = "sha3", outputs=None, validity_info=None,
+                   _forge_hook=None,
                    _unsafe_skip_self_checks=False) -> BytecodeProof:
     from ..commitments.ligero import (
         LigeroClaim,
@@ -586,6 +666,38 @@ def prove_bytecode(F, transcript, trace, program: bytes, entry_pc: int,
     if n:
         cnt[n:] = cnt[n - 1] + lk["c_commit"][n - 1]
     lk["cnt"] = cnt % P64
+
+    # Witness-linkage step columns: the lookup result limbs and branch
+    # taken bit, scattered from the validity argument's committed query
+    # representation (constraints/linkage.py slot reconstruction), in
+    # step order per table.
+    from .linkage import (
+        gadget_linkage_arrays,
+        link_deltas,
+        link_denominators,
+        prove_query_links,
+    )
+
+    validity_info = validity_info or []
+    tbl_ids = v2_lookup_ids(np.asarray(op), np.asarray(f3), np.asarray(f7),
+                            np.asarray(imm_u, dtype=np.uint64))
+    for k in range(4):
+        lk[f"res_{k}"] = np.zeros(padded, dtype=np.uint64)
+    lk["taken_b"] = np.zeros(padded, dtype=np.uint64)
+    for info in validity_info:
+        rows = np.nonzero(tbl_ids == info["tid"])[0]
+        if len(rows) != info["nq"] and not _unsafe_skip_self_checks:
+            raise AssertionError(
+                f"bytecode argument violated: table {info['tid']} has "
+                f"{len(rows)} steps but {info['nq']} queries"
+            )
+        slots = gadget_linkage_arrays(info["tid"], info["cols"], p)
+        nr = min(len(rows), info["nq"])
+        if info["tid"] == TABLE_IDS["BEQ"]:
+            lk["taken_b"][rows[:nr]] = slots["s_1"][:nr]
+        else:
+            for k in range(4):
+                lk[f"res_{k}"][rows[:nr]] = slots[f"s_{k}"][:nr]
 
     outs = [int(v) & _int64_mask for v in (outputs or [])]
     if not _unsafe_skip_self_checks:
@@ -651,6 +763,8 @@ def prove_bytecode(F, transcript, trace, program: bytes, entry_pc: int,
         beta_c = trial.challenge_value(p)
         tau_o = trial.challenge_value(p)
         beta_o = trial.challenge_value(p)
+        tau_l = trial.challenge_value(p)
+        delta = trial.challenge_value(p)
         gp = _gammas(gamma, p)
         kap_t = table.kappa(tau=0, gamma=gamma, p=p)  # keys only (tau unused)
         denom_t = (np.uint64(tau) + P64 - kap_t) % P64
@@ -682,12 +796,22 @@ def prove_bytecode(F, transcript, trace, program: bytes, entry_pc: int,
                   and not np.any((den_out == 0) & (lk["c_commit"] == 1))
                   and not np.any(den_pub == 0))
         if ok:
+            dl = link_deltas(delta, p)
+            den_lk = _step_link_denoms(lk, reg_cols, tau_l, dl, p)
+            ok = not np.any((den_lk == 0) & (lk["flk"] == 1))
+            for info in validity_info:
+                if not ok:
+                    break
+                dq = link_denominators(info["tid"], info["cols"], info["nq"],
+                                       tau_l, dl, p)
+                ok = not np.any(dq[: info["nq"]] == 0)
+        if ok:
             break
         nonce += 1
     transcript.append_bytes(b"BC_CHAL")
     transcript.append_u64(nonce)
     assert transcript.challenge_value(p) == tau
-    for expect in (gamma, tau_c, beta_c, tau_o, beta_o):
+    for expect in (gamma, tau_c, beta_c, tau_o, beta_o, tau_l, delta):
         assert transcript.challenge_value(p) == expect
 
     # Inverse columns.
@@ -696,8 +820,10 @@ def prove_bytecode(F, transcript, trace, program: bytes, entry_pc: int,
     g_c1 = sel1 * np_inv(den_c1, p) % P64
     g_c2 = sel2 * np_inv(den_c2, p) % P64
     g_out = lk["c_commit"] * np_inv(den_out, p) % P64
+    g_lk_s = lk["flk"] * np_inv(den_lk, p) % P64
     g_state = ligero_commit(
-        F, {"g_bc": g_bc, "g_c1": g_c1, "g_c2": g_c2, "g_out": g_out}, hash_mode
+        F, {"g_bc": g_bc, "g_c1": g_c1, "g_c2": g_c2, "g_out": g_out,
+            "g_lk_s": g_lk_s}, hash_mode
     )
     h_state = ligero_commit(F, {"h": h_col}, hash_mode)
     g_sum = int(g_bc.sum(dtype=np.uint64) % P64)
@@ -705,12 +831,14 @@ def prove_bytecode(F, transcript, trace, program: bytes, entry_pc: int,
     gc1_sum = int(g_c1.sum(dtype=np.uint64) % P64)
     gc2_sum = int(g_c2.sum(dtype=np.uint64) % P64)
     gout_sum = int(g_out.sum(dtype=np.uint64) % P64)
+    glk_sum = int(g_lk_s.sum(dtype=np.uint64) % P64)
     transcript.append_bytes(b"BC_G")
     transcript.append_bytes(g_state.root)
     transcript.append_u64(g_sum)
     transcript.append_u64(gc1_sum)
     transcript.append_u64(gc2_sum)
     transcript.append_u64(gout_sum)
+    transcript.append_u64(glk_sum)
     transcript.append_bytes(b"BC_H")
     transcript.append_bytes(h_state.root)
     transcript.append_u64(h_sum)
@@ -729,6 +857,7 @@ def prove_bytecode(F, transcript, trace, program: bytes, entry_pc: int,
     zc_cols["g_c1"] = g_c1
     zc_cols["g_c2"] = g_c2
     zc_cols["g_out"] = g_out
+    zc_cols["g_lk_s"] = g_lk_s
     for name in _REG_REFS:
         zc_cols[f"ref_{name}"] = reg_cols[name]
     zc_cols["ref_pc"] = pcs_cols["pc"] % P64
@@ -739,7 +868,8 @@ def prove_bytecode(F, transcript, trace, program: bytes, entry_pc: int,
     zc_cols["__sel1__"] = sel1
     zc_cols["__sel2__"] = sel2
     combiner, combiner_scalar = _make_step_combiner(
-        tau, gamma, entry_pc % p, n, num_vars, p, tau_c, beta_c, tau_o, beta_o
+        tau, gamma, entry_pc % p, n, num_vars, p, tau_c, beta_c, tau_o, beta_o,
+        tau_l, delta,
     )
     zc = ZerocheckProver(
         F, zc_cols, combiner, BYTECODE_DEGREE, num_alphas=NUM_BC_CONSTRAINTS
@@ -789,6 +919,17 @@ def prove_bytecode(F, transcript, trace, program: bytes, entry_pc: int,
                     b=np.ones(h_state.n, dtype=np.uint64), values={}),
     ], transcript)
 
+    # Witness linkage, query side (constraints/linkage.py): per-table
+    # zerochecks proving the g_lk inverse columns against the validity
+    # argument's committed query representation.
+    links, link_total = prove_query_links(
+        F, transcript, validity_info, tau_l, delta, hash_mode
+    )
+    if link_total != glk_sum and not _unsafe_skip_self_checks:
+        raise AssertionError(
+            "bytecode argument violated: lookup-queries/steps multiset mismatch"
+        )
+
     return BytecodeProof(
         nonce=nonce, num_vars=num_vars, table_vars=table.num_vars,
         root_lk=lk_state.root, root_m=m_state.root, root_g=g_state.root,
@@ -797,6 +938,7 @@ def prove_bytecode(F, transcript, trace, program: bytes, entry_pc: int,
         reg_proof=reg_proof, pcs_proof=pcs_proof,
         reg_evals=reg_evals, pcs_evals=pcs_evals, g_sum=g_sum, h_sum=h_sum,
         gc1_sum=gc1_sum, gc2_sum=gc2_sum, gout_sum=gout_sum,
+        glk_sum=glk_sum, links=links,
     )
 
 
@@ -817,7 +959,8 @@ def verify_bytecode(F, transcript, bc: BytecodeProof, program: bytes,
                     entry_pc: int, num_steps: int, num_vars: int,
                     reg_root: bytes, reg_names: List[str],
                     pcs_root: bytes, pcs_names: List[str],
-                    hash_mode: str = "sha3", outputs=None) -> bool:
+                    hash_mode: str = "sha3", outputs=None,
+                    lv_tables=None) -> bool:
     from ..commitments.ligero import (
         LigeroClaim,
         LigeroParams,
@@ -847,6 +990,8 @@ def verify_bytecode(F, transcript, bc: BytecodeProof, program: bytes,
     beta_c = transcript.challenge_value(p)
     tau_o = transcript.challenge_value(p)
     beta_o = transcript.challenge_value(p)
+    tau_l = transcript.challenge_value(p)
+    delta = transcript.challenge_value(p)
     if tau == 0 or tau_c == 0 or tau_o == 0:
         return False
     kap_t = table.kappa(tau=0, gamma=gamma, p=p)
@@ -871,6 +1016,7 @@ def verify_bytecode(F, transcript, bc: BytecodeProof, program: bytes,
     transcript.append_u64(bc.gc1_sum % p)
     transcript.append_u64(bc.gc2_sum % p)
     transcript.append_u64(bc.gout_sum % p)
+    transcript.append_u64(bc.glk_sum % p)
     transcript.append_bytes(b"BC_H")
     transcript.append_bytes(bc.root_h)
     transcript.append_u64(bc.h_sum % p)
@@ -882,7 +1028,7 @@ def verify_bytecode(F, transcript, bc: BytecodeProof, program: bytes,
         return False
 
     lk_names = sorted(LINK_COLUMNS)
-    expected_cols = (set(lk_names) | {"g_bc", "g_c1", "g_c2", "g_out"}
+    expected_cols = (set(lk_names) | {"g_bc", "g_c1", "g_c2", "g_out", "g_lk_s"}
                      | {f"ref_{n}" for n in _REG_REFS} | {"ref_pc"})
     if set(bc.zc.column_evals) != expected_cols:
         return False
@@ -890,7 +1036,7 @@ def verify_bytecode(F, transcript, bc: BytecodeProof, program: bytes,
         return False
     _, combiner_scalar = _make_step_combiner(
         tau, gamma, entry_pc % p, num_steps, num_vars, p,
-        tau_c, beta_c, tau_o, beta_o,
+        tau_c, beta_c, tau_o, beta_o, tau_l, delta,
     )
     combiner_scalar.final_point = bc.zc.final_point
     if not ZerocheckVerifier(F, combiner_scalar, NUM_BC_CONSTRAINTS,
@@ -918,13 +1064,14 @@ def verify_bytecode(F, transcript, bc: BytecodeProof, program: bytes,
         bc.lk_proof, transcript, hash_mode,
     ):
         return False
-    # g-column evals + hypercube sums (fetch, counter chain, tape).
-    g_names = ["g_bc", "g_c1", "g_c2", "g_out"]
+    # g-column evals + hypercube sums (fetch, counter chain, tape, linkage).
+    g_names = ["g_bc", "g_c1", "g_c2", "g_lk_s", "g_out"]
     cn_g = params.choose_split(num_vars, len(g_names))
     ag, bg = _row_col_weights(bc.zc.final_point, cn_g)
     m_g = (1 << num_vars) >> cn_g
     g_sums = {"g_bc": bc.g_sum % p, "g_c1": bc.gc1_sum % p,
-              "g_c2": bc.gc2_sum % p, "g_out": bc.gout_sum % p}
+              "g_c2": bc.gc2_sum % p, "g_out": bc.gout_sum % p,
+              "g_lk_s": bc.glk_sum % p}
     if not ligero_verify_claims(
         F, bc.root_g, num_vars, g_names,
         [
@@ -982,7 +1129,7 @@ def verify_bytecode(F, transcript, bc: BytecodeProof, program: bytes,
     cn_h = params.choose_split(table.num_vars, 1)
     ah, bh = _row_col_weights(bc.zc_table.final_point, cn_h)
     m_h = (1 << table.num_vars) >> cn_h
-    return ligero_verify_claims(
+    if not ligero_verify_claims(
         F, bc.root_h, table.num_vars, ["h"],
         [
             LigeroClaim(a=ah, b=bh, values={"h": bc.zc_table.column_evals["h"]}),
@@ -991,4 +1138,16 @@ def verify_bytecode(F, transcript, bc: BytecodeProof, program: bytes,
                         values={"h": bc.h_sum % p}),
         ],
         bc.h_proof, transcript, hash_mode,
+    ):
+        return False
+
+    # Witness linkage, query side: every gadget-covered validity table
+    # must carry a link record, and the two logUp sums must agree.
+    from .linkage import verify_query_links
+
+    ok, link_total = verify_query_links(
+        F, transcript, bc.links or [], lv_tables or [], tau_l, delta, hash_mode
     )
+    if not ok:
+        return False
+    return link_total == bc.glk_sum % p

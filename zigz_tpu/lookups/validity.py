@@ -67,12 +67,14 @@ Gadget constraint systems (all degree <= 2; zerocheck degree 3):
       inverse gadgets + product tree) and the two borrow chains into the
       committed ``taken`` bit.
 
-Scope note (documented gap, shared with the reference): the committed
-query columns are not yet tied to the 43-MLE execution witness — that
-needs Jolt's read/write-memory argument over the register file.  What IS
-proven: the committed query multiset consists exclusively of genuine
-table entries, so a trace carrying a forged lookup output (e.g. a wrong
-ADD result) has no satisfying assignment (tests/test_lookup_validity.py).
+Linkage (ROADMAP #4, closed): constraints/linkage.py ties these
+committed query columns to the execution — a logUp multiset equality
+between the per-step (table, in0, in1, out) tuples built from PROVEN
+columns (regcheck read/write values, bytecode decode flags) and the
+query tuples reconstructed from this module's commitments.  Together: a
+trace carrying a forged lookup output has no satisfying assignment
+(tests/test_lookup_validity.py), and a valid-but-unrelated query set is
+rejected by the linkage (tests/test_bytecode.py).
 """
 
 from __future__ import annotations
@@ -863,14 +865,19 @@ def _qvars(n: int) -> int:
 
 
 def prove_lookup_validity(F, transcript, queries_by_table, hash_mode: str = "sha3",
-                          _forge_hook=None, _unsafe_skip_self_checks=False) -> LookupValidityProof:
+                          _forge_hook=None, _unsafe_skip_self_checks=False,
+                          _return_state: bool = False):
     """Prove every gadget-covered query is a genuine table entry.
 
     ``queries_by_table``: table_id -> (inputs (n,2), outputs (n,1)).
     ``_forge_hook`` / ``_unsafe_skip_self_checks`` are test seams: the
     hook mutates a table's column dict before commitment and the flag
     suppresses the honest-prover assertions — together they model a
-    malicious prover (tests/test_lookup_validity.py)."""
+    malicious prover (tests/test_lookup_validity.py).
+
+    With ``_return_state`` also returns per-table state dicts
+    (tid/gadget/cols/state/nq/v) the witness-linkage argument
+    (constraints/linkage.py) issues additional Ligero claims on."""
     from ..commitments.ligero import LigeroClaim, _row_col_weights, ligero_commit, ligero_prove_claims
 
     p = F.MODULUS
@@ -881,7 +888,8 @@ def prove_lookup_validity(F, transcript, queries_by_table, hash_mode: str = "sha
     transcript.append_bytes(b"LV_BEGIN")
     transcript.append_u64(len(table_ids))
     if not table_ids:
-        return LookupValidityProof(nonce=0, tables=[], table_side=None)
+        empty = LookupValidityProof(nonce=0, tables=[], table_side=None)
+        return (empty, []) if _return_state else empty
 
     # Phase 1: commit query columns per table (tau-independent).
     per_table = {}
@@ -1067,7 +1075,16 @@ def prove_lookup_validity(F, transcript, queries_by_table, hash_mode: str = "sha
         names=sub_names, root_m=m_state.root, root_h=h_state.root,
         zc=zc_t, m_proof=m_proof, h_proof=h_proof, h_sums=h_sums,
     )
-    return LookupValidityProof(nonce=nonce, tables=records, table_side=table_side)
+    lv = LookupValidityProof(nonce=nonce, tables=records, table_side=table_side)
+    if _return_state:
+        info = [
+            dict(tid=tid, gadget=per_table[tid]["gadget"],
+                 cols=per_table[tid]["cols"], state=per_table[tid]["state"],
+                 nq=per_table[tid]["nq"], v=per_table[tid]["v"])
+            for tid in table_ids
+        ]
+        return lv, info
+    return lv
 
 
 # ---------------------------------------------------------------------------

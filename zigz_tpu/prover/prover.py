@@ -523,9 +523,13 @@ class Prover:
         from ..lookups.validity import prove_lookup_validity
 
         t0 = time.perf_counter()
-        proof.v2.lookup_validity = prove_lookup_validity(
-            self.F, self.transcript, queries, self._hash_mode()
+        proof.v2.lookup_validity, self._lv_info = prove_lookup_validity(
+            self.F, self.transcript, queries, self._hash_mode(),
+            _forge_hook=getattr(self, "_lv_forge_hook", None),
+            _unsafe_skip_self_checks=getattr(self, "_lv_unsafe", False),
+            _return_state=True,
         )
+        self._lv_queries = queries
         self.last_timings["lookup_validity_s"] = time.perf_counter() - t0
 
     def _generate_regcheck(self, proof: Proof, trace, initial_regs, final_state) -> None:
@@ -597,6 +601,7 @@ class Prover:
             proof.metadata.num_vars, self._rc_cols, self._rc_state,
             self._v2_pcs_cols, self._v2_pcs_state, self._hash_mode(),
             outputs=output_tape,
+            validity_info=getattr(self, "_lv_info", None),
             _forge_hook=getattr(self, "_bc_forge_hook", None),
             _unsafe_skip_self_checks=getattr(self, "_bc_unsafe", False),
         )

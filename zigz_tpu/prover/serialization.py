@@ -384,6 +384,20 @@ class BinarySerializer:
         w.u64(bc.gc1_sum % p)
         w.u64(bc.gc2_sum % p)
         w.u64(bc.gout_sum % p)
+        # Witness linkage (constraints/linkage.py): step-side sum + one
+        # query-domain record per gadget-covered validity table.
+        w.u64(bc.glk_sum % p)
+        links = bc.links or []
+        w.u32(len(links))
+        for ln in links:
+            w.u32(ln.table_id)
+            w.u64(ln.num_queries)
+            w.u32(ln.num_vars)
+            w.bytes_(ln.root_g)
+            self._write_zerocheck(w, ln.zc)
+            self._write_ligero_proof(w, ln.cols_proof)
+            self._write_ligero_proof(w, ln.g_proof)
+            w.u64(ln.g_sum % p)
 
     def _read_bytecode(self, r: _Reader):
         if not r.u8():
@@ -403,7 +417,8 @@ class BinarySerializer:
         root_m = r.bytes_(32)
         root_g = r.bytes_(32)
         root_h = r.bytes_(32)
-        zc_names = (list(LINK_COLUMNS) + ["g_bc", "g_c1", "g_c2", "g_out"]
+        zc_names = (list(LINK_COLUMNS)
+                    + ["g_bc", "g_c1", "g_c2", "g_out", "g_lk_s"]
                     + [f"ref_{n}" for n in _REG_REFS] + ["ref_pc"])
         zc = self._read_zerocheck(r, zc_names)
         zc_table = self._read_zerocheck(r, ["m", "h"])
@@ -421,6 +436,27 @@ class BinarySerializer:
         gc1_sum = r.u64()
         gc2_sum = r.u64()
         gout_sum = r.u64()
+        glk_sum = r.u64()
+        from ..constraints.linkage import QueryLinkRecord
+        from ..lookups.validity import GADGETS
+
+        links = []
+        for _ in range(r.u32()):
+            tid = r.u32()
+            nq = r.u64()
+            v = r.u32()
+            lk_root_g = r.bytes_(32)
+            zc_lk = self._read_zerocheck(
+                r, list(GADGETS[tid].columns) + ["g_lk"]
+            )
+            lk_cols_proof = self._read_ligero_proof(r)
+            lk_g_proof = self._read_ligero_proof(r)
+            g_sum_lk = r.u64()
+            links.append(QueryLinkRecord(
+                table_id=tid, num_queries=nq, num_vars=v, root_g=lk_root_g,
+                zc=zc_lk, cols_proof=lk_cols_proof, g_proof=lk_g_proof,
+                g_sum=g_sum_lk,
+            ))
         return BytecodeProof(
             nonce=nonce, num_vars=num_vars, table_vars=table_vars,
             root_lk=root_lk, root_m=root_m, root_g=root_g, root_h=root_h,
@@ -429,6 +465,7 @@ class BinarySerializer:
             pcs_proof=pcs_proof, reg_evals=reg_evals, pcs_evals=pcs_evals,
             g_sum=g_sum, h_sum=h_sum,
             gc1_sum=gc1_sum, gc2_sum=gc2_sum, gout_sum=gout_sum,
+            glk_sum=glk_sum, links=links,
         )
 
     @staticmethod

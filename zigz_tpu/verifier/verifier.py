@@ -292,6 +292,8 @@ class Verifier:
             proof.v2.regcheck.root_cols, sorted(RC_COLUMNS),
             proof.v2.pcs_root, sorted(["x0", "is_read", "pc", "seq", "next_pc"]),
             hash_mode, outputs=io.outputs,
+            lv_tables=(proof.v2.lookup_validity.tables
+                       if proof.v2.lookup_validity is not None else []),
         ):
             return VerificationResult.RejectInvalidBytecode
 
