@@ -387,6 +387,82 @@ def test_missing_link_records_rejected():
     )
 
 
+# -- control flow (branch/JAL targets, link registers, LUI, ECALL/EBREAK) ----
+
+
+def _control_flow_program():
+    from zigz_tpu.guest.asm import Assembler
+
+    a = Assembler()
+    a.lui("x1", 0x12345)          # x1 = 0x12345000
+    a.auipc("x2", 0)              # x2 = pc (0x1004)
+    a.jal("x3", "over")           # x3 = 0x100C
+    a.addi("x4", "zero", 99)      # skipped
+    a.label("over")
+    a.jalr("x5", "x2", 0x14)      # x5 = link; target = 0x1004+0x14 = 0x1018
+    a.addi("x6", "zero", 1)       # skipped (jalr lands past it)? target check
+    a.label("after")
+    a.beq("zero", "zero", "out")  # taken branch
+    a.addi("x7", "zero", 7)       # skipped
+    a.label("out")
+    a.addi("x31", "zero", 5)
+    a.ebreak()
+    return a.assemble()
+
+
+def test_control_flow_e2e_accept():
+    program = _control_flow_program()
+    proof = _prove(program)
+    # x3 = return addr of jal (0x100C); x5 = return of jalr
+    assert proof.public_io.final_regs[1] == 0x12345000
+    assert proof.public_io.final_regs[2] == 0x1004
+    assert proof.public_io.final_regs[3] == 0x100C
+    assert Verifier(F).verify(proof, program) == VerificationResult.Accept
+
+
+def test_forged_taken_bit_rejected():
+    """Flipping the committed branch-taken bit (making the trace 'take'
+    the untaken path) must be rejected — by the query linkage or the
+    target constraint, both in the bytecode argument."""
+    guest = fibonacci_guest()
+    loaded = elf.load(guest)
+    prover = Prover(F, seed=0, protocol_version=2)
+
+    def forge(lk, table):
+        rows = np.nonzero(lk["fbr"] == 1)[0]
+        assert len(rows)
+        lk["taken_b"] = lk["taken_b"].copy()
+        lk["taken_b"][rows[0]] ^= 1
+
+    prover._bc_forge_hook = forge
+    prover._bc_unsafe = True
+    proof = prover.prove(guest, loaded.entry_pc, None, 1 << 16,
+                         loaded.segments, [6])
+    assert (
+        Verifier(F).verify(proof, guest)
+        == VerificationResult.RejectInvalidBytecode
+    )
+
+
+def test_forged_link_register_carry_rejected():
+    program = _control_flow_program()
+    prover = Prover(F, seed=0, protocol_version=2)
+
+    def forge(lk, table):
+        rows = np.nonzero(lk["fjal"] == 1)[0]
+        assert len(rows)
+        lk["pc4c"] = lk["pc4c"].copy()
+        lk["pc4c"][rows[0]] ^= 1
+
+    prover._bc_forge_hook = forge
+    prover._bc_unsafe = True
+    proof = prover.prove(program, 0x1000, None, 1 << 16, None, None)
+    assert (
+        Verifier(F).verify(proof, program)
+        == VerificationResult.RejectInvalidBytecode
+    )
+
+
 def test_serialization_roundtrip_bytes_stable():
     program = _nop_add_program()
     proof = _prove(program)

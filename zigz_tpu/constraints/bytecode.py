@@ -90,6 +90,11 @@ __all__ = [
 _M16 = np.uint64(0xFFFF)
 _M64 = np.uint64(0xFFFFFFFFFFFFFFFF)
 _int64_mask = (1 << 64) - 1
+# Program addresses must stay below 2^29 (verifier-enforced): with branch
+# offsets < 2^13 and JAL offsets < 2^21, every pc + simm stays inside
+# (-2^21, 2^29 + 2^21), a window where mod-p congruence to a table
+# address (< 2^29) pins the integer value exactly.
+ADDR_BOUND = 1 << 29
 
 # Fingerprint slot order (gamma^1..gamma^len assigned in this order; the
 # pc slot is gamma^1).  "a1"/"a2" are the regcheck read cells; all other
@@ -100,6 +105,11 @@ BYTECODE_SLOTS = (
     "imm_0", "imm_1", "imm_2", "imm_3",
     "fsys", "fecall", "fimm", "frs2", "fwr",
     "fbr", "fjal", "fjalr", "fneg", "flk",
+    # Control-flow slots: the pc's 16-bit limbs (table side: address
+    # limbs, free range proof since the verifier builds the table), the
+    # EBREAK/LUI/AUIPC class flags, and rd != 0 (gates write-value
+    # semantics; x0 writes are architecturally discarded).
+    "pcl0", "pcl1", "febrk", "flui", "faui", "fnz",
 )
 # Step-side committed columns (the linkage commitment): every slot that
 # is not already committed elsewhere (pc lives in the v2 PCS; a1/a2 in
@@ -110,6 +120,8 @@ LINK_COLUMNS = tuple(s for s in BYTECODE_SLOTS if s not in ("pc", "a1", "a2")) +
     # limbs (tied to the regcheck write value whenever fwr = 1) and the
     # branch taken bit (tied to the branch table's proven output).
     "res_0", "res_1", "res_2", "res_3", "taken_b",
+    # pc+4 carry bit for the JAL/JALR link-register value.
+    "pc4c",
 )
 # Referenced external columns (prefixed in the zerocheck column dict).
 # rv2 is the a0 value at SYSTEM steps (system_read_override) — the
@@ -117,10 +129,10 @@ LINK_COLUMNS = tuple(s for s in BYTECODE_SLOTS if s not in ("pc", "a1", "a2")) +
 _REG_REFS = ("a1", "a2", "a3", "rv1_0", "rv1_1", "rv1_2", "rv1_3",
              "rv2_0", "rv2_1", "rv2_2", "rv2_3",
              "wv_0", "wv_1", "wv_2", "wv_3")
-_PCS_REFS = ("pc",)
+_PCS_REFS = ("pc", "seq", "next_pc")
 
 BYTECODE_DEGREE = 4  # deg(eq * C); the ECALL completeness gadgets are deg 3
-NUM_BC_CONSTRAINTS = 22
+NUM_BC_CONSTRAINTS = 37
 
 # Opcode classes that architecturally write rd (state.py:_exec_*).
 _WRITES_RD = (
@@ -218,6 +230,10 @@ def step_static_columns(op, rd, f3, rs1, rs2, f7, imm_u64) -> Dict[str, np.ndarr
         "fjalr": (op == Opcode.JALR).astype(np.uint64),
         "fneg": (imm_u64 >> np.uint64(63)).astype(np.uint64),
         "flk": flk.astype(np.uint64),
+        "febrk": (is_sys & (imm_u64 == 1) & (np.asarray(f3) == 0)).astype(np.uint64),
+        "flui": (op == Opcode.LUI).astype(np.uint64),
+        "faui": (op == Opcode.AUIPC).astype(np.uint64),
+        "fnz": (rd != 0).astype(np.uint64),
     }
     for k in range(4):
         cols[f"imm_{k}"] = (imm_u64 >> np.uint64(16 * k)) & _M16
@@ -306,12 +322,18 @@ def build_bytecode_table(program: bytes, entry_pc: int,
     keep = (words & np.uint64(0x7F)) != 0
     addrs = cand[keep]
     words = words[keep]
-    assert addrs.size == 0 or int(addrs.max()) < p, (
-        "bytecode argument requires program addresses < p"
+    assert addrs.size == 0 or int(addrs.max()) < ADDR_BOUND, (
+        "bytecode argument requires program addresses < 2^29 (keeps the "
+        "mod-p control-flow target equations exact)"
     )
 
     cols = step_static_columns(*decode_fields(words.astype(np.uint32)))
     cols["pc"] = addrs % np.uint64(p)
+    # Address limbs: a free, exact range proof for the step-side pc limb
+    # columns (the verifier computes these itself and checks the 2^29
+    # address bound that makes the mod-p target equations exact).
+    cols["pcl0"] = addrs & _M16
+    cols["pcl1"] = (addrs >> np.uint64(16)) & _M16
     num_vars = max(1, int(max(addrs.size, 1) - 1).bit_length())
     return BytecodeTable(addrs=addrs, cols=cols, num_vars=num_vars)
 
@@ -446,6 +468,39 @@ def _make_step_combiner(tau: int, gamma: int, entry_pc: int, num_steps: int,
             terms.append(
                 cols["fwr"] * ((cols[f"res_{k}"] + P - cols[f"ref_wv_{k}"]) % P) % P
             )
+        # Control flow: next_pc per instruction class, link-register and
+        # LUI write values (pcl0/pcl1 are the fetch-proven pc limbs).
+        r64 = np.uint64(((1 << 64) % p))
+        immc = cols["imm_0"].copy()
+        for k in range(1, 4):
+            immc = (immc + np.uint64((1 << (16 * k)) % p) * cols[f"imm_{k}"]) % P
+        simm = (immc + P - r64 * cols["fneg"] % P) % P
+        dnp = (cols["ref_next_pc"] + P - cols["ref_pc"]) % P
+        jw = (cols["fjal"] + cols["fjalr"]) % P
+        four = np.uint64(4)
+        sixt = np.uint64(1 << 16)
+        terms += [
+            cols["fsys"] * ((one + P - cols["fecall"] + P - cols["febrk"]) % P) % P,
+            cols["febrk"] * dnp % P,
+            cols["fecall"] * ((dnp + P - four) % P) % P,
+            (cols["ref_seq"] + P - cols["seqb"]) % P,
+            cols["fbr"] * ((dnp + P - simm * cols["taken_b"] % P
+                            + P - four * ((one + P - cols["taken_b"]) % P) % P) % P) % P,
+            cols["fjal"] * ((dnp + P - simm) % P) % P,
+            jw * (cols["fnz"] * ((cols["ref_wv_0"] + P - cols["pcl0"] + P - four
+                                  + sixt * cols["pc4c"] % P) % P) % P) % P,
+            jw * (cols["fnz"] * ((cols["ref_wv_1"] + P - cols["pcl1"]
+                                  + P - cols["pc4c"]) % P) % P) % P,
+            jw * (cols["fnz"] * cols["ref_wv_2"] % P) % P,
+            jw * (cols["fnz"] * cols["ref_wv_3"] % P) % P,
+            cols["pc4c"] * ((one + P - cols["pc4c"]) % P) % P,
+        ]
+        for k in range(4):
+            terms.append(
+                cols["flui"] * (cols["fnz"]
+                                * ((cols[f"ref_wv_{k}"] + P - cols[f"imm_{k}"]) % P)
+                                % P) % P
+            )
         acc = np.zeros_like(sel)
         for alpha, t in zip(alphas, terms):
             acc = (acc + np.uint64(alpha) * t) % P
@@ -504,6 +559,32 @@ def _make_step_combiner(tau: int, gamma: int, entry_pc: int, num_steps: int,
         )
         for k in range(4):
             terms.append(ev["fwr"] * ((ev[f"res_{k}"] - ev[f"ref_wv_{k}"]) % p) % p)
+        r64 = (1 << 64) % p
+        immc = sum(((1 << (16 * k)) % p) * ev[f"imm_{k}"] for k in range(4)) % p
+        simm = (immc - r64 * ev["fneg"]) % p
+        dnp = (ev["ref_next_pc"] - ev["ref_pc"]) % p
+        jw = (ev["fjal"] + ev["fjalr"]) % p
+        terms += [
+            ev["fsys"] * ((1 - ev["fecall"] - ev["febrk"]) % p) % p,
+            ev["febrk"] * dnp % p,
+            ev["fecall"] * ((dnp - 4) % p) % p,
+            (ev["ref_seq"] - ev["seqb"]) % p,
+            ev["fbr"] * ((dnp - simm * ev["taken_b"]
+                          - 4 * (1 - ev["taken_b"])) % p) % p,
+            ev["fjal"] * ((dnp - simm) % p) % p,
+            jw * ev["fnz"] % p * ((ev["ref_wv_0"] - ev["pcl0"] - 4
+                                   + (1 << 16) * ev["pc4c"]) % p) % p,
+            jw * ev["fnz"] % p * ((ev["ref_wv_1"] - ev["pcl1"]
+                                   - ev["pc4c"]) % p) % p,
+            jw * ev["fnz"] % p * ev["ref_wv_2"] % p,
+            jw * ev["fnz"] % p * ev["ref_wv_3"] % p,
+            ev["pc4c"] * (1 - ev["pc4c"]) % p,
+        ]
+        for k in range(4):
+            terms.append(
+                ev["flui"] * ev["fnz"] % p
+                * ((ev[f"ref_wv_{k}"] - ev[f"imm_{k}"]) % p) % p
+            )
         return sum(a * t for a, t in zip(alphas, terms)) % p
 
     combiner_scalar.final_point = None
@@ -699,6 +780,30 @@ def prove_bytecode(F, transcript, trace, program: bytes, entry_pc: int,
             for k in range(4):
                 lk[f"res_{k}"][rows[:nr]] = slots[f"s_{k}"][:nr]
 
+    # Control-flow step columns: pc limbs (fetch-proven against the
+    # table's address limbs) and the pc+4 carry for link registers.
+    pcs_arr = np.asarray(
+        trace.columns["pc"] if getattr(trace, "columns", None) is not None
+        else np.fromiter(trace.pcs, dtype=np.uint64, count=n),
+        dtype=np.uint64,
+    )
+    lk["pcl0"] = _pad(pcs_arr & _M16)
+    lk["pcl1"] = _pad((pcs_arr >> np.uint64(16)) & _M16)
+    lk["pc4c"] = _pad(((pcs_arr & _M16) + np.uint64(4)) >> np.uint64(16))
+    if not _unsafe_skip_self_checks and n:
+        # Honest-trace precondition for the mod-p target equations: no
+        # branch/JAL target may wrap around 0 or 2^64 (the VM computes
+        # (pc + simm) mod 2^64; such programs cannot occur within the
+        # verifier-enforced 2^29 address bound unless malformed).
+        simm_i = imm_u.astype(np.int64)
+        cf = (lk["fbr"][:n] * lk["taken_b"][:n] + lk["fjal"][:n]) == 1
+        tgt = pcs_arr.astype(np.int64) + simm_i
+        if np.any(cf & ((tgt < 0) | (tgt >= int(ADDR_BOUND) + (1 << 21)))):
+            raise AssertionError(
+                "bytecode argument: branch/JAL target outside the provable "
+                "address window"
+            )
+
     outs = [int(v) & _int64_mask for v in (outputs or [])]
     if not _unsafe_skip_self_checks:
         commit_rows = np.nonzero(lk["c_commit"][:n] == 1)[0]
@@ -860,7 +965,8 @@ def prove_bytecode(F, transcript, trace, program: bytes, entry_pc: int,
     zc_cols["g_lk_s"] = g_lk_s
     for name in _REG_REFS:
         zc_cols[f"ref_{name}"] = reg_cols[name]
-    zc_cols["ref_pc"] = pcs_cols["pc"] % P64
+    for name in _PCS_REFS:
+        zc_cols[f"ref_{name}"] = pcs_cols[name] % P64
     zc_cols["__sel__"] = sel
     zc_cols["__eq0__"] = np.zeros(padded, dtype=np.uint64)
     zc_cols["__eq0__"][0] = 1
@@ -974,6 +1080,8 @@ def verify_bytecode(F, transcript, bc: BytecodeProof, program: bytes,
     table = build_bytecode_table(program, entry_pc, None, p)
     if bc.table_vars != table.num_vars:
         return False
+    if table.addrs.size and int(table.addrs.max()) >= ADDR_BOUND:
+        return False  # protocol rule: addresses < 2^29 (see ADDR_BOUND)
 
     transcript.append_bytes(b"BC_BEGIN")
     transcript.append_u64(num_steps)
@@ -1029,7 +1137,8 @@ def verify_bytecode(F, transcript, bc: BytecodeProof, program: bytes,
 
     lk_names = sorted(LINK_COLUMNS)
     expected_cols = (set(lk_names) | {"g_bc", "g_c1", "g_c2", "g_out", "g_lk_s"}
-                     | {f"ref_{n}" for n in _REG_REFS} | {"ref_pc"})
+                     | {f"ref_{n}" for n in _REG_REFS}
+                     | {f"ref_{n}" for n in _PCS_REFS})
     if set(bc.zc.column_evals) != expected_cols:
         return False
     if bc.zc.num_vars != num_vars or bc.zc.degree != BYTECODE_DEGREE:
@@ -1092,8 +1201,9 @@ def verify_bytecode(F, transcript, bc: BytecodeProof, program: bytes,
     for name in _REG_REFS:
         if bc.reg_evals[name] % p != bc.zc.column_evals[f"ref_{name}"] % p:
             return False
-    if bc.pcs_evals["pc"] % p != bc.zc.column_evals["ref_pc"] % p:
-        return False
+    for name in _PCS_REFS:
+        if bc.pcs_evals[name] % p != bc.zc.column_evals[f"ref_{name}"] % p:
+            return False
     cn_r = params.choose_split(num_vars, len(reg_names))
     ar, br = _row_col_weights(bc.zc.final_point, cn_r)
     if not ligero_verify_claims(

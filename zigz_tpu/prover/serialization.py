@@ -419,7 +419,8 @@ class BinarySerializer:
         root_h = r.bytes_(32)
         zc_names = (list(LINK_COLUMNS)
                     + ["g_bc", "g_c1", "g_c2", "g_out", "g_lk_s"]
-                    + [f"ref_{n}" for n in _REG_REFS] + ["ref_pc"])
+                    + [f"ref_{n}" for n in _REG_REFS]
+                    + [f"ref_{n}" for n in _PCS_REFS])
         zc = self._read_zerocheck(r, zc_names)
         zc_table = self._read_zerocheck(r, ["m", "h"])
         lk_proof = self._read_ligero_proof(r)
