@@ -417,7 +417,61 @@ def test_control_flow_e2e_accept():
     assert proof.public_io.final_regs[1] == 0x12345000
     assert proof.public_io.final_regs[2] == 0x1004
     assert proof.public_io.final_regs[3] == 0x100C
+    assert proof.public_io.final_regs[4] == 0  # jal skipped the addi x4
+    assert proof.public_io.final_regs[6] == 0  # jalr skipped the addi x6
     assert Verifier(F).verify(proof, program) == VerificationResult.Accept
+
+
+def test_auipc_wraparound_accepts():
+    """AUIPC with the sign-bit immediate wraps below zero mod 2^64; the
+    4-limb adder must stay exact through the wrap."""
+    from zigz_tpu.guest.asm import Assembler
+
+    a = Assembler()
+    a.auipc("x8", -(1 << 19))  # x8 = (pc - 2^31) mod 2^64 -> high limbs set
+    a.addi("x9", "x8", 0)
+    a.ebreak()
+    program = a.assemble()
+    proof = _prove(program)
+    assert proof.public_io.final_regs[8] == (0x1000 - (1 << 31)) % (1 << 64)
+    assert Verifier(F).verify(proof, program) == VerificationResult.Accept
+
+
+def test_forged_jalr_target_rejected():
+    """Tampering the adder output limb steers the JALR target; the adder
+    constraint (or the range/multiset side) must reject."""
+    program = _control_flow_program()
+    prover = Prover(F, seed=0, protocol_version=2)
+
+    def forge(lk, table):
+        rows = np.nonzero(lk["fjalr"] == 1)[0]
+        assert len(rows)
+        for name in ("jt_0", "jh"):
+            lk[name] = lk[name].copy()
+        lk["jt_0"][rows[0]] = (int(lk["jt_0"][rows[0]]) + 8) % (1 << 16)
+        lk["jh"][rows[0]] = int(lk["jt_0"][rows[0]]) >> 1
+
+    prover._bc_forge_hook = forge
+    prover._bc_unsafe = True
+    proof = prover.prove(program, 0x1000, None, 1 << 16, None, None)
+    assert (
+        Verifier(F).verify(proof, program)
+        == VerificationResult.RejectInvalidBytecode
+    )
+
+
+def test_tampered_range_sum_rejected():
+    program = _control_flow_program()
+    proof = _prove(program)
+    ser = BinarySerializer(F)
+    restored = ser.deserialize(ser.serialize(proof))
+    restored.v2.bytecode.gr_sums["jt_0"] = (
+        restored.v2.bytecode.gr_sums["jt_0"] + 1
+    ) % P
+    assert (
+        Verifier(F).verify(restored, program)
+        == VerificationResult.RejectInvalidBytecode
+    )
 
 
 def test_forged_taken_bit_rejected():

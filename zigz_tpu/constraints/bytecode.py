@@ -95,6 +95,10 @@ _int64_mask = (1 << 64) - 1
 # (-2^21, 2^29 + 2^21), a window where mod-p congruence to a table
 # address (< 2^29) pins the integer value exactly.
 ADDR_BOUND = 1 << 29
+# Step columns RANGE16-checked inside this argument: (column, coefficient)
+# — the scaled value must lie in [0, 2^16).  jt limbs make the adder
+# exact; 2*jh bounds jh < 2^15 so t_0 = 2*jh + jlsb is a true bit split.
+RANGED = (("jt_0", 1), ("jt_1", 1), ("jt_2", 1), ("jt_3", 1), ("jh", 2))
 
 # Fingerprint slot order (gamma^1..gamma^len assigned in this order; the
 # pc slot is gamma^1).  "a1"/"a2" are the regcheck read cells; all other
@@ -122,6 +126,11 @@ LINK_COLUMNS = tuple(s for s in BYTECODE_SLOTS if s not in ("pc", "a1", "a2")) +
     "res_0", "res_1", "res_2", "res_3", "taken_b",
     # pc+4 carry bit for the JAL/JALR link-register value.
     "pc4c",
+    # JALR/AUIPC 4-limb adder: t = (x + imm) mod 2^64 with x = pc
+    # (AUIPC) or rv1 (JALR); jt limbs are RANGE16-checked, carries are
+    # boolean, and jh/jlsb split t_0 for JALR's &~1 target.
+    "jt_0", "jt_1", "jt_2", "jt_3", "jc_0", "jc_1", "jc_2", "jc_3",
+    "jh", "jlsb",
 )
 # Referenced external columns (prefixed in the zerocheck column dict).
 # rv2 is the a0 value at SYSTEM steps (system_read_override) — the
@@ -132,7 +141,7 @@ _REG_REFS = ("a1", "a2", "a3", "rv1_0", "rv1_1", "rv1_2", "rv1_3",
 _PCS_REFS = ("pc", "seq", "next_pc")
 
 BYTECODE_DEGREE = 4  # deg(eq * C); the ECALL completeness gadgets are deg 3
-NUM_BC_CONSTRAINTS = 37
+NUM_BC_CONSTRAINTS = 57
 
 # Opcode classes that architecturally write rd (state.py:_exec_*).
 _WRITES_RD = (
@@ -394,7 +403,7 @@ def _out_betas(beta_o: int, p: int) -> List[int]:
 def _make_step_combiner(tau: int, gamma: int, entry_pc: int, num_steps: int,
                         num_vars: int, p: int,
                         tau_c: int, beta_c: int, tau_o: int, beta_o: int,
-                        tau_l: int, delta: int):
+                        tau_l: int, delta: int, tau_r: int):
     from .linkage import link_deltas
 
     gp = _gammas(gamma, p)
@@ -501,6 +510,48 @@ def _make_step_combiner(tau: int, gamma: int, entry_pc: int, num_steps: int,
                                 * ((cols[f"ref_wv_{k}"] + P - cols[f"imm_{k}"]) % P)
                                 % P) % P
             )
+        # JALR/AUIPC 4-limb adder + JALR target + AUIPC write value.
+        gate = (cols["faui"] + cols["fjalr"]) % P
+        xs = [
+            (cols["faui"] * cols["pcl0"] + cols["fjalr"] * cols["ref_rv1_0"]) % P,
+            (cols["faui"] * cols["pcl1"] + cols["fjalr"] * cols["ref_rv1_1"]) % P,
+            cols["fjalr"] * cols["ref_rv1_2"] % P,
+            cols["fjalr"] * cols["ref_rv1_3"] % P,
+        ]
+        for k in range(4):
+            cin = cols[f"jc_{k-1}"] if k else 0
+            terms.append(
+                gate * ((xs[k] + cols[f"imm_{k}"] + cin
+                         + P - cols[f"jt_{k}"]
+                         + P - sixt * cols[f"jc_{k}"] % P) % P) % P
+            )
+        for k in range(4):
+            terms.append(cols[f"jc_{k}"] * ((one + P - cols[f"jc_{k}"]) % P) % P)
+        for k in range(4):
+            terms.append(
+                cols["faui"] * (cols["fnz"]
+                                * ((cols[f"jt_{k}"] + P - cols[f"ref_wv_{k}"]) % P)
+                                % P) % P
+            )
+        two = np.uint64(2)
+        terms.append(
+            cols["fjalr"] * ((cols["jt_0"] + P - two * cols["jh"] % P
+                              + P - cols["jlsb"]) % P) % P
+        )
+        terms.append(cols["jlsb"] * ((one + P - cols["jlsb"]) % P) % P)
+        tgt = (two * cols["jh"]
+               + np.uint64((1 << 16) % p) * cols["jt_1"]
+               + np.uint64((1 << 32) % p) * cols["jt_2"]
+               + np.uint64((1 << 48) % p) * cols["jt_3"]) % P
+        terms.append(
+            cols["fjalr"] * ((cols["ref_next_pc"] + P - tgt) % P) % P
+        )
+        for name, coef in RANGED:
+            terms.append(
+                (cols[f"gr_{name}"]
+                 * ((np.uint64(tau_r) + P - np.uint64(coef) * cols[name] % P) % P)
+                 % P + P - one) % P
+            )
         acc = np.zeros_like(sel)
         for alpha, t in zip(alphas, terms):
             acc = (acc + np.uint64(alpha) * t) % P
@@ -584,6 +635,38 @@ def _make_step_combiner(tau: int, gamma: int, entry_pc: int, num_steps: int,
             terms.append(
                 ev["flui"] * ev["fnz"] % p
                 * ((ev[f"ref_wv_{k}"] - ev[f"imm_{k}"]) % p) % p
+            )
+        gate = (ev["faui"] + ev["fjalr"]) % p
+        xs = [
+            (ev["faui"] * ev["pcl0"] + ev["fjalr"] * ev["ref_rv1_0"]) % p,
+            (ev["faui"] * ev["pcl1"] + ev["fjalr"] * ev["ref_rv1_1"]) % p,
+            ev["fjalr"] * ev["ref_rv1_2"] % p,
+            ev["fjalr"] * ev["ref_rv1_3"] % p,
+        ]
+        for k in range(4):
+            cin = ev[f"jc_{k-1}"] if k else 0
+            terms.append(
+                gate * ((xs[k] + ev[f"imm_{k}"] + cin - ev[f"jt_{k}"]
+                         - (1 << 16) * ev[f"jc_{k}"]) % p) % p
+            )
+        for k in range(4):
+            terms.append(ev[f"jc_{k}"] * (1 - ev[f"jc_{k}"]) % p)
+        for k in range(4):
+            terms.append(
+                ev["faui"] * ev["fnz"] % p
+                * ((ev[f"jt_{k}"] - ev[f"ref_wv_{k}"]) % p) % p
+            )
+        terms.append(
+            ev["fjalr"] * ((ev["jt_0"] - 2 * ev["jh"] - ev["jlsb"]) % p) % p
+        )
+        terms.append(ev["jlsb"] * (1 - ev["jlsb"]) % p)
+        tgt = (2 * ev["jh"] + ((1 << 16) % p) * ev["jt_1"]
+               + ((1 << 32) % p) * ev["jt_2"]
+               + ((1 << 48) % p) * ev["jt_3"]) % p
+        terms.append(ev["fjalr"] * ((ev["ref_next_pc"] - tgt) % p) % p)
+        for name, coef in RANGED:
+            terms.append(
+                (ev[f"gr_{name}"] * ((tau_r - coef * ev[name]) % p) - 1) % p
             )
         return sum(a * t for a, t in zip(alphas, terms)) % p
 
@@ -669,6 +752,14 @@ class BytecodeProof:
     # (constraints/linkage.py).
     glk_sum: int = 0
     links: Optional[list] = None
+    # RANGE16 check for the JALR/AUIPC adder limbs.
+    root_mr: bytes = b""
+    root_hr: bytes = b""
+    zc_range: Optional[ZerocheckProof] = None
+    mr_proof: object = None
+    hr_proof: object = None
+    gr_sums: Optional[Dict[str, int]] = None
+    hr_sum: int = 0
 
 
 # ---------------------------------------------------------------------------
@@ -790,6 +881,24 @@ def prove_bytecode(F, transcript, trace, program: bytes, entry_pc: int,
     lk["pcl0"] = _pad(pcs_arr & _M16)
     lk["pcl1"] = _pad((pcs_arr >> np.uint64(16)) & _M16)
     lk["pc4c"] = _pad(((pcs_arr & _M16) + np.uint64(4)) >> np.uint64(16))
+    # JALR/AUIPC adder advice: t = (x + imm) mod 2^64, x = pc or rv1.
+    rv1_u64 = np.zeros(n, dtype=np.uint64)
+    for k in range(4):
+        rv1_u64 |= reg_cols[f"rv1_{k}"][:n].astype(np.uint64) << np.uint64(16 * k)
+    gate_n = ((lk["faui"][:n] == 1) | (lk["fjalr"][:n] == 1))
+    x64 = np.where(lk["faui"][:n] == 1, pcs_arr, rv1_u64)
+    t64 = np.where(gate_n, x64 + np.asarray(imm_u, dtype=np.uint64), np.uint64(0))
+    carry = np.zeros(n, dtype=np.uint64)
+    for k in range(4):
+        sh = np.uint64(16 * k)
+        s = ((x64 >> sh) & _M16) + ((np.asarray(imm_u, dtype=np.uint64) >> sh) & _M16) + carry
+        carry = s >> np.uint64(16)
+        lk[f"jt_{k}"] = _pad(((t64 >> sh) & _M16))
+        lk[f"jc_{k}"] = _pad(np.where(gate_n, carry, np.uint64(0)))
+    lk["jh"] = _pad((lk["jt_0"][:n] >> np.uint64(1)) * lk["fjalr"][:n])
+    lk["jlsb"] = _pad((lk["jt_0"][:n] & np.uint64(1)) * lk["fjalr"][:n])
+    for k in range(4):
+        lk[f"jt_{k}"][:n] *= gate_n
     if not _unsafe_skip_self_checks and n:
         # Honest-trace precondition for the mod-p target equations: no
         # branch/JAL target may wrap around 0 or 2^64 (the VM computes
@@ -846,6 +955,14 @@ def prove_bytecode(F, transcript, trace, program: bytes, entry_pc: int,
     m_state = ligero_commit(F, {"m": m_col}, hash_mode)
     transcript.append_bytes(b"BC_MULT")
     transcript.append_bytes(m_state.root)
+    # RANGE16 multiplicities for the adder limbs (full padded domain).
+    m_r = np.zeros(1 << 16, dtype=np.uint64)
+    for name, coef in RANGED:
+        m_r += np.bincount((np.uint64(coef) * lk[name]).astype(np.int64),
+                           minlength=1 << 16).astype(np.uint64)
+    mr_state = ligero_commit(F, {"m": m_r}, hash_mode)
+    transcript.append_bytes(b"BC_RMULT")
+    transcript.append_bytes(mr_state.root)
 
     # Fingerprint challenges (nonce retry on zero denominators).
     sel = le_table(n - 1, num_vars)
@@ -870,10 +987,12 @@ def prove_bytecode(F, transcript, trace, program: bytes, entry_pc: int,
         beta_o = trial.challenge_value(p)
         tau_l = trial.challenge_value(p)
         delta = trial.challenge_value(p)
+        tau_r = trial.challenge_value(p)
         gp = _gammas(gamma, p)
         kap_t = table.kappa(tau=0, gamma=gamma, p=p)  # keys only (tau unused)
         denom_t = (np.uint64(tau) + P64 - kap_t) % P64
-        ok = tau != 0 and tau_c != 0 and tau_o != 0 and not np.any(denom_t == 0)
+        ok = (tau != 0 and tau_c != 0 and tau_o != 0 and tau_r >= (1 << 16)
+              and not np.any(denom_t == 0))
         if ok:
             ref = {
                 "ref_pc": pcs_cols["pc"] % P64,
@@ -916,7 +1035,7 @@ def prove_bytecode(F, transcript, trace, program: bytes, entry_pc: int,
     transcript.append_bytes(b"BC_CHAL")
     transcript.append_u64(nonce)
     assert transcript.challenge_value(p) == tau
-    for expect in (gamma, tau_c, beta_c, tau_o, beta_o, tau_l, delta):
+    for expect in (gamma, tau_c, beta_c, tau_o, beta_o, tau_l, delta, tau_r):
         assert transcript.challenge_value(p) == expect
 
     # Inverse columns.
@@ -926,17 +1045,27 @@ def prove_bytecode(F, transcript, trace, program: bytes, entry_pc: int,
     g_c2 = sel2 * np_inv(den_c2, p) % P64
     g_out = lk["c_commit"] * np_inv(den_out, p) % P64
     g_lk_s = lk["flk"] * np_inv(den_lk, p) % P64
-    g_state = ligero_commit(
-        F, {"g_bc": g_bc, "g_c1": g_c1, "g_c2": g_c2, "g_out": g_out,
-            "g_lk_s": g_lk_s}, hash_mode
-    )
+    g_cols_all = {"g_bc": g_bc, "g_c1": g_c1, "g_c2": g_c2, "g_out": g_out,
+                  "g_lk_s": g_lk_s}
+    for name, coef in RANGED:
+        g_cols_all[f"gr_{name}"] = np_inv(
+            (np.uint64(tau_r) + P64 - np.uint64(coef) * lk[name] % P64) % P64, p
+        )
+    g_state = ligero_commit(F, g_cols_all, hash_mode)
     h_state = ligero_commit(F, {"h": h_col}, hash_mode)
+    h_r = m_r % P64 * np_inv(
+        (np.uint64(tau_r) + P64 - idx_table(16, p)) % P64, p
+    ) % P64
+    hr_state = ligero_commit(F, {"h": h_r}, hash_mode)
     g_sum = int(g_bc.sum(dtype=np.uint64) % P64)
     h_sum = int(h_col.sum(dtype=np.uint64) % P64)
     gc1_sum = int(g_c1.sum(dtype=np.uint64) % P64)
     gc2_sum = int(g_c2.sum(dtype=np.uint64) % P64)
     gout_sum = int(g_out.sum(dtype=np.uint64) % P64)
     glk_sum = int(g_lk_s.sum(dtype=np.uint64) % P64)
+    gr_sums = {name: int(g_cols_all[f"gr_{name}"].sum(dtype=np.uint64) % P64)
+               for name, _ in RANGED}
+    hr_sum = int(h_r.sum(dtype=np.uint64) % P64)
     transcript.append_bytes(b"BC_G")
     transcript.append_bytes(g_state.root)
     transcript.append_u64(g_sum)
@@ -944,10 +1073,19 @@ def prove_bytecode(F, transcript, trace, program: bytes, entry_pc: int,
     transcript.append_u64(gc2_sum)
     transcript.append_u64(gout_sum)
     transcript.append_u64(glk_sum)
+    for name, _ in RANGED:
+        transcript.append_u64(gr_sums[name])
     transcript.append_bytes(b"BC_H")
     transcript.append_bytes(h_state.root)
     transcript.append_u64(h_sum)
+    transcript.append_bytes(b"BC_HR")
+    transcript.append_bytes(hr_state.root)
+    transcript.append_u64(hr_sum)
     if not _unsafe_skip_self_checks:
+        if sum(gr_sums.values()) % p != hr_sum:
+            raise AssertionError(
+                "bytecode argument violated: adder limb out of RANGE16"
+            )
         if g_sum != h_sum:
             raise AssertionError("bytecode argument violated: fetch multiset mismatch")
         if gc1_sum != gc2_sum:
@@ -963,6 +1101,8 @@ def prove_bytecode(F, transcript, trace, program: bytes, entry_pc: int,
     zc_cols["g_c2"] = g_c2
     zc_cols["g_out"] = g_out
     zc_cols["g_lk_s"] = g_lk_s
+    for name, _ in RANGED:
+        zc_cols[f"gr_{name}"] = g_cols_all[f"gr_{name}"]
     for name in _REG_REFS:
         zc_cols[f"ref_{name}"] = reg_cols[name]
     for name in _PCS_REFS:
@@ -975,7 +1115,7 @@ def prove_bytecode(F, transcript, trace, program: bytes, entry_pc: int,
     zc_cols["__sel2__"] = sel2
     combiner, combiner_scalar = _make_step_combiner(
         tau, gamma, entry_pc % p, n, num_vars, p, tau_c, beta_c, tau_o, beta_o,
-        tau_l, delta,
+        tau_l, delta, tau_r,
     )
     zc = ZerocheckProver(
         F, zc_cols, combiner, BYTECODE_DEGREE, num_alphas=NUM_BC_CONSTRAINTS
@@ -985,6 +1125,14 @@ def prove_bytecode(F, transcript, trace, program: bytes, entry_pc: int,
     t_combiner, _ = _make_table_combiner(tau, kap_t, p)
     zc_t = ZerocheckProver(
         F, {"m": m_col, "h": h_col, "__key__": kap_t}, t_combiner,
+        BYTECODE_DEGREE, num_alphas=1,
+    ).prove(transcript)
+
+    # RANGE16-domain zerocheck (public key = index).
+    key16 = idx_table(16, p)
+    r_combiner, _ = _make_table_combiner(tau_r, key16, p)
+    zc_r = ZerocheckProver(
+        F, {"m": m_r, "h": h_r, "__key__": key16}, r_combiner,
         BYTECODE_DEGREE, num_alphas=1,
     ).prove(transcript)
 
@@ -1024,6 +1172,17 @@ def prove_bytecode(F, transcript, trace, program: bytes, entry_pc: int,
         LigeroClaim(a=np.ones(h_state.m, dtype=np.uint64),
                     b=np.ones(h_state.n, dtype=np.uint64), values={}),
     ], transcript)
+    # Range-domain bindings.
+    amr, bmr = _row_col_weights(zc_r.final_point, mr_state.cn)
+    mr_proof = ligero_prove_claims(
+        mr_state, [LigeroClaim(a=amr, b=bmr, values={})], transcript
+    )
+    ahr, bhr = _row_col_weights(zc_r.final_point, hr_state.cn)
+    hr_proof = ligero_prove_claims(hr_state, [
+        LigeroClaim(a=ahr, b=bhr, values={}),
+        LigeroClaim(a=np.ones(hr_state.m, dtype=np.uint64),
+                    b=np.ones(hr_state.n, dtype=np.uint64), values={}),
+    ], transcript)
 
     # Witness linkage, query side (constraints/linkage.py): per-table
     # zerochecks proving the g_lk inverse columns against the validity
@@ -1045,6 +1204,8 @@ def prove_bytecode(F, transcript, trace, program: bytes, entry_pc: int,
         reg_evals=reg_evals, pcs_evals=pcs_evals, g_sum=g_sum, h_sum=h_sum,
         gc1_sum=gc1_sum, gc2_sum=gc2_sum, gout_sum=gout_sum,
         glk_sum=glk_sum, links=links,
+        root_mr=mr_state.root, root_hr=hr_state.root, zc_range=zc_r,
+        mr_proof=mr_proof, hr_proof=hr_proof, gr_sums=gr_sums, hr_sum=hr_sum,
     )
 
 
@@ -1089,6 +1250,8 @@ def verify_bytecode(F, transcript, bc: BytecodeProof, program: bytes,
     transcript.append_bytes(bc.root_lk)
     transcript.append_bytes(b"BC_MULT")
     transcript.append_bytes(bc.root_m)
+    transcript.append_bytes(b"BC_RMULT")
+    transcript.append_bytes(bc.root_mr)
 
     transcript.append_bytes(b"BC_CHAL")
     transcript.append_u64(bc.nonce % (1 << 64))
@@ -1100,7 +1263,8 @@ def verify_bytecode(F, transcript, bc: BytecodeProof, program: bytes,
     beta_o = transcript.challenge_value(p)
     tau_l = transcript.challenge_value(p)
     delta = transcript.challenge_value(p)
-    if tau == 0 or tau_c == 0 or tau_o == 0:
+    tau_r = transcript.challenge_value(p)
+    if tau == 0 or tau_c == 0 or tau_o == 0 or tau_r < (1 << 16):
         return False
     kap_t = table.kappa(tau=0, gamma=gamma, p=p)
     if np.any((np.uint64(tau) + np.uint64(p) - kap_t) % np.uint64(p) == 0):
@@ -1125,18 +1289,29 @@ def verify_bytecode(F, transcript, bc: BytecodeProof, program: bytes,
     transcript.append_u64(bc.gc2_sum % p)
     transcript.append_u64(bc.gout_sum % p)
     transcript.append_u64(bc.glk_sum % p)
+    gr_sums_in = bc.gr_sums or {}
+    if set(gr_sums_in) != {name for name, _ in RANGED}:
+        return False
+    for name, _ in RANGED:
+        transcript.append_u64(gr_sums_in[name] % p)
     transcript.append_bytes(b"BC_H")
     transcript.append_bytes(bc.root_h)
     transcript.append_u64(bc.h_sum % p)
+    transcript.append_bytes(b"BC_HR")
+    transcript.append_bytes(bc.root_hr)
+    transcript.append_u64(bc.hr_sum % p)
     if bc.g_sum % p != bc.h_sum % p:
         return False
     if bc.gc1_sum % p != bc.gc2_sum % p:
         return False
     if bc.gout_sum % p != pub_sum:
         return False
+    if sum(gr_sums_in.values()) % p != bc.hr_sum % p:
+        return False
 
     lk_names = sorted(LINK_COLUMNS)
     expected_cols = (set(lk_names) | {"g_bc", "g_c1", "g_c2", "g_out", "g_lk_s"}
+                     | {f"gr_{name}" for name, _ in RANGED}
                      | {f"ref_{n}" for n in _REG_REFS}
                      | {f"ref_{n}" for n in _PCS_REFS})
     if set(bc.zc.column_evals) != expected_cols:
@@ -1145,7 +1320,7 @@ def verify_bytecode(F, transcript, bc: BytecodeProof, program: bytes,
         return False
     _, combiner_scalar = _make_step_combiner(
         tau, gamma, entry_pc % p, num_steps, num_vars, p,
-        tau_c, beta_c, tau_o, beta_o, tau_l, delta,
+        tau_c, beta_c, tau_o, beta_o, tau_l, delta, tau_r,
     )
     combiner_scalar.final_point = bc.zc.final_point
     if not ZerocheckVerifier(F, combiner_scalar, NUM_BC_CONSTRAINTS,
@@ -1163,6 +1338,20 @@ def verify_bytecode(F, transcript, bc: BytecodeProof, program: bytes,
     ):
         return False
 
+    if bc.zc_range is None or bc.zc_range.num_vars != 16:
+        return False
+    if bc.zc_range.degree != BYTECODE_DEGREE:
+        return False
+    if set(bc.zc_range.column_evals) != {"m", "h"}:
+        return False
+    key16 = idx_table(16, p)
+    _, r_scalar = _make_table_combiner(tau_r, key16, p)
+    r_scalar.final_point = bc.zc_range.final_point
+    if not ZerocheckVerifier(F, r_scalar, 1, BYTECODE_DEGREE).verify(
+        bc.zc_range, transcript
+    ):
+        return False
+
     params = LigeroParams()
     # Linkage columns.
     cn = params.choose_split(num_vars, len(lk_names))
@@ -1174,13 +1363,16 @@ def verify_bytecode(F, transcript, bc: BytecodeProof, program: bytes,
     ):
         return False
     # g-column evals + hypercube sums (fetch, counter chain, tape, linkage).
-    g_names = ["g_bc", "g_c1", "g_c2", "g_lk_s", "g_out"]
+    g_names = sorted(["g_bc", "g_c1", "g_c2", "g_lk_s", "g_out"]
+                     + [f"gr_{name}" for name, _ in RANGED])
     cn_g = params.choose_split(num_vars, len(g_names))
     ag, bg = _row_col_weights(bc.zc.final_point, cn_g)
     m_g = (1 << num_vars) >> cn_g
     g_sums = {"g_bc": bc.g_sum % p, "g_c1": bc.gc1_sum % p,
               "g_c2": bc.gc2_sum % p, "g_out": bc.gout_sum % p,
               "g_lk_s": bc.glk_sum % p}
+    for name, _ in RANGED:
+        g_sums[f"gr_{name}"] = gr_sums_in[name] % p
     if not ligero_verify_claims(
         F, bc.root_g, num_vars, g_names,
         [
@@ -1248,6 +1440,31 @@ def verify_bytecode(F, transcript, bc: BytecodeProof, program: bytes,
                         values={"h": bc.h_sum % p}),
         ],
         bc.h_proof, transcript, hash_mode,
+    ):
+        return False
+    # Range side (2^16 domain).
+    cn_mr = params.choose_split(16, 1)
+    amr, bmr = _row_col_weights(bc.zc_range.final_point, cn_mr)
+    if not ligero_verify_claims(
+        F, bc.root_mr, 16, ["m"],
+        [LigeroClaim(a=amr, b=bmr,
+                     values={"m": bc.zc_range.column_evals["m"]})],
+        bc.mr_proof, transcript, hash_mode,
+    ):
+        return False
+    cn_hr = params.choose_split(16, 1)
+    ahr, bhr = _row_col_weights(bc.zc_range.final_point, cn_hr)
+    m_hr = (1 << 16) >> cn_hr
+    if not ligero_verify_claims(
+        F, bc.root_hr, 16, ["h"],
+        [
+            LigeroClaim(a=ahr, b=bhr,
+                        values={"h": bc.zc_range.column_evals["h"]}),
+            LigeroClaim(a=np.ones(m_hr, dtype=np.uint64),
+                        b=np.ones(1 << cn_hr, dtype=np.uint64),
+                        values={"h": bc.hr_sum % p}),
+        ],
+        bc.hr_proof, transcript, hash_mode,
     ):
         return False
 

@@ -384,6 +384,17 @@ class BinarySerializer:
         w.u64(bc.gc1_sum % p)
         w.u64(bc.gc2_sum % p)
         w.u64(bc.gout_sum % p)
+        # RANGE16 check (adder limbs): roots + zerocheck + proofs + sums.
+        from ..constraints.bytecode import RANGED
+
+        w.bytes_(bc.root_mr)
+        w.bytes_(bc.root_hr)
+        self._write_zerocheck(w, bc.zc_range)
+        self._write_ligero_proof(w, bc.mr_proof)
+        self._write_ligero_proof(w, bc.hr_proof)
+        for name, _ in RANGED:
+            w.u64(bc.gr_sums[name] % p)
+        w.u64(bc.hr_sum % p)
         # Witness linkage (constraints/linkage.py): step-side sum + one
         # query-domain record per gadget-covered validity table.
         w.u64(bc.glk_sum % p)
@@ -417,8 +428,11 @@ class BinarySerializer:
         root_m = r.bytes_(32)
         root_g = r.bytes_(32)
         root_h = r.bytes_(32)
+        from ..constraints.bytecode import RANGED as _BC_RANGED
+
         zc_names = (list(LINK_COLUMNS)
                     + ["g_bc", "g_c1", "g_c2", "g_out", "g_lk_s"]
+                    + [f"gr_{name}" for name, _ in _BC_RANGED]
                     + [f"ref_{n}" for n in _REG_REFS]
                     + [f"ref_{n}" for n in _PCS_REFS])
         zc = self._read_zerocheck(r, zc_names)
@@ -437,6 +451,15 @@ class BinarySerializer:
         gc1_sum = r.u64()
         gc2_sum = r.u64()
         gout_sum = r.u64()
+        from ..constraints.bytecode import RANGED
+
+        root_mr = r.bytes_(32)
+        root_hr = r.bytes_(32)
+        zc_range = self._read_zerocheck(r, ["m", "h"])
+        mr_proof = self._read_ligero_proof(r)
+        hr_proof = self._read_ligero_proof(r)
+        gr_sums = {name: r.u64() for name, _ in RANGED}
+        hr_sum = r.u64()
         glk_sum = r.u64()
         from ..constraints.linkage import QueryLinkRecord
         from ..lookups.validity import GADGETS
@@ -467,6 +490,9 @@ class BinarySerializer:
             g_sum=g_sum, h_sum=h_sum,
             gc1_sum=gc1_sum, gc2_sum=gc2_sum, gout_sum=gout_sum,
             glk_sum=glk_sum, links=links,
+            root_mr=root_mr, root_hr=root_hr, zc_range=zc_range,
+            mr_proof=mr_proof, hr_proof=hr_proof, gr_sums=gr_sums,
+            hr_sum=hr_sum,
         )
 
     @staticmethod
