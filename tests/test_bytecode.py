@@ -517,6 +517,142 @@ def test_forged_link_register_carry_rejected():
     )
 
 
+# -- LOAD/STORE linkage (memcheck byte rows <-> proven step columns) ----------
+
+
+def _memory_program():
+    from zigz_tpu.guest.asm import Assembler
+
+    a = Assembler()
+    a.lui("x1", 0x2)              # x1 = 0x2000 (data area)
+    a.li("x2", 0xFEDCBA9876543210)
+    a.sd("x2", "x1", 0)           # [0x2000] = x2
+    a.lb("x3", "x1", 1)           # sign-extended 0x32 -> 0x32
+    a.lb("x4", "x1", 7)           # sign-extended 0xFE -> -2
+    a.lbu("x5", "x1", 7)          # 0xFE
+    a.lh("x6", "x1", 4)           # sext(0xBA98)
+    a.lhu("x7", "x1", 4)          # 0xBA98
+    a.lw("x8", "x1", 4)           # sext(0xFEDCBA98)
+    a.lwu("x9", "x1", 4)          # 0xFEDCBA98
+    a.ld("x10", "x1", 0)          # full value back
+    a.sb("x2", "x1", 9)           # [0x2009] = 0x10 (unaligned byte)
+    a.sh("x2", "x1", 10)          # half
+    a.sw("x2", "x1", 12)          # word
+    a.lw("x11", "x1", 12)
+    a.ebreak()
+    return a.assemble()
+
+
+def test_memory_program_e2e_accept():
+    program = _memory_program()
+    proof = _prove(program)
+    M = (1 << 64) - 1
+    regs = proof.public_io.final_regs
+    assert regs[3] == 0x32
+    assert regs[4] == (-2) & M
+    assert regs[5] == 0xFE
+    assert regs[6] == (0xBA98 - (1 << 16)) & M
+    assert regs[7] == 0xBA98
+    assert regs[8] == (0xFEDCBA98 - (1 << 32)) & M
+    assert regs[9] == 0xFEDCBA98
+    assert regs[10] == 0xFEDCBA9876543210
+    assert regs[11] == (0x76543210 - 0) & M
+    assert Verifier(F).verify(proof, program) == VerificationResult.Accept
+
+
+def test_forged_loaded_value_rejected():
+    """Flipping a step-side loaded byte must break the byte-row
+    linkage (the memcheck rows carry the true bytes)."""
+    program = _memory_program()
+    prover = Prover(F, seed=0, protocol_version=2)
+
+    def forge(lk, table):
+        rows = np.nonzero(lk["fload"] == 1)[0]
+        assert len(rows)
+        lk["vb_0"] = lk["vb_0"].copy()
+        lk["vb_0"][rows[0]] ^= 1
+
+    prover._bc_forge_hook = forge
+    prover._bc_unsafe = True
+    proof = prover.prove(program, 0x1000, None, 1 << 16, None, None)
+    assert (
+        Verifier(F).verify(proof, program)
+        == VerificationResult.RejectInvalidBytecode
+    )
+
+
+def test_forged_memory_address_rejected():
+    """Steering a load to a different address (forged adder output limb)
+    must break the linkage."""
+    program = _memory_program()
+    prover = Prover(F, seed=0, protocol_version=2)
+
+    def forge(lk, table):
+        rows = np.nonzero(lk["fload"] == 1)[0]
+        lk["jt_0"] = lk["jt_0"].copy()
+        lk["jt_0"][rows[0]] ^= 8
+    prover._bc_forge_hook = forge
+    prover._bc_unsafe = True
+    proof = prover.prove(program, 0x1000, None, 1 << 16, None, None)
+    assert (
+        Verifier(F).verify(proof, program)
+        == VerificationResult.RejectInvalidBytecode
+    )
+
+
+def test_forged_sign_extension_rejected():
+    """Flipping the committed sign bit of a signed load must fail the
+    sign-split (rl leaves RANGE16) or the write-value tie."""
+    program = _memory_program()
+    prover = Prover(F, seed=0, protocol_version=2)
+
+    def forge(lk, table):
+        rows = np.nonzero(lk["flb"] == 1)[0]
+        assert len(rows)
+        lk["sgn"] = lk["sgn"].copy()
+        lk["sgn"][rows[0]] ^= 1
+
+    prover._bc_forge_hook = forge
+    prover._bc_unsafe = True
+    proof = prover.prove(program, 0x1000, None, 1 << 16, None, None)
+    assert (
+        Verifier(F).verify(proof, program)
+        == VerificationResult.RejectInvalidBytecode
+    )
+
+
+def test_forged_memcheck_base_rejected():
+    """Forging the memcheck row's base-address limb breaks its own
+    carry-chain constraint."""
+    program = _memory_program()
+    prover = Prover(F, seed=0, protocol_version=2)
+
+    def forge(cols):
+        cols["ba0"] = cols["ba0"].copy()
+        cols["ba0"][0] ^= 1
+
+    prover._mc_forge_hook = forge
+    prover._mc_unsafe = True
+    prover._bc_unsafe = True
+    proof = prover.prove(program, 0x1000, None, 1 << 16, None, None)
+    assert Verifier(F).verify(proof, program) in (
+        VerificationResult.RejectInvalidMemoryAccess,
+        VerificationResult.RejectInvalidBytecode,
+    )
+
+
+def test_tampered_mem_link_sum_rejected():
+    program = _memory_program()
+    proof = _prove(program)
+    ser = BinarySerializer(F)
+    restored = ser.deserialize(ser.serialize(proof))
+    restored.v2.bytecode.wg_sum = (restored.v2.bytecode.wg_sum + 1) % P
+    assert (
+        Verifier(F).verify(restored, program)
+        == VerificationResult.RejectInvalidBytecode
+    )
+
+
 def test_serialization_roundtrip_bytes_stable():
     program = _nop_add_program()
     proof = _prove(program)

@@ -98,7 +98,11 @@ ADDR_BOUND = 1 << 29
 # Step columns RANGE16-checked inside this argument: (column, coefficient)
 # — the scaled value must lie in [0, 2^16).  jt limbs make the adder
 # exact; 2*jh bounds jh < 2^15 so t_0 = 2*jh + jlsb is a true bit split.
-RANGED = (("jt_0", 1), ("jt_1", 1), ("jt_2", 1), ("jt_3", 1), ("jh", 2))
+MEMLINK_DEGREE = 3  # deg(eq * g_lnk * kappa) on the byte domain
+RANGED = (("jt_0", 1), ("jt_1", 1), ("jt_2", 1), ("jt_3", 1), ("jh", 2),
+          ("vb_0", 256), ("vb_1", 256), ("vb_2", 256), ("vb_3", 256),
+          ("vb_4", 256), ("vb_5", 256), ("vb_6", 256), ("vb_7", 256),
+          ("vhi0", 256), ("rl", 512))
 
 # Fingerprint slot order (gamma^1..gamma^len assigned in this order; the
 # pc slot is gamma^1).  "a1"/"a2" are the regcheck read cells; all other
@@ -114,6 +118,12 @@ BYTECODE_SLOTS = (
     # EBREAK/LUI/AUIPC class flags, and rd != 0 (gates write-value
     # semantics; x0 writes are architecturally discarded).
     "pcl0", "pcl1", "febrk", "flui", "faui", "fnz",
+    # Memory-op decode flags for the LOAD/STORE linkage: raw class flags
+    # plus per-funct3 one-hots (completeness constraints force every
+    # executed mem word onto exactly one valid funct3).
+    "fload", "fstore",
+    "flb", "flbu", "flh", "flhu", "flw", "flwu", "fld",
+    "fsb", "fsh", "fsw", "fsd",
 )
 # Step-side committed columns (the linkage commitment): every slot that
 # is not already committed elsewhere (pc lives in the v2 PCS; a1/a2 in
@@ -126,11 +136,16 @@ LINK_COLUMNS = tuple(s for s in BYTECODE_SLOTS if s not in ("pc", "a1", "a2")) +
     "res_0", "res_1", "res_2", "res_3", "taken_b",
     # pc+4 carry bit for the JAL/JALR link-register value.
     "pc4c",
-    # JALR/AUIPC 4-limb adder: t = (x + imm) mod 2^64 with x = pc
-    # (AUIPC) or rv1 (JALR); jt limbs are RANGE16-checked, carries are
-    # boolean, and jh/jlsb split t_0 for JALR's &~1 target.
+    # JALR/AUIPC/LOAD/STORE 4-limb adder: t = (x + imm) mod 2^64 with
+    # x = pc (AUIPC) or rv1 (JALR/mem address); jt limbs are
+    # RANGE16-checked, carries are boolean, and jh/jlsb split t_0 for
+    # JALR's &~1 target.
     "jt_0", "jt_1", "jt_2", "jt_3", "jc_0", "jc_1", "jc_2", "jc_3",
     "jh", "jlsb",
+    # LOAD/STORE linkage: cumulative byte counter, the access value's
+    # bytes, the SB high-byte split, and the load sign-byte split.
+    "bcnt", "vb_0", "vb_1", "vb_2", "vb_3", "vb_4", "vb_5", "vb_6", "vb_7",
+    "vhi0", "sgn", "rl",
 )
 # Referenced external columns (prefixed in the zerocheck column dict).
 # rv2 is the a0 value at SYSTEM steps (system_read_override) — the
@@ -141,7 +156,7 @@ _REG_REFS = ("a1", "a2", "a3", "rv1_0", "rv1_1", "rv1_2", "rv1_3",
 _PCS_REFS = ("pc", "seq", "next_pc")
 
 BYTECODE_DEGREE = 4  # deg(eq * C); the ECALL completeness gadgets are deg 3
-NUM_BC_CONSTRAINTS = 57
+NUM_BC_CONSTRAINTS = 91
 
 # Opcode classes that architecturally write rd (state.py:_exec_*).
 _WRITES_RD = (
@@ -243,7 +258,15 @@ def step_static_columns(op, rd, f3, rs1, rs2, f7, imm_u64) -> Dict[str, np.ndarr
         "flui": (op == Opcode.LUI).astype(np.uint64),
         "faui": (op == Opcode.AUIPC).astype(np.uint64),
         "fnz": (rd != 0).astype(np.uint64),
+        "fload": (op == Opcode.LOAD).astype(np.uint64),
+        "fstore": (op == Opcode.STORE).astype(np.uint64),
     }
+    f3a = np.asarray(f3, dtype=np.int64)
+    for name, enc in (("flb", 0), ("flbu", 4), ("flh", 1), ("flhu", 5),
+                      ("flw", 2), ("flwu", 6), ("fld", 3)):
+        cols[name] = ((op == Opcode.LOAD) & (f3a == enc)).astype(np.uint64)
+    for name, enc in (("fsb", 0), ("fsh", 1), ("fsw", 2), ("fsd", 3)):
+        cols[name] = ((op == Opcode.STORE) & (f3a == enc)).astype(np.uint64)
     for k in range(4):
         cols[f"imm_{k}"] = (imm_u64 >> np.uint64(16 * k)) & _M16
     return cols
@@ -403,12 +426,15 @@ def _out_betas(beta_o: int, p: int) -> List[int]:
 def _make_step_combiner(tau: int, gamma: int, entry_pc: int, num_steps: int,
                         num_vars: int, p: int,
                         tau_c: int, beta_c: int, tau_o: int, beta_o: int,
-                        tau_l: int, delta: int, tau_r: int):
+                        tau_l: int, delta: int, tau_r: int,
+                        tau_w: int, eps: int):
     from .linkage import link_deltas
 
     gp = _gammas(gamma, p)
     ob = _out_betas(beta_o, p)
     dl = link_deltas(delta, p)
+    ep = _eps_powers(eps, p)
+    FF = (1 << 16) - 1  # 0xFFFF sign-fill limb
 
     def combiner(cols, alphas: List[int], p_: int):
         P = np.uint64(p)
@@ -510,13 +536,15 @@ def _make_step_combiner(tau: int, gamma: int, entry_pc: int, num_steps: int,
                                 * ((cols[f"ref_wv_{k}"] + P - cols[f"imm_{k}"]) % P)
                                 % P) % P
             )
-        # JALR/AUIPC 4-limb adder + JALR target + AUIPC write value.
-        gate = (cols["faui"] + cols["fjalr"]) % P
+        # JALR/AUIPC/LOAD/STORE 4-limb adder (+ JALR target, AUIPC
+        # write value, memory base address).
+        rvsel = (cols["fjalr"] + cols["fload"] + cols["fstore"]) % P
+        gate = (cols["faui"] + rvsel) % P
         xs = [
-            (cols["faui"] * cols["pcl0"] + cols["fjalr"] * cols["ref_rv1_0"]) % P,
-            (cols["faui"] * cols["pcl1"] + cols["fjalr"] * cols["ref_rv1_1"]) % P,
-            cols["fjalr"] * cols["ref_rv1_2"] % P,
-            cols["fjalr"] * cols["ref_rv1_3"] % P,
+            (cols["faui"] * cols["pcl0"] + rvsel * cols["ref_rv1_0"]) % P,
+            (cols["faui"] * cols["pcl1"] + rvsel * cols["ref_rv1_1"]) % P,
+            rvsel * cols["ref_rv1_2"] % P,
+            rvsel * cols["ref_rv1_3"] % P,
         ]
         for k in range(4):
             cin = cols[f"jc_{k-1}"] if k else 0
@@ -552,6 +580,75 @@ def _make_step_combiner(tau: int, gamma: int, entry_pc: int, num_steps: int,
                  * ((np.uint64(tau_r) + P - np.uint64(coef) * cols[name] % P) % P)
                  % P + P - one) % P
             )
+        # LOAD/STORE linkage: per-byte tuples vs the memcheck rows.
+        sels = _mem_sel_exprs(lambda f: cols[f], p)
+        mbase = np.uint64(ep[0]) * cols["bcnt"] % P
+        for j in range(4):
+            mbase = (mbase + np.uint64(ep[1 + j]) * cols[f"jt_{j}"]) % P
+        mbase = (mbase + np.uint64(ep[7]) * cols["fstore"]) % P
+        for k in range(8):
+            kap = (mbase + np.uint64((ep[0] * k + ep[5] * k) % p)
+                   + np.uint64(ep[6]) * cols[f"vb_{k}"]) % P
+            terms.append(
+                (cols[f"g_m{k}"] * ((np.uint64(tau_w) + P - kap) % P) % P
+                 + P - sels[k]) % P
+            )
+        nb = sum(sels) % P
+        den_b1 = (np.uint64(tau_c) + P
+                  - np.uint64(beta_c) * ((idx + one) % P) % P
+                  + P - cols["bcnt"] + P - nb) % P
+        den_b2 = (np.uint64(tau_c) + P - np.uint64(beta_c) * idx % P
+                  + P - cols["bcnt"]) % P
+        terms.append((cols["g_b1"] * den_b1 % P + P - sel1) % P)
+        terms.append((cols["g_b2"] * den_b2 % P + P - sel2) % P)
+        terms.append(eq0 * cols["bcnt"] % P)
+        # STORE value ties (size-gated 16-bit pairings against rv2).
+        pr = [(cols[f"vb_{2*j}"] + np.uint64(256) * cols[f"vb_{2*j+1}"]) % P
+              for j in range(4)]
+        terms.append(
+            cols["fsb"] * ((cols["vb_0"] + np.uint64(256) * cols["vhi0"]
+                            + P - cols["ref_rv2_0"]) % P) % P
+        )
+        terms.append(
+            ((cols["fsh"] + cols["fsw"] + cols["fsd"]) % P)
+            * ((pr[0] + P - cols["ref_rv2_0"]) % P) % P
+        )
+        terms.append(
+            ((cols["fsw"] + cols["fsd"]) % P)
+            * ((pr[1] + P - cols["ref_rv2_1"]) % P) % P
+        )
+        terms.append(cols["fsd"] * ((pr[2] + P - cols["ref_rv2_2"]) % P) % P)
+        terms.append(cols["fsd"] * ((pr[3] + P - cols["ref_rv2_3"]) % P) % P)
+        # LOAD write-value ties (per wv limb, one-hot over funct3).
+        ldsum = sum(cols[f] for f in _LOAD_FLAGS) % P
+        fill = np.uint64(FF % p) * cols["sgn"] % P
+        ex0 = (((cols["fld"] + cols["flw"] + cols["flwu"]
+                 + cols["flh"] + cols["flhu"]) % P) * pr[0]
+               + cols["flb"] * ((cols["vb_0"] + np.uint64(0xFF00) * cols["sgn"]) % P)
+               + cols["flbu"] * cols["vb_0"]) % P
+        ex1 = (((cols["fld"] + cols["flw"] + cols["flwu"]) % P) * pr[1]
+               + ((cols["flh"] + cols["flb"]) % P) * fill) % P
+        ex2 = (cols["fld"] * pr[2]
+               + ((cols["flw"] + cols["flh"] + cols["flb"]) % P) * fill) % P
+        ex3 = (cols["fld"] * pr[3]
+               + ((cols["flw"] + cols["flh"] + cols["flb"]) % P) * fill) % P
+        for k, ex in enumerate((ex0, ex1, ex2, ex3)):
+            terms.append(
+                cols["fnz"] * ((ldsum * cols[f"ref_wv_{k}"] % P + P - ex) % P) % P
+            )
+        # Load sign split: sign byte = 128*sgn + rl (rl < 128 ranged).
+        sb_src = (cols["flb"] * cols["vb_0"] + cols["flh"] * cols["vb_1"]
+                  + cols["flw"] * cols["vb_3"]) % P
+        sgate = (cols["flb"] + cols["flh"] + cols["flw"]) % P
+        terms.append(
+            (sb_src + P - sgate * ((np.uint64(128) * cols["sgn"]
+                                    + cols["rl"]) % P) % P) % P
+        )
+        terms.append(cols["sgn"] * ((one + P - cols["sgn"]) % P) % P)
+        # Decode completeness: every executed mem word is a valid funct3.
+        terms.append(cols["fload"] * ((ldsum + P - one) % P) % P)
+        stsum = sum(cols[f] for f in _STORE_FLAGS) % P
+        terms.append(cols["fstore"] * ((stsum + P - one) % P) % P)
         acc = np.zeros_like(sel)
         for alpha, t in zip(alphas, terms):
             acc = (acc + np.uint64(alpha) * t) % P
@@ -636,12 +733,13 @@ def _make_step_combiner(tau: int, gamma: int, entry_pc: int, num_steps: int,
                 ev["flui"] * ev["fnz"] % p
                 * ((ev[f"ref_wv_{k}"] - ev[f"imm_{k}"]) % p) % p
             )
-        gate = (ev["faui"] + ev["fjalr"]) % p
+        rvsel = (ev["fjalr"] + ev["fload"] + ev["fstore"]) % p
+        gate = (ev["faui"] + rvsel) % p
         xs = [
-            (ev["faui"] * ev["pcl0"] + ev["fjalr"] * ev["ref_rv1_0"]) % p,
-            (ev["faui"] * ev["pcl1"] + ev["fjalr"] * ev["ref_rv1_1"]) % p,
-            ev["fjalr"] * ev["ref_rv1_2"] % p,
-            ev["fjalr"] * ev["ref_rv1_3"] % p,
+            (ev["faui"] * ev["pcl0"] + rvsel * ev["ref_rv1_0"]) % p,
+            (ev["faui"] * ev["pcl1"] + rvsel * ev["ref_rv1_1"]) % p,
+            rvsel * ev["ref_rv1_2"] % p,
+            rvsel * ev["ref_rv1_3"] % p,
         ]
         for k in range(4):
             cin = ev[f"jc_{k-1}"] if k else 0
@@ -668,6 +766,53 @@ def _make_step_combiner(tau: int, gamma: int, entry_pc: int, num_steps: int,
             terms.append(
                 (ev[f"gr_{name}"] * ((tau_r - coef * ev[name]) % p) - 1) % p
             )
+        sels = _mem_sel_exprs(lambda f: ev[f], p)
+        mbase = ep[0] * ev["bcnt"] % p
+        for j in range(4):
+            mbase = (mbase + ep[1 + j] * ev[f"jt_{j}"]) % p
+        mbase = (mbase + ep[7] * ev["fstore"]) % p
+        for k in range(8):
+            kap = (mbase + (ep[0] * k + ep[5] * k) + ep[6] * ev[f"vb_{k}"]) % p
+            terms.append((ev[f"g_m{k}"] * ((tau_w - kap) % p) - sels[k]) % p)
+        nb = sum(sels) % p
+        terms.append((ev["g_b1"] * ((tau_c - beta_c * (idx + 1) - ev["bcnt"]
+                                     - nb) % p) - sel1) % p)
+        terms.append((ev["g_b2"] * ((tau_c - beta_c * idx - ev["bcnt"]) % p)
+                      - sel2) % p)
+        terms.append(eq0 * ev["bcnt"] % p)
+        pr = [(ev[f"vb_{2*j}"] + 256 * ev[f"vb_{2*j+1}"]) % p for j in range(4)]
+        terms.append(ev["fsb"] * ((ev["vb_0"] + 256 * ev["vhi0"]
+                                   - ev["ref_rv2_0"]) % p) % p)
+        terms.append((ev["fsh"] + ev["fsw"] + ev["fsd"]) % p
+                     * ((pr[0] - ev["ref_rv2_0"]) % p) % p)
+        terms.append((ev["fsw"] + ev["fsd"]) % p
+                     * ((pr[1] - ev["ref_rv2_1"]) % p) % p)
+        terms.append(ev["fsd"] * ((pr[2] - ev["ref_rv2_2"]) % p) % p)
+        terms.append(ev["fsd"] * ((pr[3] - ev["ref_rv2_3"]) % p) % p)
+        ldsum = sum(ev[f] for f in _LOAD_FLAGS) % p
+        fill = (FF % p) * ev["sgn"] % p
+        ex0 = ((ev["fld"] + ev["flw"] + ev["flwu"] + ev["flh"] + ev["flhu"])
+               * pr[0]
+               + ev["flb"] * ((ev["vb_0"] + 0xFF00 * ev["sgn"]) % p)
+               + ev["flbu"] * ev["vb_0"]) % p
+        ex1 = ((ev["fld"] + ev["flw"] + ev["flwu"]) * pr[1]
+               + (ev["flh"] + ev["flb"]) * fill) % p
+        ex2 = (ev["fld"] * pr[2]
+               + (ev["flw"] + ev["flh"] + ev["flb"]) * fill) % p
+        ex3 = (ev["fld"] * pr[3]
+               + (ev["flw"] + ev["flh"] + ev["flb"]) * fill) % p
+        for k, ex in enumerate((ex0, ex1, ex2, ex3)):
+            terms.append(
+                ev["fnz"] * ((ldsum * ev[f"ref_wv_{k}"] - ex) % p) % p
+            )
+        sb_src = (ev["flb"] * ev["vb_0"] + ev["flh"] * ev["vb_1"]
+                  + ev["flw"] * ev["vb_3"]) % p
+        sgate = (ev["flb"] + ev["flh"] + ev["flw"]) % p
+        terms.append((sb_src - sgate * ((128 * ev["sgn"] + ev["rl"]) % p)) % p)
+        terms.append(ev["sgn"] * (1 - ev["sgn"]) % p)
+        terms.append(ev["fload"] * ((ldsum - 1) % p) % p)
+        stsum = sum(ev[f] for f in _STORE_FLAGS) % p
+        terms.append(ev["fstore"] * ((stsum - 1) % p) % p)
         return sum(a * t for a, t in zip(alphas, terms)) % p
 
     combiner_scalar.final_point = None
@@ -694,6 +839,86 @@ def _step_link_denoms(lk, reg_cols, tau_l: int, dl: List[int], p: int) -> np.nda
     for k in range(4):
         kappa = (kappa + np.uint64(dl[9 + k]) * s[k]) % P
     return (np.uint64(tau_l) + P - kappa) % P
+
+
+def _eps_powers(eps: int, p: int) -> List[int]:
+    """eps^1..eps^8: position, 4 base-address limbs, byte offset, byte
+    value, store flag — the step<->byte-row linkage fingerprint."""
+    out, g = [], 1
+    for _ in range(8):
+        g = g * eps % p
+        out.append(g)
+    return out
+
+
+_LOAD_FLAGS = ("flb", "flbu", "flh", "flhu", "flw", "flwu", "fld")
+_STORE_FLAGS = ("fsb", "fsh", "fsw", "fsd")
+
+
+def _mem_sel_exprs(get, p: int):
+    """sel_k = 1 iff the step is a valid mem op with nbytes > k, as a
+    LINEAR combination of the decode one-hot flags (k = 0..7)."""
+    s1 = sum(get(f) for f in _LOAD_FLAGS + _STORE_FLAGS) % p
+    s2 = (get("flh") + get("flhu") + get("flw") + get("flwu") + get("fld")
+          + get("fsh") + get("fsw") + get("fsd")) % p
+    s4 = (get("flw") + get("flwu") + get("fld") + get("fsw") + get("fsd")) % p
+    s8 = (get("fld") + get("fsd")) % p
+    return [s1, s2, s4, s4, s8, s8, s8, s8]
+
+
+def _mem_step_denoms(lk, tau_w: int, ep: List[int], p: int) -> List[np.ndarray]:
+    """Per-k (k = 0..7) linkage denominators tau_w - kappa_k over the
+    step domain (dense twin of the combiner terms)."""
+    P = np.uint64(p)
+    base = np.uint64(ep[0]) * lk["bcnt"] % P
+    for j in range(4):
+        base = (base + np.uint64(ep[1 + j]) * lk[f"jt_{j}"]) % P
+    base = (base + np.uint64(ep[7]) * lk["fstore"]) % P
+    out = []
+    for k in range(8):
+        kap = (base + np.uint64((ep[0] * k + ep[5] * k) % p)
+               + np.uint64(ep[6]) * lk[f"vb_{k}"]) % P
+        out.append((np.uint64(tau_w) + P - kap) % P)
+    return out
+
+
+def _make_memlink_combiner(tau_w: int, ep: List[int], num_rows: int,
+                           num_vars: int, p: int):
+    """Byte-domain zerocheck: g_lnk * (tau_w - kappa) = sel pointwise,
+    kappa over the memcheck row's (idx, base limbs, offset, byte, st)."""
+    refs = ("ba0", "ba1", "ba2", "ba3", "bk", "vw", "st")
+
+    def _kappa_arrays(cols, p_):
+        P = np.uint64(p)
+        kap = np.uint64(ep[0]) * cols["__idx__"] % P
+        for j in range(4):
+            kap = (kap + np.uint64(ep[1 + j]) * cols[f"ref_ba{j}"]) % P
+        kap = (kap + np.uint64(ep[5]) * cols["ref_bk"]
+               + np.uint64(ep[6]) * cols["ref_vw"]
+               + np.uint64(ep[7]) * cols["ref_st"]) % P
+        return kap
+
+    def combiner(cols, alphas: List[int], p_: int):
+        P = np.uint64(p)
+        kap = _kappa_arrays(cols, p)
+        t = (cols["g_lnk"] * ((np.uint64(tau_w) + P - kap) % P) % P
+             + P - cols["__sel__"]) % P
+        return np.uint64(alphas[0]) * t % P
+
+    def combiner_scalar(ev, alphas: List[int], p_: int) -> int:
+        rs = combiner_scalar.final_point
+        sel = le_indicator_eval(num_rows - 1, num_vars, rs, p)
+        idx = idx_eval(num_vars, rs, p)
+        kap = ep[0] * idx % p
+        for j in range(4):
+            kap = (kap + ep[1 + j] * ev[f"ref_ba{j}"]) % p
+        kap = (kap + ep[5] * ev["ref_bk"] + ep[6] * ev["ref_vw"]
+               + ep[7] * ev["ref_st"]) % p
+        return alphas[0] * ((ev["g_lnk"] * ((tau_w - kap) % p) - sel) % p) % p
+
+    combiner_scalar.final_point = None
+    combiner_scalar.refs = refs
+    return combiner, combiner_scalar
 
 
 def _make_table_combiner(tau: int, kappa_table: np.ndarray, p: int):
@@ -760,6 +985,18 @@ class BytecodeProof:
     hr_proof: object = None
     gr_sums: Optional[Dict[str, int]] = None
     hr_sum: int = 0
+    # LOAD/STORE linkage: step-side per-byte-slot sums, byte-counter
+    # chain sums, and the memcheck byte-row side (g_lnk + full memcheck
+    # column evals at the byte-domain zerocheck point).
+    gm_sums: Optional[list] = None
+    gb1_sum: int = 0
+    gb2_sum: int = 0
+    root_wg: bytes = b""
+    zc_mem: Optional[ZerocheckProof] = None
+    mclink_proof: object = None
+    wg_proof: object = None
+    mc_evals: Optional[Dict[str, int]] = None
+    wg_sum: int = 0
 
 
 # ---------------------------------------------------------------------------
@@ -791,6 +1028,7 @@ def prove_bytecode(F, transcript, trace, program: bytes, entry_pc: int,
                    reg_cols: Dict[str, np.ndarray], reg_state,
                    pcs_cols: Dict[str, np.ndarray], pcs_state,
                    hash_mode: str = "sha3", outputs=None, validity_info=None,
+                   memcheck_info=None,
                    _forge_hook=None,
                    _unsafe_skip_self_checks=False) -> BytecodeProof:
     from ..commitments.ligero import (
@@ -885,7 +1123,8 @@ def prove_bytecode(F, transcript, trace, program: bytes, entry_pc: int,
     rv1_u64 = np.zeros(n, dtype=np.uint64)
     for k in range(4):
         rv1_u64 |= reg_cols[f"rv1_{k}"][:n].astype(np.uint64) << np.uint64(16 * k)
-    gate_n = ((lk["faui"][:n] == 1) | (lk["fjalr"][:n] == 1))
+    gate_n = ((lk["faui"][:n] == 1) | (lk["fjalr"][:n] == 1)
+              | (lk["fload"][:n] == 1) | (lk["fstore"][:n] == 1))
     x64 = np.where(lk["faui"][:n] == 1, pcs_arr, rv1_u64)
     t64 = np.where(gate_n, x64 + np.asarray(imm_u, dtype=np.uint64), np.uint64(0))
     carry = np.zeros(n, dtype=np.uint64)
@@ -899,6 +1138,30 @@ def prove_bytecode(F, transcript, trace, program: bytes, entry_pc: int,
     lk["jlsb"] = _pad((lk["jt_0"][:n] & np.uint64(1)) * lk["fjalr"][:n])
     for k in range(4):
         lk[f"jt_{k}"][:n] *= gate_n
+
+    # LOAD/STORE linkage advice: access-value bytes, SB high-byte split,
+    # load sign split, and the cumulative byte counter.
+    cols_t = getattr(trace, "columns", None)
+    if cols_t is not None:
+        mv = cols_t["mem_val"].astype(np.uint64)[:n]
+    else:
+        mv = np.array([a.value if a else 0 for a in trace.memory_accesses],
+                      dtype=np.uint64)[:n]
+    is_mem_n = ((lk["fload"][:n] == 1) | (lk["fstore"][:n] == 1)).astype(np.uint64)
+    for k in range(8):
+        lk[f"vb_{k}"] = _pad(((mv >> np.uint64(8 * k)) & np.uint64(0xFF)) * is_mem_n)
+    lk["vhi0"] = _pad((reg_cols["rv2_0"][:n] >> np.uint64(8)) * lk["fsb"][:n])
+    sb = (lk["flb"][:n] * lk["vb_0"][:n] + lk["flh"][:n] * lk["vb_1"][:n]
+          + lk["flw"][:n] * lk["vb_3"][:n])
+    lk["sgn"] = _pad(sb >> np.uint64(7))
+    lk["rl"] = _pad(sb & np.uint64(0x7F))
+    f3_n = np.asarray(f3, dtype=np.uint64)[:n]
+    nb_n = (np.uint64(1) << (f3_n & np.uint64(3))) * is_mem_n
+    bcnt = np.zeros(padded, dtype=np.uint64)
+    np.cumsum(nb_n[: max(n - 1, 0)], out=bcnt[1:n])
+    if n:
+        bcnt[n:] = bcnt[n - 1] + nb_n[n - 1]
+    lk["bcnt"] = bcnt % P64
     if not _unsafe_skip_self_checks and n:
         # Honest-trace precondition for the mod-p target equations: no
         # branch/JAL target may wrap around 0 or 2^64 (the VM computes
@@ -988,6 +1251,8 @@ def prove_bytecode(F, transcript, trace, program: bytes, entry_pc: int,
         tau_l = trial.challenge_value(p)
         delta = trial.challenge_value(p)
         tau_r = trial.challenge_value(p)
+        tau_w = trial.challenge_value(p)
+        eps = trial.challenge_value(p)
         gp = _gammas(gamma, p)
         kap_t = table.kappa(tau=0, gamma=gamma, p=p)  # keys only (tau unused)
         denom_t = (np.uint64(tau) + P64 - kap_t) % P64
@@ -1030,12 +1295,46 @@ def prove_bytecode(F, transcript, trace, program: bytes, entry_pc: int,
                                        tau_l, dl, p)
                 ok = not np.any(dq[: info["nq"]] == 0)
         if ok:
+            # Memory linkage: step-side per-k denominators, the memcheck
+            # byte-row denominators, and the byte-counter chain.
+            ep = _eps_powers(eps, p)
+            mem_dens = _mem_step_denoms(lk, tau_w, ep, p)
+            mem_sels = _mem_sel_exprs(lambda f: lk[f], p)
+            for k in range(8):
+                if np.any((mem_dens[k] == 0) & (mem_sels[k] == 1)):
+                    ok = False
+                    break
+            if ok and memcheck_info is not None:
+                mcc = memcheck_info["cols"]
+                kap_w = (np.uint64(ep[0])
+                         * (np.arange(len(mcc["vw"]), dtype=np.uint64) % P64)) % P64
+                for j in range(4):
+                    kap_w = (kap_w + np.uint64(ep[1 + j]) * mcc[f"ba{j}"]) % P64
+                kap_w = (kap_w + np.uint64(ep[5]) * mcc["bk"]
+                         + np.uint64(ep[6]) * mcc["vw"]
+                         + np.uint64(ep[7]) * mcc["st"]) % P64
+                den_w = (np.uint64(tau_w) + P64 - kap_w) % P64
+                sel_w = le_table(memcheck_info["num_accesses"] - 1,
+                                 memcheck_info["num_vars"])
+                ok = not np.any((den_w == 0) & (sel_w == 1))
+            if ok:
+                nb_full = sum(mem_sels) % P64
+                den_b1 = (np.uint64(tau_c) + P64
+                          - np.uint64(beta_c) * ((idx + np.uint64(1)) % P64) % P64
+                          + P64 - lk["bcnt"] + P64 - nb_full) % P64
+                den_b2 = (np.uint64(tau_c) + P64
+                          - np.uint64(beta_c) * idx % P64
+                          + P64 - lk["bcnt"]) % P64
+                ok = (not np.any((den_b1 == 0) & (sel1 == 1))
+                      and not np.any((den_b2 == 0) & (sel2 == 1)))
+        if ok:
             break
         nonce += 1
     transcript.append_bytes(b"BC_CHAL")
     transcript.append_u64(nonce)
     assert transcript.challenge_value(p) == tau
-    for expect in (gamma, tau_c, beta_c, tau_o, beta_o, tau_l, delta, tau_r):
+    for expect in (gamma, tau_c, beta_c, tau_o, beta_o, tau_l, delta, tau_r,
+                   tau_w, eps):
         assert transcript.challenge_value(p) == expect
 
     # Inverse columns.
@@ -1051,6 +1350,10 @@ def prove_bytecode(F, transcript, trace, program: bytes, entry_pc: int,
         g_cols_all[f"gr_{name}"] = np_inv(
             (np.uint64(tau_r) + P64 - np.uint64(coef) * lk[name] % P64) % P64, p
         )
+    for k in range(8):
+        g_cols_all[f"g_m{k}"] = mem_sels[k] * np_inv(mem_dens[k], p) % P64
+    g_cols_all["g_b1"] = sel1 * np_inv(den_b1, p) % P64
+    g_cols_all["g_b2"] = sel2 * np_inv(den_b2, p) % P64
     g_state = ligero_commit(F, g_cols_all, hash_mode)
     h_state = ligero_commit(F, {"h": h_col}, hash_mode)
     h_r = m_r % P64 * np_inv(
@@ -1066,6 +1369,10 @@ def prove_bytecode(F, transcript, trace, program: bytes, entry_pc: int,
     gr_sums = {name: int(g_cols_all[f"gr_{name}"].sum(dtype=np.uint64) % P64)
                for name, _ in RANGED}
     hr_sum = int(h_r.sum(dtype=np.uint64) % P64)
+    gm_sums = [int(g_cols_all[f"g_m{k}"].sum(dtype=np.uint64) % P64)
+               for k in range(8)]
+    gb1_sum = int(g_cols_all["g_b1"].sum(dtype=np.uint64) % P64)
+    gb2_sum = int(g_cols_all["g_b2"].sum(dtype=np.uint64) % P64)
     transcript.append_bytes(b"BC_G")
     transcript.append_bytes(g_state.root)
     transcript.append_u64(g_sum)
@@ -1075,6 +1382,10 @@ def prove_bytecode(F, transcript, trace, program: bytes, entry_pc: int,
     transcript.append_u64(glk_sum)
     for name, _ in RANGED:
         transcript.append_u64(gr_sums[name])
+    for s in gm_sums:
+        transcript.append_u64(s)
+    transcript.append_u64(gb1_sum)
+    transcript.append_u64(gb2_sum)
     transcript.append_bytes(b"BC_H")
     transcript.append_bytes(h_state.root)
     transcript.append_u64(h_sum)
@@ -1085,6 +1396,10 @@ def prove_bytecode(F, transcript, trace, program: bytes, entry_pc: int,
         if sum(gr_sums.values()) % p != hr_sum:
             raise AssertionError(
                 "bytecode argument violated: adder limb out of RANGE16"
+            )
+        if gb1_sum != gb2_sum:
+            raise AssertionError(
+                "bytecode argument violated: byte-counter chain mismatch"
             )
         if g_sum != h_sum:
             raise AssertionError("bytecode argument violated: fetch multiset mismatch")
@@ -1103,6 +1418,10 @@ def prove_bytecode(F, transcript, trace, program: bytes, entry_pc: int,
     zc_cols["g_lk_s"] = g_lk_s
     for name, _ in RANGED:
         zc_cols[f"gr_{name}"] = g_cols_all[f"gr_{name}"]
+    for k in range(8):
+        zc_cols[f"g_m{k}"] = g_cols_all[f"g_m{k}"]
+    zc_cols["g_b1"] = g_cols_all["g_b1"]
+    zc_cols["g_b2"] = g_cols_all["g_b2"]
     for name in _REG_REFS:
         zc_cols[f"ref_{name}"] = reg_cols[name]
     for name in _PCS_REFS:
@@ -1115,7 +1434,7 @@ def prove_bytecode(F, transcript, trace, program: bytes, entry_pc: int,
     zc_cols["__sel2__"] = sel2
     combiner, combiner_scalar = _make_step_combiner(
         tau, gamma, entry_pc % p, n, num_vars, p, tau_c, beta_c, tau_o, beta_o,
-        tau_l, delta, tau_r,
+        tau_l, delta, tau_r, tau_w, eps,
     )
     zc = ZerocheckProver(
         F, zc_cols, combiner, BYTECODE_DEGREE, num_alphas=NUM_BC_CONSTRAINTS
@@ -1195,6 +1514,53 @@ def prove_bytecode(F, transcript, trace, program: bytes, entry_pc: int,
             "bytecode argument violated: lookup-queries/steps multiset mismatch"
         )
 
+    # Memory-side linkage: one inverse column over the memcheck byte-row
+    # domain, bound to the memcheck column commitment at a fresh point.
+    mcc = memcheck_info["cols"]
+    mc_state = memcheck_info["state"]
+    A = memcheck_info["num_accesses"]
+    mvv = memcheck_info["num_vars"]
+    idx_A = np.arange(1 << mvv, dtype=np.uint64) % P64
+    kap_w = np.uint64(ep[0]) * idx_A % P64
+    for j in range(4):
+        kap_w = (kap_w + np.uint64(ep[1 + j]) * mcc[f"ba{j}"]) % P64
+    kap_w = (kap_w + np.uint64(ep[5]) * mcc["bk"]
+             + np.uint64(ep[6]) * mcc["vw"]
+             + np.uint64(ep[7]) * mcc["st"]) % P64
+    sel_w = le_table(A - 1, mvv)
+    g_lnk = sel_w * np_inv((np.uint64(tau_w) + P64 - kap_w) % P64, p) % P64
+    wg_state = ligero_commit(F, {"g_lnk": g_lnk}, hash_mode)
+    wg_sum = int(g_lnk.sum(dtype=np.uint64) % P64)
+    transcript.append_bytes(b"BC_WLNK")
+    transcript.append_bytes(wg_state.root)
+    transcript.append_u64(wg_sum)
+    if sum(gm_sums) % p != wg_sum and not _unsafe_skip_self_checks:
+        raise AssertionError(
+            "bytecode argument violated: memory access/step multiset mismatch"
+        )
+    wl_combiner, _ = _make_memlink_combiner(tau_w, ep, A, mvv, p)
+    wl_cols = {"g_lnk": g_lnk, "__sel__": sel_w, "__idx__": idx_A}
+    for name in ("ba0", "ba1", "ba2", "ba3", "bk", "vw", "st"):
+        wl_cols[f"ref_{name}"] = mcc[name]
+    zc_mem = ZerocheckProver(F, wl_cols, wl_combiner, MEMLINK_DEGREE,
+                             num_alphas=1).prove(transcript)
+    awl, bwl = _row_col_weights(zc_mem.final_point, mc_state.cn)
+    mclink_proof = ligero_prove_claims(
+        mc_state, [LigeroClaim(a=awl, b=bwl, values={})], transcript
+    )
+    awg, bwg = _row_col_weights(zc_mem.final_point, wg_state.cn)
+    wg_proof = ligero_prove_claims(wg_state, [
+        LigeroClaim(a=awg, b=bwg, values={}),
+        LigeroClaim(a=np.ones(wg_state.m, dtype=np.uint64),
+                    b=np.ones(wg_state.n, dtype=np.uint64), values={}),
+    ], transcript)
+    mc_evals = {
+        name: _mle_eval(mcc[name], zc_mem.final_point, p)
+        for name in mc_state.names
+    }
+    for name in sorted(mc_evals):
+        transcript.append_u64(mc_evals[name])
+
     return BytecodeProof(
         nonce=nonce, num_vars=num_vars, table_vars=table.num_vars,
         root_lk=lk_state.root, root_m=m_state.root, root_g=g_state.root,
@@ -1206,6 +1572,9 @@ def prove_bytecode(F, transcript, trace, program: bytes, entry_pc: int,
         glk_sum=glk_sum, links=links,
         root_mr=mr_state.root, root_hr=hr_state.root, zc_range=zc_r,
         mr_proof=mr_proof, hr_proof=hr_proof, gr_sums=gr_sums, hr_sum=hr_sum,
+        gm_sums=gm_sums, gb1_sum=gb1_sum, gb2_sum=gb2_sum,
+        root_wg=wg_state.root, zc_mem=zc_mem, mclink_proof=mclink_proof,
+        wg_proof=wg_proof, mc_evals=mc_evals, wg_sum=wg_sum,
     )
 
 
@@ -1227,7 +1596,7 @@ def verify_bytecode(F, transcript, bc: BytecodeProof, program: bytes,
                     reg_root: bytes, reg_names: List[str],
                     pcs_root: bytes, pcs_names: List[str],
                     hash_mode: str = "sha3", outputs=None,
-                    lv_tables=None) -> bool:
+                    lv_tables=None, mc=None) -> bool:
     from ..commitments.ligero import (
         LigeroClaim,
         LigeroParams,
@@ -1264,8 +1633,11 @@ def verify_bytecode(F, transcript, bc: BytecodeProof, program: bytes,
     tau_l = transcript.challenge_value(p)
     delta = transcript.challenge_value(p)
     tau_r = transcript.challenge_value(p)
+    tau_w = transcript.challenge_value(p)
+    eps = transcript.challenge_value(p)
     if tau == 0 or tau_c == 0 or tau_o == 0 or tau_r < (1 << 16):
         return False
+    ep = _eps_powers(eps, p)
     kap_t = table.kappa(tau=0, gamma=gamma, p=p)
     if np.any((np.uint64(tau) + np.uint64(p) - kap_t) % np.uint64(p) == 0):
         return False
@@ -1294,6 +1666,13 @@ def verify_bytecode(F, transcript, bc: BytecodeProof, program: bytes,
         return False
     for name, _ in RANGED:
         transcript.append_u64(gr_sums_in[name] % p)
+    gm_in = [s % p for s in (bc.gm_sums or [])]
+    if len(gm_in) != 8:
+        return False
+    for s in gm_in:
+        transcript.append_u64(s)
+    transcript.append_u64(bc.gb1_sum % p)
+    transcript.append_u64(bc.gb2_sum % p)
     transcript.append_bytes(b"BC_H")
     transcript.append_bytes(bc.root_h)
     transcript.append_u64(bc.h_sum % p)
@@ -1308,10 +1687,15 @@ def verify_bytecode(F, transcript, bc: BytecodeProof, program: bytes,
         return False
     if sum(gr_sums_in.values()) % p != bc.hr_sum % p:
         return False
+    if bc.gb1_sum % p != bc.gb2_sum % p:
+        return False
+    if sum(gm_in) % p != bc.wg_sum % p:
+        return False
 
     lk_names = sorted(LINK_COLUMNS)
     expected_cols = (set(lk_names) | {"g_bc", "g_c1", "g_c2", "g_out", "g_lk_s"}
                      | {f"gr_{name}" for name, _ in RANGED}
+                     | {f"g_m{k}" for k in range(8)} | {"g_b1", "g_b2"}
                      | {f"ref_{n}" for n in _REG_REFS}
                      | {f"ref_{n}" for n in _PCS_REFS})
     if set(bc.zc.column_evals) != expected_cols:
@@ -1320,7 +1704,7 @@ def verify_bytecode(F, transcript, bc: BytecodeProof, program: bytes,
         return False
     _, combiner_scalar = _make_step_combiner(
         tau, gamma, entry_pc % p, num_steps, num_vars, p,
-        tau_c, beta_c, tau_o, beta_o, tau_l, delta, tau_r,
+        tau_c, beta_c, tau_o, beta_o, tau_l, delta, tau_r, tau_w, eps,
     )
     combiner_scalar.final_point = bc.zc.final_point
     if not ZerocheckVerifier(F, combiner_scalar, NUM_BC_CONSTRAINTS,
@@ -1363,7 +1747,9 @@ def verify_bytecode(F, transcript, bc: BytecodeProof, program: bytes,
     ):
         return False
     # g-column evals + hypercube sums (fetch, counter chain, tape, linkage).
-    g_names = sorted(["g_bc", "g_c1", "g_c2", "g_lk_s", "g_out"]
+    g_names = sorted(["g_bc", "g_c1", "g_c2", "g_lk_s", "g_out",
+                      "g_b1", "g_b2"]
+                     + [f"g_m{k}" for k in range(8)]
                      + [f"gr_{name}" for name, _ in RANGED])
     cn_g = params.choose_split(num_vars, len(g_names))
     ag, bg = _row_col_weights(bc.zc.final_point, cn_g)
@@ -1373,6 +1759,10 @@ def verify_bytecode(F, transcript, bc: BytecodeProof, program: bytes,
               "g_lk_s": bc.glk_sum % p}
     for name, _ in RANGED:
         g_sums[f"gr_{name}"] = gr_sums_in[name] % p
+    for k in range(8):
+        g_sums[f"g_m{k}"] = gm_in[k]
+    g_sums["g_b1"] = bc.gb1_sum % p
+    g_sums["g_b2"] = bc.gb2_sum % p
     if not ligero_verify_claims(
         F, bc.root_g, num_vars, g_names,
         [
@@ -1477,4 +1867,60 @@ def verify_bytecode(F, transcript, bc: BytecodeProof, program: bytes,
     )
     if not ok:
         return False
-    return link_total == bc.glk_sum % p
+    if link_total != bc.glk_sum % p:
+        return False
+
+    # Memory-side linkage over the memcheck byte-row domain.
+    if mc is None or bc.zc_mem is None:
+        return False
+    from .memcheck import COLUMNS as MC_COLUMNS
+
+    A = mc.num_accesses
+    mvv = mc.num_vars
+    transcript.append_bytes(b"BC_WLNK")
+    transcript.append_bytes(bc.root_wg)
+    transcript.append_u64(bc.wg_sum % p)
+    wl_refs = ("ba0", "ba1", "ba2", "ba3", "bk", "vw", "st")
+    if bc.zc_mem.num_vars != mvv or bc.zc_mem.degree != MEMLINK_DEGREE:
+        return False
+    if set(bc.zc_mem.column_evals) != {"g_lnk"} | {f"ref_{n}" for n in wl_refs}:
+        return False
+    _, wl_scalar = _make_memlink_combiner(tau_w, ep, A, mvv, p)
+    wl_scalar.final_point = bc.zc_mem.final_point
+    if not ZerocheckVerifier(F, wl_scalar, 1, MEMLINK_DEGREE).verify(
+        bc.zc_mem, transcript
+    ):
+        return False
+    mc_names = sorted(MC_COLUMNS)
+    if set(bc.mc_evals or {}) != set(mc_names):
+        return False
+    for name in wl_refs:
+        if bc.mc_evals[name] % p != bc.zc_mem.column_evals[f"ref_{name}"] % p:
+            return False
+    cn_mc = params.choose_split(mvv, len(mc_names))
+    awl, bwl = _row_col_weights(bc.zc_mem.final_point, cn_mc)
+    if not ligero_verify_claims(
+        F, mc.root_cols, mvv, mc_names,
+        [LigeroClaim(a=awl, b=bwl,
+                     values={nm: bc.mc_evals[nm] % p for nm in mc_names})],
+        bc.mclink_proof, transcript, hash_mode,
+    ):
+        return False
+    cn_wg = params.choose_split(mvv, 1)
+    awg, bwg = _row_col_weights(bc.zc_mem.final_point, cn_wg)
+    m_wg = (1 << mvv) >> cn_wg
+    if not ligero_verify_claims(
+        F, bc.root_wg, mvv, ["g_lnk"],
+        [
+            LigeroClaim(a=awg, b=bwg,
+                        values={"g_lnk": bc.zc_mem.column_evals["g_lnk"]}),
+            LigeroClaim(a=np.ones(m_wg, dtype=np.uint64),
+                        b=np.ones(1 << cn_wg, dtype=np.uint64),
+                        values={"g_lnk": bc.wg_sum % p}),
+        ],
+        bc.wg_proof, transcript, hash_mode,
+    ):
+        return False
+    for name in sorted(bc.mc_evals):
+        transcript.append_u64(bc.mc_evals[name] % p)
+    return True

@@ -72,14 +72,22 @@ _RANGED = (
     ("a0", 1), ("a1", 1), ("a2", 1), ("a3", 1),
     ("vr", 256), ("vw", 256),
     ("tl0", 1), ("tl1", 16), ("dl0", 1), ("dl1", 16),
+    # Base-address limbs and byte offset (8192*bk < 2^16 bounds bk < 8)
+    # for the step<->byte-row linkage (constraints/bytecode.py): each
+    # byte row proves a = base + bk mod 2^64 via a carry chain, so the
+    # linkage can fingerprint (base limbs, bk) against the step's
+    # committed address-adder output.
+    ("ba0", 1), ("ba1", 1), ("ba2", 1), ("ba3", 1), ("bk", 8192),
 )
 
 COLUMNS = ("a0", "a1", "a2", "a3", "vr", "vw", "st", "rt",
-           "tl0", "tl1", "dl0", "dl1")
+           "tl0", "tl1", "dl0", "dl1",
+           "ba0", "ba1", "ba2", "ba3", "bk", "cb0", "cb1", "cb2", "cb3")
 G_MEM = ("g_r", "g_w")
 G_RNG = tuple(f"gr_{c}" for c, _ in _RANGED)
-# logUp r/w, rt decomp, lag decomp, st boolean, load-preserves, ranges.
-NUM_CONSTRAINTS = 2 + 1 + 1 + 1 + 1 + len(_RANGED)
+# logUp r/w, rt decomp, lag decomp, st boolean, load-preserves, base+bk
+# carry chain (4) + carry booleans (4), ranges.
+NUM_CONSTRAINTS = 2 + 1 + 1 + 1 + 1 + 8 + len(_RANGED)
 
 
 @dataclass
@@ -87,6 +95,8 @@ class ByteAccessColumns:
     """Per-byte-access data (length A, unpadded, canonical uint64)."""
 
     addr: np.ndarray       # (A,) byte addresses
+    base: np.ndarray       # (A,) access base addresses (addr = base + bk)
+    bk: np.ndarray         # (A,) byte offset within the access (< 8)
     vr: np.ndarray         # (A,) byte read
     vw: np.ndarray         # (A,) byte written (== vr for loads)
     st: np.ndarray         # (A,) store flag
@@ -121,6 +131,8 @@ def extract_byte_accesses(trace, init_mem: Dict[int, int]) -> ByteAccessColumns:
     mem = dict(init_mem)
     last_ts: Dict[int, int] = {}
     addrs: List[int] = []
+    bases: List[int] = []
+    bks: List[int] = []
     vrs: List[int] = []
     vws: List[int] = []
     sts: List[int] = []
@@ -140,6 +152,8 @@ def extract_byte_accesses(trace, init_mem: Dict[int, int]) -> ByteAccessColumns:
                 mem[a] = new
             else:
                 new = old
+            bases.append(acc.address & _M64)
+            bks.append(k)
             addrs.append(a)
             vrs.append(old)
             vws.append(new)
@@ -153,6 +167,8 @@ def extract_byte_accesses(trace, init_mem: Dict[int, int]) -> ByteAccessColumns:
     ]
     return ByteAccessColumns(
         addr=np.array(addrs, dtype=np.uint64),
+        base=np.array(bases, dtype=np.uint64),
+        bk=np.array(bks, dtype=np.uint64),
         vr=np.array(vrs, dtype=np.uint64),
         vw=np.array(vws, dtype=np.uint64),
         st=np.array(sts, dtype=np.uint64),
@@ -222,6 +238,14 @@ def _make_combiner(tau_m: int, tau_r: int, gamma: int, p: int):
         terms.append((st * ((np.uint64(1) + P - st) % P)) % P)
         terms.append(((np.uint64(1) + P - st) % P)
                      * ((cols["vw"] + P - cols["vr"]) % P) % P)
+        sixt = np.uint64(1 << 16)
+        for k in range(4):
+            cin = cols[f"cb{k-1}"] if k else cols["bk"]
+            terms.append((cols[f"ba{k}"] + cin + P - cols[f"a{k}"]
+                          + P - sixt * cols[f"cb{k}"] % P) % P)
+        for k in range(4):
+            terms.append(cols[f"cb{k}"]
+                         * ((np.uint64(1) + P - cols[f"cb{k}"]) % P) % P)
         for c, coef in _RANGED:
             denom = (np.uint64(tau_r) + P - np.uint64(coef) * cols[c] % P) % P
             terms.append((cols[f"gr_{c}"] * denom + P - np.uint64(1)) % P)
@@ -256,6 +280,12 @@ def _make_combiner_scalar(tau_m: int, tau_r: int, gamma: int, num_rows: int,
         terms.append((idx - ev["rt"] - recon_d) % p)
         terms.append(ev["st"] * ((1 - ev["st"]) % p) % p)
         terms.append((1 - ev["st"]) % p * ((ev["vw"] - ev["vr"]) % p) % p)
+        for k in range(4):
+            cin = ev[f"cb{k-1}"] if k else ev["bk"]
+            terms.append((ev[f"ba{k}"] + cin - ev[f"a{k}"]
+                          - (1 << 16) * ev[f"cb{k}"]) % p)
+        for k in range(4):
+            terms.append(ev[f"cb{k}"] * (1 - ev[f"cb{k}"]) % p)
         for c, coef in _RANGED:
             terms.append((ev[f"gr_{c}"] * ((tau_r - coef * ev[c]) % p) - 1) % p)
         return sum(a * t for a, t in zip(alphas, terms)) % p
@@ -311,7 +341,7 @@ def _boundary_sum(tau_m: int, gamma: int,
 def prove_memcheck(F, transcript, access: ByteAccessColumns,
                    init_mem: Dict[int, int], hash_mode: str = "sha3",
                    _forge_hook=None,
-                   _unsafe_skip_self_checks=False) -> MemCheckProof:
+                   _unsafe_skip_self_checks=False, _return_state=False):
     from ..commitments.ligero import LigeroClaim, _row_col_weights, ligero_commit, ligero_prove_claims
 
     p = F.MODULUS
@@ -331,6 +361,14 @@ def prove_memcheck(F, transcript, access: ByteAccessColumns,
 
     for k in range(4):
         cols[f"a{k}"] = _pad((access.addr >> np.uint64(16 * k)) & _M16)
+    for k in range(4):
+        cols[f"ba{k}"] = _pad((access.base >> np.uint64(16 * k)) & _M16)
+    cols["bk"] = _pad(access.bk)
+    carry = np.zeros(A, dtype=np.uint64)
+    for k in range(4):
+        s = ((access.base >> np.uint64(16 * k)) & _M16) + (access.bk if k == 0 else 0) + carry
+        carry = s >> np.uint64(16)
+        cols[f"cb{k}"] = _pad(carry)
     cols["vr"] = _pad(access.vr)
     cols["vw"] = _pad(access.vw)
     cols["st"] = _pad(access.st)
@@ -476,13 +514,18 @@ def prove_memcheck(F, transcript, access: ByteAccessColumns,
                     b=np.ones(h_state.n, dtype=np.uint64), values={}),
     ], transcript)
 
-    return MemCheckProof(
+    mc = MemCheckProof(
         nonce=nonce, num_vars=num_vars, num_accesses=A,
         touched=list(access.touched), root_cols=state.root, root_g=g_state.root,
         root_m=m_state.root, root_h=h_state.root, zc=zc, zc_table=zc_t,
         cols_proof=cols_proof, g_proof=g_proof, m_proof=m_proof,
         h_proof=h_proof, g_sums=g_sums, h_sum=h_sum,
     )
+    if _return_state:
+        # The step<->byte-row linkage (constraints/bytecode.py) issues
+        # additional Ligero claims on this commitment at its own point.
+        return mc, cols, state
+    return mc
 
 
 # ---------------------------------------------------------------------------

@@ -215,17 +215,50 @@ class Assembler:
         return self._op(7, 1)(rd, rs1, rs2)
 
     # -- loads/stores --------------------------------------------------------
-    def ld(self, rd, rs1, imm=0):
-        return self._emit(self._itype(0x03, _r(rd), 3, _r(rs1), _fit(imm, 12)))
+    def _load(self, f3):
+        def fn(rd, rs1, imm=0):
+            return self._emit(self._itype(0x03, _r(rd), f3, _r(rs1), _fit(imm, 12)))
+
+        return fn
+
+    def _store(self, f3):
+        def fn(rs2, rs1, imm=0):
+            return self._emit(self._stype(0x23, f3, _r(rs1), _r(rs2), _fit(imm, 12)))
+
+        return fn
+
+    def lb(self, rd, rs1, imm=0):
+        return self._load(0)(rd, rs1, imm)
+
+    def lh(self, rd, rs1, imm=0):
+        return self._load(1)(rd, rs1, imm)
 
     def lw(self, rd, rs1, imm=0):
-        return self._emit(self._itype(0x03, _r(rd), 2, _r(rs1), _fit(imm, 12)))
+        return self._load(2)(rd, rs1, imm)
 
-    def sd(self, rs2, rs1, imm=0):
-        return self._emit(self._stype(0x23, 3, _r(rs1), _r(rs2), _fit(imm, 12)))
+    def ld(self, rd, rs1, imm=0):
+        return self._load(3)(rd, rs1, imm)
+
+    def lbu(self, rd, rs1, imm=0):
+        return self._load(4)(rd, rs1, imm)
+
+    def lhu(self, rd, rs1, imm=0):
+        return self._load(5)(rd, rs1, imm)
+
+    def lwu(self, rd, rs1, imm=0):
+        return self._load(6)(rd, rs1, imm)
+
+    def sb(self, rs2, rs1, imm=0):
+        return self._store(0)(rs2, rs1, imm)
+
+    def sh(self, rs2, rs1, imm=0):
+        return self._store(1)(rs2, rs1, imm)
 
     def sw(self, rs2, rs1, imm=0):
-        return self._emit(self._stype(0x23, 2, _r(rs1), _r(rs2), _fit(imm, 12)))
+        return self._store(2)(rs2, rs1, imm)
+
+    def sd(self, rs2, rs1, imm=0):
+        return self._store(3)(rs2, rs1, imm)
 
     # -- control flow --------------------------------------------------------
     def _branch(self, f3):

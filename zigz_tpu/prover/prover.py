@@ -578,8 +578,17 @@ class Prover:
         t0 = time.perf_counter()
         init_mem = initial_memory_map(program, entry_pc, segments)
         access = extract_byte_accesses(trace, init_mem)
-        proof.v2.memcheck = prove_memcheck(
+        proof.v2.memcheck, mc_cols, mc_state = prove_memcheck(
             self.F, self.transcript, access, init_mem, self._hash_mode(),
+            _forge_hook=getattr(self, "_mc_forge_hook", None),
+            _unsafe_skip_self_checks=getattr(self, "_mc_unsafe", False),
+            _return_state=True,
+        )
+        # Retained for the LOAD/STORE linkage's extra claims at its point.
+        self._mc_info = dict(
+            cols=mc_cols, state=mc_state,
+            num_accesses=proof.v2.memcheck.num_accesses,
+            num_vars=proof.v2.memcheck.num_vars,
         )
         self.last_timings["memcheck_s"] = time.perf_counter() - t0
 
@@ -602,6 +611,7 @@ class Prover:
             self._v2_pcs_cols, self._v2_pcs_state, self._hash_mode(),
             outputs=output_tape,
             validity_info=getattr(self, "_lv_info", None),
+            memcheck_info=self._mc_info,
             _forge_hook=getattr(self, "_bc_forge_hook", None),
             _unsafe_skip_self_checks=getattr(self, "_bc_unsafe", False),
         )

@@ -395,6 +395,19 @@ class BinarySerializer:
         for name, _ in RANGED:
             w.u64(bc.gr_sums[name] % p)
         w.u64(bc.hr_sum % p)
+        # LOAD/STORE linkage: per-byte-slot sums, byte-counter chain
+        # sums, and the memcheck byte-row side.
+        for s in bc.gm_sums:
+            w.u64(s % p)
+        w.u64(bc.gb1_sum % p)
+        w.u64(bc.gb2_sum % p)
+        w.bytes_(bc.root_wg)
+        self._write_zerocheck(w, bc.zc_mem)
+        self._write_ligero_proof(w, bc.mclink_proof)
+        self._write_ligero_proof(w, bc.wg_proof)
+        for name in sorted(bc.mc_evals):
+            w.u64(bc.mc_evals[name] % p)
+        w.u64(bc.wg_sum % p)
         # Witness linkage (constraints/linkage.py): step-side sum + one
         # query-domain record per gadget-covered validity table.
         w.u64(bc.glk_sum % p)
@@ -431,7 +444,9 @@ class BinarySerializer:
         from ..constraints.bytecode import RANGED as _BC_RANGED
 
         zc_names = (list(LINK_COLUMNS)
-                    + ["g_bc", "g_c1", "g_c2", "g_out", "g_lk_s"]
+                    + ["g_bc", "g_c1", "g_c2", "g_out", "g_lk_s",
+                       "g_b1", "g_b2"]
+                    + [f"g_m{k}" for k in range(8)]
                     + [f"gr_{name}" for name, _ in _BC_RANGED]
                     + [f"ref_{n}" for n in _REG_REFS]
                     + [f"ref_{n}" for n in _PCS_REFS])
@@ -460,6 +475,20 @@ class BinarySerializer:
         hr_proof = self._read_ligero_proof(r)
         gr_sums = {name: r.u64() for name, _ in RANGED}
         hr_sum = r.u64()
+        from ..constraints.memcheck import COLUMNS as MC_COLUMNS
+
+        gm_sums = [r.u64() for _ in range(8)]
+        gb1_sum = r.u64()
+        gb2_sum = r.u64()
+        root_wg = r.bytes_(32)
+        wl_refs = ("ba0", "ba1", "ba2", "ba3", "bk", "vw", "st")
+        zc_mem = self._read_zerocheck(
+            r, ["g_lnk"] + [f"ref_{n}" for n in wl_refs]
+        )
+        mclink_proof = self._read_ligero_proof(r)
+        wg_proof = self._read_ligero_proof(r)
+        mc_evals = {name: r.u64() for name in sorted(MC_COLUMNS)}
+        wg_sum = r.u64()
         glk_sum = r.u64()
         from ..constraints.linkage import QueryLinkRecord
         from ..lookups.validity import GADGETS
@@ -493,6 +522,9 @@ class BinarySerializer:
             root_mr=root_mr, root_hr=root_hr, zc_range=zc_range,
             mr_proof=mr_proof, hr_proof=hr_proof, gr_sums=gr_sums,
             hr_sum=hr_sum,
+            gm_sums=gm_sums, gb1_sum=gb1_sum, gb2_sum=gb2_sum,
+            root_wg=root_wg, zc_mem=zc_mem, mclink_proof=mclink_proof,
+            wg_proof=wg_proof, mc_evals=mc_evals, wg_sum=wg_sum,
         )
 
     @staticmethod

@@ -294,6 +294,7 @@ class Verifier:
             hash_mode, outputs=io.outputs,
             lv_tables=(proof.v2.lookup_validity.tables
                        if proof.v2.lookup_validity is not None else []),
+            mc=proof.v2.memcheck,
         ):
             return VerificationResult.RejectInvalidBytecode
 
