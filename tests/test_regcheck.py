@@ -169,3 +169,26 @@ def test_extract_access_columns_timestamps():
     assert a.read_ts[:, 1].tolist() == [3, 4, 0]
     assert a.final_ts[1] == 5 and a.final_ts[2] == 2 and a.final_ts[3] == 6
     assert a.final_ts[0] == 0
+
+
+def test_transient_x0_write_rejected():
+    """A trace that transiently writes x0 (restoring 0 before the final
+    anchor) is CONSISTENT as a plain memory check — only the z0 write
+    gadget catches it.  Without it, later reads would observe x0 != 0."""
+    n = 4
+    # step 0: write x0 := 5; step 1: read x0 (returns 5), write x1 := 7;
+    # step 2: restore x0 := 0; step 3: read x1.  Every read returns the
+    # last written value, so the plain memory check is satisfied.
+    rs1 = np.array([1, 0, 1, 1])
+    rs2 = np.array([1, 0, 0, 1])
+    rd = np.array([0, 1, 0, 1])
+    rv1 = np.array([0, 5, 7, 7], dtype=np.uint64)
+    rv2 = np.array([0, 5, 5, 7], dtype=np.uint64)
+    ov = np.array([0, 0, 5, 7], dtype=np.uint64)
+    wv = np.array([5, 7, 0, 7], dtype=np.uint64)
+    access = extract_access_columns(rs1, rs2, rd, rv1, rv2, ov, wv)
+    final = [0] * 32
+    final[1] = 7
+    rc = prove_regcheck(F, FiatShamirTranscript(), access, 2, None, final,
+                        _unsafe_skip_self_checks=True)
+    assert not verify_regcheck(F, FiatShamirTranscript(), rc, n, 2, None, final)

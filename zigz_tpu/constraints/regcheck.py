@@ -83,10 +83,16 @@ COLUMNS = (
     ("a1", "a2", "a3", "rt1", "rt2", "rt3")
     + _VALUE_COLS
     + tuple(f"{pre}{m}" for m in (1, 2, 3) for pre in ("tl0_", "tl1_", "dl0_", "dl1_"))
+    # x0 hardwiring: z0 = 1[a3 == 0] via the inverse gadget ia3, and
+    # z0 forces every cell-0 write value limb to 0 — without this, a
+    # forged trace could transiently write x0 and have later reads
+    # observe it (restoring 0 before the public final-state anchor).
+    + ("z0", "ia3")
 )
 G_MEM = tuple(f"g_{side}{m}" for side in ("r", "w") for m in (1, 2, 3))
 G_RNG = tuple(f"gr_{c}" for c, _ in _RANGED)
-NUM_CONSTRAINTS = 6 + 3 + 3 + len(_RANGED)  # logUp, ts-decomp, lag-decomp, ranges
+# logUp, ts-decomp, lag-decomp, x0 gadget (3 + 4 wv limbs), ranges.
+NUM_CONSTRAINTS = 6 + 3 + 3 + 7 + len(_RANGED)
 
 
 @dataclass
@@ -198,6 +204,12 @@ def _make_combiner(tau_m: int, tau_r: int, gamma: int, p: int):
             lag = (np.uint64(3) * idx + np.uint64(m - 1)) % P
             recon_d = (cols[f"dl0_{m}"] + np.uint64(1 << 16) * cols[f"dl1_{m}"]) % P
             terms.append((lag + P + P - cols[f"rt{m}"] - recon_d) % P)
+        one = np.uint64(1)
+        terms.append((cols["a3"] * cols["ia3"] % P + cols["z0"] + P - one) % P)
+        terms.append(cols["z0"] * cols["a3"] % P)
+        terms.append(cols["z0"] * ((one + P - cols["z0"]) % P) % P)
+        for k in range(4):
+            terms.append(cols["z0"] * cols[f"wv_{k}"] % P)
         for c, coef in _RANGED:
             denom = (np.uint64(tau_r) + P - np.uint64(coef) * cols[c] % P) % P
             terms.append((cols[f"gr_{c}"] * denom + P - np.uint64(1)) % P)
@@ -233,6 +245,11 @@ def _make_combiner_scalar(tau_m: int, tau_r: int, gamma: int, num_steps: int,
             lag = (3 * idx + m - 1) % p
             recon_d = (ev[f"dl0_{m}"] + (1 << 16) * ev[f"dl1_{m}"]) % p
             terms.append((lag - ev[f"rt{m}"] - recon_d) % p)
+        terms.append((ev["a3"] * ev["ia3"] + ev["z0"] - 1) % p)
+        terms.append(ev["z0"] * ev["a3"] % p)
+        terms.append(ev["z0"] * (1 - ev["z0"]) % p)
+        for k in range(4):
+            terms.append(ev["z0"] * ev[f"wv_{k}"] % p)
         for c, coef in _RANGED:
             terms.append((ev[f"gr_{c}"] * ((tau_r - coef * ev[c]) % p) - 1) % p)
         return sum(a * t for a, t in zip(alphas, terms)) % p
@@ -320,6 +337,10 @@ def prove_regcheck(F, transcript, access: RegAccessColumns, num_vars: int,
         lag = 3 * idx + np.uint64(m - 1) - rt  # >= 0 for honest advice
         cols[f"dl0_{m}"] = lag & _M16
         cols[f"dl1_{m}"] = lag >> np.uint64(16)
+    # x0 hardwiring gadget: z0 = 1[a3 == 0] (padding rows are cell-0
+    # zero-writes, so the global constraints hold there too).
+    cols["z0"] = (cols["a3"] == 0).astype(np.uint64)
+    cols["ia3"] = np_inv(cols["a3"], p)
 
     if _forge_hook is not None:
         _forge_hook(cols)
@@ -490,6 +511,10 @@ def verify_regcheck(F, transcript, rc: RegCheckProof, num_steps: int,
     if rc.num_vars != num_vars or len(rc.final_ts) != 32:
         return False
     if any(not (0 <= t <= 3 * num_steps) for t in rc.final_ts):
+        return False
+    # x0 is architecturally zero at both public anchors (the committed
+    # side is pinned by the z0 write gadget).
+    if init[0] != 0 or (final_regs and final_regs[0] != 0):
         return False
 
     transcript.append_bytes(b"RC_BEGIN")
