@@ -653,6 +653,71 @@ def test_tampered_mem_link_sum_rejected():
     )
 
 
+# -- RV64 word ops (ADDW/SUBW/SLLW/SRLW/SRAW + immediates) --------------------
+
+
+def _word_op_program():
+    from zigz_tpu.guest.asm import Assembler
+
+    a = Assembler()
+    a.li("x1", 0x9234_5678)       # bit 31 set after ops -> sext paths
+    a.li("x2", 0xF000_0001)
+    a.addw("x3", "x1", "x2")      # wraps 32-bit, sext
+    a.subw("x4", "x1", "x2")
+    a.sllw("x5", "x1", "x2")      # shamt = 1
+    a.srlw("x6", "x1", "x2")
+    a.sraw("x7", "x1", "x2")
+    a.addiw("x8", "x1", -16)
+    a.slliw("x9", "x1", 4)
+    a.sraiw("x10", "x1", 3)
+    a.srliw("x11", "x1", 3)
+    a.ebreak()
+    return a.assemble()
+
+
+def test_word_ops_e2e_accept():
+    program = _word_op_program()
+    proof = _prove(program)
+    M = (1 << 64) - 1
+
+    def sext32(v):
+        v &= 0xFFFFFFFF
+        return v | (0xFFFFFFFF00000000 if v >> 31 else 0)
+
+    regs = proof.public_io.final_regs
+    assert regs[3] == sext32(0x92345678 + 0xF0000001)
+    assert regs[4] == sext32(0x92345678 - 0xF0000001)
+    assert regs[5] == sext32(0x92345678 << 1)
+    assert regs[6] == sext32(0x92345678 >> 1)
+    assert regs[7] == sext32((0x92345678 - (1 << 32)) >> 1)
+    assert regs[8] == sext32(0x92345678 - 16)
+    assert regs[9] == sext32(0x92345678 << 4)
+    assert regs[10] == sext32((0x92345678 - (1 << 32)) >> 3)
+    assert regs[11] == sext32(0x92345678 >> 3)
+    assert Verifier(F).verify(proof, program) == VerificationResult.Accept
+
+
+def test_forged_word_op_result_rejected():
+    """W-op results are now table-proven: forging the committed result
+    limb must be rejected (previously W steps were free rd writes)."""
+    program = _word_op_program()
+    prover = Prover(F, seed=0, protocol_version=2)
+
+    def forge(lk, table):
+        rows = np.nonzero(lk["tbl1"] == 14)[0]  # ADDW (id 13) steps
+        assert len(rows)
+        lk["res_0"] = lk["res_0"].copy()
+        lk["res_0"][rows[0]] ^= 1
+
+    prover._bc_forge_hook = forge
+    prover._bc_unsafe = True
+    proof = prover.prove(program, 0x1000, None, 1 << 16, None, None)
+    assert (
+        Verifier(F).verify(proof, program)
+        == VerificationResult.RejectInvalidBytecode
+    )
+
+
 def test_serialization_roundtrip_bytes_stable():
     program = _nop_add_program()
     proof = _prove(program)

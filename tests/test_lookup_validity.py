@@ -99,6 +99,25 @@ def _mk_queries(table_id, n):
             [in0 == in1, in0 != in1, s0 < s1, s0 >= s1, in0 < in1, in0 >= in1],
         ).astype(np.uint64)
         return np.stack([in0, in1, f3], axis=1), taken[:, None]
+    elif table_id in (13, 14, 15, 16, 17):
+        def sext32(v):
+            v32 = v & np.uint64(0xFFFFFFFF)
+            return np.where(v32 >> np.uint64(31),
+                            v32 | np.uint64(0xFFFFFFFF00000000), v32)
+
+        sw = in1 & np.uint64(31)
+        if table_id == 13:
+            out = sext32(in0 + in1)
+        elif table_id == 14:
+            out = sext32(in0 - in1)
+        elif table_id == 15:
+            out = sext32(in0 << sw)
+        elif table_id == 16:
+            out = sext32((in0 & np.uint64(0xFFFFFFFF)) >> sw)
+        else:
+            lo32 = (in0 & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+            out = sext32((lo32.view(np.int32).astype(np.int64)
+                          >> sw.astype(np.int64)).view(np.uint64))
     else:
         raise AssertionError(table_id)
     return np.stack([in0, in1], axis=1), out[:, None]

@@ -165,8 +165,10 @@ _WRITES_RD = (
 )
 _NONSEQ = (Opcode.BRANCH, Opcode.JAL, Opcode.JALR, Opcode.SYSTEM)
 # Gadget-covered v2 tables (lookups/validity.py GADGETS): the ten 64-bit
-# ALU tables + the shared branch table.
-_GADGET_IDS = tuple(range(10)) + (TABLE_IDS["BEQ"],)
+# ALU tables, the shared branch table, and the five word-op tables.
+_GADGET_IDS = (tuple(range(10)) + (TABLE_IDS["BEQ"],)
+               + tuple(TABLE_IDS[n] for n in ("ADDW", "SUBW", "SLLW",
+                                              "SRLW", "SRAW")))
 
 
 def decode_fields(words: np.ndarray):
@@ -234,7 +236,7 @@ def step_static_columns(op, rd, f3, rs1, rs2, f7, imm_u64) -> Dict[str, np.ndarr
     is_sys = op == Opcode.SYSTEM
     writes = np.isin(op, _WRITES_RD)
     flk = np.isin(tbl, _GADGET_IDS)
-    is_alu = (tbl >= 0) & (tbl <= TABLE_IDS["SLTU"])
+    is_alu = flk & (tbl != TABLE_IDS["BEQ"])
 
     cols = {
         # SYSTEM reads (a7, a0) — mirrored by the regcheck extraction.
@@ -246,8 +248,9 @@ def step_static_columns(op, rd, f3, rs1, rs2, f7, imm_u64) -> Dict[str, np.ndarr
         "seqb": (~np.isin(op, _NONSEQ)).astype(np.uint64),
         "fsys": is_sys.astype(np.uint64),
         "fecall": (is_sys & (imm_u64 == 0) & (np.asarray(f3) == 0)).astype(np.uint64),
-        "fimm": ((op == Opcode.OP_IMM) & flk).astype(np.uint64),
-        "frs2": (((op == Opcode.OP) & flk) | (op == Opcode.BRANCH)).astype(np.uint64),
+        "fimm": (np.isin(op, (Opcode.OP_IMM, Opcode.OP_IMM_32)) & flk).astype(np.uint64),
+        "frs2": ((np.isin(op, (Opcode.OP, Opcode.OP_32)) & flk)
+                 | (op == Opcode.BRANCH)).astype(np.uint64),
         "fwr": (is_alu & (rd != 0)).astype(np.uint64),
         "fbr": (op == Opcode.BRANCH).astype(np.uint64),
         "fjal": (op == Opcode.JAL).astype(np.uint64),

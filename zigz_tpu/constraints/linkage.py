@@ -102,6 +102,8 @@ def gadget_linkage_arrays(tid: int, cols: Dict[str, np.ndarray], p: int):
         in0, in1, s = limbs("x"), limbs("y"), [cols["o"], z, z, z]
     elif tid == 10:  # BRANCH: s carries (funct3, taken, 0, 0)
         in0, in1, s = limbs("x"), limbs("y"), [cols["f3"], cols["o"], z, z]
+    elif tid in (13, 14, 15, 16, 17):  # word ops: (x, y) -> z
+        in0, in1, s = limbs("x"), limbs("y"), limbs("z")
     else:
         raise ValueError(f"no linkage spec for table {tid}")
     return dict(zip(LINK_SLOTS, in0 + in1 + s))
@@ -123,7 +125,7 @@ def gadget_linkage_scalars(tid: int, ev: Dict[str, int], p: int) -> Dict[str, in
         in0, in1, s = limbs("z"), limbs("y"), limbs("x")
     elif tid in (2, 3, 4):
         in0, in1, s = chunk16("a"), chunk16("b"), chunk16("o")
-    elif tid in (5, 6, 7):
+    elif tid in (5, 6, 7, 13, 14, 15, 16, 17):
         in0, in1, s = limbs("x"), limbs("y"), limbs("z")
     elif tid in (8, 9):
         in0, in1, s = limbs("x"), limbs("y"), [ev["o"] % p, 0, 0, 0]

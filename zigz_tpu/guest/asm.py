@@ -150,6 +150,36 @@ class Assembler:
     def addiw(self, rd, rs1, imm):
         return self._emit(self._itype(0x1B, _r(rd), 0, _r(rs1), _fit(imm, 12)))
 
+    def slliw(self, rd, rs1, shamt):
+        return self._emit(self._itype(0x1B, _r(rd), 1, _r(rs1), shamt & 31))
+
+    def srliw(self, rd, rs1, shamt):
+        return self._emit(self._itype(0x1B, _r(rd), 5, _r(rs1), shamt & 31))
+
+    def sraiw(self, rd, rs1, shamt):
+        return self._emit(self._itype(0x1B, _r(rd), 5, _r(rs1), (shamt & 31) | 0x400))
+
+    def _opw(self, f3, f7):
+        def fn(rd, rs1, rs2):
+            return self._emit(self._rtype(0x3B, _r(rd), f3, _r(rs1), _r(rs2), f7))
+
+        return fn
+
+    def addw(self, rd, rs1, rs2):
+        return self._opw(0, 0)(rd, rs1, rs2)
+
+    def subw(self, rd, rs1, rs2):
+        return self._opw(0, 0x20)(rd, rs1, rs2)
+
+    def sllw(self, rd, rs1, rs2):
+        return self._opw(1, 0)(rd, rs1, rs2)
+
+    def srlw(self, rd, rs1, rs2):
+        return self._opw(5, 0)(rd, rs1, rs2)
+
+    def sraw(self, rd, rs1, rs2):
+        return self._opw(5, 0x20)(rd, rs1, rs2)
+
     def lui(self, rd, imm20):
         return self._emit(self._utype(0x37, _r(rd), imm20 << 12))
 

@@ -63,6 +63,9 @@ _M64 = (1 << 64) - 1
 TABLE_NAMES = (
     "ADD", "SUB", "AND", "OR", "XOR", "SLL", "SRL", "SRA",
     "SLT", "SLTU", "BEQ", "LOAD", "STORE",
+    # v2-only tables (the reference catalog stops at STORE; v1 keeps the
+    # reference mapping bit-for-bit): RV64 word ops.
+    "ADDW", "SUBW", "SLLW", "SRLW", "SRAW",
 )
 TABLE_IDS = {name: i for i, name in enumerate(TABLE_NAMES)}
 
@@ -85,8 +88,8 @@ def v2_lookup_ids(opcode: np.ndarray, funct3: np.ndarray, funct7: np.ndarray,
       * RV64 immediate shifts use funct7's low bit as shamt bit 5, so
         SRLI with shamt >= 32 was classified SRA.  v2 tests bit 30
         (the actual SRL/SRA discriminator) instead.
-      * Word ops (OP_32/OP_IMM_32) wrap at 32 bits and were already
-        unmapped (get_table_metadata returns None); unchanged here.
+      * Word ops (OP_32/OP_IMM_32) map to the v2-only ADDW..SRAW
+        tables (32-bit wrap + sign extension gadgets in validity.py).
 
     v1 keeps the reference mapping bit-for-bit (wire parity)."""
     op = opcode.astype(np.int64)
@@ -115,6 +118,25 @@ def v2_lookup_ids(opcode: np.ndarray, funct3: np.ndarray, funct7: np.ndarray,
     # OP_IMM: funct7's low bit is shamt bit 5 for the shift immediates,
     # so only bit 30 participates in classification.
     out = np.where(op_ok | is_opimm, base, out)
+    # Word ops: ADDW/SUBW/SLLW/SRLW/SRAW (and the OP_IMM_32 immediates).
+    srxw = np.where(f7 & 0b0100000, TABLE_IDS["SRAW"], TABLE_IDS["SRLW"])
+    basew = np.choose(np.minimum(f3, 5), [
+        np.where((op == Opcode.OP_32) & (f7 & 0b0100000).astype(bool),
+                 np.int64(TABLE_IDS["SUBW"]), np.int64(TABLE_IDS["ADDW"])),
+        np.full_like(op, TABLE_IDS["SLLW"]),
+        np.full_like(op, -1),
+        np.full_like(op, -1),
+        np.full_like(op, -1),
+        srxw,
+    ])
+    is_op32 = op == Opcode.OP_32
+    is_opimm32 = op == Opcode.OP_IMM_32
+    # OP_32: funct7 in {0, 0b0100000}; funct3 in {0, 1, 5}; funct7=1 is
+    # the M extension (MULW..REMUW, no gadget tables yet).
+    op32_ok = is_op32 & ((f7 == 0) | (f7 == 0b0100000)) & np.isin(f3, (0, 1, 5))
+    # OP_IMM_32: ADDIW/SLLIW/SRLIW/SRAIW (bit 30 discriminates SRA).
+    opimm32_ok = is_opimm32 & np.isin(f3, (0, 1, 5))
+    out = np.where(op32_ok | opimm32_ok, basew, out)
     out = np.where(op == Opcode.LOAD, np.int64(TABLE_IDS["LOAD"]), out)
     out = np.where(op == Opcode.STORE, np.int64(TABLE_IDS["STORE"]), out)
     out = np.where(op == Opcode.BRANCH, np.int64(TABLE_IDS["BEQ"]), out)
@@ -346,7 +368,22 @@ def extract_table_queries(trace) -> Dict[int, Tuple[np.ndarray, np.ndarray]]:
             7: lambda: (in0.view(np.int64) >> s.astype(np.int64)).view(np.uint64),
             8: lambda: (in0.view(np.int64) < in1.view(np.int64)).astype(np.uint64),
             9: lambda: (in0 < in1).astype(np.uint64),
+            13: lambda: _sext32(in0 + in1),
+            14: lambda: _sext32(in0 - in1),
+            15: lambda: _sext32(in0 << (in1 & np.uint64(31))),
+            16: lambda: _sext32((in0 & np.uint64(0xFFFFFFFF))
+                                >> (in1 & np.uint64(31))),
+            17: lambda: _sext32(
+                ((in0 & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+                 .view(np.int32).astype(np.int64)
+                 >> (in1 & np.uint64(31)).astype(np.int64)).view(np.uint64)
+            ),
         }[table_id]()
+
+    def _sext32(v):
+        v32 = v & np.uint64(0xFFFFFFFF)
+        return np.where(v32 >> np.uint64(31),
+                        v32 | np.uint64(0xFFFFFFFF00000000), v32)
 
     rs1_val, rs2_val, rd_after, _rd_before = operand_values(trace, rs1, rs2, rd)
     lookup_id = v2_lookup_ids(opcode, funct3, funct7, imm)
@@ -357,7 +394,7 @@ def extract_table_queries(trace) -> Dict[int, Tuple[np.ndarray, np.ndarray]]:
         if not mask.any():
             continue
         op = opcode[mask]
-        is_imm = op == Opcode.OP_IMM
+        is_imm = (op == Opcode.OP_IMM) | (op == Opcode.OP_IMM_32)
         is_mem = (op == Opcode.LOAD) | (op == Opcode.STORE)
         is_branch = op == Opcode.BRANCH
 
@@ -371,7 +408,7 @@ def extract_table_queries(trace) -> Dict[int, Tuple[np.ndarray, np.ndarray]]:
         outv = np.where(
             is_branch, taken, np.where(is_mem, mem_val[mask], rd_after[mask])
         )
-        if table_id <= TABLE_IDS["SLTU"]:
+        if table_id <= TABLE_IDS["SLTU"] or table_id >= TABLE_IDS["ADDW"]:
             # ALU writes to x0 are discarded by the register file, so
             # rd_after is 0 there — but the TABLE entry's output is the
             # operation result (an honest `ADD x0, x1, x2` must stay a

@@ -598,6 +598,241 @@ class _ShiftGadget:
         return self._terms(ev, p)
 
 
+
+
+class _AddSubWGadget:
+    """ADDW: z = sext32(x + y mod 2^32) via a 2-limb carry chain on the
+    low halves; SUBW reuses it as z + y = x (mod 2^32).  The sign
+    extension is the 2*z1 = 2^16*sw + rz2 top-bit split."""
+
+    columns = tuple(f"{pre}{j}" for pre in ("x", "y", "z") for j in _LIMB) + (
+        "c0", "c1", "sw", "rz2",
+    )
+    inclusions: Tuple[Inclusion, ...] = tuple(
+        (f"g_{pre}{j}", "RANGE16", {f"{pre}{j}": 1})
+        for pre in ("x", "y") for j in _LIMB
+    ) + (
+        ("g_z0", "RANGE16", {"z0": 1}),
+        ("g_z1", "RANGE16", {"z1": 1}),
+        ("g_rz2", "RANGE16", {"rz2": 1}),
+    )
+
+    def __init__(self, is_sub: bool):
+        self.is_sub = is_sub
+
+    def build(self, inputs: np.ndarray, outputs: np.ndarray, n_pad: int, p: int):
+        x, y, z = _pad_cols([inputs[:, 0], inputs[:, 1], outputs[:, 0]], n_pad)
+        cols = {**_limbs("x", x), **_limbs("y", y), **_limbs("z", z)}
+        a, b = (z, y) if self.is_sub else (x, y)
+        lo_sum0 = (a & _M16) + (b & _M16)
+        c0 = lo_sum0 >> np.uint64(16)
+        cols["c0"] = c0
+        cols["c1"] = (((a >> np.uint64(16)) & _M16)
+                      + ((b >> np.uint64(16)) & _M16) + c0) >> np.uint64(16)
+        cols["sw"] = cols["z1"] >> np.uint64(15)
+        cols["rz2"] = (cols["z1"] & np.uint64(0x7FFF)) * np.uint64(2)
+        return cols
+
+    def _terms(self, ev, p: int):
+        one = 1 % p
+        a, b, out = (("z", "y", "x") if self.is_sub else ("x", "y", "z"))
+        terms = []
+        # a + b = out (mod 2^32) over 2 limbs; the carry out is dropped.
+        terms.append(_sub_m(
+            (ev[f"{a}0"] + ev[f"{b}0"]) % p,
+            (ev[f"{out}0"] + (1 << 16) * ev["c0"]) % p, p))
+        terms.append(_sub_m(
+            (ev[f"{a}1"] + ev[f"{b}1"] + ev["c0"]) % p,
+            (ev[f"{out}1"] + (1 << 16) * ev["c1"]) % p, p))
+        for c in ("c0", "c1", "sw"):
+            terms.append(_mul_m(ev[c], _sub_m(one, ev[c], p), p))
+        terms.append(_sub_m(2 * ev["z1"] % p,
+                            ((1 << 16) * ev["sw"] + ev["rz2"]) % p, p))
+        terms.append(_sub_m(ev["z2"], 0xFFFF * ev["sw"] % p, p))
+        terms.append(_sub_m(ev["z3"], 0xFFFF * ev["sw"] % p, p))
+        return terms
+
+    def constraint_arrays(self, cols, p: int) -> List[np.ndarray]:
+        return self._terms(cols, p)
+
+    def constraint_scalars(self, ev, p: int) -> List[int]:
+        return self._terms(ev, p)
+
+
+class _ShiftWGadget:
+    """SLLW/SRLW/SRAW: 32-bit shifts of the LOW half of x, s = y & 31,
+    result sign-extended to 64 bits.  Same staged shifter as the 64-bit
+    gadget, over a 2-limb input producing 4 sub-limb stages."""
+
+    def __init__(self, kind: str):
+        assert kind in ("SLLW", "SRLW", "SRAW")
+        self.kind = kind
+        na = self._n_alpha = 2 if kind == "SLLW" else 3
+        cols = [f"{pre}{j}" for pre in ("x", "y", "z") for j in _LIMB]
+        cols += ["yq", "pb01", "pb23", "pb"]
+        cols += [f"b{i}" for i in range(4)]
+        cols += [f"A{i}" for i in range(na)]
+        if kind != "SLLW":
+            cols += [f"sa{i}" for i in range(2)] + [f"sb{i}" for i in range(4)]
+        cols += [f"w{j}" for j in range(4)]
+        cols += [f"lo{j}" for j in range(4)]
+        cols += [f"hi{j}" for j in range(3)]
+        if kind == "SRAW":
+            cols += ["sgnw", "rx1w", "mk0", "mk1"]
+        else:
+            cols += ["sw", "rtop"]
+        self.columns = tuple(sorted(cols))
+        inc = [
+            (f"g_{pre}{j}", "RANGE16", {f"{pre}{j}": 1})
+            for pre in ("x", "y") for j in _LIMB
+        ]
+        inc += [("g_z0", "RANGE16", {"z0": 1}), ("g_z1", "RANGE16", {"z1": 1})]
+        inc.append(("g_yq", "RANGE16", {"yq": 32}))
+        inc += [(f"g_lo{j}", "RANGE16", {f"lo{j}": 1}) for j in range(4)]
+        inc += [(f"g_hi{j}", "RANGE16", {f"hi{j}": 1}) for j in range(3)]
+        if kind == "SRAW":
+            inc.append(("g_rx1w", "RANGE16", {"rx1w": 1}))
+        else:
+            inc.append(("g_rtop", "RANGE16", {"rtop": 1}))
+        self.inclusions: Tuple[Inclusion, ...] = tuple(inc)
+
+    def build(self, inputs: np.ndarray, outputs: np.ndarray, n_pad: int, p: int):
+        one = np.uint64(1)
+        x, y, z = _pad_cols([inputs[:, 0], inputs[:, 1], outputs[:, 0]], n_pad)
+        cols = {**_limbs("x", x), **_limbs("y", y), **_limbs("z", z)}
+        s = y & np.uint64(31)
+        cols["yq"] = (y & _M16) >> np.uint64(5)
+        t = s if self.kind == "SLLW" else np.uint64(32) - s
+        alpha = t >> np.uint64(4)
+        beta = t & np.uint64(15)
+        for i in range(4):
+            cols[f"b{i}"] = (beta >> np.uint64(i)) & one
+        for i in range(self._n_alpha):
+            cols[f"A{i}"] = (alpha == i).astype(np.uint64)
+        if self.kind != "SLLW":
+            for i in range(2):
+                cols[f"sa{i}"] = ((s >> np.uint64(4)) == i).astype(np.uint64)
+            for i in range(4):
+                cols[f"sb{i}"] = (s >> np.uint64(i)) & one
+        pb = one << beta
+        cols["pb01"] = (one + cols["b0"]) * (one + np.uint64(3) * cols["b1"])
+        cols["pb23"] = (one + np.uint64(15) * cols["b2"]) * (
+            one + np.uint64(255) * cols["b3"]
+        )
+        cols["pb"] = pb
+        for j in range(4):
+            w = np.zeros(n_pad, dtype=np.uint64)
+            for i in range(self._n_alpha):
+                if 0 <= j - i <= 1:
+                    w += cols[f"A{i}"] * cols[f"x{j - i}"]
+            cols[f"w{j}"] = w
+            prod = w * pb
+            cols[f"lo{j}"] = prod & _M16
+            if j < 3:
+                cols[f"hi{j}"] = prod >> np.uint64(16)
+        if self.kind == "SRAW":
+            cols["sgnw"] = cols["x1"] >> np.uint64(15)
+            cols["rx1w"] = (cols["x1"] & np.uint64(0x7FFF)) * np.uint64(2)
+            for j in range(2):
+                low = np.where(
+                    alpha > j, np.uint64(0xFFFF),
+                    np.where(alpha == j, pb - one, np.uint64(0)),
+                )
+                cols[f"mk{j}"] = np.uint64(0xFFFF) - low
+        else:
+            cols["sw"] = cols["z1"] >> np.uint64(15)
+            cols["rtop"] = (cols["z1"] & np.uint64(0x7FFF)) * np.uint64(2)
+        return cols
+
+    def _terms(self, ev, p: int):
+        na = self._n_alpha
+        one = 1 % p
+        terms = []
+        bools = [f"A{i}" for i in range(na)] + [f"b{i}" for i in range(4)]
+        if self.kind != "SLLW":
+            bools += [f"sa{i}" for i in range(2)] + [f"sb{i}" for i in range(4)]
+        if self.kind == "SRAW":
+            bools.append("sgnw")
+        else:
+            bools.append("sw")
+        for name in bools:
+            terms.append(_mul_m(ev[name], _sub_m(one, ev[name], p), p))
+        onehot_a = 0
+        for i in range(na):
+            onehot_a = (onehot_a + ev[f"A{i}"]) % p
+        terms.append(_sub_m(onehot_a, one, p))
+        t_lin = 0
+        for i in range(na):
+            t_lin = (t_lin + (16 * i % p) * ev[f"A{i}"]) % p
+        for i in range(4):
+            t_lin = (t_lin + (1 << i) * ev[f"b{i}"]) % p
+        if self.kind == "SLLW":
+            s_lin = t_lin
+        else:
+            onehot_s = 0
+            s_lin = 0
+            for i in range(2):
+                onehot_s = (onehot_s + ev[f"sa{i}"]) % p
+                s_lin = (s_lin + (16 * i % p) * ev[f"sa{i}"]) % p
+            for i in range(4):
+                s_lin = (s_lin + (1 << i) * ev[f"sb{i}"]) % p
+            terms.append(_sub_m(onehot_s, one, p))
+            terms.append(_sub_m((t_lin + s_lin) % p, 32 % p, p))
+        # y0 = s + 32*yq.
+        terms.append(_sub_m(ev["y0"], (s_lin + 32 * ev["yq"]) % p, p))
+        terms.append(_sub_m(
+            ev["pb01"],
+            _mul_m((one + ev["b0"]) % p, (one + 3 * ev["b1"]) % p, p), p))
+        terms.append(_sub_m(
+            ev["pb23"],
+            _mul_m((one + 15 * ev["b2"]) % p, (one + 255 * ev["b3"]) % p, p), p))
+        terms.append(_sub_m(ev["pb"], _mul_m(ev["pb01"], ev["pb23"], p), p))
+        for j in range(4):
+            rot = 0
+            for i in range(na):
+                if 0 <= j - i <= 1:
+                    rot = (rot + _mul_m(ev[f"A{i}"], ev[f"x{j - i}"], p)) % p
+            terms.append(_sub_m(ev[f"w{j}"], rot, p))
+            rhs = ev[f"lo{j}"] if j == 3 else (
+                ev[f"lo{j}"] + (1 << 16) * ev[f"hi{j}"]
+            ) % p
+            terms.append(_sub_m(_mul_m(ev[f"w{j}"], ev["pb"], p), rhs, p))
+        off = 0 if self.kind == "SLLW" else 2
+        r32 = []
+        for j in range(2):
+            v = ev[f"lo{off + j}"]
+            if off + j > 0:
+                v = (v + ev[f"hi{off + j - 1}"]) % p
+            if self.kind == "SRAW":
+                v = (v + _mul_m(ev["sgnw"], ev[f"mk{j}"], p)) % p
+            r32.append(v)
+            terms.append(_sub_m(ev[f"z{j}"], v, p))
+        if self.kind == "SRAW":
+            fill = ev["sgnw"]
+            terms.append(_sub_m(
+                2 * ev["x1"] % p, ((1 << 16) * ev["sgnw"] + ev["rx1w"]) % p, p))
+            for j in range(2):
+                above = 0
+                for i in range(j + 1, na):
+                    above = (above + ev[f"A{i}"]) % p
+                low = (0xFFFF * above
+                       + _mul_m(ev[f"A{j}"], _sub_m(ev["pb"], one, p), p)) % p
+                terms.append(_sub_m(ev[f"mk{j}"], _sub_m(0xFFFF % p, low, p), p))
+        else:
+            fill = ev["sw"]
+            terms.append(_sub_m(
+                2 * ev["z1"] % p, ((1 << 16) * ev["sw"] + ev["rtop"]) % p, p))
+        terms.append(_sub_m(ev["z2"], 0xFFFF * fill % p, p))
+        terms.append(_sub_m(ev["z3"], 0xFFFF * fill % p, p))
+        return terms
+
+    def constraint_arrays(self, cols, p: int) -> List[np.ndarray]:
+        return self._terms(cols, p)
+
+    def constraint_scalars(self, ev, p: int) -> List[int]:
+        return self._terms(ev, p)
+
+
 # funct3 encodings of the six RV64 branch comparisons (rv64i BRANCH).
 _BRANCH_F3 = {"t_eq": 0, "t_ne": 1, "t_lt": 4, "t_ge": 5, "t_ltu": 6, "t_geu": 7}
 
@@ -742,6 +977,12 @@ GADGETS = {
     8: _SltGadget(),
     9: _SltuGadget(),
     10: _BranchGadget(),
+    # RV64 word ops (OP_32 / OP_IMM_32): 32-bit semantics, sign-extended.
+    13: _AddSubWGadget(is_sub=False),  # ADDW
+    14: _AddSubWGadget(is_sub=True),   # SUBW
+    15: _ShiftWGadget("SLLW"),
+    16: _ShiftWGadget("SRLW"),
+    17: _ShiftWGadget("SRAW"),
 }
 GADGET_TABLE_IDS = frozenset(GADGETS)
 
