@@ -718,6 +718,61 @@ def test_forged_word_op_result_rejected():
     )
 
 
+# -- M extension multiplies ---------------------------------------------------
+
+
+def _mul_program():
+    from zigz_tpu.guest.asm import Assembler
+
+    a = Assembler()
+    a.li("x1", 0xFFFFFFFFFFFFFFFE)   # -2
+    a.li("x2", 0x7FFFFFFFFFFFFFFF)   # INT_MAX
+    a.mul("x3", "x1", "x2")
+    a.mulh("x4", "x1", "x2")
+    a.mulhu("x5", "x1", "x2")
+    a.mulhsu("x6", "x1", "x2")
+    a.mulw("x7", "x1", "x2")
+    a.ebreak()
+    return a.assemble()
+
+
+def test_mul_ops_e2e_accept():
+    program = _mul_program()
+    proof = _prove(program)
+    M = (1 << 64) - 1
+    a, b = -2, 0x7FFFFFFFFFFFFFFF
+    au, bu = a & M, b & M
+    regs = proof.public_io.final_regs
+    assert regs[3] == (a * b) & M
+    assert regs[4] == ((a * b) >> 64) & M
+    assert regs[5] == ((au * bu) >> 64) & M
+    assert regs[6] == ((a * bu) >> 64) & M
+    w = ((a * b) & 0xFFFFFFFF)
+    assert regs[7] == (w | 0xFFFFFFFF00000000 if w >> 31 else w)
+    assert Verifier(F).verify(proof, program) == VerificationResult.Accept
+
+
+def test_forged_mul_result_rejected():
+    """Multiplies were free rd writes before the mul gadgets; forging a
+    committed product byte must now be rejected."""
+    program = _mul_program()
+    prover = Prover(F, seed=0, protocol_version=2)
+
+    def forge(lk, table):
+        rows = np.nonzero(lk["tbl1"] == 19)[0]  # MUL (id 18) steps
+        assert len(rows)
+        lk["res_0"] = lk["res_0"].copy()
+        lk["res_0"][rows[0]] ^= 1
+
+    prover._bc_forge_hook = forge
+    prover._bc_unsafe = True
+    proof = prover.prove(program, 0x1000, None, 1 << 16, None, None)
+    assert (
+        Verifier(F).verify(proof, program)
+        == VerificationResult.RejectInvalidBytecode
+    )
+
+
 def test_serialization_roundtrip_bytes_stable():
     program = _nop_add_program()
     proof = _prove(program)

@@ -118,6 +118,34 @@ def _mk_queries(table_id, n):
             lo32 = (in0 & np.uint64(0xFFFFFFFF)).astype(np.uint32)
             out = sext32((lo32.view(np.int32).astype(np.int64)
                           >> sw.astype(np.int64)).view(np.uint64))
+    elif table_id in (18, 19, 20, 21, 22):
+        def sext32(v):
+            v32 = v & np.uint64(0xFFFFFFFF)
+            return np.where(v32 >> np.uint64(31),
+                            v32 | np.uint64(0xFFFFFFFF00000000), v32)
+
+        def mulh(sa, sb):
+            M = (1 << 64) - 1
+
+            def to_s(v):
+                return v - (1 << 64) if v >> 63 else v
+
+            return np.array([
+                (((to_s(int(x)) if sa else int(x))
+                  * (to_s(int(y)) if sb else int(y))) >> 64) & M
+                for x, y in zip(in0, in1)
+            ], dtype=np.uint64)
+
+        if table_id == 18:
+            out = in0 * in1
+        elif table_id == 19:
+            out = mulh(True, True)
+        elif table_id == 20:
+            out = mulh(True, False)
+        elif table_id == 21:
+            out = mulh(False, False)
+        else:
+            out = sext32(in0 * in1)
     else:
         raise AssertionError(table_id)
     return np.stack([in0, in1], axis=1), out[:, None]

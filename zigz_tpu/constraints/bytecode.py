@@ -168,7 +168,9 @@ _NONSEQ = (Opcode.BRANCH, Opcode.JAL, Opcode.JALR, Opcode.SYSTEM)
 # ALU tables, the shared branch table, and the five word-op tables.
 _GADGET_IDS = (tuple(range(10)) + (TABLE_IDS["BEQ"],)
                + tuple(TABLE_IDS[n] for n in ("ADDW", "SUBW", "SLLW",
-                                              "SRLW", "SRAW")))
+                                              "SRLW", "SRAW",
+                                              "MUL", "MULH", "MULHSU",
+                                              "MULHU", "MULW")))
 
 
 def decode_fields(words: np.ndarray):

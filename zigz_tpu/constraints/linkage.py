@@ -89,7 +89,9 @@ def gadget_linkage_arrays(tid: int, cols: Dict[str, np.ndarray], p: int):
             for j in range(4)
         ]
 
-    z = _zero_like(cols, "x0" if f"x0" in cols else "a0")
+    def z():
+        return np.zeros_like(next(iter(cols.values())))
+
     if tid == 0:  # ADD: committed (x, y, z) = (in0, in1, out)
         in0, in1, s = limbs("x"), limbs("y"), limbs("z")
     elif tid == 1:  # SUB: committed (x, y, z) = (out, in1, in0)
@@ -99,11 +101,30 @@ def gadget_linkage_arrays(tid: int, cols: Dict[str, np.ndarray], p: int):
     elif tid in (5, 6, 7):  # shifts
         in0, in1, s = limbs("x"), limbs("y"), limbs("z")
     elif tid in (8, 9):  # SLT/SLTU: out is the single bit "o"
-        in0, in1, s = limbs("x"), limbs("y"), [cols["o"], z, z, z]
+        in0, in1, s = limbs("x"), limbs("y"), [cols["o"], z(), z(), z()]
     elif tid == 10:  # BRANCH: s carries (funct3, taken, 0, 0)
-        in0, in1, s = limbs("x"), limbs("y"), [cols["f3"], cols["o"], z, z]
+        in0, in1, s = limbs("x"), limbs("y"), [cols["f3"], cols["o"], z(), z()]
     elif tid in (13, 14, 15, 16, 17):  # word ops: (x, y) -> z
         in0, in1, s = limbs("x"), limbs("y"), limbs("z")
+    elif tid in (18, 19, 20, 21, 22):  # multiplies: byte-committed
+        in0 = [(cols[f"xb{2*j}"] + two8 * cols[f"xb{2*j+1}"]) % P
+               for j in range(4)]
+        in1 = [(cols[f"yb{2*j}"] + two8 * cols[f"yb{2*j+1}"]) % P
+               for j in range(4)]
+        if tid == 18:  # MUL: low product bytes
+            s = [(cols[f"zb{2*j}"] + two8 * cols[f"zb{2*j+1}"]) % P
+                 for j in range(4)]
+        elif tid == 21:  # MULHU: high product bytes
+            s = [(cols[f"zb{8+2*j}"] + two8 * cols[f"zb{8+2*j+1}"]) % P
+                 for j in range(4)]
+        elif tid in (19, 20):  # MULH/MULHSU: corrected high bytes
+            s = [(cols[f"wb{2*j}"] + two8 * cols[f"wb{2*j+1}"]) % P
+                 for j in range(4)]
+        else:  # MULW: sext32 of the low 32 product bits
+            fill = np.uint64(0xFFFF % p) * cols["sw"] % P
+            s = [(cols["zb0"] + two8 * cols["zb1"]) % P,
+                 (cols["zb2"] + two8 * cols["zb3"]) % P,
+                 fill, fill]
     else:
         raise ValueError(f"no linkage spec for table {tid}")
     return dict(zip(LINK_SLOTS, in0 + in1 + s))
@@ -131,6 +152,21 @@ def gadget_linkage_scalars(tid: int, ev: Dict[str, int], p: int) -> Dict[str, in
         in0, in1, s = limbs("x"), limbs("y"), [ev["o"] % p, 0, 0, 0]
     elif tid == 10:
         in0, in1, s = limbs("x"), limbs("y"), [ev["f3"] % p, ev["o"] % p, 0, 0]
+    elif tid in (18, 19, 20, 21, 22):
+        in0 = chunk16("xb")
+        in1 = chunk16("yb")
+        if tid == 18:
+            s = [(ev[f"zb{2*j}"] + (1 << 8) * ev[f"zb{2*j+1}"]) % p
+                 for j in range(4)]
+        elif tid == 21:
+            s = [(ev[f"zb{8+2*j}"] + (1 << 8) * ev[f"zb{8+2*j+1}"]) % p
+                 for j in range(4)]
+        elif tid in (19, 20):
+            s = chunk16("wb")
+        else:
+            fill = 0xFFFF * ev["sw"] % p
+            s = [(ev["zb0"] + (1 << 8) * ev["zb1"]) % p,
+                 (ev["zb2"] + (1 << 8) * ev["zb3"]) % p, fill, fill]
     else:
         raise ValueError(f"no linkage spec for table {tid}")
     return dict(zip(LINK_SLOTS, in0 + in1 + s))

@@ -229,6 +229,12 @@ class Assembler:
     def mulh(self, rd, rs1, rs2):
         return self._op(1, 1)(rd, rs1, rs2)
 
+    def mulhsu(self, rd, rs1, rs2):
+        return self._op(2, 1)(rd, rs1, rs2)
+
+    def mulw(self, rd, rs1, rs2):
+        return self._opw(0, 1)(rd, rs1, rs2)
+
     def mulhu(self, rd, rs1, rs2):
         return self._op(3, 1)(rd, rs1, rs2)
 

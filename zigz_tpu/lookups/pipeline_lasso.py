@@ -64,8 +64,9 @@ TABLE_NAMES = (
     "ADD", "SUB", "AND", "OR", "XOR", "SLL", "SRL", "SRA",
     "SLT", "SLTU", "BEQ", "LOAD", "STORE",
     # v2-only tables (the reference catalog stops at STORE; v1 keeps the
-    # reference mapping bit-for-bit): RV64 word ops.
+    # reference mapping bit-for-bit): RV64 word ops + the M extension.
     "ADDW", "SUBW", "SLLW", "SRLW", "SRAW",
+    "MUL", "MULH", "MULHSU", "MULHU", "MULW",
 )
 TABLE_IDS = {name: i for i, name in enumerate(TABLE_NAMES)}
 
@@ -83,8 +84,9 @@ def v2_lookup_ids(opcode: np.ndarray, funct3: np.ndarray, funct7: np.ndarray,
 
       * M-extension ops (OP/funct7=1: MUL..REMU) land on SUB/SLL/XOR/...
         whose 64-bit semantics they do not satisfy — honest traces were
-        rejected.  v2 classifies them as no-table (their semantics need
-        dedicated gadgets; ROADMAP).
+        rejected.  v2 maps the multiplies to dedicated byte-chunk gadget
+        tables (validity.py _MulGadget); divisions remain no-table
+        (ROADMAP).
       * RV64 immediate shifts use funct7's low bit as shamt bit 5, so
         SRLI with shamt >= 32 was classified SRA.  v2 tests bit 30
         (the actual SRL/SRA discriminator) instead.
@@ -118,6 +120,17 @@ def v2_lookup_ids(opcode: np.ndarray, funct3: np.ndarray, funct7: np.ndarray,
     # OP_IMM: funct7's low bit is shamt bit 5 for the shift immediates,
     # so only bit 30 participates in classification.
     out = np.where(op_ok | is_opimm, base, out)
+    # M extension multiplies: MUL/MULH/MULHSU/MULHU (OP, funct7=1) and
+    # MULW (OP_32, funct7=1, funct3=0); divisions stay unmapped.
+    mulids = np.choose(np.minimum(f3, 3), [
+        np.full_like(op, TABLE_IDS["MUL"]),
+        np.full_like(op, TABLE_IDS["MULH"]),
+        np.full_like(op, TABLE_IDS["MULHSU"]),
+        np.full_like(op, TABLE_IDS["MULHU"]),
+    ])
+    out = np.where(is_op & (f7 == 1) & (f3 <= 3), mulids, out)
+    out = np.where((op == Opcode.OP_32) & (f7 == 1) & (f3 == 0),
+                   np.int64(TABLE_IDS["MULW"]), out)
     # Word ops: ADDW/SUBW/SLLW/SRLW/SRAW (and the OP_IMM_32 immediates).
     srxw = np.where(f7 & 0b0100000, TABLE_IDS["SRAW"], TABLE_IDS["SRLW"])
     basew = np.choose(np.minimum(f3, 5), [
@@ -369,6 +382,11 @@ def extract_table_queries(trace) -> Dict[int, Tuple[np.ndarray, np.ndarray]]:
             8: lambda: (in0.view(np.int64) < in1.view(np.int64)).astype(np.uint64),
             9: lambda: (in0 < in1).astype(np.uint64),
             13: lambda: _sext32(in0 + in1),
+            18: lambda: in0 * in1,
+            19: lambda: _np_mulh(in0, in1, True, True),
+            20: lambda: _np_mulh(in0, in1, True, False),
+            21: lambda: _np_mulh(in0, in1, False, False),
+            22: lambda: _sext32(in0 * in1),
             14: lambda: _sext32(in0 - in1),
             15: lambda: _sext32(in0 << (in1 & np.uint64(31))),
             16: lambda: _sext32((in0 & np.uint64(0xFFFFFFFF))
@@ -384,6 +402,18 @@ def extract_table_queries(trace) -> Dict[int, Tuple[np.ndarray, np.ndarray]]:
         v32 = v & np.uint64(0xFFFFFFFF)
         return np.where(v32 >> np.uint64(31),
                         v32 | np.uint64(0xFFFFFFFF00000000), v32)
+
+    def _np_mulh(a, b, sa, sb):
+        M = (1 << 64) - 1
+
+        def to_s(v):
+            return v - (1 << 64) if v >> 63 else v
+
+        return np.array([
+            (((to_s(int(x)) if sa else int(x))
+              * (to_s(int(y)) if sb else int(y))) >> 64) & M
+            for x, y in zip(a, b)
+        ], dtype=np.uint64)
 
     rs1_val, rs2_val, rd_after, _rd_before = operand_values(trace, rs1, rs2, rd)
     lookup_id = v2_lookup_ids(opcode, funct3, funct7, imm)

@@ -833,6 +833,137 @@ class _ShiftWGadget:
         return self._terms(ev, p)
 
 
+
+
+class _MulGadget:
+    """MUL/MULH/MULHSU/MULHU/MULW via an 8-bit-chunk schoolbook product.
+
+    BabyBear (p ~ 2^31) cannot hold 16-bit limb products exactly, so the
+    multiplier works in bytes: committed xb/yb byte decompositions (the
+    linkage reconstructs the 16-bit operand limbs as byte pairs, like
+    the bitwise gadget) and the FULL 128-bit product zb_0..15 with a
+    carry chain S_k + c_{k-1} = zb_k + 256 c_k where
+    S_k = sum_{i+j=k} xb_i yb_j < 2^20 — every constraint quantity stays
+    far below p, so the mod-p identities hold over the integers.
+
+    Outputs: MUL = zb_0..7; MULHU = zb_8..15; MULW = sext32(zb_0..3)
+    via a top-bit split; MULH/MULHSU subtract the signed corrections
+    (high(x_s*y_s) = zhi - sx*y [- sy*x] mod 2^64) with a byte borrow
+    chain whose borrows are < 4 (RANGE16 * 2^14)."""
+
+    _SIGNED = {"MULH": (True, True), "MULHSU": (True, False)}
+
+    def __init__(self, kind: str):
+        assert kind in ("MUL", "MULH", "MULHSU", "MULHU", "MULW")
+        self.kind = kind
+        cols = [f"xb{i}" for i in range(8)] + [f"yb{i}" for i in range(8)]
+        cols += [f"zb{i}" for i in range(16)]
+        cols += [f"c{i}" for i in range(15)]
+        if kind == "MULW":
+            cols += ["sw", "rw"]
+        if kind in self._SIGNED:
+            cols += ["sx", "rx"] + [f"wb{i}" for i in range(8)]
+            cols += [f"bw{i}" for i in range(8)]
+            if self._SIGNED[kind][1]:
+                cols += ["sy", "ry"]
+        self.columns = tuple(sorted(cols))
+        inc = [(f"g_xb{i}", "RANGE16", {f"xb{i}": 256}) for i in range(8)]
+        inc += [(f"g_yb{i}", "RANGE16", {f"yb{i}": 256}) for i in range(8)]
+        inc += [(f"g_zb{i}", "RANGE16", {f"zb{i}": 256}) for i in range(16)]
+        inc += [(f"g_c{i}", "RANGE16", {f"c{i}": 16}) for i in range(15)]
+        if kind == "MULW":
+            inc.append(("g_rw", "RANGE16", {"rw": 256}))
+        if kind in self._SIGNED:
+            inc.append(("g_rx", "RANGE16", {"rx": 256}))
+            inc += [(f"g_wb{i}", "RANGE16", {f"wb{i}": 256}) for i in range(8)]
+            inc += [(f"g_bw{i}", "RANGE16", {f"bw{i}": 1 << 14})
+                    for i in range(8)]
+            if self._SIGNED[kind][1]:
+                inc.append(("g_ry", "RANGE16", {"ry": 256}))
+        self.inclusions: Tuple[Inclusion, ...] = tuple(inc)
+
+    def build(self, inputs: np.ndarray, outputs: np.ndarray, n_pad: int, p: int):
+        x, y, _z = _pad_cols([inputs[:, 0], inputs[:, 1], outputs[:, 0]], n_pad)
+        cols = {}
+        for i in range(8):
+            cols[f"xb{i}"] = (x >> np.uint64(8 * i)) & _M8
+            cols[f"yb{i}"] = (y >> np.uint64(8 * i)) & _M8
+        carry = np.zeros(n_pad, dtype=np.uint64)
+        for k in range(15):
+            s = carry.copy()
+            for i in range(max(0, k - 7), min(8, k + 1)):
+                s += cols[f"xb{i}"] * cols[f"yb{k - i}"]
+            cols[f"zb{k}"] = s & _M8
+            carry = s >> np.uint64(8)
+            cols[f"c{k}"] = carry
+        cols["zb15"] = carry
+        if self.kind == "MULW":
+            cols["sw"] = cols["zb3"] >> np.uint64(7)
+            cols["rw"] = (cols["zb3"] & np.uint64(0x7F)) * np.uint64(2)
+        if self.kind in self._SIGNED:
+            cols["sx"] = cols["xb7"] >> np.uint64(7)
+            cols["rx"] = (cols["xb7"] & np.uint64(0x7F)) * np.uint64(2)
+            sy_on = self._SIGNED[self.kind][1]
+            if sy_on:
+                cols["sy"] = cols["yb7"] >> np.uint64(7)
+                cols["ry"] = (cols["yb7"] & np.uint64(0x7F)) * np.uint64(2)
+            # w = (zhi - sx*y [- sy*x]) mod 2^64, borrows derived exactly
+            # from the per-byte identity.
+            zhi = np.zeros(n_pad, dtype=np.uint64)
+            for k in range(8):
+                zhi |= cols[f"zb{8 + k}"] << np.uint64(8 * k)
+            w64 = zhi - cols["sx"] * y
+            if sy_on:
+                w64 = w64 - cols["sy"] * x
+            borrow = np.zeros(n_pad, dtype=np.uint64)
+            for k in range(8):
+                wbk = (w64 >> np.uint64(8 * k)) & _M8
+                cols[f"wb{k}"] = wbk
+                sub = cols["sx"] * cols[f"yb{k}"] + borrow
+                if sy_on:
+                    sub = sub + cols["sy"] * cols[f"xb{k}"]
+                borrow = (wbk + sub - cols[f"zb{8 + k}"]) >> np.uint64(8)
+                cols[f"bw{k}"] = borrow
+        return cols
+
+    def _terms(self, ev, p: int):
+        terms = []
+        for k in range(15):
+            s = ev[f"c{k-1}"] if k else 0
+            for i in range(max(0, k - 7), min(8, k + 1)):
+                s = (s + _mul_m(ev[f"xb{i}"], ev[f"yb{k - i}"], p)) % p
+            terms.append(_sub_m(s, (ev[f"zb{k}"] + 256 * ev[f"c{k}"]) % p, p))
+        terms.append(_sub_m(ev["zb15"], ev["c14"], p))
+        if self.kind == "MULW":
+            terms.append(_mul_m(ev["sw"], _sub_m(1 % p, ev["sw"], p), p))
+            terms.append(_sub_m(2 * ev["zb3"] % p,
+                                (256 * ev["sw"] + ev["rw"]) % p, p))
+        if self.kind in self._SIGNED:
+            sy_on = self._SIGNED[self.kind][1]
+            terms.append(_mul_m(ev["sx"], _sub_m(1 % p, ev["sx"], p), p))
+            terms.append(_sub_m(2 * ev["xb7"] % p,
+                                (256 * ev["sx"] + ev["rx"]) % p, p))
+            if sy_on:
+                terms.append(_mul_m(ev["sy"], _sub_m(1 % p, ev["sy"], p), p))
+                terms.append(_sub_m(2 * ev["yb7"] % p,
+                                    (256 * ev["sy"] + ev["ry"]) % p, p))
+            for k in range(8):
+                sub = _mul_m(ev["sx"], ev[f"yb{k}"], p)
+                if sy_on:
+                    sub = (sub + _mul_m(ev["sy"], ev[f"xb{k}"], p)) % p
+                if k:
+                    sub = (sub + ev[f"bw{k-1}"]) % p
+                lhs = (ev[f"zb{8 + k}"] + 256 * ev[f"bw{k}"]) % p
+                terms.append(_sub_m(lhs, (ev[f"wb{k}"] + sub) % p, p))
+        return terms
+
+    def constraint_arrays(self, cols, p: int) -> List[np.ndarray]:
+        return self._terms(cols, p)
+
+    def constraint_scalars(self, ev, p: int) -> List[int]:
+        return self._terms(ev, p)
+
+
 # funct3 encodings of the six RV64 branch comparisons (rv64i BRANCH).
 _BRANCH_F3 = {"t_eq": 0, "t_ne": 1, "t_lt": 4, "t_ge": 5, "t_ltu": 6, "t_geu": 7}
 
@@ -983,6 +1114,12 @@ GADGETS = {
     15: _ShiftWGadget("SLLW"),
     16: _ShiftWGadget("SRLW"),
     17: _ShiftWGadget("SRAW"),
+    # M extension (multiplies; divisions are 23-26/27-30).
+    18: _MulGadget("MUL"),
+    19: _MulGadget("MULH"),
+    20: _MulGadget("MULHSU"),
+    21: _MulGadget("MULHU"),
+    22: _MulGadget("MULW"),
 }
 GADGET_TABLE_IDS = frozenset(GADGETS)
 
