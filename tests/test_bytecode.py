@@ -773,6 +773,75 @@ def test_forged_mul_result_rejected():
     )
 
 
+# -- M extension divisions ----------------------------------------------------
+
+
+def _div_program():
+    from zigz_tpu.guest.asm import Assembler
+
+    a = Assembler()
+    a.li("x1", -7 & ((1 << 64) - 1))
+    a.li("x2", 3)
+    a.li("x3", 0x8000000000000000)   # INT_MIN
+    a.li("x4", -1 & ((1 << 64) - 1))
+    a.div("x5", "x1", "x2")          # -7 / 3 = -2 (trunc)
+    a.rem("x6", "x1", "x2")          # rem = -1
+    a.divu("x7", "x1", "x2")
+    a.remu("x8", "x1", "x2")
+    a.div("x9", "x3", "x4")          # overflow -> INT_MIN
+    a.rem("x10", "x3", "x4")         # -> 0
+    a.div("x11", "x1", "zero")       # div by zero -> -1
+    a.rem("x12", "x1", "zero")       # -> x1
+    a.divw("x13", "x1", "x2")
+    a.remw("x14", "x1", "x2")
+    a.divuw("x15", "x1", "x2")
+    a.remuw("x16", "x1", "x2")
+    a.ebreak()
+    return a.assemble()
+
+
+def test_div_ops_e2e_accept():
+    program = _div_program()
+    proof = _prove(program)
+    M = (1 << 64) - 1
+    x1 = -7 & M
+    regs = proof.public_io.final_regs
+    assert regs[5] == -2 & M
+    assert regs[6] == -1 & M
+    assert regs[7] == x1 // 3
+    assert regs[8] == x1 % 3
+    assert regs[9] == 0x8000000000000000
+    assert regs[10] == 0
+    assert regs[11] == M
+    assert regs[12] == x1
+    # W variants: operate on low 32 bits (0xFFFFFFF9 = u32; as i32 = -7)
+    assert regs[13] == -2 & M
+    assert regs[14] == -1 & M
+    assert regs[15] == ((0xFFFFFFF9 // 3) | 0xFFFFFFFF00000000
+                        if (0xFFFFFFF9 // 3) >> 31 else 0xFFFFFFF9 // 3)
+    assert regs[16] == 0xFFFFFFF9 % 3
+    assert Verifier(F).verify(proof, program) == VerificationResult.Accept
+
+
+def test_forged_div_result_rejected():
+    program = _div_program()
+    prover = Prover(F, seed=0, protocol_version=2)
+
+    def forge(lk, table):
+        rows = np.nonzero(lk["tbl1"] == 24)[0]  # DIV (id 23) steps
+        assert len(rows)
+        lk["res_0"] = lk["res_0"].copy()
+        lk["res_0"][rows[0]] ^= 1
+
+    prover._bc_forge_hook = forge
+    prover._bc_unsafe = True
+    proof = prover.prove(program, 0x1000, None, 1 << 16, None, None)
+    assert (
+        Verifier(F).verify(proof, program)
+        == VerificationResult.RejectInvalidBytecode
+    )
+
+
 def test_serialization_roundtrip_bytes_stable():
     program = _nop_add_program()
     proof = _prove(program)

@@ -146,6 +146,40 @@ def _mk_queries(table_id, n):
             out = mulh(False, False)
         else:
             out = sext32(in0 * in1)
+    elif table_id in range(23, 31):
+        # (signed, rem, width)
+        spec = {23: (True, False, 8), 24: (False, False, 8),
+                25: (True, True, 8), 26: (False, True, 8),
+                27: (True, False, 4), 28: (False, False, 4),
+                29: (True, True, 4), 30: (False, True, 4)}[table_id]
+        sg, rem, width = spec
+        in1[: n // 6] = 0  # div-by-zero rows
+        M = (1 << 64) - 1
+        WM = (1 << (8 * width)) - 1
+        half = 1 << (8 * width - 1)
+
+        def one(x, y):
+            x &= WM
+            y &= WM
+            if sg:
+                xs = x - (WM + 1) if x & half else x
+                ys = y - (WM + 1) if y & half else y
+                if ys == 0:
+                    q, r = -1, xs
+                else:
+                    q = abs(xs) // abs(ys)
+                    if (xs < 0) != (ys < 0):
+                        q = -q
+                    r = xs - q * ys
+            else:
+                q, r = (WM, x) if y == 0 else (x // y, x % y)
+            v = (r if rem else q) & WM
+            if width == 4 and v & 0x80000000:
+                v |= 0xFFFFFFFF00000000
+            return v & M
+
+        out = np.array([one(int(a), int(b)) for a, b in zip(in0, in1)],
+                       dtype=np.uint64)
     else:
         raise AssertionError(table_id)
     return np.stack([in0, in1], axis=1), out[:, None]

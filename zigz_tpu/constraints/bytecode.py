@@ -170,7 +170,10 @@ _GADGET_IDS = (tuple(range(10)) + (TABLE_IDS["BEQ"],)
                + tuple(TABLE_IDS[n] for n in ("ADDW", "SUBW", "SLLW",
                                               "SRLW", "SRAW",
                                               "MUL", "MULH", "MULHSU",
-                                              "MULHU", "MULW")))
+                                              "MULHU", "MULW",
+                                              "DIV", "DIVU", "REM", "REMU",
+                                              "DIVW", "DIVUW", "REMW",
+                                              "REMUW")))
 
 
 def decode_fields(words: np.ndarray):

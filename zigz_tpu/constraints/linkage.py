@@ -125,6 +125,20 @@ def gadget_linkage_arrays(tid: int, cols: Dict[str, np.ndarray], p: int):
             s = [(cols["zb0"] + two8 * cols["zb1"]) % P,
                  (cols["zb2"] + two8 * cols["zb3"]) % P,
                  fill, fill]
+    elif tid in range(23, 31):  # divisions: byte-committed q or r
+        in0 = [(cols[f"xb{2*j}"] + two8 * cols[f"xb{2*j+1}"]) % P
+               for j in range(4)]
+        in1 = [(cols[f"yb{2*j}"] + two8 * cols[f"yb{2*j+1}"]) % P
+               for j in range(4)]
+        pre = "rb" if tid in (25, 26, 29, 30) else "qb"
+        if tid >= 27:  # W variants: sext32 via the committed top-bit split
+            sw = cols["swr" if pre == "rb" else "swq"]
+            fill = np.uint64(0xFFFF % p) * sw % P
+            s = [(cols[f"{pre}0"] + two8 * cols[f"{pre}1"]) % P,
+                 (cols[f"{pre}2"] + two8 * cols[f"{pre}3"]) % P, fill, fill]
+        else:
+            s = [(cols[f"{pre}{2*j}"] + two8 * cols[f"{pre}{2*j+1}"]) % P
+                 for j in range(4)]
     else:
         raise ValueError(f"no linkage spec for table {tid}")
     return dict(zip(LINK_SLOTS, in0 + in1 + s))
@@ -167,6 +181,18 @@ def gadget_linkage_scalars(tid: int, ev: Dict[str, int], p: int) -> Dict[str, in
             fill = 0xFFFF * ev["sw"] % p
             s = [(ev["zb0"] + (1 << 8) * ev["zb1"]) % p,
                  (ev["zb2"] + (1 << 8) * ev["zb3"]) % p, fill, fill]
+    elif tid in range(23, 31):
+        in0 = chunk16("xb")
+        in1 = chunk16("yb")
+        pre = "rb" if tid in (25, 26, 29, 30) else "qb"
+        if tid >= 27:
+            sw = ev["swr" if pre == "rb" else "swq"] % p
+            fill = 0xFFFF * sw % p
+            s = [(ev[f"{pre}0"] + (1 << 8) * ev[f"{pre}1"]) % p,
+                 (ev[f"{pre}2"] + (1 << 8) * ev[f"{pre}3"]) % p, fill, fill]
+        else:
+            s = [(ev[f"{pre}{2*j}"] + (1 << 8) * ev[f"{pre}{2*j+1}"]) % p
+                 for j in range(4)]
     else:
         raise ValueError(f"no linkage spec for table {tid}")
     return dict(zip(LINK_SLOTS, in0 + in1 + s))

@@ -235,6 +235,18 @@ class Assembler:
     def mulw(self, rd, rs1, rs2):
         return self._opw(0, 1)(rd, rs1, rs2)
 
+    def divw(self, rd, rs1, rs2):
+        return self._opw(4, 1)(rd, rs1, rs2)
+
+    def divuw(self, rd, rs1, rs2):
+        return self._opw(5, 1)(rd, rs1, rs2)
+
+    def remw(self, rd, rs1, rs2):
+        return self._opw(6, 1)(rd, rs1, rs2)
+
+    def remuw(self, rd, rs1, rs2):
+        return self._opw(7, 1)(rd, rs1, rs2)
+
     def mulhu(self, rd, rs1, rs2):
         return self._op(3, 1)(rd, rs1, rs2)
 

@@ -67,6 +67,7 @@ TABLE_NAMES = (
     # reference mapping bit-for-bit): RV64 word ops + the M extension.
     "ADDW", "SUBW", "SLLW", "SRLW", "SRAW",
     "MUL", "MULH", "MULHSU", "MULHU", "MULW",
+    "DIV", "DIVU", "REM", "REMU", "DIVW", "DIVUW", "REMW", "REMUW",
 )
 TABLE_IDS = {name: i for i, name in enumerate(TABLE_NAMES)}
 
@@ -122,15 +123,28 @@ def v2_lookup_ids(opcode: np.ndarray, funct3: np.ndarray, funct7: np.ndarray,
     out = np.where(op_ok | is_opimm, base, out)
     # M extension multiplies: MUL/MULH/MULHSU/MULHU (OP, funct7=1) and
     # MULW (OP_32, funct7=1, funct3=0); divisions stay unmapped.
-    mulids = np.choose(np.minimum(f3, 3), [
+    mids = np.choose(f3, [
         np.full_like(op, TABLE_IDS["MUL"]),
         np.full_like(op, TABLE_IDS["MULH"]),
         np.full_like(op, TABLE_IDS["MULHSU"]),
         np.full_like(op, TABLE_IDS["MULHU"]),
+        np.full_like(op, TABLE_IDS["DIV"]),
+        np.full_like(op, TABLE_IDS["DIVU"]),
+        np.full_like(op, TABLE_IDS["REM"]),
+        np.full_like(op, TABLE_IDS["REMU"]),
     ])
-    out = np.where(is_op & (f7 == 1) & (f3 <= 3), mulids, out)
-    out = np.where((op == Opcode.OP_32) & (f7 == 1) & (f3 == 0),
-                   np.int64(TABLE_IDS["MULW"]), out)
+    out = np.where(is_op & (f7 == 1), mids, out)
+    mwids = np.choose(f3, [
+        np.full_like(op, TABLE_IDS["MULW"]),
+        np.full_like(op, -1),
+        np.full_like(op, -1),
+        np.full_like(op, -1),
+        np.full_like(op, TABLE_IDS["DIVW"]),
+        np.full_like(op, TABLE_IDS["DIVUW"]),
+        np.full_like(op, TABLE_IDS["REMW"]),
+        np.full_like(op, TABLE_IDS["REMUW"]),
+    ])
+    out = np.where((op == Opcode.OP_32) & (f7 == 1), mwids, out)
     # Word ops: ADDW/SUBW/SLLW/SRLW/SRAW (and the OP_IMM_32 immediates).
     srxw = np.where(f7 & 0b0100000, TABLE_IDS["SRAW"], TABLE_IDS["SRLW"])
     basew = np.choose(np.minimum(f3, 5), [
@@ -387,6 +401,14 @@ def extract_table_queries(trace) -> Dict[int, Tuple[np.ndarray, np.ndarray]]:
             20: lambda: _np_mulh(in0, in1, True, False),
             21: lambda: _np_mulh(in0, in1, False, False),
             22: lambda: _sext32(in0 * in1),
+            23: lambda: _np_div(in0, in1, True, False, 8),
+            24: lambda: _np_div(in0, in1, False, False, 8),
+            25: lambda: _np_div(in0, in1, True, True, 8),
+            26: lambda: _np_div(in0, in1, False, True, 8),
+            27: lambda: _np_div(in0, in1, True, False, 4),
+            28: lambda: _np_div(in0, in1, False, False, 4),
+            29: lambda: _np_div(in0, in1, True, True, 4),
+            30: lambda: _np_div(in0, in1, False, True, 4),
             14: lambda: _sext32(in0 - in1),
             15: lambda: _sext32(in0 << (in1 & np.uint64(31))),
             16: lambda: _sext32((in0 & np.uint64(0xFFFFFFFF))
@@ -402,6 +424,34 @@ def extract_table_queries(trace) -> Dict[int, Tuple[np.ndarray, np.ndarray]]:
         v32 = v & np.uint64(0xFFFFFFFF)
         return np.where(v32 >> np.uint64(31),
                         v32 | np.uint64(0xFFFFFFFF00000000), v32)
+
+    def _np_div(a, b, signed, rem, width):
+        M = (1 << 64) - 1
+        WM = (1 << (8 * width)) - 1
+        half = 1 << (8 * width - 1)
+
+        def one(x, y):
+            x &= WM
+            y &= WM
+            if signed:
+                xs = x - (WM + 1) if x & half else x
+                ys = y - (WM + 1) if y & half else y
+                if ys == 0:
+                    q, r = -1, xs
+                else:
+                    q = abs(xs) // abs(ys)
+                    if (xs < 0) != (ys < 0):
+                        q = -q
+                    r = xs - q * ys
+            else:
+                q, r = (WM, x) if y == 0 else (x // y, x % y)
+            v = (r if rem else q) & WM
+            if width == 4 and v & 0x80000000:
+                v |= 0xFFFFFFFF00000000
+            return v & M
+
+        return np.array([one(int(x), int(y)) for x, y in zip(a, b)],
+                        dtype=np.uint64)
 
     def _np_mulh(a, b, sa, sb):
         M = (1 << 64) - 1

@@ -964,6 +964,237 @@ class _MulGadget:
         return self._terms(ev, p)
 
 
+
+
+class _DivGadget:
+    """DIV/DIVU/REM/REMU (width=8 bytes) and their W variants (width=4,
+    sign-extended outputs) via byte-chunk long arithmetic.
+
+    Core relation (on the unsigned operands ux, uy): a combined
+    product-accumulate chain proves uq*uy + ur = ux exactly AND that the
+    product never overflows the width (high partial sums + carries must
+    vanish); a byte borrow chain proves ur < uy whenever uy != 0; a
+    byte-sum inverse gadget detects uy == 0, in which case uq is forced
+    to all-ones (RISC-V div-by-zero) while ur = ux falls out of the
+    chain.  Signed kinds wrap the core with four conditional two's-
+    complement chains (x->ax, y->ay, aq->q, ar->r; the quotient negation
+    is gated by the committed XOR sq of the operand signs, the remainder
+    follows the dividend).  The INT_MIN/-1 overflow needs no special
+    case: |INT_MIN|/1 = 2^63 re-negated by sq=0 reproduces INT_MIN's bit
+    pattern and r = 0, exactly the mandated result.  W variants run the
+    core on the LOW 4 bytes (RV64 ignores the upper half) and pin the
+    64-bit outputs through top-bit sign-extension splits.
+
+    All constraint quantities stay below 2^20 << p, so every mod-p
+    identity holds over the integers (same discipline as _MulGadget)."""
+
+    def __init__(self, kind: str):
+        assert kind in ("DIV", "DIVU", "REM", "REMU",
+                        "DIVW", "DIVUW", "REMW", "REMUW")
+        self.kind = kind
+        self.width = 4 if kind.endswith("W") else 8
+        self.signed = kind in ("DIV", "REM", "DIVW", "REMW")
+        self.rem = kind.startswith("REM")
+        W = self.width
+        cols = [f"xb{i}" for i in range(8)] + [f"yb{i}" for i in range(8)]
+        cols += [f"qb{i}" for i in range(W)] + [f"rb{i}" for i in range(W)]
+        if self.signed:
+            cols += ["sx", "rxs", "sy", "rys", "sq"]
+            cols += [f"axb{i}" for i in range(W)]
+            cols += [f"ayb{i}" for i in range(W)]
+            cols += [f"aqb{i}" for i in range(W)]
+            cols += [f"arb{i}" for i in range(W)]
+            for pre in ("ncx", "ncy", "ncq", "ncr"):
+                cols += [f"{pre}{i}" for i in range(W)]
+        cols += [f"c{i}" for i in range(2 * W - 1)]
+        cols += [f"db{i}" for i in range(W)] + [f"bb{i}" for i in range(W)]
+        cols += ["zy", "iy"]
+        if W == 4:
+            cols += ["swq", "rwq", "swr", "rwr"]
+        self.columns = tuple(sorted(cols))
+        inc = [(f"g_xb{i}", "RANGE16", {f"xb{i}": 256}) for i in range(8)]
+        inc += [(f"g_yb{i}", "RANGE16", {f"yb{i}": 256}) for i in range(8)]
+        inc += [(f"g_qb{i}", "RANGE16", {f"qb{i}": 256}) for i in range(W)]
+        inc += [(f"g_rb{i}", "RANGE16", {f"rb{i}": 256}) for i in range(W)]
+        if self.signed:
+            inc += [("g_rxs", "RANGE16", {"rxs": 256}),
+                    ("g_rys", "RANGE16", {"rys": 256})]
+            for pre in ("axb", "ayb", "aqb", "arb"):
+                inc += [(f"g_{pre}{i}", "RANGE16", {f"{pre}{i}": 256})
+                        for i in range(W)]
+        inc += [(f"g_c{i}", "RANGE16", {f"c{i}": 16}) for i in range(2 * W - 1)]
+        inc += [(f"g_db{i}", "RANGE16", {f"db{i}": 256}) for i in range(W)]
+        if W == 4:
+            inc += [("g_rwq", "RANGE16", {"rwq": 256}),
+                    ("g_rwr", "RANGE16", {"rwr": 256})]
+        self.inclusions: Tuple[Inclusion, ...] = tuple(inc)
+
+    # -- honest witness -----------------------------------------------------
+    def build(self, inputs: np.ndarray, outputs: np.ndarray, n_pad: int, p: int):
+        W = self.width
+        x, y, _z = _pad_cols([inputs[:, 0], inputs[:, 1], outputs[:, 0]], n_pad)
+        cols = {}
+        for i in range(8):
+            cols[f"xb{i}"] = (x >> np.uint64(8 * i)) & _M8
+            cols[f"yb{i}"] = (y >> np.uint64(8 * i)) & _M8
+        WM = np.uint64((1 << (8 * W)) - 1)
+        xw = x & WM
+        yw = y & WM
+        if self.signed:
+            top = np.uint64(8 * W - 1)
+            sx = (xw >> top) & np.uint64(1)
+            sy = (yw >> top) & np.uint64(1)
+            ax = np.where(sx == 1, (np.uint64(0) - xw) & WM, xw)
+            ay = np.where(sy == 1, (np.uint64(0) - yw) & WM, yw)
+            cols["sx"], cols["sy"] = sx, sy
+            cols["rxs"] = (cols[f"xb{W-1}"] & np.uint64(0x7F)) * np.uint64(2)
+            cols["rys"] = (cols[f"yb{W-1}"] & np.uint64(0x7F)) * np.uint64(2)
+            cols["sq"] = sx ^ sy
+        else:
+            ax, ay = xw, yw
+        zy = (ay == 0).astype(np.uint64)
+        aq = np.where(zy == 1, WM, ax // np.maximum(ay, np.uint64(1)))
+        ar = np.where(zy == 1, ax, ax % np.maximum(ay, np.uint64(1)))
+        if self.signed:
+            # div-by-zero: q is the all-ones pattern regardless of signs;
+            # pick the a-side advice that re-negates to it.
+            aq = np.where((zy == 1) & (cols["sq"] == 1), np.uint64(1), aq)
+            q = np.where(cols["sq"] == 1, (np.uint64(0) - aq) & WM, aq)
+            r = np.where(cols["sx"] == 1, (np.uint64(0) - ar) & WM, ar)
+            for pre, v in (("axb", ax), ("ayb", ay), ("aqb", aq), ("arb", ar),
+                           ("qb", q), ("rb", r)):
+                for i in range(W):
+                    cols[f"{pre}{i}"] = (v >> np.uint64(8 * i)) & _M8
+            for pre, sgate, orig, neg in (
+                ("ncx", cols["sx"], xw, ax), ("ncy", cols["sy"], yw, ay),
+                ("ncq", cols["sq"], aq, q), ("ncr", cols["sx"], ar, r),
+            ):
+                carry = np.zeros(n_pad, dtype=np.uint64)
+                for i in range(W):
+                    s = ((orig >> np.uint64(8 * i)) & _M8)                         + ((neg >> np.uint64(8 * i)) & _M8) + carry
+                    carry = s >> np.uint64(8)
+                    cols[f"{pre}{i}"] = np.where(sgate == 1, carry, np.uint64(0))
+        else:
+            q, r = aq, ar
+            for pre, v in (("qb", q), ("rb", r)):
+                for i in range(W):
+                    cols[f"{pre}{i}"] = (v >> np.uint64(8 * i)) & _M8
+        # Core chain: aq*ay + ar = ax with vanishing high half.
+        uq = [(aq >> np.uint64(8 * i)) & _M8 for i in range(W)]
+        uy = [(ay >> np.uint64(8 * i)) & _M8 for i in range(W)]
+        uxb = [(ax >> np.uint64(8 * i)) & _M8 for i in range(W)]
+        urb = [(ar >> np.uint64(8 * i)) & _M8 for i in range(W)]
+        carry = np.zeros(n_pad, dtype=np.uint64)
+        for k in range(2 * W - 1):
+            s = carry.copy()
+            for i in range(max(0, k - W + 1), min(W, k + 1)):
+                s += uq[i] * uy[k - i]
+            if k < W:
+                s += urb[k]
+            tgt = uxb[k] if k < W else np.uint64(0)
+            carry = (s - tgt) >> np.uint64(8)
+            cols[f"c{k}"] = carry
+        # Compare ar < ay (borrow chain), meaningful when ay != 0.
+        borrow = np.zeros(n_pad, dtype=np.uint64)
+        for k in range(W):
+            d = urb[k] + np.uint64(512) - uy[k] - borrow
+            cols[f"db{k}"] = d & _M8
+            borrow = (np.uint64(512) - (d - (d & _M8))) >> np.uint64(8)
+            cols[f"bb{k}"] = borrow
+        cols["zy"] = zy
+        ysum = np.zeros(n_pad, dtype=np.uint64)
+        for i in range(W):
+            ysum += uy[i]
+        cols["iy"] = np_inv(ysum % np.uint64(p), p)
+        if W == 4:
+            cols["swq"] = cols["qb3"] >> np.uint64(7)
+            cols["rwq"] = (cols["qb3"] & np.uint64(0x7F)) * np.uint64(2)
+            cols["swr"] = cols["rb3"] >> np.uint64(7)
+            cols["rwr"] = (cols["rb3"] & np.uint64(0x7F)) * np.uint64(2)
+        return cols
+
+    # -- constraints ----------------------------------------------------------
+    def _core_names(self):
+        W = self.width
+        if self.signed:
+            return ("aqb", "ayb", "arb", "axb")
+        return ("qb", "yb", "rb", "xb")
+
+    def _terms(self, ev, p: int):
+        W = self.width
+        one = 1 % p
+        qn, yn, rn, xn = self._core_names()
+        terms = []
+        if self.signed:
+            for s, rr, bn in (("sx", "rxs", f"xb{W-1}"), ("sy", "rys", f"yb{W-1}")):
+                terms.append(_mul_m(ev[s], _sub_m(one, ev[s], p), p))
+                terms.append(_sub_m(2 * ev[bn] % p,
+                                    (256 * ev[s] + ev[rr]) % p, p))
+            terms.append(_sub_m(
+                ev["sq"],
+                _sub_m((ev["sx"] + ev["sy"]) % p,
+                       2 * _mul_m(ev["sx"], ev["sy"], p) % p, p), p))
+            for pre, sgate, orig, neg in (
+                ("ncx", "sx", "xb", "axb"), ("ncy", "sy", "yb", "ayb"),
+                ("ncq", "sq", "aqb", "qb"), ("ncr", "sx", "arb", "rb"),
+            ):
+                sg = ev[sgate]
+                for i in range(W):
+                    # gated: sg=0 -> neg == orig; sg=1 -> two's complement
+                    # chain orig + neg + cc_{i-1} = 256*cc_i (+2^64 wrap).
+                    terms.append(_mul_m(
+                        _sub_m(one, sg, p),
+                        _sub_m(ev[f"{neg}{i}"], ev[f"{orig}{i}"], p), p))
+                    cc_in = ev[f"{pre}{i-1}"] if i else 0
+                    terms.append(_mul_m(
+                        sg,
+                        _sub_m((ev[f"{orig}{i}"] + ev[f"{neg}{i}"] + cc_in) % p,
+                               256 * ev[f"{pre}{i}"] % p, p), p))
+                    terms.append(_mul_m(ev[f"{pre}{i}"],
+                                        _sub_m(one, ev[f"{pre}{i}"], p), p))
+        # Core product-accumulate chain.
+        for k in range(2 * W - 1):
+            s = ev[f"c{k-1}"] if k else 0
+            for i in range(max(0, k - W + 1), min(W, k + 1)):
+                s = (s + _mul_m(ev[f"{qn}{i}"], ev[f"{yn}{k - i}"], p)) % p
+            if k < W:
+                s = (s + ev[f"{rn}{k}"]) % p
+            tgt = ev[f"{xn}{k}"] if k < W else 0
+            terms.append(_sub_m(s, (tgt + 256 * ev[f"c{k}"]) % p, p))
+        terms.append(ev[f"c{2 * W - 2}"] % p)
+        # Remainder comparison ar < ay: borrow chain + final borrow 1.
+        for k in range(W):
+            b_in = ev[f"bb{k-1}"] if k else 0
+            terms.append(_sub_m(
+                (ev[f"{rn}{k}"] + 256 * ev[f"bb{k}"]) % p,
+                (ev[f"db{k}"] + ev[f"{yn}{k}"] + b_in) % p, p))
+            terms.append(_mul_m(ev[f"bb{k}"],
+                                _sub_m(one, ev[f"bb{k}"], p), p))
+        ysum = 0
+        for i in range(W):
+            ysum = (ysum + ev[f"{yn}{i}"]) % p
+        terms.append(_mul_m(ev["zy"], ysum, p))
+        terms.append(_sub_m((_mul_m(ysum, ev["iy"], p) + ev["zy"]) % p, one, p))
+        terms.append(_mul_m(ev["zy"], _sub_m(one, ev["zy"], p), p))
+        # y != 0 -> ar < y; y == 0 -> quotient all-ones.
+        terms.append(_mul_m(_sub_m(one, ev["zy"], p),
+                            _sub_m(ev[f"bb{W-1}"], one, p), p))
+        for i in range(W):
+            terms.append(_mul_m(ev["zy"], _sub_m(ev[f"qb{i}"], 255 % p, p), p))
+        if W == 4:
+            for s, rr, bn in (("swq", "rwq", "qb3"), ("swr", "rwr", "rb3")):
+                terms.append(_mul_m(ev[s], _sub_m(one, ev[s], p), p))
+                terms.append(_sub_m(2 * ev[bn] % p,
+                                    (256 * ev[s] + ev[rr]) % p, p))
+        return terms
+
+    def constraint_arrays(self, cols, p: int) -> List[np.ndarray]:
+        return self._terms(cols, p)
+
+    def constraint_scalars(self, ev, p: int) -> List[int]:
+        return self._terms(ev, p)
+
+
 # funct3 encodings of the six RV64 branch comparisons (rv64i BRANCH).
 _BRANCH_F3 = {"t_eq": 0, "t_ne": 1, "t_lt": 4, "t_ge": 5, "t_ltu": 6, "t_geu": 7}
 
@@ -1120,6 +1351,14 @@ GADGETS = {
     20: _MulGadget("MULHSU"),
     21: _MulGadget("MULHU"),
     22: _MulGadget("MULW"),
+    23: _DivGadget("DIV"),
+    24: _DivGadget("DIVU"),
+    25: _DivGadget("REM"),
+    26: _DivGadget("REMU"),
+    27: _DivGadget("DIVW"),
+    28: _DivGadget("DIVUW"),
+    29: _DivGadget("REMW"),
+    30: _DivGadget("REMUW"),
 }
 GADGET_TABLE_IDS = frozenset(GADGETS)
 
