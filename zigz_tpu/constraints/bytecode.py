@@ -124,6 +124,11 @@ BYTECODE_SLOTS = (
     "fload", "fstore",
     "flb", "flbu", "flh", "flhu", "flw", "flwu", "fld",
     "fsb", "fsh", "fsw", "fsd",
+    # ALU-class flag: OP/OP_32/OP_IMM/OP_IMM_32 steps MUST be
+    # gadget-covered (falucls * (1 - flk) = 0) — otherwise a word with a
+    # garbage funct7 (never executable: the VM traps) would be a free
+    # register write in a forged trace.
+    "falucls",
 )
 # Step-side committed columns (the linkage commitment): every slot that
 # is not already committed elsewhere (pc lives in the v2 PCS; a1/a2 in
@@ -156,7 +161,7 @@ _REG_REFS = ("a1", "a2", "a3", "rv1_0", "rv1_1", "rv1_2", "rv1_3",
 _PCS_REFS = ("pc", "seq", "next_pc")
 
 BYTECODE_DEGREE = 4  # deg(eq * C); the ECALL completeness gadgets are deg 3
-NUM_BC_CONSTRAINTS = 91
+NUM_BC_CONSTRAINTS = 92
 
 # Opcode classes that architecturally write rd (state.py:_exec_*).
 _WRITES_RD = (
@@ -268,6 +273,8 @@ def step_static_columns(op, rd, f3, rs1, rs2, f7, imm_u64) -> Dict[str, np.ndarr
         "fnz": (rd != 0).astype(np.uint64),
         "fload": (op == Opcode.LOAD).astype(np.uint64),
         "fstore": (op == Opcode.STORE).astype(np.uint64),
+        "falucls": np.isin(op, (Opcode.OP, Opcode.OP_32, Opcode.OP_IMM,
+                                Opcode.OP_IMM_32)).astype(np.uint64),
     }
     f3a = np.asarray(f3, dtype=np.int64)
     for name, enc in (("flb", 0), ("flbu", 4), ("flh", 1), ("flhu", 5),
@@ -657,6 +664,7 @@ def _make_step_combiner(tau: int, gamma: int, entry_pc: int, num_steps: int,
         terms.append(cols["fload"] * ((ldsum + P - one) % P) % P)
         stsum = sum(cols[f] for f in _STORE_FLAGS) % P
         terms.append(cols["fstore"] * ((stsum + P - one) % P) % P)
+        terms.append(cols["falucls"] * ((one + P - cols["flk"]) % P) % P)
         acc = np.zeros_like(sel)
         for alpha, t in zip(alphas, terms):
             acc = (acc + np.uint64(alpha) * t) % P
@@ -821,6 +829,7 @@ def _make_step_combiner(tau: int, gamma: int, entry_pc: int, num_steps: int,
         terms.append(ev["fload"] * ((ldsum - 1) % p) % p)
         stsum = sum(ev[f] for f in _STORE_FLAGS) % p
         terms.append(ev["fstore"] * ((stsum - 1) % p) % p)
+        terms.append(ev["falucls"] * ((1 - ev["flk"]) % p) % p)
         return sum(a * t for a, t in zip(alphas, terms)) % p
 
     combiner_scalar.final_point = None
