@@ -851,3 +851,11 @@ def test_serialization_roundtrip_bytes_stable():
     assert restored.v2.bytecode is not None
     assert ser.serialize(restored) == data
     assert Verifier(F).verify(restored, program) == VerificationResult.Accept
+
+
+def test_forged_final_pc_rejected():
+    """PublicIO.final_pc is bound to the last step's next_pc."""
+    program = _nop_add_program()
+    proof = _prove(program)
+    proof.public_io.final_pc += 4
+    assert Verifier(F).verify(proof, program) != VerificationResult.Accept

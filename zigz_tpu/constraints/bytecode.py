@@ -161,7 +161,7 @@ _REG_REFS = ("a1", "a2", "a3", "rv1_0", "rv1_1", "rv1_2", "rv1_3",
 _PCS_REFS = ("pc", "seq", "next_pc")
 
 BYTECODE_DEGREE = 4  # deg(eq * C); the ECALL completeness gadgets are deg 3
-NUM_BC_CONSTRAINTS = 92
+NUM_BC_CONSTRAINTS = 93
 
 # Opcode classes that architecturally write rd (state.py:_exec_*).
 _WRITES_RD = (
@@ -442,7 +442,7 @@ def _make_step_combiner(tau: int, gamma: int, entry_pc: int, num_steps: int,
                         num_vars: int, p: int,
                         tau_c: int, beta_c: int, tau_o: int, beta_o: int,
                         tau_l: int, delta: int, tau_r: int,
-                        tau_w: int, eps: int):
+                        tau_w: int, eps: int, final_pc: int):
     from .linkage import link_deltas
 
     gp = _gammas(gamma, p)
@@ -665,6 +665,11 @@ def _make_step_combiner(tau: int, gamma: int, entry_pc: int, num_steps: int,
         stsum = sum(cols[f] for f in _STORE_FLAGS) % P
         terms.append(cols["fstore"] * ((stsum + P - one) % P) % P)
         terms.append(cols["falucls"] * ((one + P - cols["flk"]) % P) % P)
+        # Public final pc: the last step's next_pc IS PublicIO.final_pc.
+        terms.append(
+            ((sel + P - sel1) % P)
+            * ((cols["ref_next_pc"] + P - np.uint64(final_pc % p)) % P) % P
+        )
         acc = np.zeros_like(sel)
         for alpha, t in zip(alphas, terms):
             acc = (acc + np.uint64(alpha) * t) % P
@@ -830,6 +835,9 @@ def _make_step_combiner(tau: int, gamma: int, entry_pc: int, num_steps: int,
         stsum = sum(ev[f] for f in _STORE_FLAGS) % p
         terms.append(ev["fstore"] * ((stsum - 1) % p) % p)
         terms.append(ev["falucls"] * ((1 - ev["flk"]) % p) % p)
+        terms.append(
+            (sel - sel1) % p * ((ev["ref_next_pc"] - final_pc) % p) % p
+        )
         return sum(a * t for a, t in zip(alphas, terms)) % p
 
     combiner_scalar.final_point = None
@@ -1044,7 +1052,8 @@ def prove_bytecode(F, transcript, trace, program: bytes, entry_pc: int,
                    segments, num_vars: int,
                    reg_cols: Dict[str, np.ndarray], reg_state,
                    pcs_cols: Dict[str, np.ndarray], pcs_state,
-                   hash_mode: str = "sha3", outputs=None, validity_info=None,
+                   hash_mode: str = "sha3", outputs=None, final_pc: int = 0,
+                   validity_info=None,
                    memcheck_info=None,
                    _forge_hook=None,
                    _unsafe_skip_self_checks=False) -> BytecodeProof:
@@ -1451,7 +1460,7 @@ def prove_bytecode(F, transcript, trace, program: bytes, entry_pc: int,
     zc_cols["__sel2__"] = sel2
     combiner, combiner_scalar = _make_step_combiner(
         tau, gamma, entry_pc % p, n, num_vars, p, tau_c, beta_c, tau_o, beta_o,
-        tau_l, delta, tau_r, tau_w, eps,
+        tau_l, delta, tau_r, tau_w, eps, final_pc,
     )
     zc = ZerocheckProver(
         F, zc_cols, combiner, BYTECODE_DEGREE, num_alphas=NUM_BC_CONSTRAINTS
@@ -1612,7 +1621,7 @@ def verify_bytecode(F, transcript, bc: BytecodeProof, program: bytes,
                     entry_pc: int, num_steps: int, num_vars: int,
                     reg_root: bytes, reg_names: List[str],
                     pcs_root: bytes, pcs_names: List[str],
-                    hash_mode: str = "sha3", outputs=None,
+                    hash_mode: str = "sha3", outputs=None, final_pc: int = 0,
                     lv_tables=None, mc=None) -> bool:
     from ..commitments.ligero import (
         LigeroClaim,
@@ -1722,6 +1731,7 @@ def verify_bytecode(F, transcript, bc: BytecodeProof, program: bytes,
     _, combiner_scalar = _make_step_combiner(
         tau, gamma, entry_pc % p, num_steps, num_vars, p,
         tau_c, beta_c, tau_o, beta_o, tau_l, delta, tau_r, tau_w, eps,
+        final_pc,
     )
     combiner_scalar.final_point = bc.zc.final_point
     if not ZerocheckVerifier(F, combiner_scalar, NUM_BC_CONSTRAINTS,

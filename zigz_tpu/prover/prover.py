@@ -183,7 +183,7 @@ class Prover:
             self._generate_regcheck(proof, trace, initial_regs, final_state)
             self._generate_memcheck(proof, trace, program, entry_pc, segments)
             self._generate_bytecode(proof, trace, program, entry_pc, segments,
-                                    final_state["output_tape"])
+                                    final_state)
         else:
             self._generate_lasso_proofs(proof, lookup_count)
         t3 = time.perf_counter()
@@ -593,7 +593,7 @@ class Prover:
         self.last_timings["memcheck_s"] = time.perf_counter() - t0
 
     def _generate_bytecode(self, proof: Proof, trace, program, entry_pc,
-                           segments, output_tape) -> None:
+                           segments, final_state) -> None:
         """Bytecode (fetch+decode) argument (constraints/bytecode.py):
         every step's decoded tuple — read cells, write cell, funct3,
         table id, immediate limbs, class flags — is proven to equal the
@@ -609,7 +609,8 @@ class Prover:
             self.F, self.transcript, trace, program, entry_pc, segments,
             proof.metadata.num_vars, self._rc_cols, self._rc_state,
             self._v2_pcs_cols, self._v2_pcs_state, self._hash_mode(),
-            outputs=output_tape,
+            outputs=final_state["output_tape"],
+            final_pc=final_state["final_pc"],
             validity_info=getattr(self, "_lv_info", None),
             memcheck_info=self._mc_info,
             _forge_hook=getattr(self, "_bc_forge_hook", None),

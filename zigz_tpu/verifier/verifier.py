@@ -291,7 +291,7 @@ class Verifier:
             proof.metadata.num_steps, proof.metadata.num_vars,
             proof.v2.regcheck.root_cols, sorted(RC_COLUMNS),
             proof.v2.pcs_root, sorted(["x0", "is_read", "pc", "seq", "next_pc"]),
-            hash_mode, outputs=io.outputs,
+            hash_mode, outputs=io.outputs, final_pc=io.final_pc,
             lv_tables=(proof.v2.lookup_validity.tables
                        if proof.v2.lookup_validity is not None else []),
             mc=proof.v2.memcheck,
