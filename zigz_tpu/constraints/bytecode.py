@@ -51,11 +51,33 @@ directly (no table commitment); counter keys are injective and the
 value limbs are 16-bit (regcheck RANGE16), so multiset equality
 pins order, count, and every value exactly.
 
-Soundness preconditions (asserted at prove time, documented):
-program addresses < p (the pc slot is a mod-p value) and no
-self-modifying code (the table decodes the INITIAL image; stores that
-overwrite later-executed code would make honest proving fail, never
-unsound verification).
+Beyond fetch/decode, this module's step-domain zerocheck is the hub for
+the remaining execution semantics (all over PROVEN columns):
+
+* CONTROL FLOW — branch targets pc+imm*taken+4*(1-taken) with the
+  table-linked taken bit, JAL targets, ECALL pc+4, EBREAK halt-in-place,
+  link-register values via fetch-proven pc limbs, LUI/AUIPC write
+  values, and JALR/AUIPC/memory addressing through a 4-limb mod-2^64
+  adder whose output limbs are checked by an in-argument RANGE16 logUp.
+* WITNESS LINKAGE — a logUp multiset equality between per-step
+  (table, in0, in1, out) tuples and the lookup-validity argument's
+  committed queries (constraints/linkage.py), with result limbs tied to
+  the regcheck write value whenever rd != 0.
+* MEMORY LINKAGE — per-byte tuples (position from a committed byte
+  counter, adder-output base limbs, offset, value byte, store flag)
+  equated with the memcheck byte rows; store bytes tied to rs2, loaded
+  values tied to the rd write via per-funct3 sign/zero extension.
+* COMPLETENESS — every ALU-class/load/store word must decode onto
+  exactly one valid gadget table, so invalid encodings (which trap in
+  the VM) have no satisfying assignment.
+* PUBLIC ANCHORS — entry pc, final pc, and the output tape binding
+  described above.
+
+Soundness preconditions (asserted at prove time, verifier-enforced
+where public): program addresses < 2^29 (ADDR_BOUND — keeps the mod-p
+control-flow target equations exact) and no self-modifying code (the
+table decodes the INITIAL image; stores that overwrite later-executed
+code would make honest proving fail, never unsound verification).
 """
 
 from __future__ import annotations
