@@ -330,6 +330,37 @@ def _open_column_paths(state: LigeroCommitState, indices: List[int]) -> List[Mer
     return paths
 
 
+def _pow_range(base: int, count: int) -> np.ndarray:
+    """[base^1, base^2, ..., base^count] mod P, vectorized (log2(count)
+    masked multiplies)."""
+    ks = np.arange(1, count + 1, dtype=np.uint64)
+    out = np.ones(count, dtype=np.uint64)
+    sq = np.uint64(base % P)
+    bit = np.uint64(1)
+    for _ in range(int(count).bit_length() + 1):
+        mask = (ks & bit) != 0
+        out[mask] = out[mask] * sq % np.uint64(P)
+        sq = sq * sq % np.uint64(P)
+        bit <<= np.uint64(1)
+    return out
+
+
+def _vecmat(a: np.ndarray, matrix: np.ndarray) -> np.ndarray:
+    """out[j] = sum_i a[i]*M[i, j] mod P (native 128-bit accumulate when
+    available; exact numpy fallback — row count < 2^33 keeps the uint64
+    sum of sub-2^31 products from wrapping)."""
+    try:
+        from ..runtime import native_mod_vecmat
+
+        out = native_mod_vecmat(a, matrix, P)
+        if out is not None:
+            return out
+    except Exception:
+        pass
+    p = np.uint64(P)
+    return (a[:, None] * matrix % p).sum(axis=0, dtype=np.uint64) % p
+
+
 def ligero_prove_claims(state: LigeroCommitState, claims: List[LigeroClaim],
                         transcript: FiatShamirTranscript,
                         params: LigeroParams = None) -> LigeroEvalProof:
@@ -337,7 +368,8 @@ def ligero_prove_claims(state: LigeroCommitState, claims: List[LigeroClaim],
 
     Transcript schedule (replayed by the verifier):
       per claim: gamma := challenge; absorb u-row;   [batched query row]
-      per rep:   rho := challenges(B*m); absorb w;   [proximity rows]
+      per rep:   rho := challenge, row = rho^1..rho^(B*m); absorb w;
+                 [powers-of-rho proximity rows — geometric batching]
       query indices := challenges(t) mod n_e.        [column spot checks]
     """
     params = params or LigeroParams()
@@ -349,16 +381,14 @@ def ligero_prove_claims(state: LigeroCommitState, claims: List[LigeroClaim],
         gamma = transcript.challenge_value(P)
         gpow = np.array([pow(gamma, k, P) for k in range(B)], dtype=np.uint64)
         a_hat = (np.repeat(gpow, state.m) * np.tile(claim.a % p, B)) % p  # (B*m,)
-        u = (a_hat[:, None] * state.matrix % p).sum(axis=0, dtype=np.uint64) % p
+        u = _vecmat(a_hat, state.matrix)
         transcript.append_u64s(u)
         us.append(u)
 
     ws = []
     for _ in range(params.num_rho):
-        rho = np.array(
-            [transcript.challenge_value(P) for _ in range(B * state.m)], dtype=np.uint64
-        )
-        w = (rho[:, None] * state.matrix % p).sum(axis=0, dtype=np.uint64) % p
+        rho = _pow_range(transcript.challenge_value(P), B * state.m)
+        w = _vecmat(rho, state.matrix)
         transcript.append_u64s(w)
         ws.append(w)
 
@@ -412,9 +442,7 @@ def ligero_verify_claims(F, root: bytes, num_vars: int, names: List[str],
 
     rhos = []
     for w in proof.ws:
-        rho = np.array(
-            [transcript.challenge_value(P) for _ in range(B * m)], dtype=np.uint64
-        )
+        rho = _pow_range(transcript.challenge_value(P), B * m)
         transcript.append_u64s(np.asarray(w, dtype=np.uint64) % p)
         rhos.append(rho)
 

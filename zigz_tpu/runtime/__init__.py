@@ -412,6 +412,24 @@ def native_lasso_id_stream(count: int, p: int):
     return out
 
 
+def native_mod_vecmat(a: np.ndarray, matrix: np.ndarray, p: int):
+    """out[j] = sum_i a[i]*M[i, j] mod p (128-bit accumulate), or None."""
+    lib = _load_ntt()
+    if lib is None or not hasattr(lib, "zigz_mod_vecmat"):
+        return None
+    a = np.ascontiguousarray(a, dtype=np.uint64)
+    matrix = np.ascontiguousarray(matrix, dtype=np.uint64)
+    K, n = matrix.shape
+    out = np.empty(n, dtype=np.uint64)
+    lib.zigz_mod_vecmat(
+        a.ctypes.data_as(ctypes.c_void_p),
+        matrix.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_size_t(K), ctypes.c_size_t(n), ctypes.c_uint64(p),
+        out.ctypes.data_as(ctypes.c_void_p), ctypes.c_int(NUM_THREADS),
+    )
+    return out
+
+
 def native_batch_inv(values: np.ndarray, p: int):
     """Montgomery batch inversion mod p (zeros map to zero), or None."""
     lib = _load_ntt()

@@ -132,3 +132,43 @@ extern "C" void zigz_batch_inv(const uint64_t* in, size_t n, uint64_t p,
         }
     }
 }
+
+// out[j] = sum_i a[i] * M[i*n + j] mod p  (p < 2^31; products < 2^62,
+// accumulated in 128-bit so any K is exact).  Threads split the rows;
+// per-thread 128-bit partials combine at the end.
+extern "C" void zigz_mod_vecmat(const uint64_t* a, const uint64_t* M,
+                                size_t K, size_t n, uint64_t p,
+                                uint64_t* out, int num_threads) {
+    size_t nthreads = (num_threads > 0 && K * n >= (1u << 18))
+                          ? static_cast<size_t>(num_threads) : 1;
+    if (nthreads > K) nthreads = K ? K : 1;
+    std::vector<std::vector<unsigned __int128>> partials(
+        nthreads, std::vector<unsigned __int128>(n, 0));
+    auto work = [&](size_t t, size_t begin, size_t end) {
+        auto& acc = partials[t];
+        for (size_t i = begin; i < end; ++i) {
+            uint64_t ai = a[i] % p;
+            if (ai == 0) continue;
+            const uint64_t* row = M + i * n;
+            for (size_t j = 0; j < n; ++j) acc[j] += ai * row[j];
+        }
+    };
+    if (nthreads <= 1) {
+        work(0, 0, K);
+    } else {
+        std::vector<std::thread> threads;
+        size_t chunk = (K + nthreads - 1) / nthreads;
+        for (size_t t = 0; t < nthreads; ++t) {
+            size_t begin = t * chunk;
+            if (begin >= K) break;
+            size_t end = begin + chunk < K ? begin + chunk : K;
+            threads.emplace_back(work, t, begin, end);
+        }
+        for (auto& th : threads) th.join();
+    }
+    for (size_t j = 0; j < n; ++j) {
+        unsigned __int128 s = 0;
+        for (size_t t = 0; t < nthreads; ++t) s += partials[t][j];
+        out[j] = static_cast<uint64_t>(s % p);
+    }
+}
