@@ -171,3 +171,47 @@ def test_outputs_tape_roundtrip():
     restored = ser.deserialize(ser.serialize(proof))
     assert restored.public_io.outputs == [41]
     assert Verifier(F).verify(restored, program) == VerificationResult.Accept
+
+
+# Extra: streaming serialization is byte-identical to the in-memory path
+# (ROADMAP: chunked writes for the O(num_steps) v1 wire format) and the
+# mmap-backed reader round-trips it.
+def test_streaming_serialization(tmp_path):
+    import io
+
+    ser = BinarySerializer(F)
+    for kwargs in ({}, {"protocol_version": 2}):
+        program = nop_program(700)  # odd size: exercises slice boundaries
+        proof = Prover(F, seed=0, **kwargs).prove(
+            program, ENTRY, None, 1 << 20, None, None
+        )
+        data = ser.serialize(proof)
+
+        sink = io.BytesIO()
+        n = ser.serialize_to(proof, sink)
+        assert n == len(data)
+        assert sink.getvalue() == data
+
+        path = tmp_path / f"proof_v{proof.metadata.version}.bin"
+        with open(path, "wb") as f:
+            assert ser.serialize_to(proof, f) == len(data)
+        restored = ser.deserialize_path(str(path))
+        assert ser.serialize(restored) == data
+        assert Verifier(F).verify(restored, program) == VerificationResult.Accept
+
+
+# Extra: a tiny writer chunk still produces identical bytes (flush
+# boundaries fall inside individual records).
+def test_streaming_small_chunks():
+    import io
+
+    from zigz_tpu.prover.serialization import _Writer
+
+    proof = prove(nop_program(33))
+    ser = BinarySerializer(F)
+    data = ser.serialize(proof)
+    sink = io.BytesIO()
+    w = _Writer(sink=sink, chunk=7)
+    ser._write_all(w, proof)
+    assert w.finish() == len(data)
+    assert sink.getvalue() == data

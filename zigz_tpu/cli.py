@@ -124,12 +124,14 @@ def cmd_prove(args) -> int:
     proof = prover.prove(program, entry_pc, None, max_steps, segments, input_tape)
     prove_ms = (time.perf_counter() - t0) * 1000
 
-    proof_bytes = BinarySerializer(F).serialize(proof)
     if out_path:
+        # Stream in chunks — the v1 proof is O(num_steps) on the wire.
         with open(out_path, "wb") as f:
-            f.write(proof_bytes)
+            proof_size = BinarySerializer(F).serialize_to(proof, f)
+    else:
+        proof_size = len(BinarySerializer(F).serialize(proof))
 
-    print(f"prove: {prove_ms:.0f} ms, proof size {len(proof_bytes)} bytes, steps {proof.metadata.num_steps}")
+    print(f"prove: {prove_ms:.0f} ms, proof size {proof_size} bytes, steps {proof.metadata.num_steps}")
     if proof.public_io.outputs:
         print(f"outputs: {proof.public_io.outputs}")
     if out_path:
@@ -142,12 +144,10 @@ def cmd_verify(args) -> int:
         print("error: verify requires <proof.bin> <program.bin>", file=sys.stderr)
         print(USAGE)
         return 1
-    with open(args[0], "rb") as f:
-        proof_bytes = f.read()
     with open(args[1], "rb") as f:
         program = f.read()
 
-    proof = BinarySerializer(F).deserialize(proof_bytes)
+    proof = BinarySerializer(F).deserialize_path(args[0])
     t0 = time.perf_counter()
     result = Verifier(F).verify(proof, program)
     verify_ms = (time.perf_counter() - t0) * 1000

@@ -45,20 +45,47 @@ class SerializationError(Exception):
 
 
 class _Writer:
-    def __init__(self):
+    """Accumulates proof bytes; with a `sink` (file-like object) the
+    buffer is flushed in `chunk`-sized pieces instead of materializing
+    the whole proof (ROADMAP: streaming serialization — the v1 wire
+    format is O(num_steps) because of the per-instruction Lasso block,
+    reference serialization.zig:333-344)."""
+
+    def __init__(self, sink=None, chunk: int = 1 << 22):
         self.buf = bytearray()
+        self.sink = sink
+        self.chunk = chunk
+        self.written = 0
+
+    def _maybe_flush(self):
+        if self.sink is not None and len(self.buf) >= self.chunk:
+            self.written += len(self.buf)
+            self.sink.write(self.buf)
+            self.buf = bytearray()
+
+    def finish(self) -> int:
+        """Flush the tail; returns the total byte count."""
+        if self.sink is not None and self.buf:
+            self.written += len(self.buf)
+            self.sink.write(self.buf)
+            self.buf = bytearray()
+        return self.written + len(self.buf)
 
     def bytes_(self, data: bytes):
         self.buf += data
+        self._maybe_flush()
 
     def u8(self, v: int):
         self.buf += struct.pack("<B", v)
+        self._maybe_flush()
 
     def u32(self, v: int):
         self.buf += struct.pack("<I", v)
+        self._maybe_flush()
 
     def u64(self, v: int):
         self.buf += struct.pack("<Q", v)
+        self._maybe_flush()
 
 
 class _Reader:
@@ -92,6 +119,19 @@ class BinarySerializer:
     # -- serialize ---------------------------------------------------------
     def serialize(self, proof: Proof) -> bytes:
         w = _Writer()
+        self._write_all(w, proof)
+        return bytes(w.buf)
+
+    def serialize_to(self, proof: Proof, fileobj) -> int:
+        """Stream the proof to a binary file object in ~4 MB chunks;
+        returns the byte count.  Byte-identical to serialize() without
+        ever holding the full proof buffer (the 2^22-step v1 proof is
+        ~100 MB of Lasso filler records)."""
+        w = _Writer(sink=fileobj)
+        self._write_all(w, proof)
+        return w.finish()
+
+    def _write_all(self, w: _Writer, proof: Proof) -> None:
         self._write_header(w, proof)
         self._write_public_io(w, proof.public_io)
         self._write_sumcheck(w, proof.constraint_proof)
@@ -99,7 +139,6 @@ class BinarySerializer:
         self._write_witness_commitments(w, proof.witness_commitments)
         if proof.metadata.version >= 2:
             self._write_v2_section(w, proof.v2)
-        return bytes(w.buf)
 
     def _write_header(self, w: _Writer, proof: Proof) -> None:
         w.bytes_(MAGIC)
@@ -149,9 +188,15 @@ class BinarySerializer:
             import numpy as np
 
             n = len(proofs)
-            if n:
-                rec = np.zeros(n, dtype=[("id", "<u4"), ("nl", "<u8"), ("nv", "<u4"), ("fe", "<u8")])
-                rec["id"] = np.arange(n, dtype=np.uint32)
+            # Emit in bounded slices so a streaming writer never holds
+            # more than one slice of the O(num_steps) filler block.
+            step = 1 << 18
+            for lo in range(0, n, step):
+                hi = min(lo + step, n)
+                rec = np.zeros(
+                    hi - lo, dtype=[("id", "<u4"), ("nl", "<u8"), ("nv", "<u4"), ("fe", "<u8")]
+                )
+                rec["id"] = np.arange(lo, hi, dtype=np.uint32)
                 rec["nl"] = 1
                 w.bytes_(rec.tobytes())
             return
@@ -737,6 +782,19 @@ class BinarySerializer:
                          memcheck=memcheck, bytecode=bytecode)
 
     # -- deserialize -------------------------------------------------------
+    def deserialize_path(self, path: str) -> Proof:
+        """Deserialize a proof file without reading it into memory up
+        front: the file is mmap'd and pages stream in on demand (the
+        compact-Lasso fast path slices it zero-copy)."""
+        import mmap
+
+        with open(path, "rb") as f:
+            size = f.seek(0, 2)
+            if size == 0:
+                raise SerializationError("InvalidData")
+            with mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ) as mapped:
+                return self.deserialize(mapped)
+
     def deserialize(self, data: bytes) -> Proof:
         F = self.F
         r = _Reader(data)
@@ -807,9 +865,13 @@ class BinarySerializer:
         if count > 0 and r.pos + 24 * count <= len(r.data):
             import numpy as np
 
-            blob = r.data[r.pos : r.pos + 24 * count]
+            # Zero-copy view (works over bytes and mmap alike); `rec`
+            # must not outlive r.data — all uses below copy or reduce.
             rec = np.frombuffer(
-                blob, dtype=[("id", "<u4"), ("nl", "<u8"), ("nv", "<u4"), ("fe", "<u8")]
+                r.data,
+                dtype=[("id", "<u4"), ("nl", "<u8"), ("nv", "<u4"), ("fe", "<u8")],
+                count=count,
+                offset=r.pos,
             )
             if (
                 np.array_equal(rec["id"], np.arange(count, dtype=np.uint32))
