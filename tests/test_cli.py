@@ -87,3 +87,15 @@ def test_new_and_build(tmp_path):
     # And the produced guest runs: doubles its input.
     r3 = run_cli(["prove", str(elf_path), "--input", "21"])
     assert "outputs: [42]" in r3.stdout
+
+
+def test_prove_supervised(tmp_path):
+    """--supervise routes through the recovery supervisor and produces a
+    proof the normal verify path accepts."""
+    guest = _write_guest(tmp_path)
+    out = str(tmp_path / "proof.bin")
+    r = run_cli(["prove", guest, "--input", "10", "--out", out, "--supervise"])
+    assert r.returncode == 0, r.stderr
+    assert "supervised, restarts=0" in r.stdout
+    r2 = run_cli(["verify", out, guest])
+    assert r2.returncode == 0 and "Accept" in r2.stdout

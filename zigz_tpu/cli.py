@@ -38,9 +38,11 @@ USAGE = """zigz-tpu — TPU-native Jolt-style zkVM (sumcheck + Lasso)
   zigz-tpu execute <program.bin|program.elf> [--entry 0x1000] [--max-steps N]
     Run VM only (no proof). ELF: entry from file; raw .bin: use --entry.
 
-  zigz-tpu prove <program.bin|program.elf> [--entry 0x1000] [--max-steps N] [--out proof.bin] [--input v1,v2,...] [--v2]
+  zigz-tpu prove <program.bin|program.elf> [--entry 0x1000] [--max-steps N] [--out proof.bin] [--input v1,v2,...] [--v2] [--supervise]
     Generate proof. ELF: entry and segments from file.
     --v2 uses protocol version 2 (real constraint zerocheck).
+    --supervise proves in a watched worker process with heartbeat
+    failure detection and deterministic restart.
 
   zigz-tpu verify <proof.bin> <program.bin|program.elf>
     Verify proof. Program must match the one used to prove.
@@ -118,6 +120,36 @@ def cmd_prove(args) -> int:
     input_str = _parse_str(args, "--input")
     input_tape = [int(v) for v in input_str.split(",")] if input_str else None
     protocol_version = 2 if "--v2" in args else 1
+
+    if "--supervise" in args:
+        # Fault-tolerant path: prove in a supervised worker process with
+        # heartbeat failure detection + deterministic restart
+        # (parallel/recovery.py).
+        import shutil
+        import tempfile
+
+        from .parallel.recovery import JobSupervisor, ProveJobSpec
+
+        job_dir = tempfile.mkdtemp(prefix="zigz_job_")
+        try:
+            spec = ProveJobSpec(
+                program=program, entry_pc=entry_pc, max_steps=max_steps,
+                input_tape=input_tape, protocol_version=protocol_version,
+            )
+            t0 = time.perf_counter()
+            res = JobSupervisor(job_dir).run(spec)
+            prove_ms = (time.perf_counter() - t0) * 1000
+            if out_path:
+                shutil.copyfile(res.proof_path, out_path)
+            size = res.journal[-1]["bytes"]
+            print(f"prove: {prove_ms:.0f} ms, proof size {size} bytes, "
+                  f"steps {res.journal[-1]['num_steps']} "
+                  f"(supervised, restarts={res.restarts})")
+            if out_path:
+                print(f"wrote proof to {out_path}")
+            return 0
+        finally:
+            shutil.rmtree(job_dir, ignore_errors=True)
 
     prover = Prover(F, seed=0, protocol_version=protocol_version)
     t0 = time.perf_counter()

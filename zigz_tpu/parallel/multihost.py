@@ -13,7 +13,9 @@ DCN-facing piece of the new distributed layer.  Design:
   is a pure function, so a lost host aborts the job and the coordinator
   relaunches; no partial-state checkpointing is needed for correctness
   (the de-facto resume story the reference also relies on — same seed,
-  same proof bytes).
+  same proof bytes).  The mechanism lives in :mod:`recovery`
+  (heartbeat failure detection, kill-by-PID, restart, and an enforced
+  byte-identical-restart invariant; tests/test_recovery.py).
 
 Single-host processes (the common case on this machine) can use
 :func:`global_trace_mesh` directly without ``initialize``.
