@@ -38,9 +38,10 @@ USAGE = """zigz-tpu — TPU-native Jolt-style zkVM (sumcheck + Lasso)
   zigz-tpu execute <program.bin|program.elf> [--entry 0x1000] [--max-steps N]
     Run VM only (no proof). ELF: entry from file; raw .bin: use --entry.
 
-  zigz-tpu prove <program.bin|program.elf> [--entry 0x1000] [--max-steps N] [--out proof.bin] [--input v1,v2,...] [--v2] [--supervise]
+  zigz-tpu prove <program.bin|program.elf> [--entry 0x1000] [--max-steps N] [--out proof.bin] [--input v1,v2,...] [--v2|--v3|--v4] [--supervise]
     Generate proof. ELF: entry and segments from file.
-    --v2 uses protocol version 2 (real constraint zerocheck).
+    --v2 real constraint zerocheck; --v3 adds Poseidon2 commitments;
+    --v4 unified Ligero witness PCS (no per-column Merkle forest).
     --supervise proves in a watched worker process with heartbeat
     failure detection and deterministic restart.
 
@@ -119,7 +120,10 @@ def cmd_prove(args) -> int:
     out_path = _parse_str(args, "--out")
     input_str = _parse_str(args, "--input")
     input_tape = [int(v) for v in input_str.split(",")] if input_str else None
-    protocol_version = 2 if "--v2" in args else 1
+    protocol_version = 1
+    for flag, pv in (("--v2", 2), ("--v3", 3), ("--v4", 4)):
+        if flag in args:
+            protocol_version = pv
 
     if "--supervise" in args:
         # Fault-tolerant path: prove in a supervised worker process with

@@ -479,6 +479,23 @@ def ligero_verify_claims(F, root: bytes, num_vars: int, names: List[str],
     return bindings_ok
 
 
+def ligero_column_evals(state: LigeroCommitState, rs: List[int]) -> Dict[str, int]:
+    """Per-column MLE evaluations at the fold point rs, computed from the
+    committed (unencoded) matrix: eval_k = a^T M_k b with the eq-tensor
+    row/column weights.  These are the claimed values a v4 verifier feeds
+    to :func:`ligero_verify_eval`."""
+    p = np.uint64(P)
+    a, b = _row_col_weights(rs, state.cn)
+    b = b % p
+    evals = {}
+    for k, name in enumerate(state.names):
+        block = state.matrix[k * state.m : (k + 1) * state.m]
+        u = _vecmat(a, block).astype(np.uint64) % p
+        # u, b < 2^31 so u*b fits uint64; reduce before the n-term sum.
+        evals[name] = int((u * b % p).sum(dtype=np.uint64) % p)
+    return evals
+
+
 def ligero_prove_eval(state: LigeroCommitState, rs: List[int],
                       transcript: FiatShamirTranscript,
                       params: LigeroParams = None) -> LigeroEvalProof:

@@ -142,6 +142,14 @@ class V2Section:
     # step's decoded tuple is proven to equal the public program's decode
     # at its pc (Jolt-style bytecode memory check).
     bytecode: object = None  # BytecodeProof
+    # Protocol v4: the 43 witness MLEs under ONE Ligero commitment,
+    # opened at the zerocheck terminal point (replaces the v1-style
+    # 43 Merkle trees + point-to-index openings entirely; closes the
+    # reference's known gap at polynomial_commit.zig:178-183 for every
+    # witness column, not just the zerocheck's).
+    witness_root: bytes = None  # 32B Ligero column-Merkle root
+    witness_evals: dict = None  # name -> int, at the zerocheck point
+    witness_proof: object = None  # LigeroEvalProof
 
 
 class CompactLassoList:

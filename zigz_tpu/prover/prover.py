@@ -84,10 +84,15 @@ class Prover:
         # v1 = reference wire parity; v2 = real zerocheck + Lasso (SHA3
         # commitments); v3 = v2 with Poseidon2-over-BabyBear Merkle
         # commitments (the reference's own intended direction,
-        # hash.zig:47-49, behind a proof-version bump).
-        assert protocol_version in (1, 2, 3)
+        # hash.zig:47-49, behind a proof-version bump); v4 = v2 with the
+        # 43 witness MLEs under ONE Ligero PCS commitment opened at the
+        # zerocheck point, replacing the v1-style Merkle forest +
+        # point-to-index openings (the last unbound evals are gone).
+        assert protocol_version in (1, 2, 3, 4)
         if protocol_version == 3 and F.MODULUS != 2013265921:
             raise ValueError("protocol_version=3 (Poseidon2 commitments) is BabyBear-only")
+        if protocol_version == 4 and F.MODULUS != 2013265921:
+            raise ValueError("protocol_version=4 (Ligero witness PCS) is BabyBear-only")
         self.protocol_version = protocol_version
         self.last_timings = {}
 
@@ -188,8 +193,13 @@ class Prover:
             self._generate_lasso_proofs(proof, lookup_count)
         t3 = time.perf_counter()
 
-        # STEP 6: commitments (prover.zig:371-467).
-        self._generate_commitments(proof, witness)
+        # STEP 6: commitments (prover.zig:371-467).  v4 replaces the 43
+        # Merkle trees + point-to-index openings with the Ligero witness
+        # PCS already emitted in the zerocheck phase.
+        if self.protocol_version < 4:
+            self._generate_commitments(proof, witness)
+        else:
+            proof.witness_commitments = []
         t4 = time.perf_counter()
 
         # STEP 7: public IO (prover.zig:513-559).
@@ -337,6 +347,23 @@ class Prover:
         self._v2_pcs_state = pcs_state
         self._v2_pcs_cols = host_columns
 
+        # Protocol v4: ONE Ligero commitment over all 43 witness MLEs,
+        # bound before any zerocheck challenge so the opening point is
+        # unpredictable to the committer.  Replaces the v1-style Merkle
+        # forest + point-to-index openings (polynomial_commit.zig:178-183
+        # gap, closed for every witness column).
+        wit_state = None
+        if self.protocol_version >= 4:
+            from ..constraints.witness import WITNESS_POLY_NAMES
+
+            t0 = time.perf_counter()
+            mat = witness.matrix
+            wit_cols = {name: mat[i] for i, name in enumerate(WITNESS_POLY_NAMES)}
+            wit_state = ligero_commit(F, wit_cols, self._hash_mode())
+            transcript.append_bytes(b"V4_WITNESS_COMMIT")
+            transcript.append_bytes(wit_state.root)
+            self.last_timings["witness_pcs_commit_s"] = time.perf_counter() - t0
+
         # PC-chain logUp (the shift argument, constraints/v2.py c5/c6):
         # tau/beta are drawn AFTER the pc/next_pc data is bound (aux roots
         # + Ligero root above); the nonce makes the draw retryable when a
@@ -425,6 +452,22 @@ class Prover:
         pcs_proof = ligero_prove_eval(pcs_state, zc.final_point, transcript)
         self.last_timings["pcs_eval_s"] = time.perf_counter() - t0
 
+        # v4: open the witness commitment at the zerocheck point.  The 43
+        # evals are absorbed before the eval argument's challenges so they
+        # are transcript-bound, then proven against the committed matrix.
+        wit_evals = None
+        wit_proof = None
+        if wit_state is not None:
+            from ..commitments.ligero import ligero_column_evals
+
+            t0 = time.perf_counter()
+            wit_evals = ligero_column_evals(wit_state, zc.final_point)
+            transcript.append_bytes(b"V4_WITNESS_EVALS")
+            for name in wit_state.names:
+                transcript.append_u64(wit_evals[name])
+            wit_proof = ligero_prove_eval(wit_state, zc.final_point, transcript)
+            self.last_timings["witness_pcs_eval_s"] = time.perf_counter() - t0
+
         # logUp binding: one Ligero argument carrying BOTH the evaluation
         # claim at the zerocheck point (ties the g1/g2 terminal evals) and
         # the hypercube-sum claim (ties sum(g1) == sum(g2) == logup_sum).
@@ -462,6 +505,9 @@ class Prover:
             logup_sum=logup_sum,
             logup_root=logup_state.root,
             logup_proof=logup_proof,
+            witness_root=wit_state.root if wit_state is not None else None,
+            witness_evals=wit_evals,
+            witness_proof=wit_proof,
         )
 
     def _generate_lasso_proofs(self, proof: Proof, lookup_count: int) -> None:

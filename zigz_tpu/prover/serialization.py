@@ -136,9 +136,12 @@ class BinarySerializer:
         self._write_public_io(w, proof.public_io)
         self._write_sumcheck(w, proof.constraint_proof)
         self._write_lasso_proofs(w, proof.lookup_proofs)
-        self._write_witness_commitments(w, proof.witness_commitments)
+        if proof.metadata.version < 4:
+            # v4 has no per-column Merkle forest (Ligero witness PCS in
+            # the v2 section replaces it).
+            self._write_witness_commitments(w, proof.witness_commitments)
         if proof.metadata.version >= 2:
-            self._write_v2_section(w, proof.v2)
+            self._write_v2_section(w, proof.v2, proof.metadata.version)
 
     def _write_header(self, w: _Writer, proof: Proof) -> None:
         w.bytes_(MAGIC)
@@ -233,7 +236,7 @@ class BinarySerializer:
     _V2_COLUMNS = ("g1", "g2", "is_read", "next_pc", "pc", "seq", "x0")
     _V2_AUX = ("next_pc", "seq")
 
-    def _write_v2_section(self, w: _Writer, v2) -> None:
+    def _write_v2_section(self, w: _Writer, v2, version: int = 2) -> None:
         for name in self._V2_AUX:
             w.bytes_(v2.aux_roots[name])
         for name in self._V2_COLUMNS:
@@ -270,6 +273,15 @@ class BinarySerializer:
         self._write_regcheck(w, v2.regcheck)
         self._write_memcheck(w, v2.memcheck)
         self._write_bytecode(w, v2.bytecode)
+        if version >= 4:
+            # Witness PCS: 32B root | 43 u64 evals (sorted witness poly
+            # names) | ligero proof.
+            from ..constraints.witness import WITNESS_POLY_NAMES
+
+            w.bytes_(v2.witness_root)
+            for name in sorted(WITNESS_POLY_NAMES):
+                w.u64(v2.witness_evals[name] % self.F.MODULUS)
+            self._write_ligero_proof(w, v2.witness_proof)
 
     # -- register memory check (constraints/regcheck.py) -------------------
     # Layout: u8 present and, if set: u64 nonce | u32 num_vars | 32 x u64
@@ -736,7 +748,7 @@ class BinarySerializer:
             paths.append(MerklePath(siblings=[r.bytes_(32) for _ in range(path_len)]))
         return LigeroEvalProof(us=us, ws=ws, columns=columns, paths=paths)
 
-    def _read_v2_section(self, r: _Reader):
+    def _read_v2_section(self, r: _Reader, version: int = 2):
         from ..commitments.merkle import MerklePath, OpeningProof as MerkleOpening
         from .proof import V2Section
 
@@ -773,13 +785,24 @@ class BinarySerializer:
         regcheck = self._read_regcheck(r)
         memcheck = self._read_memcheck(r)
         bytecode = self._read_bytecode(r)
+        witness_root = None
+        witness_evals = None
+        witness_proof = None
+        if version >= 4:
+            from ..constraints.witness import WITNESS_POLY_NAMES
+
+            witness_root = r.bytes_(32)
+            witness_evals = {name: r.u64() for name in sorted(WITNESS_POLY_NAMES)}
+            witness_proof = self._read_ligero_proof(r)
         return V2Section(aux_roots=aux_roots, column_evals=column_evals,
                          aux_openings=aux_openings, lasso_extras=lasso_extras,
                          pcs_root=pcs_root, pcs_proof=pcs_proof,
                          logup_nonce=logup_nonce, logup_sum=logup_sum,
                          logup_root=logup_root, logup_proof=logup_proof,
                          lookup_validity=lookup_validity, regcheck=regcheck,
-                         memcheck=memcheck, bytecode=bytecode)
+                         memcheck=memcheck, bytecode=bytecode,
+                         witness_root=witness_root, witness_evals=witness_evals,
+                         witness_proof=witness_proof)
 
     # -- deserialize -------------------------------------------------------
     def deserialize_path(self, path: str) -> Proof:
@@ -803,7 +826,7 @@ class BinarySerializer:
         if magic != MAGIC:
             raise SerializationError("InvalidMagicNumber")
         version = r.u32()
-        if version not in (1, 2, 3):
+        if version not in (1, 2, 3, 4):
             raise SerializationError("UnsupportedVersion")
         field_modulus = r.u64()
         num_steps = r.u64()
@@ -820,9 +843,12 @@ class BinarySerializer:
         proof.public_io = self._read_public_io(r)
         self._read_sumcheck(r, proof.constraint_proof)
         self._read_lasso_proofs(r, proof)
-        self._read_witness_commitments(r, proof)
+        if version < 4:
+            self._read_witness_commitments(r, proof)
+        else:
+            proof.witness_commitments = []
         if version >= 2:
-            proof.v2 = self._read_v2_section(r)
+            proof.v2 = self._read_v2_section(r, version)
         return proof
 
     def _read_public_io(self, r: _Reader) -> PublicIO:

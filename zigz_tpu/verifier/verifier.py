@@ -45,7 +45,7 @@ class Verifier:
         self.transcript = FiatShamirTranscript()
 
     def verify(self, proof: Proof, program: bytes) -> str:
-        if proof.metadata.version in (2, 3):
+        if proof.metadata.version in (2, 3, 4):
             return self.verify_v2(proof, program)
 
         # Fresh transcript (verifier.zig:55).
@@ -128,6 +128,18 @@ class Verifier:
         transcript.append_bytes(b"V2_PCS_COMMIT")
         transcript.append_bytes(proof.v2.pcs_root)
 
+        # v4: the full-witness Ligero root, bound before any zerocheck
+        # challenge (prover order).
+        if proof.metadata.version >= 4:
+            if (
+                proof.v2.witness_root is None
+                or proof.v2.witness_evals is None
+                or proof.v2.witness_proof is None
+            ):
+                return VerificationResult.RejectInvalidCommitment
+            transcript.append_bytes(b"V4_WITNESS_COMMIT")
+            transcript.append_bytes(proof.v2.witness_root)
+
         # PC-chain logUp replay: nonce-bound tau/beta draw, then the g1/g2
         # commitment + shared sum (constraints/v2.py c5/c6).
         if proof.v2.logup_root is None or proof.v2.logup_proof is None:
@@ -193,6 +205,40 @@ class Verifier:
             hash_mode,
         ):
             return VerificationResult.RejectInvalidCommitment
+
+        # v4: the witness PCS opened at the SAME zerocheck point.  The
+        # evals shared with the small zerocheck commitment must agree
+        # (binds the two commitments to one witness), and every one of
+        # the 43 column evals is proven against the committed matrix.
+        if proof.metadata.version >= 4:
+            from ..constraints.witness import WITNESS_POLY_NAMES
+
+            wit_names = sorted(WITNESS_POLY_NAMES)
+            wev = proof.v2.witness_evals
+            if set(wev) != set(wit_names):
+                return VerificationResult.RejectInvalidCommitment
+            cev = proof.v2.column_evals
+            if (
+                wev["pc"] != cev["pc"] % p
+                or wev["x0"] != cev["x0"] % p
+                or wev["mem_is_read"] != cev["is_read"] % p
+            ):
+                return VerificationResult.RejectInvalidCommitment
+            transcript.append_bytes(b"V4_WITNESS_EVALS")
+            for name in wit_names:
+                transcript.append_u64(wev[name] % p)
+            if not ligero_verify_eval(
+                F,
+                proof.v2.witness_root,
+                proof.metadata.num_vars,
+                wit_names,
+                wev,
+                final_point,
+                proof.v2.witness_proof,
+                transcript,
+                hash_mode,
+            ):
+                return VerificationResult.RejectInvalidCommitment
 
         # logUp Ligero argument: claim 1 binds the g1/g2 terminal evals at
         # the zerocheck point; claim 2 binds sum(g1) == sum(g2) ==
@@ -298,36 +344,41 @@ class Verifier:
         ):
             return VerificationResult.RejectInvalidBytecode
 
-        # Commitment phase: bind roots, re-derive points, CHECK them.
-        transcript.append_bytes(b"POLY_COMMITMENTS")
-        for c in proof.witness_commitments:
-            transcript.append_bytes(c.commitment)
         num_vars = proof.metadata.num_vars
-        for c in proof.witness_commitments:
-            point = [transcript.challenge(F) for _ in range(num_vars)]
-            # v2 tightening: the proof's point and opened index must match
-            # the re-derived challenges (v1 never checks these).
-            if [x.value for x in c.point] != [x.value for x in point]:
+        if proof.metadata.version < 4:
+            # Commitment phase: bind roots, re-derive points, CHECK them.
+            # (v4 has no per-column Merkle forest — the Ligero witness PCS
+            # above replaces this phase entirely.)
+            if len(proof.witness_commitments) != 43:
                 return VerificationResult.RejectInvalidCommitment
-            expected_index = point[0].value % (1 << num_vars) if num_vars else 0
-            if c.proof.merkle_proof.index != expected_index:
-                return VerificationResult.RejectInvalidCommitment
-        transcript.append_bytes(b"OPENING_CLAIMS")
-        for c in proof.witness_commitments:
-            transcript.append_field_element(F, c.value)
+            transcript.append_bytes(b"POLY_COMMITMENTS")
+            for c in proof.witness_commitments:
+                transcript.append_bytes(c.commitment)
+            for c in proof.witness_commitments:
+                point = [transcript.challenge(F) for _ in range(num_vars)]
+                # v2 tightening: the proof's point and opened index must
+                # match the re-derived challenges (v1 never checks these).
+                if [x.value for x in c.point] != [x.value for x in point]:
+                    return VerificationResult.RejectInvalidCommitment
+                expected_index = point[0].value % (1 << num_vars) if num_vars else 0
+                if c.proof.merkle_proof.index != expected_index:
+                    return VerificationResult.RejectInvalidCommitment
+            transcript.append_bytes(b"OPENING_CLAIMS")
+            for c in proof.witness_commitments:
+                transcript.append_field_element(F, c.value)
 
-        # Opening checks — v2 tightening: the Merkle walk derives direction
-        # bits from the CHECKED index and requires a full-height path
-        # (merkle.verify_at_index), so proof-supplied directions cannot
-        # authenticate a different leaf.
-        for opening in proof.witness_commitments:
-            if not opening.value.eql(opening.proof.value):
-                return VerificationResult.RejectInvalidCommitment
-            if not SimpleMerkleTree.verify_at_index(
-                F, opening.commitment, opening.proof.merkle_proof, num_vars,
-                hasher=hasher,
-            ):
-                return VerificationResult.RejectInvalidCommitment
+            # Opening checks — v2 tightening: the Merkle walk derives
+            # direction bits from the CHECKED index and requires a
+            # full-height path (merkle.verify_at_index), so proof-supplied
+            # directions cannot authenticate a different leaf.
+            for opening in proof.witness_commitments:
+                if not opening.value.eql(opening.proof.value):
+                    return VerificationResult.RejectInvalidCommitment
+                if not SimpleMerkleTree.verify_at_index(
+                    F, opening.commitment, opening.proof.merkle_proof, num_vars,
+                    hasher=hasher,
+                ):
+                    return VerificationResult.RejectInvalidCommitment
 
         # Aux column openings: strict path check + index matches zerocheck
         # point.
