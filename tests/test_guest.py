@@ -115,3 +115,60 @@ def test_mul_stress_guest():
         acc += t4
         x = (x + t4) & ((1 << 64) - 1)
     assert vm.output_tape[0] == acc & ((1 << 64) - 1)
+
+
+def test_sort_guest_executes():
+    from zigz_tpu.guest.programs import sort_guest
+
+    data = sort_guest()
+    result = elf.load(data)
+    values = [9, 3, 3, 17, 0, 2**63 + 5, 1, 42]
+    vm = VMState.init_from_segments(
+        result.segments, result.entry_pc, [len(values)] + values
+    )
+    vm.run(100000)
+    assert vm.halted
+    assert vm.output_tape == sorted(values)
+
+
+def test_sort_guest_proves_v2():
+    """The SDK-built sort guest (procedures, counted loops, loads/stores)
+    survives the full v2 execution proof including the byte-level memory
+    check and control-flow constraints."""
+    from zigz_tpu.guest.programs import sort_guest
+    from zigz_tpu.prover.prover import Prover
+
+    data = sort_guest()
+    result = elf.load(data)
+    values = [5, 1, 4, 1, 3]
+    proof = Prover(F, seed=0, protocol_version=2).prove(
+        data, result.entry_pc, None, 1 << 14, result.segments,
+        [len(values)] + values,
+    )
+    assert proof.public_io.outputs == sorted(values)
+    assert Verifier(F).verify(proof, data) == VerificationResult.Accept
+
+
+def test_for_range_and_procedures():
+    """SDK primitives in isolation: nested for_range, call/ret, push/pop."""
+    from zigz_tpu.guest.asm import Assembler
+
+    a = Assembler(0x1000)
+    a.li("sp", 0x80000)
+    a.li("s0", 0)
+    with a.for_range("t0", 5):
+        with a.for_range("t1", 3, bound_reg="t3"):
+            a.call("bump")
+    a.io_commit("s0")
+    a.ebreak()
+    a.label("bump")
+    a.push("ra")
+    a.addi("s0", "s0", 2)
+    a.pop("ra")
+    a.ret()
+    data = a.to_elf()
+    result = elf.load(data)
+    vm = VMState.init_from_segments(result.segments, result.entry_pc, [])
+    vm.run(10000)
+    assert vm.halted
+    assert vm.output_tape == [30]  # 5 * 3 * 2

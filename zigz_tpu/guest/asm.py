@@ -396,6 +396,62 @@ class Assembler:
         self.ecall()
         return self
 
+    # -- procedures and structured loops (guest SDK ergonomics) --------------
+    # The reference's guest story is a full Zig cross-compile
+    # (build.zig:82-110); this DSL grows the idioms hand-written guests
+    # actually need: call/ret with a real stack, and counted loops.
+    def _fresh_label(self, prefix: str) -> str:
+        n = getattr(self, "_label_counter", 0)
+        self._label_counter = n + 1
+        return f"__{prefix}_{n}"
+
+    def call(self, target: str):
+        """jal ra, target — pair with :meth:`ret` inside the procedure."""
+        return self.jal("ra", target)
+
+    def ret(self):
+        return self.jalr(0, "ra", 0)
+
+    def push(self, reg):
+        """Push reg on the downward stack at sp (caller must li sp first)."""
+        self.addi("sp", "sp", -8)
+        return self.sd(reg, "sp", 0)
+
+    def pop(self, reg):
+        self.ld(reg, "sp", 0)
+        return self.addi("sp", "sp", 8)
+
+    def for_range(self, reg, count, bound_reg="t6"):
+        """Counted loop: ``with a.for_range("t0", n): <body>`` runs the
+        body with reg = 0..n-1.  ``count`` may be an int (loaded into
+        bound_reg) or a register name holding the bound; the body must
+        not clobber reg or bound_reg."""
+        asm = self
+
+        class _ForRange:
+            def __enter__(self_inner):
+                if isinstance(count, int):
+                    asm.li(bound_reg, count)
+                    self_inner.bound = bound_reg
+                else:
+                    self_inner.bound = count
+                asm.li(reg, 0)
+                self_inner.top = asm._fresh_label("for")
+                self_inner.done = asm._fresh_label("endfor")
+                asm.label(self_inner.top)
+                asm.bge(reg, self_inner.bound, self_inner.done)
+                return self_inner
+
+            def __exit__(self_inner, exc_type, exc, tb):
+                if exc_type is not None:
+                    return False
+                asm.addi(reg, reg, 1)
+                asm.j(self_inner.top)
+                asm.label(self_inner.done)
+                return False
+
+        return _ForRange()
+
     # -- assembly ------------------------------------------------------------
     def assemble(self) -> bytes:
         # Pass 1: assign addresses.

@@ -10,7 +10,10 @@ from __future__ import annotations
 
 from .asm import Assembler
 
-__all__ = ["fibonacci_guest", "mul_stress_guest", "echo_guest", "nop_guest"]
+__all__ = [
+    "fibonacci_guest", "mul_stress_guest", "echo_guest", "nop_guest",
+    "sort_guest",
+]
 
 
 def fibonacci_guest(base: int = 0x1000) -> bytes:
@@ -67,6 +70,60 @@ def echo_guest(count: int, base: int = 0x1000) -> bytes:
         a.io_read("t0")
         a.io_commit("t0")
     a.ebreak()
+    return a.to_elf()
+
+
+def sort_guest(base: int = 0x1000) -> bytes:
+    """Insertion-sort guest exercising the SDK's procedures and loops:
+    n = io.read(); read n words into memory; call sort; commit the
+    sorted values.  Stresses LOAD/STORE (the byte-level memory check),
+    data-dependent branches, call/ret, and the counted-loop idiom."""
+    a = Assembler(base)
+    buf = 0x100000          # data region, away from code
+    a.li("sp", 0x200000)    # downward stack for call frames
+    a.li("s0", buf)
+    a.io_read("s1")         # s1 = n
+    # read loop: buf[i] = io.read()
+    with a.for_range("s2", "s1"):
+        a.slli("t0", "s2", 3)
+        a.add("t0", "t0", "s0")
+        a.io_read("t1")
+        a.sd("t1", "t0", 0)
+    a.call("sort")
+    # commit loop
+    with a.for_range("s2", "s1"):
+        a.slli("t0", "s2", 3)
+        a.add("t0", "t0", "s0")
+        a.ld("t1", "t0", 0)
+        a.io_commit("t1")
+    a.ebreak()
+
+    # sort(s0=base, s1=n): insertion sort, clobbers t*, preserves s*.
+    a.label("sort")
+    a.push("ra")
+    with a.for_range("t2", "s1", bound_reg="t3"):  # i = 0..n-1
+        # key = buf[i]; j = i-1; while j >= 0 and buf[j] > key: shift
+        a.slli("t0", "t2", 3)
+        a.add("t0", "t0", "s0")
+        a.ld("t4", "t0", 0)            # t4 = key
+        a.mv("t5", "t2")               # t5 = j+1
+        a.label("shift")
+        a.beq("t5", "zero", "place")
+        a.addi("t5", "t5", -1)
+        a.slli("t0", "t5", 3)
+        a.add("t0", "t0", "s0")
+        a.ld("t1", "t0", 0)            # t1 = buf[j]
+        a.bgeu("t4", "t1", "undo")     # key >= buf[j]: stop (stable)
+        a.sd("t1", "t0", 8)            # buf[j+1] = buf[j]
+        a.j("shift")
+        a.label("undo")
+        a.addi("t5", "t5", 1)
+        a.label("place")
+        a.slli("t0", "t5", 3)
+        a.add("t0", "t0", "s0")
+        a.sd("t4", "t0", 0)            # buf[j+1] = key
+    a.pop("ra")
+    a.ret()
     return a.to_elf()
 
 
