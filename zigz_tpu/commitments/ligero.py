@@ -148,6 +148,32 @@ def ntt_pow2(rows: np.ndarray, n_out: int) -> np.ndarray:
     return _ntt_pow2_numpy(np.asarray(rows, dtype=np.uint64), n_out)
 
 
+def ntt_pow2_u32(rows: np.ndarray, n_out: int) -> np.ndarray:
+    """ntt_pow2 with uint32 storage for the output (canonical values are
+    < 2^31, so this is lossless) — the encoded matrix is the dominant
+    memory term of every Ligero commitment and this halves it."""
+    global _native_ntt_state
+    if _native_ntt_state != "unavailable" and n_out >= 2:
+        # Reuse _native_ntt's self-test gate, then call the u32 writer.
+        if _native_ntt_state == "untested":
+            _native_ntt(np.zeros((1, 2), dtype=np.uint64), 4)
+        if _native_ntt_state == "ok":
+            try:
+                from ..runtime import native_ntt_rows32
+            except Exception:
+                native_ntt_rows32 = None
+            if native_ntt_rows32 is not None:
+                rows64 = np.asarray(rows, dtype=np.uint64)
+                flat = rows64.reshape(-1, rows64.shape[-1])
+                out = native_ntt_rows32(
+                    flat, n_out, np.concatenate(_twiddles(n_out)),
+                    _bit_reverse_indices(n_out),
+                )
+                if out is not None:
+                    return out.reshape(rows64.shape[:-1] + (n_out,))
+    return ntt_pow2(rows, n_out).astype(np.uint32)
+
+
 def _ntt_pow2_numpy(rows: np.ndarray, n_out: int) -> np.ndarray:
     pad = n_out - rows.shape[-1]
     if pad:
@@ -195,8 +221,8 @@ class LigeroCommitState:
     m: int
     n: int
     n_e: int
-    matrix: np.ndarray  # (B*m, n) unencoded
-    encoded: np.ndarray  # (B*m, n_e)
+    matrix: np.ndarray  # (B*m, n) unencoded, uint64
+    encoded: np.ndarray  # (B*m, n_e), uint32 storage (canonical < 2^31)
     leaf_digests: bytes
     levels: List[bytes]
     hash_mode: str
@@ -284,7 +310,7 @@ def ligero_commit(F, columns: Dict[str, np.ndarray], hash_mode: str = "sha3",
     mat = np.concatenate(
         [np.asarray(columns[name], dtype=np.uint64).reshape(m, n) for name in names]
     )
-    encoded = ntt_pow2(mat, params.inv_rate * n)
+    encoded = ntt_pow2_u32(mat, params.inv_rate * n)
     leaf_digests = _hash_columns(encoded, hash_mode)
     levels = _build_levels(leaf_digests, hash_mode)
     return LigeroCommitState(
@@ -393,7 +419,7 @@ def ligero_prove_claims(state: LigeroCommitState, claims: List[LigeroClaim],
         ws.append(w)
 
     indices = [transcript.challenge_value(P) % state.n_e for _ in range(params.num_queries)]
-    columns = state.encoded[:, indices].T.copy()  # (t, B*m)
+    columns = state.encoded[:, indices].T.astype(np.uint64)  # (t, B*m)
     paths = _open_column_paths(state, indices)
     return LigeroEvalProof(us=us, ws=ws, columns=columns, paths=paths)
 

@@ -297,6 +297,8 @@ def _load_ntt():
                 return None
         lib = ctypes.CDLL(_NTT_LIB)
         lib.zigz_ntt_rows.restype = None
+        if hasattr(lib, "zigz_ntt_rows32"):
+            lib.zigz_ntt_rows32.restype = None
         _ntt_lib = lib
         return lib
     except Exception:
@@ -317,6 +319,28 @@ def native_ntt_rows(rows: np.ndarray, n_out: int, twiddles_flat: np.ndarray,
     nrows, n_in = rows.shape
     out = np.empty((nrows, n_out), dtype=np.uint64)
     lib.zigz_ntt_rows(
+        rows.ctypes.data_as(ctypes.c_void_p), ctypes.c_size_t(nrows),
+        ctypes.c_size_t(n_in), out.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_size_t(n_out), tw.ctypes.data_as(ctypes.c_void_p),
+        br.ctypes.data_as(ctypes.c_void_p), ctypes.c_int(NUM_THREADS),
+    )
+    return out
+
+
+def native_ntt_rows32(rows: np.ndarray, n_out: int, twiddles_flat: np.ndarray,
+                      bitrev: np.ndarray):
+    """Like native_ntt_rows but stores the encoded output as uint32
+    (canonical BabyBear values always fit) — same arithmetic, half the
+    output memory.  Returns None when the native lib lacks the symbol."""
+    lib = _load_ntt()
+    if lib is None or not hasattr(lib, "zigz_ntt_rows32"):
+        return None
+    rows = np.ascontiguousarray(rows, dtype=np.uint64)
+    tw = np.ascontiguousarray(twiddles_flat, dtype=np.uint64)
+    br = np.ascontiguousarray(bitrev, dtype=np.int64)
+    nrows, n_in = rows.shape
+    out = np.empty((nrows, n_out), dtype=np.uint32)
+    lib.zigz_ntt_rows32(
         rows.ctypes.data_as(ctypes.c_void_p), ctypes.c_size_t(nrows),
         ctypes.c_size_t(n_in), out.ctypes.data_as(ctypes.c_void_p),
         ctypes.c_size_t(n_out), tw.ctypes.data_as(ctypes.c_void_p),
@@ -358,12 +382,24 @@ def native_sha3_long_batch(msgs: np.ndarray):
 
 
 def native_sha3_matrix_columns(matrix: np.ndarray):
-    """Per-column SHA3-256 digests of a row-major (rows, n) uint64 matrix
-    (no transpose copy), or None when unavailable."""
+    """Per-column SHA3-256 digests of a row-major (rows, n) matrix (no
+    transpose copy), or None when unavailable.  uint32 matrices use the
+    u32 entry point, which widens each value to the same LE u64 preimage
+    bytes — digests are identical either way."""
     if _lib is None or not hasattr(_lib, "zigz_sha3_matrix_columns"):
         return None
     if native_sha3_long_batch(np.zeros((1, 8), dtype=np.uint8)) is None:
         return None  # reuse the long-batch self-test gate
+    if matrix.dtype == np.uint32 and hasattr(_lib, "zigz_sha3_matrix_columns_u32"):
+        matrix = np.ascontiguousarray(matrix, dtype=np.uint32)
+        rows, n = matrix.shape
+        out = np.empty(n * 32, dtype=np.uint8)
+        _lib.zigz_sha3_matrix_columns_u32(
+            matrix.ctypes.data_as(ctypes.c_void_p), ctypes.c_size_t(rows),
+            ctypes.c_size_t(n), out.ctypes.data_as(ctypes.c_void_p),
+            ctypes.c_int(NUM_THREADS),
+        )
+        return out.tobytes()
     matrix = np.ascontiguousarray(matrix, dtype=np.uint64)
     rows, n = matrix.shape
     out = np.empty(n * 32, dtype=np.uint8)

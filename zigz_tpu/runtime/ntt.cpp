@@ -13,10 +13,23 @@
 
 static const uint64_t P = 2013265921ull;  // BabyBear
 
+// Shoup modular multiplication: for canonical b, w < P and
+// w' = floor(w * 2^64 / P), returns b*w mod P with two multiplies and a
+// conditional subtract — no hardware division in the butterfly.  Exact:
+// q = floor(b*w'/2^64) is floor(b*w/P) or one less, so r = b*w - q*P is
+// in [0, 2P) and one subtract canonicalizes.  Byte-identical to the
+// previous `%`-based butterflies (and to the numpy twin).
+static inline uint64_t shoup_mul(uint64_t b, uint64_t w, uint64_t wshoup) {
+    uint64_t q = static_cast<uint64_t>(
+        (static_cast<__uint128_t>(b) * wshoup) >> 64);
+    uint64_t r = b * w - q * P;  // wraps harmlessly: result < 2P
+    return r >= P ? r - P : r;
+}
+
 static void ntt_row_range(const uint64_t* in, size_t n_in, uint64_t* out,
                           size_t n_out, const uint64_t* twiddles,
-                          const int64_t* bitrev, size_t row_begin,
-                          size_t row_end) {
+                          const uint64_t* tw_shoup, const int64_t* bitrev,
+                          size_t row_begin, size_t row_end) {
     for (size_t r = row_begin; r < row_end; ++r) {
         const uint64_t* src = in + r * n_in;
         uint64_t* x = out + r * n_out;
@@ -25,6 +38,7 @@ static void ntt_row_range(const uint64_t* in, size_t n_in, uint64_t* out,
             x[j] = (static_cast<size_t>(s) < n_in) ? src[s] : 0;
         }
         const uint64_t* tw = twiddles;
+        const uint64_t* tws = tw_shoup;
         for (size_t half = 1; half < n_out; half *= 2) {
             const size_t len = half * 2;
             for (size_t base = 0; base < n_out; base += len) {
@@ -32,14 +46,89 @@ static void ntt_row_range(const uint64_t* in, size_t n_in, uint64_t* out,
                 uint64_t* hi = x + base + half;
                 for (size_t i = 0; i < half; ++i) {
                     uint64_t a = lo[i];
-                    uint64_t b = hi[i] * tw[i] % P;
-                    lo[i] = (a + b) % P;
-                    hi[i] = (a + P - b) % P;
+                    uint64_t b = shoup_mul(hi[i], tw[i], tws[i]);
+                    uint64_t s = a + b;
+                    if (s >= P) s -= P;
+                    uint64_t d = a + P - b;
+                    if (d >= P) d -= P;
+                    lo[i] = s;
+                    hi[i] = d;
                 }
             }
             tw += half;
+            tws += half;
         }
     }
+}
+
+// uint32-output variant: identical arithmetic, but the (4x-rate) encoded
+// output is stored as uint32 (canonical values < 2^31 always fit) so the
+// caller's dominant memory term halves.  A stage-local u64 scratch row
+// keeps the butterflies exact.
+static void ntt_row_range32(const uint64_t* in, size_t n_in, uint32_t* out,
+                            size_t n_out, const uint64_t* twiddles,
+                            const uint64_t* tw_shoup, const int64_t* bitrev,
+                            size_t row_begin, size_t row_end) {
+    std::vector<uint64_t> scratch(n_out);
+    for (size_t r = row_begin; r < row_end; ++r) {
+        const uint64_t* src = in + r * n_in;
+        uint64_t* x = scratch.data();
+        for (size_t j = 0; j < n_out; ++j) {
+            int64_t s = bitrev[j];
+            x[j] = (static_cast<size_t>(s) < n_in) ? src[s] : 0;
+        }
+        const uint64_t* tw = twiddles;
+        const uint64_t* tws = tw_shoup;
+        for (size_t half = 1; half < n_out; half *= 2) {
+            const size_t len = half * 2;
+            for (size_t base = 0; base < n_out; base += len) {
+                uint64_t* lo = x + base;
+                uint64_t* hi = x + base + half;
+                for (size_t i = 0; i < half; ++i) {
+                    uint64_t a = lo[i];
+                    uint64_t b = shoup_mul(hi[i], tw[i], tws[i]);
+                    uint64_t s = a + b;
+                    if (s >= P) s -= P;
+                    uint64_t d = a + P - b;
+                    if (d >= P) d -= P;
+                    lo[i] = s;
+                    hi[i] = d;
+                }
+            }
+            tw += half;
+            tws += half;
+        }
+        uint32_t* dst = out + r * n_out;
+        for (size_t j = 0; j < n_out; ++j) dst[j] = static_cast<uint32_t>(x[j]);
+    }
+}
+
+extern "C" void zigz_ntt_rows32(const uint64_t* in, size_t rows, size_t n_in,
+                                uint32_t* out, size_t n_out,
+                                const uint64_t* twiddles,
+                                const int64_t* bitrev, int num_threads) {
+    if (rows == 0 || n_out == 0) return;
+    std::vector<uint64_t> tw_shoup(n_out > 1 ? n_out - 1 : 0);
+    for (size_t i = 0; i + 1 < n_out; ++i)
+        tw_shoup[i] = static_cast<uint64_t>(
+            (static_cast<__uint128_t>(twiddles[i]) << 64) / P);
+    const uint64_t* tws = tw_shoup.data();
+    size_t want = static_cast<size_t>(num_threads > 0 ? num_threads : 1);
+    size_t nthreads = rows < want ? rows : want;
+    if (nthreads <= 1) {
+        ntt_row_range32(in, n_in, out, n_out, twiddles, tws, bitrev, 0, rows);
+        return;
+    }
+    std::vector<std::thread> threads;
+    size_t chunk = (rows + nthreads - 1) / nthreads;
+    for (size_t t = 0; t < nthreads; ++t) {
+        size_t begin = t * chunk;
+        if (begin >= rows) break;
+        size_t end = begin + chunk < rows ? begin + chunk : rows;
+        threads.emplace_back(ntt_row_range32, in, n_in, out, n_out, twiddles,
+                             tws, bitrev, begin, end);
+    }
+    for (auto& th : threads) th.join();
 }
 
 extern "C" void zigz_ntt_rows(const uint64_t* in, size_t rows, size_t n_in,
@@ -47,10 +136,17 @@ extern "C" void zigz_ntt_rows(const uint64_t* in, size_t rows, size_t n_in,
                               const uint64_t* twiddles, const int64_t* bitrev,
                               int num_threads) {
     if (rows == 0 || n_out == 0) return;
+    // Shoup companions for the twiddle tables: one pass per call, shared
+    // by every row/thread (total n_out-1 entries; negligible vs the NTT).
+    std::vector<uint64_t> tw_shoup(n_out > 1 ? n_out - 1 : 0);
+    for (size_t i = 0; i + 1 < n_out; ++i)
+        tw_shoup[i] = static_cast<uint64_t>(
+            (static_cast<__uint128_t>(twiddles[i]) << 64) / P);
+    const uint64_t* tws = tw_shoup.data();
     size_t want = static_cast<size_t>(num_threads > 0 ? num_threads : 1);
     size_t nthreads = rows < want ? rows : want;
     if (nthreads <= 1) {
-        ntt_row_range(in, n_in, out, n_out, twiddles, bitrev, 0, rows);
+        ntt_row_range(in, n_in, out, n_out, twiddles, tws, bitrev, 0, rows);
         return;
     }
     std::vector<std::thread> threads;
@@ -60,7 +156,7 @@ extern "C" void zigz_ntt_rows(const uint64_t* in, size_t rows, size_t n_in,
         if (begin >= rows) break;
         size_t end = begin + chunk < rows ? begin + chunk : rows;
         threads.emplace_back(ntt_row_range, in, n_in, out, n_out, twiddles,
-                             bitrev, begin, end);
+                             tws, bitrev, begin, end);
     }
     for (auto& th : threads) th.join();
 }

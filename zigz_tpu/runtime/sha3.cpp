@@ -203,6 +203,23 @@ void zigz_sha3_matrix_columns(const uint64_t* matrix, size_t rows, size_t n,
   });
 }
 
+// u32 storage variant: the matrix holds canonical BabyBear values (< 2^31)
+// as uint32; each is widened to the SAME LE u64 preimage bytes before
+// absorption, so digests are byte-identical to the u64 path while the
+// caller keeps the (dominant) encoded matrix at half the memory.
+void zigz_sha3_matrix_columns_u32(const uint32_t* matrix, size_t rows,
+                                  size_t n, uint8_t* out, int num_threads) {
+  run_parallel(n, num_threads, [&](size_t lo, size_t hi) {
+    std::vector<uint64_t> buf(rows);
+    for (size_t j = lo; j < hi; ++j) {
+      for (size_t i = 0; i < rows; ++i)
+        buf[i] = static_cast<uint64_t>(matrix[i * n + j]);
+      sha3_256_long(reinterpret_cast<const uint8_t*>(buf.data()), rows * 8,
+                    out + j * 32);
+    }
+  });
+}
+
 void zigz_sha3_tree(const uint8_t* leaves, size_t n, uint8_t* out,
                     int num_threads) {
   const uint8_t* cur = leaves;
