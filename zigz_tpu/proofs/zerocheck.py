@@ -123,20 +123,40 @@ class ZerocheckProver:
 
         round_evals: List[List[int]] = []
         rs: List[int] = []
+        P64 = np.uint64(p)
+        claim = 0  # zerocheck total; updated to g(r) after each round
         for _ in range(num_vars):
-            evals_this_round = []
-            for t in range(self.degree + 1):
-                at_t = {name: _eval_at_t(tab, t, p) for name, tab in tables.items()}
-                c_vals = self.combiner(at_t, alphas, p)
-                z_vals = at_t["__eq__"] * c_vals % np.uint64(p)
-                # z_vals < p < 2^31, so a u64 sum is exact for any n <= 2^33.
-                evals_this_round.append(int(z_vals.sum(dtype=np.uint64)) % p)
+            # g(0) from the lo-half slices; g(1) DERIVED from the sumcheck
+            # identity g(0) + g(1) = claim (skips one full combiner sweep
+            # per round); g(2..d) built incrementally from per-column
+            # deltas: at_t = at_{t-1} + (hi - lo)  == (1-t)*lo + t*hi mod p.
+            # All identical values to the direct evaluation, so the
+            # transcript and proof bytes are unchanged.
+            at0 = {name: _eval_at_t(tab, 0, p) for name, tab in tables.items()}
+            c_vals = self.combiner(at0, alphas, p)
+            g0 = int((at0["__eq__"] * c_vals % P64).sum(dtype=np.uint64)) % p
+            evals_this_round = [g0, (claim - g0) % p]
+            if self.degree >= 2:
+                deltas = {
+                    name: (tab[..., tab.shape[-1] // 2 :] + P64
+                           - tab[..., : tab.shape[-1] // 2]) % P64
+                    for name, tab in tables.items()
+                }
+                cur = {name: _eval_at_t(tab, 1, p).copy() for name, tab in tables.items()}
+                for _t in range(2, self.degree + 1):
+                    for name in cur:
+                        cur[name] = (cur[name] + deltas[name]) % P64
+                    c_vals = self.combiner(cur, alphas, p)
+                    z_vals = cur["__eq__"] * c_vals % P64
+                    # z < p < 2^31: u64 sum exact for any n <= 2^33.
+                    evals_this_round.append(int(z_vals.sum(dtype=np.uint64)) % p)
             round_evals.append(evals_this_round)
 
             for g in evals_this_round:
                 transcript.append_u64(g)
             r = transcript.challenge_value(p)
             rs.append(r)
+            claim = _interp_eval(evals_this_round, r, p)
             tables = {name: _fold_msb(tab, r, p) for name, tab in tables.items()}
 
         # "__"-prefixed tables (eq, and the public idx/selector MLEs of the
