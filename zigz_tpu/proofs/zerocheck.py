@@ -103,6 +103,26 @@ class ZerocheckProver:
         # One combination challenge per CONSTRAINT (not per column).
         self.num_alphas = num_alphas if num_alphas is not None else len(columns)
 
+    # Chunk width for combiner evaluation: sliced inputs keep every
+    # intermediate term L2-resident instead of streaming dozens of
+    # full-width temporaries through memory (the combiners are pure
+    # elementwise expressions, so chunking is exact).
+    COMBINE_CHUNK = 1 << 16
+
+    def _combined_sum(self, at: Dict[str, np.ndarray], alphas, p: int) -> int:
+        P64 = np.uint64(p)
+        n = at["__eq__"].shape[-1]
+        if n <= self.COMBINE_CHUNK:
+            c_vals = self.combiner(at, alphas, p)
+            # z < p < 2^31: u64 sum exact for any n <= 2^33.
+            return int((at["__eq__"] * c_vals % P64).sum(dtype=np.uint64)) % p
+        total = 0
+        for lo in range(0, n, self.COMBINE_CHUNK):
+            sl = {name: a[..., lo : lo + self.COMBINE_CHUNK] for name, a in at.items()}
+            c_vals = self.combiner(sl, alphas, p)
+            total += int((sl["__eq__"] * c_vals % P64).sum(dtype=np.uint64))
+        return total % p
+
     def prove(self, transcript: FiatShamirTranscript) -> ZerocheckProof:
         F = self.F
         p = F.MODULUS
@@ -133,8 +153,7 @@ class ZerocheckProver:
             # All identical values to the direct evaluation, so the
             # transcript and proof bytes are unchanged.
             at0 = {name: _eval_at_t(tab, 0, p) for name, tab in tables.items()}
-            c_vals = self.combiner(at0, alphas, p)
-            g0 = int((at0["__eq__"] * c_vals % P64).sum(dtype=np.uint64)) % p
+            g0 = self._combined_sum(at0, alphas, p)
             evals_this_round = [g0, (claim - g0) % p]
             if self.degree >= 2:
                 deltas = {
@@ -146,10 +165,7 @@ class ZerocheckProver:
                 for _t in range(2, self.degree + 1):
                     for name in cur:
                         cur[name] = (cur[name] + deltas[name]) % P64
-                    c_vals = self.combiner(cur, alphas, p)
-                    z_vals = cur["__eq__"] * c_vals % P64
-                    # z < p < 2^31: u64 sum exact for any n <= 2^33.
-                    evals_this_round.append(int(z_vals.sum(dtype=np.uint64)) % p)
+                    evals_this_round.append(self._combined_sum(cur, alphas, p))
             round_evals.append(evals_this_round)
 
             for g in evals_this_round:
