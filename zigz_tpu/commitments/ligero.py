@@ -261,6 +261,14 @@ def _hash_columns(encoded: np.ndarray, hash_mode: str) -> bytes:
     if hash_mode == "poseidon2":
         from ..core import poseidon2 as p2
 
+        try:  # threaded C++ sponge (runtime/sha3.cpp), byte-identical
+            from ..runtime import native_p2_matrix_columns
+
+            native = native_p2_matrix_columns(encoded)
+            if native is not None:
+                return native
+        except Exception:
+            pass
         state = np.zeros((p2.T, n_e), dtype=np.uint64)
         state[p2.RATE] = rows % P  # length domain separation, as in the sponge
         for off in range(0, max(rows, 1), p2.RATE):

@@ -219,6 +219,14 @@ def hash_two_digests(left: bytes, right: bytes) -> bytes:
 def np_batch_leaf_hashes(values: np.ndarray) -> bytes:
     """Digest blob for N single-field-element messages (len-1 sponge)."""
     vals = np.asarray(values, dtype=np.uint64) % np.uint64(P)
+    try:  # threaded C++ sponge (runtime/sha3.cpp), byte-identical
+        from ..runtime import native_p2_matrix_columns
+
+        native = native_p2_matrix_columns(vals.reshape(1, -1))
+        if native is not None:
+            return native
+    except Exception:
+        pass
     n = len(vals)
     state = np.zeros((T, n), dtype=np.uint64)
     state[RATE] = 1  # length domain separation
@@ -229,6 +237,14 @@ def np_batch_leaf_hashes(values: np.ndarray) -> bytes:
 
 def np_batch_merge_hashes(level: bytes) -> bytes:
     """Hash adjacent 32-byte digest pairs (16-limb, two-block sponge)."""
+    try:  # threaded C++ sponge (runtime/sha3.cpp), byte-identical
+        from ..runtime import native_p2_merge
+
+        native = native_p2_merge(level)
+        if native is not None:
+            return native
+    except Exception:
+        pass
     limbs = np.frombuffer(level, dtype="<u4").astype(np.uint64).reshape(-1, 8)
     left = limbs[0::2].T % np.uint64(P)  # (8, n)
     right = limbs[1::2].T % np.uint64(P)

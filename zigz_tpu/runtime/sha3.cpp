@@ -287,3 +287,196 @@ void zigz_sha3_forest(const uint64_t* values, size_t num_trees, size_t n,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Poseidon2-over-BabyBear column sponge (core/poseidon2.py twin).
+//
+// Hashes the COLUMNS of a row-major matrix with the rate-8/capacity-8
+// sponge: state[8] = rows mod p, absorb 8 rows per permutation, digest =
+// first 8 lanes as 4-byte LE each.  Round constants / internal diagonal
+// are PASSED IN from the Python generator (one source of truth).  Scalar
+// permutation, threaded across columns — replaces the numpy sponge that
+// made protocol v3's Ligero commitments ~60x slower than SHA3's.
+// ---------------------------------------------------------------------------
+
+namespace p2 {
+
+static const uint64_t BB = 2013265921ull;
+
+struct Params {
+  const uint64_t* rc_ext;  // 8 rounds x 16 lanes
+  const uint64_t* rc_int;  // 13
+  const uint64_t* mu;      // 16
+};
+
+static inline uint64_t addp(uint64_t a, uint64_t b) {
+  uint64_t s = a + b;
+  return s >= BB ? s - BB : s;
+}
+
+static inline uint64_t mulp(uint64_t a, uint64_t b) { return a * b % BB; }
+
+static inline uint64_t sbox7(uint64_t x) {
+  uint64_t x2 = mulp(x, x);
+  uint64_t x4 = mulp(x2, x2);
+  return mulp(mulp(x4, x2), x);
+}
+
+// External layer: M4 within each 4-block (entries 1..7: accumulate raw,
+// one reduction), then add cross-block column sums.
+static inline void external_linear(uint64_t* s) {
+  static const uint64_t M4[4][4] = {
+      {5, 7, 1, 3}, {4, 6, 1, 1}, {1, 3, 5, 7}, {1, 1, 4, 6}};
+  uint64_t tmp[16];
+  for (int b = 0; b < 16; b += 4) {
+    for (int i = 0; i < 4; ++i) {
+      uint64_t acc = 0;
+      for (int j = 0; j < 4; ++j) acc += M4[i][j] * s[b + j];
+      tmp[b + i] = acc % BB;
+    }
+  }
+  uint64_t col[4];
+  for (int i = 0; i < 4; ++i)
+    col[i] = (tmp[i] + tmp[4 + i] + tmp[8 + i] + tmp[12 + i]) % BB;
+  for (int b = 0; b < 16; b += 4)
+    for (int i = 0; i < 4; ++i) s[b + i] = addp(tmp[b + i], col[i]);
+}
+
+static inline void internal_linear(uint64_t* s, const uint64_t* mu) {
+  uint64_t total = 0;
+  for (int i = 0; i < 16; ++i) total += s[i];
+  total %= BB;
+  for (int i = 0; i < 16; ++i) s[i] = (total + mu[i] * s[i]) % BB;
+}
+
+static void permute(uint64_t* s, const Params& pr) {
+  external_linear(s);
+  int rc = 0;
+  for (int r = 0; r < 4; ++r) {
+    for (int i = 0; i < 16; ++i) s[i] = sbox7(addp(s[i], pr.rc_ext[rc + i]));
+    rc += 16;
+    external_linear(s);
+  }
+  for (int r = 0; r < 13; ++r) {
+    s[0] = sbox7(addp(s[0], pr.rc_int[r]));
+    internal_linear(s, pr.mu);
+  }
+  for (int r = 0; r < 4; ++r) {
+    for (int i = 0; i < 16; ++i) s[i] = sbox7(addp(s[i], pr.rc_ext[rc + i]));
+    rc += 16;
+    external_linear(s);
+  }
+}
+
+template <typename T>
+static void columns_range(const T* matrix, size_t rows, size_t n,
+                          const Params& pr, uint8_t* out, size_t lo,
+                          size_t hi) {
+  for (size_t j = lo; j < hi; ++j) {
+    uint64_t st[16] = {0};
+    st[8] = rows % BB;
+    size_t steps = rows ? (rows + 7) / 8 : 1;
+    for (size_t blk = 0; blk < steps; ++blk) {
+      size_t base = blk * 8;
+      size_t bs = rows > base ? (rows - base < 8 ? rows - base : 8) : 0;
+      for (size_t i = 0; i < bs; ++i)
+        st[i] = addp(st[i],
+                     static_cast<uint64_t>(matrix[(base + i) * n + j]) % BB);
+      permute(st, pr);
+    }
+    uint8_t* dst = out + j * 32;
+    for (int i = 0; i < 8; ++i) {
+      uint32_t v = static_cast<uint32_t>(st[i]);
+      std::memcpy(dst + i * 4, &v, 4);
+    }
+  }
+}
+
+template <typename T>
+static void columns_threaded(const T* matrix, size_t rows, size_t n,
+                             const Params& pr, uint8_t* out,
+                             int num_threads) {
+  size_t want = static_cast<size_t>(num_threads > 0 ? num_threads : 1);
+  size_t nthreads = n < want ? (n ? n : 1) : want;
+  if (nthreads <= 1) {
+    columns_range(matrix, rows, n, pr, out, 0, n);
+    return;
+  }
+  std::vector<std::thread> threads;
+  size_t chunk = (n + nthreads - 1) / nthreads;
+  for (size_t t = 0; t < nthreads; ++t) {
+    size_t lo = t * chunk;
+    if (lo >= n) break;
+    size_t hi = lo + chunk < n ? lo + chunk : n;
+    threads.emplace_back(columns_range<T>, matrix, rows, n, std::cref(pr),
+                         out, lo, hi);
+  }
+  for (auto& th : threads) th.join();
+}
+
+}  // namespace p2
+
+extern "C" {
+
+void zigz_p2_matrix_columns(const uint64_t* matrix, size_t rows, size_t n,
+                            const uint64_t* rc_ext, const uint64_t* rc_int,
+                            const uint64_t* mu, uint8_t* out,
+                            int num_threads) {
+  p2::Params pr{rc_ext, rc_int, mu};
+  p2::columns_threaded(matrix, rows, n, pr, out, num_threads);
+}
+
+void zigz_p2_matrix_columns_u32(const uint32_t* matrix, size_t rows, size_t n,
+                                const uint64_t* rc_ext, const uint64_t* rc_int,
+                                const uint64_t* mu, uint8_t* out,
+                                int num_threads) {
+  p2::Params pr{rc_ext, rc_int, mu};
+  p2::columns_threaded(matrix, rows, n, pr, out, num_threads);
+}
+
+// Batch Poseidon2 sponge hashes over pairs of 32-byte digests (internal
+// Merkle nodes): in = 2k digests (64 bytes per pair), out = k digests.
+// Each digest is 8 BabyBear limbs (4-byte LE); a pair absorbs as 16 field
+// values = two rate-8 blocks (matching core/poseidon2.hash_two_digests).
+void zigz_p2_merge(const uint8_t* in, size_t k, const uint64_t* rc_ext,
+                   const uint64_t* rc_int, const uint64_t* mu, uint8_t* out,
+                   int num_threads) {
+  p2::Params pr{rc_ext, rc_int, mu};
+  auto run = [&](size_t lo, size_t hi) {
+    for (size_t idx = lo; idx < hi; ++idx) {
+      const uint8_t* src = in + idx * 64;
+      uint64_t st[16] = {0};
+      st[8] = 16;  // length domain separation: 16 absorbed values
+      for (int blk = 0; blk < 2; ++blk) {
+        for (int i = 0; i < 8; ++i) {
+          uint32_t v;
+          std::memcpy(&v, src + blk * 32 + i * 4, 4);
+          st[i] = p2::addp(st[i], v % p2::BB);
+        }
+        p2::permute(st, pr);
+      }
+      uint8_t* dst = out + idx * 32;
+      for (int i = 0; i < 8; ++i) {
+        uint32_t v = static_cast<uint32_t>(st[i]);
+        std::memcpy(dst + i * 4, &v, 4);
+      }
+    }
+  };
+  size_t want = static_cast<size_t>(num_threads > 0 ? num_threads : 1);
+  size_t nthreads = k < want ? (k ? k : 1) : want;
+  if (nthreads <= 1) {
+    run(0, k);
+    return;
+  }
+  std::vector<std::thread> threads;
+  size_t chunk = (k + nthreads - 1) / nthreads;
+  for (size_t t = 0; t < nthreads; ++t) {
+    size_t lo = t * chunk;
+    if (lo >= k) break;
+    size_t hi = lo + chunk < k ? lo + chunk : k;
+    threads.emplace_back(run, lo, hi);
+  }
+  for (auto& th : threads) th.join();
+}
+
+}  // extern "C"
