@@ -97,7 +97,12 @@ from ..poly.public_mles import (
     le_table,
     np_inv,
 )
-from ..proofs.zerocheck import ZerocheckProof, ZerocheckProver, ZerocheckVerifier
+from ..proofs.zerocheck import (
+    ZerocheckProof,
+    ZerocheckProver,
+    ZerocheckVerifier,
+    make_zerocheck_prover,
+)
 
 __all__ = [
     "BYTECODE_SLOTS",
@@ -1484,13 +1489,13 @@ def prove_bytecode(F, transcript, trace, program: bytes, entry_pc: int,
         tau, gamma, entry_pc % p, n, num_vars, p, tau_c, beta_c, tau_o, beta_o,
         tau_l, delta, tau_r, tau_w, eps, final_pc,
     )
-    zc = ZerocheckProver(
+    zc = make_zerocheck_prover(
         F, zc_cols, combiner, BYTECODE_DEGREE, num_alphas=NUM_BC_CONSTRAINTS
     ).prove(transcript)
 
     # Program-domain zerocheck (public key MLE).
     t_combiner, _ = _make_table_combiner(tau, kap_t, p)
-    zc_t = ZerocheckProver(
+    zc_t = make_zerocheck_prover(
         F, {"m": m_col, "h": h_col, "__key__": kap_t}, t_combiner,
         BYTECODE_DEGREE, num_alphas=1,
     ).prove(transcript)
@@ -1498,7 +1503,7 @@ def prove_bytecode(F, transcript, trace, program: bytes, entry_pc: int,
     # RANGE16-domain zerocheck (public key = index).
     key16 = idx_table(16, p)
     r_combiner, _ = _make_table_combiner(tau_r, key16, p)
-    zc_r = ZerocheckProver(
+    zc_r = make_zerocheck_prover(
         F, {"m": m_r, "h": h_r, "__key__": key16}, r_combiner,
         BYTECODE_DEGREE, num_alphas=1,
     ).prove(transcript)
@@ -1590,8 +1595,8 @@ def prove_bytecode(F, transcript, trace, program: bytes, entry_pc: int,
     wl_cols = {"g_lnk": g_lnk, "__sel__": sel_w, "__idx__": idx_A}
     for name in ("ba0", "ba1", "ba2", "ba3", "bk", "vw", "st"):
         wl_cols[f"ref_{name}"] = mcc[name]
-    zc_mem = ZerocheckProver(F, wl_cols, wl_combiner, MEMLINK_DEGREE,
-                             num_alphas=1).prove(transcript)
+    zc_mem = make_zerocheck_prover(F, wl_cols, wl_combiner, MEMLINK_DEGREE,
+                                   num_alphas=1).prove(transcript)
     awl, bwl = _row_col_weights(zc_mem.final_point, mc_state.cn)
     mclink_proof = ligero_prove_claims(
         mc_state, [LigeroClaim(a=awl, b=bwl, values={})], transcript

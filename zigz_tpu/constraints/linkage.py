@@ -41,7 +41,12 @@ from typing import Dict, List, Tuple
 import numpy as np
 
 from ..poly.public_mles import le_indicator_eval, le_table, np_inv
-from ..proofs.zerocheck import ZerocheckProof, ZerocheckProver, ZerocheckVerifier
+from ..proofs.zerocheck import (
+    ZerocheckProof,
+    ZerocheckProver,
+    ZerocheckVerifier,
+    make_zerocheck_prover,
+)
 
 __all__ = [
     "LINK_SLOTS",
@@ -288,8 +293,8 @@ def prove_query_links(F, transcript, validity_info: List[dict], tau_l: int,
         zc_cols["g_lk"] = g_lk
         zc_cols["__sel__"] = sel
         combiner, _ = _make_link_combiner(gadget, tid, tau_l, dl, nq, v, p)
-        zc = ZerocheckProver(F, zc_cols, combiner, LINKAGE_DEGREE,
-                             num_alphas=1).prove(transcript)
+        zc = make_zerocheck_prover(F, zc_cols, combiner, LINKAGE_DEGREE,
+                                   num_alphas=1).prove(transcript)
 
         a, b = _row_col_weights(zc.final_point, info["state"].cn)
         cols_proof = ligero_prove_claims(

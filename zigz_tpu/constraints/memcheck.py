@@ -48,7 +48,12 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 
 from ..poly.public_mles import idx_eval, idx_table, le_indicator_eval, le_table, np_inv
-from ..proofs.zerocheck import ZerocheckProof, ZerocheckProver, ZerocheckVerifier
+from ..proofs.zerocheck import (
+    ZerocheckProof,
+    ZerocheckProver,
+    ZerocheckVerifier,
+    make_zerocheck_prover,
+)
 
 __all__ = [
     "MemCheckProof",
@@ -487,7 +492,7 @@ def prove_memcheck(F, transcript, access: ByteAccessColumns,
     all_cols.update(g_cols)
     all_cols["__sel__"] = sel
     all_cols["__idx__"] = idx % P64
-    zc = ZerocheckProver(
+    zc = make_zerocheck_prover(
         F, all_cols, _make_combiner(tau_m, tau_r, gamma, p), MEMCHECK_DEGREE,
         num_alphas=NUM_CONSTRAINTS,
     ).prove(transcript)
@@ -502,7 +507,7 @@ def prove_memcheck(F, transcript, access: ByteAccessColumns,
     ], transcript)
 
     table_cols = {"m": m_col, "h": h_col, "__key__": idx_table(16, p)}
-    zc_t = ZerocheckProver(
+    zc_t = make_zerocheck_prover(
         F, table_cols, _make_table_combiner(tau_r), MEMCHECK_DEGREE, num_alphas=1,
     ).prove(transcript)
     am, bm = _row_col_weights(zc_t.final_point, m_state.cn)

@@ -51,7 +51,12 @@ from typing import Dict, List, Optional
 import numpy as np
 
 from ..poly.public_mles import idx_eval, idx_table, le_indicator_eval, le_table, np_inv
-from ..proofs.zerocheck import ZerocheckProof, ZerocheckProver, ZerocheckVerifier
+from ..proofs.zerocheck import (
+    ZerocheckProof,
+    ZerocheckProver,
+    ZerocheckVerifier,
+    make_zerocheck_prover,
+)
 
 __all__ = [
     "RegCheckProof",
@@ -451,7 +456,7 @@ def prove_regcheck(F, transcript, access: RegAccessColumns, num_vars: int,
     all_cols.update(g_cols)
     all_cols["__sel__"] = sel
     all_cols["__idx__"] = idx % P64
-    zc = ZerocheckProver(
+    zc = make_zerocheck_prover(
         F, all_cols, _make_combiner(tau_m, tau_r, gamma, p), REGCHECK_DEGREE,
         num_alphas=NUM_CONSTRAINTS,
     ).prove(transcript)
@@ -466,7 +471,7 @@ def prove_regcheck(F, transcript, access: RegAccessColumns, num_vars: int,
     ], transcript)
 
     table_cols = {"m": m_col, "h": h_col, "__key__": idx_table(16, p)}
-    zc_t = ZerocheckProver(
+    zc_t = make_zerocheck_prover(
         F, table_cols, _make_table_combiner(tau_r), REGCHECK_DEGREE, num_alphas=1,
     ).prove(transcript)
     am, bm = _row_col_weights(zc_t.final_point, m_state.cn)

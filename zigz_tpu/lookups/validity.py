@@ -85,7 +85,12 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 
 from ..poly.public_mles import idx_eval, np_inv
-from ..proofs.zerocheck import ZerocheckProof, ZerocheckProver, ZerocheckVerifier
+from ..proofs.zerocheck import (
+    ZerocheckProof,
+    ZerocheckProver,
+    ZerocheckVerifier,
+    make_zerocheck_prover,
+)
 
 __all__ = [
     "GADGETS",
@@ -1641,7 +1646,7 @@ def prove_lookup_validity(F, transcript, queries_by_table, hash_mode: str = "sha
         gadget = info["gadget"]
         all_cols = dict(info["cols"])
         all_cols.update(info["g_cols"])
-        zc = ZerocheckProver(
+        zc = make_zerocheck_prover(
             F, all_cols, _make_query_combiner(gadget, tau), VALIDITY_DEGREE,
             num_alphas=_num_constraints(gadget),
         ).prove(transcript)
@@ -1670,7 +1675,7 @@ def prove_lookup_validity(F, transcript, queries_by_table, hash_mode: str = "sha
     table_cols.update(h_cols)
     for name in sub_names:
         table_cols[f"__key_{name}__"] = dense_keys[name]
-    zc_t = ZerocheckProver(
+    zc_t = make_zerocheck_prover(
         F, table_cols, _make_table_combiner(sub_names, tau), VALIDITY_DEGREE,
         num_alphas=len(sub_names),
     ).prove(transcript)

@@ -32,7 +32,13 @@ import numpy as np
 
 from ..core.hash import FiatShamirTranscript
 
-__all__ = ["ZerocheckProof", "ZerocheckProver", "ZerocheckVerifier", "eq_eval"]
+__all__ = [
+    "ZerocheckProof",
+    "ZerocheckProver",
+    "ZerocheckVerifier",
+    "eq_eval",
+    "make_zerocheck_prover",
+]
 
 
 def _fold_msb(table: np.ndarray, r: int, p: int) -> np.ndarray:
@@ -192,6 +198,55 @@ class ZerocheckProver:
             final_point=rs,
             column_evals=column_evals,
         )
+
+
+def make_zerocheck_prover(F, columns: Dict[str, np.ndarray], combiner: Callable,
+                          degree: int, num_alphas: int = None, mesh=None):
+    """Dispatch to the generic DEVICE zerocheck (ops/zerocheck_gen.py) when
+    it can win, else the host prover.  Both produce identical transcript
+    bytes and proofs (tests/test_zerocheck_gen.py), so call sites treat the
+    choice as an implementation detail.
+
+    Device path requires: BabyBear, a traceable combiner (pure mod-p ring
+    algebra — every combiner in the package qualifies), table width at
+    least MIN_DEVICE_WIDTH, and a TPU backend (or ZIGZ_TPU_ZEROCHECK=device
+    to force it, e.g. in CPU-backend tests)."""
+    from ..ops.zerocheck_gen import (
+        MIN_AUTO_BW_MBPS,
+        MIN_DEVICE_WIDTH,
+        GenericDeviceZerocheck,
+        device_transfer_mbps,
+        zerocheck_device_pref,
+    )
+
+    pref = zerocheck_device_pref()
+    n = next(iter(columns.values())).shape[-1]
+    use_dev = (
+        pref != "host"
+        and F.MODULUS == 2013265921
+        and n >= 2
+        and (pref == "device" or n >= MIN_DEVICE_WIDTH)
+    )
+    if use_dev and pref != "device":
+        # Auto mode: the columns live on host, so the device path only wins
+        # on a TPU backend whose host->device link is fast (co-located chip,
+        # not a tunneled remote device — see ops/zerocheck_gen.py).
+        try:
+            import jax
+
+            use_dev = (jax.default_backend() == "tpu"
+                       and device_transfer_mbps() >= MIN_AUTO_BW_MBPS)
+        except Exception:
+            use_dev = False
+    if use_dev:
+        try:
+            return GenericDeviceZerocheck(
+                F, columns, combiner, degree, num_alphas=num_alphas, mesh=mesh
+            )
+        except Exception:
+            if pref == "device":
+                raise
+    return ZerocheckProver(F, columns, combiner, degree, num_alphas=num_alphas)
 
 
 def _interp_eval(ys: List[int], x: int, p: int) -> int:
