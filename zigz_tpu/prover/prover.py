@@ -884,10 +884,14 @@ class _LazyWitness:
 
     def device_lo(self):
         """(43, 2^v) canonical uint32 device array, or None when the trace
-        is not native-columnar or the field is not device-supported."""
+        is not native-columnar or the field is not device-supported.
+
+        Built from compact trace columns even when the host matrix already
+        exists (the v2 path materializes it for the constraint arguments):
+        rebuilding on device is ~100x cheaper than shipping the host
+        matrix through a slow host->device link, and the two builders are
+        bit-equal (tests/test_witness_dev.py)."""
         if self._device_lo is None:
-            if self._host is not None:
-                return None  # host matrix already built; reuse it instead
             if self.F.MODULUS >= (1 << 32) or not hasattr(self._trace, "columns"):
                 return None
             from ..ops.witness_dev import build_witness_device
