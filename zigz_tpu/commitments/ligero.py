@@ -278,15 +278,19 @@ def _hash_columns(encoded: np.ndarray, hash_mode: str) -> bytes:
         return state[:8].T.astype("<u4").tobytes()
     import hashlib
 
+    # Narrow leaf preimage: canonical values (< 2^31) absorbed as 4-byte
+    # LE words — half the Keccak blocks of a u64 encoding.  Prover and
+    # verifier both route through this function, so the encoding is the
+    # single source of truth for the v2+ Ligero leaf format.
     try:
-        from ..runtime import native_sha3_matrix_columns
+        from ..runtime import native_sha3_matrix_columns_u32le
 
-        native = native_sha3_matrix_columns(encoded)
+        native = native_sha3_matrix_columns_u32le(encoded)
         if native is not None:
             return native
     except Exception:
         pass
-    cols = np.ascontiguousarray(encoded.T, dtype="<u8")  # (n_e, rows)
+    cols = np.ascontiguousarray(encoded.T, dtype="<u4")  # (n_e, rows)
     out = bytearray(n_e * 32)
     sha3 = hashlib.sha3_256
     for j in range(n_e):
@@ -382,7 +386,12 @@ def _pow_range(base: int, count: int) -> np.ndarray:
 def _vecmat(a: np.ndarray, matrix: np.ndarray) -> np.ndarray:
     """out[j] = sum_i a[i]*M[i, j] mod P (native 128-bit accumulate when
     available; exact numpy fallback — row count < 2^33 keeps the uint64
-    sum of sub-2^31 products from wrapping)."""
+    sum of sub-2^31 products from wrapping).  Device-resident matrices
+    (ops/ligero_dev.py commit states) reduce on device."""
+    if not isinstance(matrix, np.ndarray):
+        from ..ops.ligero_dev import vecmat_device
+
+        return vecmat_device(a, matrix)
     try:
         from ..runtime import native_mod_vecmat
 
@@ -427,7 +436,15 @@ def ligero_prove_claims(state: LigeroCommitState, claims: List[LigeroClaim],
         ws.append(w)
 
     indices = [transcript.challenge_value(P) % state.n_e for _ in range(params.num_queries)]
-    columns = state.encoded[:, indices].T.astype(np.uint64)  # (t, B*m)
+    if isinstance(state.encoded, np.ndarray):
+        columns = state.encoded[:, indices].T.astype(np.uint64)  # (t, B*m)
+    else:
+        # Device-resident encoded matrix: gather the t opened columns on
+        # device, download only them (t * B*m values).
+        import jax.numpy as jnp
+
+        gathered = jnp.take(state.encoded, jnp.asarray(indices), axis=1)
+        columns = np.asarray(gathered).T.astype(np.uint64)
     paths = _open_column_paths(state, indices)
     return LigeroEvalProof(us=us, ws=ws, columns=columns, paths=paths)
 
@@ -520,6 +537,10 @@ def ligero_column_evals(state: LigeroCommitState, rs: List[int]) -> Dict[str, in
     to :func:`ligero_verify_eval`."""
     p = np.uint64(P)
     a, b = _row_col_weights(rs, state.cn)
+    if not isinstance(state.matrix, np.ndarray):
+        from ..ops.ligero_dev import column_evals_device
+
+        return column_evals_device(state, a, b)
     b = b % p
     evals = {}
     for k, name in enumerate(state.names):

@@ -79,7 +79,7 @@ def _load():
         return None
     for name in ("zigz_sha3_leaves_u64", "zigz_sha3_merge", "zigz_sha3_batch",
                  "zigz_sha3_tree", "zigz_sha3_long_batch",
-                 "zigz_sha3_matrix_columns"):
+                 "zigz_sha3_matrix_columns", "zigz_sha3_matrix_columns_u32le"):
         getattr(lib, name).restype = None
     if not _self_test(lib):
         sys.stderr.write("zigz_tpu.runtime: native SHA3 failed self-test; using Python backend\n")
@@ -381,6 +381,26 @@ def native_sha3_long_batch(msgs: np.ndarray):
     return out.tobytes()
 
 
+def native_sha3_matrix_columns_u32le(matrix: np.ndarray):
+    """Per-column SHA3-256 digests with the NARROW leaf preimage: each
+    canonical value absorbed as a 4-byte LE word (the Ligero column-leaf
+    encoding, protocol v2+; half the Keccak blocks of the u64 encoding).
+    Returns None when unavailable."""
+    if _lib is None or not hasattr(_lib, "zigz_sha3_matrix_columns_u32le"):
+        return None
+    if native_sha3_long_batch(np.zeros((1, 8), dtype=np.uint8)) is None:
+        return None  # reuse the long-batch self-test gate
+    matrix = np.ascontiguousarray(matrix, dtype=np.uint32)
+    rows, n = matrix.shape
+    out = np.empty(n * 32, dtype=np.uint8)
+    _lib.zigz_sha3_matrix_columns_u32le(
+        matrix.ctypes.data_as(ctypes.c_void_p), ctypes.c_size_t(rows),
+        ctypes.c_size_t(n), out.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_int(NUM_THREADS),
+    )
+    return out.tobytes()
+
+
 def native_sha3_matrix_columns(matrix: np.ndarray):
     """Per-column SHA3-256 digests of a row-major (rows, n) matrix (no
     transpose copy), or None when unavailable.  uint32 matrices use the
@@ -568,3 +588,89 @@ def native_batch_inv(values: np.ndarray, p: int):
         ctypes.c_uint64(p), out.ctypes.data_as(ctypes.c_void_p),
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Traced-combiner DAG executor (dag.cpp) — threaded zerocheck round sweeps
+# over symtrace DAGs (ops/symtrace.py node opcodes).
+# ---------------------------------------------------------------------------
+
+_DAG_SRC = os.path.join(_HERE, "dag.cpp")
+_DAG_LIB = os.path.join(_HERE, "libzigz_dag.so")
+_dag_lib = None
+_dag_checked = False
+
+
+def _load_dag():
+    global _dag_lib, _dag_checked
+    if _dag_checked:
+        return _dag_lib
+    _dag_checked = True
+    try:
+        if not (
+            os.path.exists(_DAG_LIB)
+            and os.path.getmtime(_DAG_LIB) >= os.path.getmtime(_DAG_SRC)
+        ):
+            result = subprocess.run(
+                ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-pthread",
+                 _DAG_SRC, "-o", _DAG_LIB],
+                capture_output=True, timeout=120,
+            )
+            if result.returncode != 0:
+                return None
+        lib = ctypes.CDLL(_DAG_LIB)
+        lib.zigz_dag_round.restype = None
+        lib.zigz_dag_fold.restype = None
+        _dag_lib = lib
+        return lib
+    except Exception:
+        return None
+
+
+def native_dag_available() -> bool:
+    return _load_dag() is not None
+
+
+def native_dag_round(stacked: np.ndarray, width: int, nodes, consts: np.ndarray,
+                     out_slot: int, eq_row: int, degree: int):
+    """One zerocheck round over a traced combiner DAG: returns
+    [g(0), g(2), ..., g(degree)] as ints, or None when unavailable.
+
+    ``stacked`` is the (nrows, stride) canonical uint32 table matrix (the
+    current width occupies each row's prefix); ``nodes`` is the
+    (ops, arg_a, arg_b, slot, col_row, num_slots) tuple prepared by
+    ops/zerocheck_native.py."""
+    lib = _load_dag()
+    if lib is None:
+        return None
+    ops, arga, argb, slot, colrow, num_slots = nodes
+    out = np.empty(degree, dtype=np.uint64)
+    lib.zigz_dag_round(
+        stacked.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_size_t(stacked.shape[1]), ctypes.c_size_t(stacked.shape[0]),
+        ctypes.c_size_t(width),
+        ops.ctypes.data_as(ctypes.c_void_p),
+        arga.ctypes.data_as(ctypes.c_void_p),
+        argb.ctypes.data_as(ctypes.c_void_p),
+        slot.ctypes.data_as(ctypes.c_void_p),
+        colrow.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_size_t(len(ops)), ctypes.c_size_t(num_slots),
+        consts.ctypes.data_as(ctypes.c_void_p), ctypes.c_int32(out_slot),
+        ctypes.c_int32(eq_row), ctypes.c_int(degree),
+        out.ctypes.data_as(ctypes.c_void_p), ctypes.c_int(NUM_THREADS),
+    )
+    return [int(x) for x in out]
+
+
+def native_dag_fold(stacked: np.ndarray, width: int, r: int):
+    """In-place MSB fold of every row's width-prefix; returns True on
+    success (False -> caller falls back to numpy)."""
+    lib = _load_dag()
+    if lib is None:
+        return False
+    lib.zigz_dag_fold(
+        stacked.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_size_t(stacked.shape[1]), ctypes.c_size_t(stacked.shape[0]),
+        ctypes.c_size_t(width), ctypes.c_uint64(r), ctypes.c_int(NUM_THREADS),
+    )
+    return True

@@ -220,6 +220,23 @@ void zigz_sha3_matrix_columns_u32(const uint32_t* matrix, size_t rows,
   });
 }
 
+// Narrow-preimage variant: canonical BabyBear values (< 2^31) absorbed as
+// 4-byte LE words — half the preimage bytes (and half the Keccak blocks)
+// of the u64 encoding.  This is the Ligero column-leaf encoding from
+// protocol v2 on (commitments/ligero.py _hash_columns); the wide u64
+// variants above remain for the v1-parity Merkle leaves.
+void zigz_sha3_matrix_columns_u32le(const uint32_t* matrix, size_t rows,
+                                    size_t n, uint8_t* out, int num_threads) {
+  run_parallel(n, num_threads, [&](size_t lo, size_t hi) {
+    std::vector<uint32_t> buf(rows);
+    for (size_t j = lo; j < hi; ++j) {
+      for (size_t i = 0; i < rows; ++i) buf[i] = matrix[i * n + j];
+      sha3_256_long(reinterpret_cast<const uint8_t*>(buf.data()), rows * 4,
+                    out + j * 32);
+    }
+  });
+}
+
 void zigz_sha3_tree(const uint8_t* leaves, size_t n, uint8_t* out,
                     int num_threads) {
   const uint8_t* cur = leaves;
