@@ -357,9 +357,24 @@ class Prover:
             from ..constraints.witness import WITNESS_POLY_NAMES
 
             t0 = time.perf_counter()
-            mat = witness.matrix
-            wit_cols = {name: mat[i] for i, name in enumerate(WITNESS_POLY_NAMES)}
-            wit_state = ligero_commit(F, wit_cols, self._hash_mode())
+            wit_state = None
+            if (self._use_device_commitments(witness.num_steps)
+                    and self._hash_mode() == "sha3"):
+                # Device commit: the witness matrix is (re)built on device
+                # from compact trace columns, encoded and column-hashed
+                # there, and only the digest blob crosses the link —
+                # byte-identical to the host commit (tests/test_ligero_dev.py).
+                lo = witness.device_lo()
+                if lo is not None:
+                    from ..ops.ligero_dev import ligero_commit_device
+
+                    names = sorted(WITNESS_POLY_NAMES)
+                    perm = [WITNESS_POLY_NAMES.index(n) for n in names]
+                    wit_state = ligero_commit_device(F, names, lo[perm, :], "sha3")
+            if wit_state is None:
+                mat = witness.matrix
+                wit_cols = {name: mat[i] for i, name in enumerate(WITNESS_POLY_NAMES)}
+                wit_state = ligero_commit(F, wit_cols, self._hash_mode())
             transcript.append_bytes(b"V4_WITNESS_COMMIT")
             transcript.append_bytes(wit_state.root)
             self.last_timings["witness_pcs_commit_s"] = time.perf_counter() - t0
