@@ -202,15 +202,17 @@ class ZerocheckProver:
 
 def make_zerocheck_prover(F, columns: Dict[str, np.ndarray], combiner: Callable,
                           degree: int, num_alphas: int = None, mesh=None):
-    """Dispatch to the generic DEVICE zerocheck (ops/zerocheck_gen.py) when
-    it can win, else the host prover.  Both produce identical transcript
-    bytes and proofs (tests/test_zerocheck_gen.py), so call sites treat the
-    choice as an implementation detail.
+    """Dispatch to the fastest available zerocheck backend: the generic
+    DEVICE prover (ops/zerocheck_gen.py) when a fast-link TPU can win,
+    else the threaded NATIVE C++ prover (ops/zerocheck_native.py), else
+    the host numpy prover.  All three produce identical transcript bytes
+    and proofs (tests/test_zerocheck_gen.py, test_zerocheck_native.py),
+    so call sites treat the choice as an implementation detail.
 
-    Device path requires: BabyBear, a traceable combiner (pure mod-p ring
-    algebra — every combiner in the package qualifies), table width at
-    least MIN_DEVICE_WIDTH, and a TPU backend (or ZIGZ_TPU_ZEROCHECK=device
-    to force it, e.g. in CPU-backend tests)."""
+    ZIGZ_TPU_ZEROCHECK forces a backend: "device" | "native" | "host"
+    (pure numpy); "auto" is the default described above.  Device requires
+    BabyBear, a traceable combiner (pure mod-p ring algebra — every
+    combiner in the package qualifies), and width >= MIN_DEVICE_WIDTH."""
     from ..ops.zerocheck_gen import (
         MIN_AUTO_BW_MBPS,
         MIN_DEVICE_WIDTH,
@@ -246,6 +248,19 @@ def make_zerocheck_prover(F, columns: Dict[str, np.ndarray], combiner: Callable,
         except Exception:
             if pref == "device":
                 raise
+    if pref in ("auto", "native") and F.MODULUS == 2013265921 and n >= 2:
+        from ..ops.zerocheck_native import NativeZerocheckProver, native_available
+
+        if native_available():
+            try:
+                return NativeZerocheckProver(
+                    F, columns, combiner, degree, num_alphas=num_alphas
+                )
+            except Exception:
+                if pref == "native":
+                    raise
+        elif pref == "native":
+            raise RuntimeError("ZIGZ_TPU_ZEROCHECK=native but dag.cpp runtime unavailable")
     return ZerocheckProver(F, columns, combiner, degree, num_alphas=num_alphas)
 
 

@@ -1,0 +1,202 @@
+// Threaded evaluator for traced zerocheck combiner DAGs (ops/symtrace.py).
+//
+// The host ZerocheckProver sweeps its combiner degree+1 times per round as
+// dozens of full-width numpy temporaries; this executor runs the same DAG
+// chunk-at-a-time so every intermediate stays L1/L2-resident, across all
+// cores.  Node opcodes match symtrace: 0 COL, 1 CONST, 2 ZERO, 3 ADD,
+// 4 SUB, 5 MUL.  BabyBear-only (constexpr modulus lets the compiler turn
+// every % into a multiply-shift); all values canonical < p.
+//
+// zigz_dag_round computes one zerocheck round's evaluations with the host
+// prover's exact schedule: g(0) from the lo halves, g(2..d) from
+// incremental +delta sweeps (g(1) is derived from the claim by the
+// caller).  zigz_dag_fold folds all rows in place: lo + r*(hi - lo).
+
+#include <cstdint>
+#include <cstring>
+#include <functional>
+#include <thread>
+#include <vector>
+
+static constexpr uint64_t P = 2013265921ull;
+
+static inline uint32_t addm(uint32_t a, uint32_t b) {
+  uint32_t s = a + b;  // a, b < P < 2^31: no u32 overflow
+  return s >= P ? s - (uint32_t)P : s;
+}
+static inline uint32_t subm(uint32_t a, uint32_t b) {
+  return a >= b ? a - b : a + (uint32_t)P - b;
+}
+static inline uint32_t mulm(uint32_t a, uint32_t b) {
+  return (uint32_t)(((uint64_t)a * b) % P);
+}
+
+namespace {
+
+constexpr size_t CHUNK = 1024;
+
+struct DagSpec {
+  const int32_t* ops;
+  const int32_t* arga;
+  const int32_t* argb;
+  const int32_t* slot;
+  const int32_t* colrow;  // row index for COL nodes, -1 otherwise
+  size_t num_nodes;
+  const uint32_t* consts;
+};
+
+// Evaluate the DAG over one chunk. cols[r] points at the current value of
+// row r for this chunk; slots is (num_slots, CHUNK) scratch.
+void eval_dag(const DagSpec& d, const uint32_t* const* cols, uint32_t* slots,
+              size_t len) {
+  for (size_t i = 0; i < d.num_nodes; ++i) {
+    uint32_t* out = slots + (size_t)d.slot[i] * CHUNK;
+    switch (d.ops[i]) {
+      case 0:  // COL
+        std::memcpy(out, cols[d.colrow[i]], len * sizeof(uint32_t));
+        break;
+      case 1: {  // CONST
+        uint32_t v = d.consts[d.arga[i]];
+        for (size_t k = 0; k < len; ++k) out[k] = v;
+        break;
+      }
+      case 2:  // ZERO
+        std::memset(out, 0, len * sizeof(uint32_t));
+        break;
+      case 3: {  // ADD
+        const uint32_t* x = slots + (size_t)d.slot[d.arga[i]] * CHUNK;
+        const uint32_t* y = slots + (size_t)d.slot[d.argb[i]] * CHUNK;
+        for (size_t k = 0; k < len; ++k) out[k] = addm(x[k], y[k]);
+        break;
+      }
+      case 4: {  // SUB
+        const uint32_t* x = slots + (size_t)d.slot[d.arga[i]] * CHUNK;
+        const uint32_t* y = slots + (size_t)d.slot[d.argb[i]] * CHUNK;
+        for (size_t k = 0; k < len; ++k) out[k] = subm(x[k], y[k]);
+        break;
+      }
+      default: {  // MUL
+        const uint32_t* x = slots + (size_t)d.slot[d.arga[i]] * CHUNK;
+        const uint32_t* y = slots + (size_t)d.slot[d.argb[i]] * CHUNK;
+        for (size_t k = 0; k < len; ++k) out[k] = mulm(x[k], y[k]);
+        break;
+      }
+    }
+  }
+}
+
+// Split [0, n) into chunk-aligned thread ranges.
+void run_parallel(size_t n, int num_threads,
+                  const std::function<void(size_t, size_t, int)>& fn) {
+  size_t want = num_threads > 0 ? (size_t)num_threads : 1;
+  size_t nchunks = (n + CHUNK - 1) / CHUNK;
+  size_t nthreads = nchunks < want ? (nchunks ? nchunks : 1) : want;
+  if (nthreads <= 1) {
+    fn(0, n, 0);
+    return;
+  }
+  std::vector<std::thread> threads;
+  size_t per = ((nchunks + nthreads - 1) / nthreads) * CHUNK;
+  for (size_t t = 0; t < nthreads; ++t) {
+    size_t lo = t * per;
+    size_t hi = lo + per < n ? lo + per : n;
+    if (lo >= hi) break;
+    threads.emplace_back(fn, lo, hi, (int)t);
+  }
+  for (auto& th : threads) th.join();
+}
+
+}  // namespace
+
+// stacked: (nrows, stride) row-major canonical uint32; the current table
+// width n <= stride occupies the first n entries of each row.  eq_row is
+// the eq-table row index; the DAG reads rows via its colrow mapping.
+// out receives `degree` values: g(0), g(2), ..., g(degree).
+extern "C" void zigz_dag_round(
+    const uint32_t* stacked, size_t stride, size_t nrows, size_t n,
+    const int32_t* ops, const int32_t* arga, const int32_t* argb,
+    const int32_t* slot, const int32_t* colrow, size_t num_nodes,
+    size_t num_slots, const uint32_t* consts, int32_t out_slot,
+    int32_t eq_row, int degree, uint64_t* out, int num_threads) {
+  size_t half = n / 2;
+  int nt = num_threads > 0 ? num_threads : 1;
+  std::vector<std::vector<uint64_t>> accs((size_t)nt,
+                                          std::vector<uint64_t>((size_t)degree, 0));
+  DagSpec d{ops, arga, argb, slot, colrow, num_nodes, consts};
+
+  run_parallel(half, num_threads, [&](size_t lo, size_t hi, int tid) {
+    std::vector<uint32_t> slots(num_slots * CHUNK);
+    std::vector<uint32_t> cur(nrows * CHUNK);
+    std::vector<uint32_t> delta(nrows * CHUNK);
+    std::vector<const uint32_t*> cols(nrows);
+    uint64_t* acc = accs[(size_t)tid].data();
+
+    for (size_t s = lo; s < hi; s += CHUNK) {
+      size_t len = (s + CHUNK < hi) ? CHUNK : hi - s;
+
+      // t = 0: columns read the lo halves in place.
+      for (size_t r = 0; r < nrows; ++r) cols[r] = stacked + r * stride + s;
+      eval_dag(d, cols.data(), slots.data(), len);
+      {
+        const uint32_t* eq = stacked + (size_t)eq_row * stride + s;
+        const uint32_t* v = slots.data() + (size_t)out_slot * CHUNK;
+        uint64_t a = 0;
+        for (size_t k = 0; k < len; ++k) a += ((uint64_t)eq[k] * v[k]) % P;
+        acc[0] += a % P;
+      }
+
+      if (degree >= 2) {
+        // cur = hi halves (t = 1), delta = hi - lo.
+        for (size_t r = 0; r < nrows; ++r) {
+          const uint32_t* plo = stacked + r * stride + s;
+          const uint32_t* phi = plo + half;
+          uint32_t* c = cur.data() + r * CHUNK;
+          uint32_t* dl = delta.data() + r * CHUNK;
+          for (size_t k = 0; k < len; ++k) {
+            c[k] = phi[k];
+            dl[k] = subm(phi[k], plo[k]);
+          }
+          cols[r] = c;
+        }
+        for (int t = 2; t <= degree; ++t) {
+          for (size_t r = 0; r < nrows; ++r) {
+            uint32_t* c = cur.data() + r * CHUNK;
+            const uint32_t* dl = delta.data() + r * CHUNK;
+            for (size_t k = 0; k < len; ++k) c[k] = addm(c[k], dl[k]);
+          }
+          eval_dag(d, cols.data(), slots.data(), len);
+          const uint32_t* eq = cur.data() + (size_t)eq_row * CHUNK;
+          const uint32_t* v = slots.data() + (size_t)out_slot * CHUNK;
+          uint64_t a = 0;
+          for (size_t k = 0; k < len; ++k) a += ((uint64_t)eq[k] * v[k]) % P;
+          acc[t - 1] += a % P;
+        }
+      }
+    }
+  });
+
+  for (int j = 0; j < degree; ++j) {
+    uint64_t total = 0;
+    for (auto& a : accs) total = (total + a[(size_t)j]) % P;
+    out[j] = total;
+  }
+}
+
+// In-place MSB fold of every row: row[i] = row[i] + r*(row[half+i] -
+// row[i]) mod P for i < n/2.  Row stride stays fixed; the caller tracks
+// the shrinking width.
+extern "C" void zigz_dag_fold(uint32_t* stacked, size_t stride, size_t nrows,
+                              size_t n, uint64_t r, int num_threads) {
+  size_t half = n / 2;
+  uint32_t rr = (uint32_t)(r % P);
+  run_parallel(half, num_threads, [&](size_t lo, size_t hi, int) {
+    for (size_t row = 0; row < nrows; ++row) {
+      uint32_t* base = stacked + row * stride;
+      for (size_t i = lo; i < hi; ++i) {
+        uint32_t lo32 = base[i];
+        uint32_t hi32 = base[half + i];
+        base[i] = addm(lo32, mulm(rr, subm(hi32, lo32)));
+      }
+    }
+  });
+}
