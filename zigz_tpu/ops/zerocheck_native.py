@@ -124,7 +124,12 @@ class NativeZerocheckProver:
         nrows = len(self.names) + 1
         stacked = np.empty((nrows, n), dtype=np.uint32)
         for i, name in enumerate(self.names):
-            stacked[i] = np.asarray(self.columns[name], dtype=np.uint64) % np.uint64(p)
+            arr = np.asarray(self.columns[name], dtype=np.uint64)
+            # Columns are canonical in every call site; the division pass
+            # (numpy % by a runtime modulus) costs more than this check.
+            if int(arr.max(initial=0)) >= p:
+                arr = arr % np.uint64(p)
+            stacked[i] = arr
         eq_row = nrows - 1
         stacked[eq_row] = _eq_table(taus, p)
 

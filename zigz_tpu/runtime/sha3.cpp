@@ -122,6 +122,52 @@ inline void sha3_256_long(const uint8_t* msg, size_t len, uint8_t out[32]) {
   std::memcpy(out, st, 32);
 }
 
+// W-way interleaved Keccak-f[1600]: state[lane][w] hashes W independent
+// messages at once; the fixed-size inner loops over w vectorize (W=8 is
+// one AVX-512 register per lane).
+template <int W>
+void keccakf_w(uint64_t st[25][W]) {
+  static constexpr int piln[24] = {10, 7,  11, 17, 18, 3,  5,  16,
+                                   8,  21, 24, 4,  15, 23, 19, 13,
+                                   12, 2,  20, 14, 22, 9,  6,  1};
+  static constexpr int rotc[24] = {1,  3,  6,  10, 15, 21, 28, 36,
+                                   45, 55, 2,  14, 27, 41, 56, 8,
+                                   25, 43, 62, 18, 39, 61, 20, 44};
+  for (int round = 0; round < 24; ++round) {
+    uint64_t bc[5][W];
+    for (int i = 0; i < 5; ++i)
+      for (int w = 0; w < W; ++w)
+        bc[i][w] = st[i][w] ^ st[i + 5][w] ^ st[i + 10][w] ^ st[i + 15][w] ^
+                   st[i + 20][w];
+    for (int i = 0; i < 5; ++i) {
+      uint64_t t[W];
+      for (int w = 0; w < W; ++w)
+        t[w] = bc[(i + 4) % 5][w] ^ rotl64(bc[(i + 1) % 5][w], 1);
+      for (int j = 0; j < 25; j += 5)
+        for (int w = 0; w < W; ++w) st[j + i][w] ^= t[w];
+    }
+    uint64_t t[W];
+    for (int w = 0; w < W; ++w) t[w] = st[1][w];
+    for (int i = 0; i < 24; ++i) {
+      int j = piln[i];
+      uint64_t tmp[W];
+      for (int w = 0; w < W; ++w) tmp[w] = st[j][w];
+      for (int w = 0; w < W; ++w) st[j][w] = rotl64(t[w], rotc[i]);
+      for (int w = 0; w < W; ++w) t[w] = tmp[w];
+    }
+    for (int j = 0; j < 25; j += 5) {
+      uint64_t row[5][W];
+      for (int i = 0; i < 5; ++i)
+        for (int w = 0; w < W; ++w) row[i][w] = st[j + i][w];
+      for (int i = 0; i < 5; ++i)
+        for (int w = 0; w < W; ++w)
+          st[j + i][w] =
+              row[i][w] ^ ((~row[(i + 1) % 5][w]) & row[(i + 2) % 5][w]);
+    }
+    for (int w = 0; w < W; ++w) st[0][w] ^= RC[round];
+  }
+}
+
 void run_parallel(size_t n, int num_threads, const std::function<void(size_t, size_t)>& fn) {
   if (num_threads <= 1 || n < 4096) {
     fn(0, n);
@@ -224,12 +270,44 @@ void zigz_sha3_matrix_columns_u32(const uint32_t* matrix, size_t rows,
 // 4-byte LE words — half the preimage bytes (and half the Keccak blocks)
 // of the u64 encoding.  This is the Ligero column-leaf encoding from
 // protocol v2 on (commitments/ligero.py _hash_columns); the wide u64
-// variants above remain for the v1-parity Merkle leaves.
+// variants above remain for the v1-parity Merkle leaves.  Columns are
+// hashed 8 at a time through the interleaved permutation (one AVX-512
+// register per Keccak lane).
 void zigz_sha3_matrix_columns_u32le(const uint32_t* matrix, size_t rows,
                                     size_t n, uint8_t* out, int num_threads) {
+  // Padded u32 word count: full 34-word (136-byte) blocks + pad block.
+  const size_t wp = ((rows * 4) / 136 + 1) * 34;
+  const size_t nb = wp / 34;
   run_parallel(n, num_threads, [&](size_t lo, size_t hi) {
+    constexpr int W = 8;
+    size_t j = lo;
+    auto word = [&](size_t idx, size_t col) -> uint32_t {
+      uint32_t v = idx < rows ? matrix[idx * n + col] : 0u;
+      if (idx == rows) v |= 0x06u;
+      if (idx == wp - 1) v |= 0x80000000u;
+      return v;
+    };
+    for (; j + W <= hi; j += W) {
+      uint64_t st[25][W];
+      std::memset(st, 0, sizeof(st));
+      for (size_t b = 0; b < nb; ++b) {
+        for (int k = 0; k < 17; ++k) {
+          size_t i0 = b * 34 + 2 * (size_t)k;
+          for (int w = 0; w < W; ++w) {
+            uint64_t lane = (uint64_t)word(i0, j + w) |
+                            ((uint64_t)word(i0 + 1, j + w) << 32);
+            st[k][w] ^= lane;
+          }
+        }
+        keccakf_w<W>(st);
+      }
+      for (int w = 0; w < W; ++w) {
+        uint64_t digest[4] = {st[0][w], st[1][w], st[2][w], st[3][w]};
+        std::memcpy(out + (j + w) * 32, digest, 32);
+      }
+    }
     std::vector<uint32_t> buf(rows);
-    for (size_t j = lo; j < hi; ++j) {
+    for (; j < hi; ++j) {
       for (size_t i = 0; i < rows; ++i) buf[i] = matrix[i * n + j];
       sha3_256_long(reinterpret_cast<const uint8_t*>(buf.data()), rows * 4,
                     out + j * 32);
