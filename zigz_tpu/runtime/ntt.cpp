@@ -61,13 +61,31 @@ static void ntt_row_range(const uint64_t* in, size_t n_in, uint64_t* out,
     }
 }
 
+// 32-bit Montgomery arithmetic: unlike the Shoup butterfly's 128-bit
+// high multiply, every operation here is a u64 low-multiply / shift /
+// compare, so the butterfly loop autovectorizes (AVX-512: vpmullq).
+// Values stay < P in Montgomery form; converting in and out preserves
+// the canonical residues exactly, so results remain byte-identical to
+// the numpy twin.
+static const uint64_t PINV_NEG = 0x77ffffffull;  // -P^{-1} mod 2^32
+static const uint64_t R2 = 1172168163ull;        // (2^32)^2 mod P
+
+static inline uint64_t mont_mul32(uint64_t a, uint64_t b) {
+    uint64_t t = a * b;                                  // < 2^62
+    uint64_t m = ((t & 0xffffffffull) * PINV_NEG) & 0xffffffffull;
+    uint64_t r = (t + m * P) >> 32;
+    return r >= P ? r - P : r;
+}
+
 // uint32-output variant: identical arithmetic, but the (4x-rate) encoded
 // output is stored as uint32 (canonical values < 2^31 always fit) so the
 // caller's dominant memory term halves.  A stage-local u64 scratch row
-// keeps the butterflies exact.
+// keeps the butterflies exact; rows are encoded in Montgomery form with
+// vectorizable butterflies (tw_mont = caller-side canonical twiddles
+// converted once per call by zigz_ntt_rows32).
 static void ntt_row_range32(const uint64_t* in, size_t n_in, uint32_t* out,
-                            size_t n_out, const uint64_t* twiddles,
-                            const uint64_t* tw_shoup, const int64_t* bitrev,
+                            size_t n_out, const uint64_t* tw_mont,
+                            const int64_t* bitrev,
                             size_t row_begin, size_t row_end) {
     std::vector<uint64_t> scratch(n_out);
     for (size_t r = row_begin; r < row_end; ++r) {
@@ -75,10 +93,9 @@ static void ntt_row_range32(const uint64_t* in, size_t n_in, uint32_t* out,
         uint64_t* x = scratch.data();
         for (size_t j = 0; j < n_out; ++j) {
             int64_t s = bitrev[j];
-            x[j] = (static_cast<size_t>(s) < n_in) ? src[s] : 0;
+            x[j] = (static_cast<size_t>(s) < n_in) ? mont_mul32(src[s], R2) : 0;
         }
-        const uint64_t* tw = twiddles;
-        const uint64_t* tws = tw_shoup;
+        const uint64_t* tw = tw_mont;
         for (size_t half = 1; half < n_out; half *= 2) {
             const size_t len = half * 2;
             for (size_t base = 0; base < n_out; base += len) {
@@ -86,7 +103,7 @@ static void ntt_row_range32(const uint64_t* in, size_t n_in, uint32_t* out,
                 uint64_t* hi = x + base + half;
                 for (size_t i = 0; i < half; ++i) {
                     uint64_t a = lo[i];
-                    uint64_t b = shoup_mul(hi[i], tw[i], tws[i]);
+                    uint64_t b = mont_mul32(hi[i], tw[i]);
                     uint64_t s = a + b;
                     if (s >= P) s -= P;
                     uint64_t d = a + P - b;
@@ -96,10 +113,10 @@ static void ntt_row_range32(const uint64_t* in, size_t n_in, uint32_t* out,
                 }
             }
             tw += half;
-            tws += half;
         }
         uint32_t* dst = out + r * n_out;
-        for (size_t j = 0; j < n_out; ++j) dst[j] = static_cast<uint32_t>(x[j]);
+        for (size_t j = 0; j < n_out; ++j)
+            dst[j] = static_cast<uint32_t>(mont_mul32(x[j], 1));
     }
 }
 
@@ -108,15 +125,16 @@ extern "C" void zigz_ntt_rows32(const uint64_t* in, size_t rows, size_t n_in,
                                 const uint64_t* twiddles,
                                 const int64_t* bitrev, int num_threads) {
     if (rows == 0 || n_out == 0) return;
-    std::vector<uint64_t> tw_shoup(n_out > 1 ? n_out - 1 : 0);
+    // Montgomery-form twiddles: one pass per call, shared by every
+    // row/thread (n_out-1 entries; negligible vs the NTT).
+    std::vector<uint64_t> tw_mont(n_out > 1 ? n_out - 1 : 0);
     for (size_t i = 0; i + 1 < n_out; ++i)
-        tw_shoup[i] = static_cast<uint64_t>(
-            (static_cast<__uint128_t>(twiddles[i]) << 64) / P);
-    const uint64_t* tws = tw_shoup.data();
+        tw_mont[i] = mont_mul32(twiddles[i], R2);
+    const uint64_t* twm = tw_mont.data();
     size_t want = static_cast<size_t>(num_threads > 0 ? num_threads : 1);
     size_t nthreads = rows < want ? rows : want;
     if (nthreads <= 1) {
-        ntt_row_range32(in, n_in, out, n_out, twiddles, tws, bitrev, 0, rows);
+        ntt_row_range32(in, n_in, out, n_out, twm, bitrev, 0, rows);
         return;
     }
     std::vector<std::thread> threads;
@@ -125,8 +143,8 @@ extern "C" void zigz_ntt_rows32(const uint64_t* in, size_t rows, size_t n_in,
         size_t begin = t * chunk;
         if (begin >= rows) break;
         size_t end = begin + chunk < rows ? begin + chunk : rows;
-        threads.emplace_back(ntt_row_range32, in, n_in, out, n_out, twiddles,
-                             tws, bitrev, begin, end);
+        threads.emplace_back(ntt_row_range32, in, n_in, out, n_out, twm,
+                             bitrev, begin, end);
     }
     for (auto& th : threads) th.join();
 }
