@@ -79,6 +79,26 @@ def bench_prover(num_steps: int):
     return num_steps / best, prover.last_timings
 
 
+def bench_prover_v2(num_steps: int):
+    """Warm prove throughput for protocol v2 (the full self-contained
+    RV64IM execution proof: zerocheck + logUp memory/bytecode/lookup
+    arguments + Ligero PCS) — far more work per step than the v1
+    wire-parity protocol, reported separately."""
+    from zigz_tpu.core.field import BabyBear
+    from zigz_tpu.prover.prover import Prover
+
+    program = bytes([0x13, 0x00, 0x00, 0x00] * num_steps)
+    prover = Prover(BabyBear, seed=0, protocol_version=2)
+    best = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        proof = prover.prove(program, 0x1000, None, num_steps * 2, None, None)
+        dt = time.perf_counter() - t0
+        assert proof.metadata.num_steps == num_steps
+        best = dt if best is None else min(best, dt)
+    return num_steps / best
+
+
 def main():
     from zigz_tpu.utils.profiling import maybe_trace_env
 
@@ -101,6 +121,11 @@ def _main_inner():
         except Exception:
             break
 
+    try:
+        v2_steps_per_s = round(bench_prover_v2(1 << 16))
+    except Exception:
+        v2_steps_per_s = None
+
     result = {
         "metric": "babybear_field_ops_per_s_per_chip",
         "value": round(field_ops_per_s),
@@ -109,6 +134,8 @@ def _main_inner():
         "extra": {
             "prover_steps_per_s": round(steps_per_s),
             "prover_num_steps": timings.get("num_steps"),
+            "v2_prover_steps_per_s": v2_steps_per_s,
+            "v2_num_steps": 1 << 16,
             "prover_phase_timings_s": {
                 k: round(v, 4) for k, v in timings.items() if k.endswith("_s")
             },

@@ -148,13 +148,18 @@ def ntt_pow2(rows: np.ndarray, n_out: int) -> np.ndarray:
     return _ntt_pow2_numpy(np.asarray(rows, dtype=np.uint64), n_out)
 
 
+_native_ntt32_state = "untested"
+
+
 def ntt_pow2_u32(rows: np.ndarray, n_out: int) -> np.ndarray:
     """ntt_pow2 with uint32 storage for the output (canonical values are
     < 2^31, so this is lossless) — the encoded matrix is the dominant
     memory term of every Ligero commitment and this halves it."""
-    global _native_ntt_state
-    if _native_ntt_state != "unavailable" and n_out >= 2:
-        # Reuse _native_ntt's self-test gate, then call the u32 writer.
+    global _native_ntt_state, _native_ntt32_state
+    if (_native_ntt_state != "unavailable"
+            and _native_ntt32_state != "unavailable" and n_out >= 2):
+        # Reuse _native_ntt's availability gate, then self-test the u32
+        # entry point itself once (it has its own arithmetic path).
         if _native_ntt_state == "untested":
             _native_ntt(np.zeros((1, 2), dtype=np.uint64), 4)
         if _native_ntt_state == "ok":
@@ -162,6 +167,18 @@ def ntt_pow2_u32(rows: np.ndarray, n_out: int) -> np.ndarray:
                 from ..runtime import native_ntt_rows32
             except Exception:
                 native_ntt_rows32 = None
+            if native_ntt_rows32 is not None and _native_ntt32_state == "untested":
+                rng = np.random.default_rng(1)
+                probe = rng.integers(0, P, size=(3, 16), dtype=np.uint64)
+                got = native_ntt_rows32(probe, 64, np.concatenate(_twiddles(64)),
+                                        _bit_reverse_indices(64))
+                if got is None or not np.array_equal(
+                    got, _ntt_pow2_numpy(probe, 64).astype(np.uint32)
+                ):
+                    _native_ntt32_state = "unavailable"
+                    native_ntt_rows32 = None
+                else:
+                    _native_ntt32_state = "ok"
             if native_ntt_rows32 is not None:
                 rows64 = np.asarray(rows, dtype=np.uint64)
                 flat = rows64.reshape(-1, rows64.shape[-1])
