@@ -258,10 +258,12 @@ class BinarySerializer:
             w.u32(table_id)
             w.u64(extras[table_id]["claimed_sum"] % self.F.MODULUS)
             w.bytes_(extras[table_id]["query_commitment"])
-        # Ligero PCS binding: 32B root | u32 n + n x u64 u-row | u32 reps,
-        # per rep n x u64 | u32 t | u32 rows, t x rows u64 columns |
-        # t x (u32 path_len + siblings).  Directions are re-derived from
-        # the transcript indices by the verifier and not serialized.
+        # Ligero PCS binding: 32B root | u32 n + n x u32 u-row | u32 reps,
+        # per rep n x u32 | u32 t | u32 rows, t x rows u32 columns |
+        # t x (u32 path_len + siblings).  All values are canonical
+        # BabyBear (< 2^31), so u32 LE storage is lossless.  Directions
+        # are re-derived from the transcript indices by the verifier and
+        # not serialized.
         w.bytes_(v2.pcs_root)
         self._write_ligero_proof(w, v2.pcs_proof)
         # PC-chain logUp: nonce | shared sum | root | proof.
@@ -586,19 +588,21 @@ class BinarySerializer:
 
     @staticmethod
     def _write_ligero_proof(w: _Writer, pp) -> None:
+        # All payload values are canonical BabyBear (< 2^31): u32 LE
+        # storage halves the dominant proof-size term (opened columns).
         import numpy as np
 
         w.u32(len(pp.us[0]))
         w.u32(len(pp.us))
         for u in pp.us:
-            w.bytes_(np.ascontiguousarray(u, dtype="<u8").tobytes())
+            w.bytes_(np.ascontiguousarray(u, dtype="<u4").tobytes())
         w.u32(len(pp.ws))
         for wr in pp.ws:
-            w.bytes_(np.ascontiguousarray(wr, dtype="<u8").tobytes())
+            w.bytes_(np.ascontiguousarray(wr, dtype="<u4").tobytes())
         t, rows = pp.columns.shape
         w.u32(t)
         w.u32(rows)
-        w.bytes_(np.ascontiguousarray(pp.columns, dtype="<u8").tobytes())
+        w.bytes_(np.ascontiguousarray(pp.columns, dtype="<u4").tobytes())
         for path in pp.paths:
             w.u32(len(path.siblings))
             for sib in path.siblings:
@@ -733,15 +737,15 @@ class BinarySerializer:
 
         n = r.u32()
         us = [
-            np.frombuffer(r.bytes_(8 * n), dtype="<u8").astype(np.uint64)
+            np.frombuffer(r.bytes_(4 * n), dtype="<u4").astype(np.uint64)
             for _ in range(r.u32())
         ]
         ws = []
         for _ in range(r.u32()):
-            ws.append(np.frombuffer(r.bytes_(8 * n), dtype="<u8").astype(np.uint64))
+            ws.append(np.frombuffer(r.bytes_(4 * n), dtype="<u4").astype(np.uint64))
         t = r.u32()
         rows = r.u32()
-        columns = np.frombuffer(r.bytes_(8 * t * rows), dtype="<u8").astype(np.uint64).reshape(t, rows)
+        columns = np.frombuffer(r.bytes_(4 * t * rows), dtype="<u4").astype(np.uint64).reshape(t, rows)
         paths = []
         for _ in range(t):
             path_len = r.u32()
