@@ -70,13 +70,21 @@ def _root_of_unity(order: int, p: int = P) -> int:
     return w
 
 
+_BITREV_CACHE: Dict[int, np.ndarray] = {}
+
+
 def _bit_reverse_indices(n: int) -> np.ndarray:
+    cached = _BITREV_CACHE.get(n)
+    if cached is not None:
+        return cached
     bits = n.bit_length() - 1
     idx = np.arange(n, dtype=np.uint64)
     rev = np.zeros_like(idx)
     for b in range(bits):
         rev |= ((idx >> np.uint64(b)) & np.uint64(1)) << np.uint64(bits - 1 - b)
-    return rev.astype(np.int64)
+    out = rev.astype(np.int64)
+    _BITREV_CACHE[n] = out
+    return out
 
 
 _TWIDDLE_CACHE: Dict[int, List[np.ndarray]] = {}
@@ -518,14 +526,14 @@ def ligero_verify_claims(F, root: bytes, num_vars: int, names: List[str],
 
     cols = proof.columns.astype(np.uint64) % p
     for a_hat, u_raw in zip(a_hats, proof.us):
-        u_enc = ntt_pow2(u_raw.astype(np.uint64) % p, n_e)
+        u_enc = ntt_pow2_u32(u_raw.astype(np.uint64).reshape(1, -1) % p, n_e)[0]
         col_u = (a_hat[None, :] * cols % p).sum(axis=1, dtype=np.uint64) % p
-        if not np.array_equal(col_u, u_enc[indices]):
+        if not np.array_equal(col_u, u_enc[indices].astype(np.uint64)):
             return False
     for rho, w in zip(rhos, proof.ws):
-        w_enc = ntt_pow2(w.astype(np.uint64) % p, n_e)
+        w_enc = ntt_pow2_u32(w.astype(np.uint64).reshape(1, -1) % p, n_e)[0]
         col_w = (rho[None, :] * cols % p).sum(axis=1, dtype=np.uint64) % p
-        if not np.array_equal(col_w, w_enc[indices]):
+        if not np.array_equal(col_w, w_enc[indices].astype(np.uint64)):
             return False
 
     leaf_blob = _hash_columns(cols.T, hash_mode)
