@@ -577,12 +577,20 @@ def native_mod_vecmat(a: np.ndarray, matrix: np.ndarray, p: int):
 
 
 def native_batch_inv(values: np.ndarray, p: int):
-    """Montgomery batch inversion mod p (zeros map to zero), or None."""
+    """Montgomery batch inversion mod p (zeros map to zero), or None.
+    Segmented across threads (one modpow per segment) when available."""
     lib = _load_ntt()
     if lib is None or not hasattr(lib, "zigz_batch_inv"):
         return None
     vals = np.ascontiguousarray(values, dtype=np.uint64)
     out = np.empty(vals.shape, dtype=np.uint64)
+    if hasattr(lib, "zigz_batch_inv_mt"):
+        lib.zigz_batch_inv_mt(
+            vals.ctypes.data_as(ctypes.c_void_p), ctypes.c_size_t(vals.size),
+            ctypes.c_uint64(p), out.ctypes.data_as(ctypes.c_void_p),
+            ctypes.c_int(NUM_THREADS),
+        )
+        return out
     lib.zigz_batch_inv(
         vals.ctypes.data_as(ctypes.c_void_p), ctypes.c_size_t(vals.size),
         ctypes.c_uint64(p), out.ctypes.data_as(ctypes.c_void_p),

@@ -225,26 +225,54 @@ static uint64_t modpow(uint64_t base, uint64_t exp, uint64_t p) {
 
 // Montgomery batch inversion (one modpow + 3n mults); zeros map to zero,
 // matching poly/public_mles.py:np_inv.  Exact for p < 2^31.
-extern "C" void zigz_batch_inv(const uint64_t* in, size_t n, uint64_t p,
-                               uint64_t* out) {
-    if (n == 0) return;
-    std::vector<uint64_t> prefix(n);
+static void batch_inv_range(const uint64_t* in, size_t lo, size_t hi,
+                            uint64_t p, uint64_t* out) {
+    // Montgomery batch inversion over [lo, hi): one modpow per segment.
+    // BabyBear (the only field the v2 pipeline feeds here) takes the
+    // constexpr-modulus path: `% P` compiles to a multiply-shift instead
+    // of a hardware division per element.
+    std::vector<uint64_t> prefix(hi - lo);
     uint64_t acc = 1;
-    for (size_t i = 0; i < n; ++i) {
-        uint64_t v = in[i] % p;
-        prefix[i] = acc;
-        if (v) acc = acc * v % p;
+    const bool bb = (p == P);
+    for (size_t i = lo; i < hi; ++i) {
+        uint64_t v = bb ? in[i] % P : in[i] % p;
+        prefix[i - lo] = acc;
+        if (v) acc = bb ? acc * v % P : acc * v % p;
     }
     uint64_t inv = modpow(acc, p - 2, p);
-    for (size_t i = n; i-- > 0;) {
-        uint64_t v = in[i] % p;
+    for (size_t i = hi; i-- > lo;) {
+        uint64_t v = bb ? in[i] % P : in[i] % p;
         if (v) {
-            out[i] = inv * prefix[i] % p;
-            inv = inv * v % p;
+            out[i] = bb ? inv * prefix[i - lo] % P : inv * prefix[i - lo] % p;
+            inv = bb ? inv * v % P : inv * v % p;
         } else {
             out[i] = 0;
         }
     }
+}
+
+extern "C" void zigz_batch_inv_mt(const uint64_t* in, size_t n, uint64_t p,
+                                  uint64_t* out, int num_threads) {
+    if (n == 0) return;
+    size_t want = num_threads > 0 ? static_cast<size_t>(num_threads) : 1;
+    if (want <= 1 || n < (1u << 16)) {
+        batch_inv_range(in, 0, n, p, out);
+        return;
+    }
+    std::vector<std::thread> threads;
+    size_t chunk = (n + want - 1) / want;
+    for (size_t t = 0; t < want; ++t) {
+        size_t lo = t * chunk;
+        if (lo >= n) break;
+        size_t hi = lo + chunk < n ? lo + chunk : n;
+        threads.emplace_back(batch_inv_range, in, lo, hi, p, out);
+    }
+    for (auto& th : threads) th.join();
+}
+
+extern "C" void zigz_batch_inv(const uint64_t* in, size_t n, uint64_t p,
+                               uint64_t* out) {
+    zigz_batch_inv_mt(in, n, p, out, 1);
 }
 
 // out[j] = sum_i a[i] * M[i*n + j] mod p  (p < 2^31; products < 2^62,

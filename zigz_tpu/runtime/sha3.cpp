@@ -188,24 +188,57 @@ void run_parallel(size_t n, int num_threads, const std::function<void(size_t, si
 
 extern "C" {
 
-// SHA3-256 over n 8-byte little-endian values -> n 32-byte digests.
+// SHA3-256 over n 8-byte little-endian values -> n 32-byte digests,
+// eight per permutation (one AVX-512 register per Keccak lane; scalar
+// tail).
 void zigz_sha3_leaves_u64(const uint64_t* values, size_t n, uint8_t* out,
                           int num_threads) {
+  constexpr int W = 8;
   run_parallel(n, num_threads, [&](size_t lo, size_t hi) {
-    for (size_t i = lo; i < hi; ++i) {
+    size_t i = lo;
+    for (; i + W <= hi; i += W) {
+      uint64_t st[25][W];
+      std::memset(st, 0, sizeof(st));
+      for (int w = 0; w < W; ++w) {
+        st[0][w] = values[i + w];
+        st[1][w] = 0x06;
+        st[16][w] = 0x8000000000000000ULL;
+      }
+      keccakf_w<W>(st);
+      for (int w = 0; w < W; ++w) {
+        uint64_t digest[4] = {st[0][w], st[1][w], st[2][w], st[3][w]};
+        std::memcpy(out + (i + w) * 32, digest, 32);
+      }
+    }
+    for (; i < hi; ++i)
       sha3_256_small(reinterpret_cast<const uint8_t*>(values + i), 8,
                      out + i * 32);
-    }
   });
 }
 
 // SHA3-256 over n 64-byte messages (digest pairs) -> n 32-byte digests.
 void zigz_sha3_merge(const uint8_t* pairs, size_t n, uint8_t* out,
                      int num_threads) {
+  constexpr int W = 8;
   run_parallel(n, num_threads, [&](size_t lo, size_t hi) {
-    for (size_t i = lo; i < hi; ++i) {
-      sha3_256_small(pairs + i * 64, 64, out + i * 32);
+    size_t i = lo;
+    for (; i + W <= hi; i += W) {
+      uint64_t st[25][W];
+      std::memset(st, 0, sizeof(st));
+      for (int w = 0; w < W; ++w) {
+        uint64_t lanes[8];
+        std::memcpy(lanes, pairs + (i + w) * 64, 64);
+        for (int k = 0; k < 8; ++k) st[k][w] = lanes[k];
+        st[8][w] = 0x06;
+        st[16][w] = 0x8000000000000000ULL;
+      }
+      keccakf_w<W>(st);
+      for (int w = 0; w < W; ++w) {
+        uint64_t digest[4] = {st[0][w], st[1][w], st[2][w], st[3][w]};
+        std::memcpy(out + (i + w) * 32, digest, 32);
+      }
     }
+    for (; i < hi; ++i) sha3_256_small(pairs + i * 64, 64, out + i * 32);
   });
 }
 
