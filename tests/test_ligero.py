@@ -93,7 +93,7 @@ def test_tampered_claimed_eval_rejected():
 
 def test_tampered_u_row_rejected():
     state, rs, evals, proof = _setup()
-    proof.u[3] = (proof.u[3] + 1) % P
+    proof.u.c[0][3] = (proof.u.c[0][3] + 1) % np.uint64(P)  # u rows are Ext4 now
     assert not _verify(state, rs, evals, proof)
 
 
@@ -129,6 +129,85 @@ def test_wrong_root_rejected():
     state, rs, evals, proof = _setup()
     assert not ligero_verify_eval(
         F, bytes(32), state.num_vars, state.names, evals, rs, proof,
+        FiatShamirTranscript(), "sha3", PARAMS
+    )
+
+
+def test_ext_point_claims():
+    """Evaluation claims at a BabyBear^4 point: honest accept, tampered
+    ext eval rejected — the shape every v2+ zerocheck binding now uses."""
+    from zigz_tpu.core.ext4 import Ext4, ext_lift
+
+    v = 6
+    cols = {
+        "a": rng.integers(0, P, size=1 << v, dtype=np.uint64),
+        "b": rng.integers(0, P, size=1 << v, dtype=np.uint64),
+    }
+    state = ligero_commit(F, cols, "sha3", PARAMS)
+    rs = [Ext4(rng.integers(0, P, size=4, dtype=np.uint64)) for _ in range(v)]
+
+    def mle_ext(col):
+        cur = ext_lift(col)
+        for r in rs:
+            half = len(cur) // 2
+            cur = (1 - r) * cur[..., :half] + r * cur[..., half:]
+        return Ext4(cur.c[:, 0])
+
+    evals = {name: mle_ext(cols[name]) for name in cols}
+    proof = ligero_prove_eval(state, rs, FiatShamirTranscript(), PARAMS)
+    assert ligero_verify_eval(
+        F, state.root, v, state.names, evals, rs, proof,
+        FiatShamirTranscript(), "sha3", PARAMS
+    )
+    evals["a"] = evals["a"] + 1
+    assert not ligero_verify_eval(
+        F, state.root, v, state.names, evals, rs, proof,
+        FiatShamirTranscript(), "sha3", PARAMS
+    )
+
+
+def test_ext_point_with_sum_claim():
+    """Mixed claim list: an ext eval claim plus a base all-ones hypercube
+    sum claim on the same commitment (the logUp g-column shape)."""
+    from zigz_tpu.commitments.ligero import (
+        LigeroClaim,
+        _row_col_weights,
+        ligero_prove_claims,
+        ligero_verify_claims,
+    )
+    from zigz_tpu.core.ext4 import Ext4, ext_lift
+
+    v = 6
+    col = rng.integers(0, P, size=1 << v, dtype=np.uint64)
+    state = ligero_commit(F, {"g": col}, "sha3", PARAMS)
+    rs = [Ext4(rng.integers(0, P, size=4, dtype=np.uint64)) for _ in range(v)]
+    a, b = _row_col_weights(rs, state.cn)
+    claims = [
+        LigeroClaim(a=a, b=b, values={}),
+        LigeroClaim(a=np.ones(state.m, dtype=np.uint64),
+                    b=np.ones(state.n, dtype=np.uint64), values={}),
+    ]
+    proof = ligero_prove_claims(state, claims, FiatShamirTranscript(), PARAMS)
+
+    cur = ext_lift(col)
+    for r in rs:
+        half = len(cur) // 2
+        cur = (1 - r) * cur[..., :half] + r * cur[..., half:]
+    ev = Ext4(cur.c[:, 0])
+    s = int(col.sum(dtype=np.uint64) % np.uint64(P))
+    vclaims = [
+        LigeroClaim(a=a, b=b, values={"g": ev}),
+        LigeroClaim(a=np.ones(state.m, dtype=np.uint64),
+                    b=np.ones(state.n, dtype=np.uint64), values={"g": s}),
+    ]
+    assert ligero_verify_claims(
+        F, state.root, v, ["g"], vclaims, proof,
+        FiatShamirTranscript(), "sha3", PARAMS
+    )
+    vclaims[1] = LigeroClaim(a=vclaims[1].a, b=vclaims[1].b,
+                             values={"g": (s + 1) % P})
+    assert not ligero_verify_claims(
+        F, state.root, v, ["g"], vclaims, proof,
         FiatShamirTranscript(), "sha3", PARAMS
     )
 

@@ -145,12 +145,11 @@ def test_forged_branch_target_rejected_by_verifier(monkeypatch):
     def malicious_logup(pc, next_pc, num_steps, num_vars, tau, beta, p):
         pub = v2mod.logup_public_tables(num_steps, num_vars, p)
         idx, sel1, sel2 = pub["__idx__"], pub["__sel1__"], pub["__sel2__"]
-        PP = np.uint64(p)
-        fp1 = (np.uint64(tau) + PP + PP - np.uint64(beta) * ((idx + np.uint64(1)) % PP) % PP - next_pc % PP) % PP
-        fp2 = (np.uint64(tau) + PP + PP - np.uint64(beta) * idx % PP - pc % PP) % PP
-        g1 = sel1 * np_inv(fp1, p) % PP
-        g2 = sel2 * np_inv(fp2, p) % PP
-        return g1, g2, int(g1.sum(dtype=np.uint64)) % p  # lie: claim LHS sum
+        fp1 = tau - beta * ((idx + np.uint64(1)) % np.uint64(p)) - next_pc
+        fp2 = tau - beta * idx - pc
+        g1 = sel1 * fp1.inv()
+        g2 = sel2 * fp2.inv()
+        return g1, g2, g1.sum()  # lie: claim LHS sum
 
     monkeypatch.setattr(v2mod, "build_logup_columns", malicious_logup)
     program = _branch_program()
@@ -168,7 +167,7 @@ def test_tampered_logup_sum_rejected():
 def test_tampered_g_eval_rejected():
     program = _branch_program()
     proof = _prove(program)
-    proof.v2.column_evals["g1"] = (proof.v2.column_evals["g1"] + 1) % P
+    proof.v2.column_evals["g1#0"] = (proof.v2.column_evals["g1#0"] + 1) % P
     assert Verifier(F).verify(proof, program) != VerificationResult.Accept
 
 

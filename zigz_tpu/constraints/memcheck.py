@@ -47,13 +47,22 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
-from ..poly.public_mles import idx_eval, idx_table, le_indicator_eval, le_table, np_inv
-from ..proofs.zerocheck import (
-    ZerocheckProof,
-    ZerocheckProver,
-    ZerocheckVerifier,
-    make_zerocheck_prover,
+from ..core.ext4 import (
+    MAX_NONCE,
+    Ext4,
+    challenge_ext,
+    ext_lift,
+    ext_stack,
+    high_coords_nonzero,
 )
+from ..poly.public_mles import idx_eval, idx_table, le_indicator_eval, le_table
+from ..proofs.zerocheck import (
+    ZerocheckExtProver,
+    ZerocheckExtVerifier,
+    ZerocheckProof,
+    absorb_ext,
+)
+from .regcheck import g_coord_names, g_eval_from_coords, pack_g_coords, sum_claim_values
 
 __all__ = [
     "MemCheckProof",
@@ -202,141 +211,110 @@ class MemCheckProof:
     g_proof: object
     m_proof: object
     h_proof: object
-    g_sums: Dict[str, int]
-    h_sum: int
+    g_sums: Dict[str, Ext4]
+    h_sum: Ext4
 
 
 # ---------------------------------------------------------------------------
-# Fingerprints and combiners
+# Fingerprints and the shared (prover/verifier) combiner — extension
+# challenges throughout (round-3 hardening; see regcheck.py's note).
 
 
-def _gamma_powers(gamma: int, p: int) -> List[int]:
-    gs = [1]
+def _gamma_powers(gamma: Ext4) -> List[Ext4]:
+    gs = [ext_lift(1)]
     for _ in range(5):
-        gs.append(gs[-1] * gamma % p)
+        gs.append(gs[-1] * gamma)
     return gs
 
 
-def _make_combiner(tau_m: int, tau_r: int, gamma: int, p: int):
-    gp = _gamma_powers(gamma, p)
+def _make_combiner(tau_m: Ext4, tau_r: Ext4, gamma: Ext4, p: int):
+    gp = _gamma_powers(gamma)
 
-    def combiner(cols, alphas: List[int], p_: int):
-        P = np.uint64(p)
+    def combiner(cols, alphas: List, p_: int):
+        one = 1
         sel = cols["__sel__"]
         idx = cols["__idx__"]
-        addr_fp = cols["a0"].copy()
+        addr_fp = gp[0] * cols["a0"]
         for k in (1, 2, 3):
-            addr_fp = (addr_fp + np.uint64(gp[k]) * cols[f"a{k}"]) % P
+            addr_fp = addr_fp + gp[k] * cols[f"a{k}"]
         terms = []
         for side in ("r", "w"):
             v = cols["vr"] if side == "r" else cols["vw"]
-            ts = cols["rt"] if side == "r" else (idx + np.uint64(1)) % P
-            kappa = (addr_fp + np.uint64(gp[4]) * v % P
-                     + np.uint64(gp[5]) * ts) % P
-            denom = (np.uint64(tau_m) + P - kappa % P) % P
-            terms.append((cols[f"g_{side}"] * denom + P - sel) % P)
-        recon = (cols["tl0"] + np.uint64(1 << 16) * cols["tl1"]) % P
-        terms.append((cols["rt"] + P - recon) % P)
-        recon_d = (cols["dl0"] + np.uint64(1 << 16) * cols["dl1"]) % P
-        terms.append((idx + P + P - cols["rt"] - recon_d) % P)
+            ts = cols["rt"] if side == "r" else (idx + 1) % p
+            kappa = addr_fp + gp[4] * v + gp[5] * ts
+            g = g_eval_from_coords(cols, f"g_{side}")
+            terms.append(g * (tau_m - kappa) - sel)
+        recon = (cols["tl0"] + (1 << 16) * cols["tl1"]) % p
+        terms.append((cols["rt"] + p - recon) % p)
+        recon_d = (cols["dl0"] + (1 << 16) * cols["dl1"]) % p
+        terms.append((idx + p + p - cols["rt"] - recon_d) % p)
         st = cols["st"]
-        terms.append((st * ((np.uint64(1) + P - st) % P)) % P)
-        terms.append(((np.uint64(1) + P - st) % P)
-                     * ((cols["vw"] + P - cols["vr"]) % P) % P)
-        sixt = np.uint64(1 << 16)
+        terms.append(st * ((one + p - st) % p) % p)
+        terms.append(((one + p - st) % p)
+                     * ((cols["vw"] + p - cols["vr"]) % p) % p)
         for k in range(4):
             cin = cols[f"cb{k-1}"] if k else cols["bk"]
-            terms.append((cols[f"ba{k}"] + cin + P - cols[f"a{k}"]
-                          + P - sixt * cols[f"cb{k}"] % P) % P)
+            terms.append((cols[f"ba{k}"] + cin + p - cols[f"a{k}"]
+                          + p - (1 << 16) * cols[f"cb{k}"] % p) % p)
         for k in range(4):
-            terms.append(cols[f"cb{k}"]
-                         * ((np.uint64(1) + P - cols[f"cb{k}"]) % P) % P)
+            terms.append(cols[f"cb{k}"] * ((one + p - cols[f"cb{k}"]) % p) % p)
         for c, coef in _RANGED:
-            denom = (np.uint64(tau_r) + P - np.uint64(coef) * cols[c] % P) % P
-            terms.append((cols[f"gr_{c}"] * denom + P - np.uint64(1)) % P)
-        acc = np.zeros_like(sel)
-        for alpha, t in zip(alphas, terms):
-            acc = (acc + np.uint64(alpha) * t) % P
+            denom = tau_r - coef * cols[c] % p
+            gr = g_eval_from_coords(cols, f"gr_{c}")
+            terms.append(gr * denom - 1)
+        acc = alphas[0] * terms[0]
+        for alpha, t in zip(alphas[1:], terms[1:]):
+            acc = acc + alpha * t
         return acc
 
     return combiner
 
 
-def _make_combiner_scalar(tau_m: int, tau_r: int, gamma: int, num_rows: int,
-                          num_vars: int, p: int):
-    gp = _gamma_powers(gamma, p)
+def _public_evals(num_rows: int, num_vars: int, p: int):
+    def fn(rs):
+        sel = le_indicator_eval(num_rows - 1, num_vars, rs, p) if num_rows \
+            else ext_lift(0)
+        return {"__sel__": sel, "__idx__": idx_eval(num_vars, rs, p)}
 
-    def combiner_scalar(ev, alphas: List[int], p_: int) -> int:
-        rs = combiner_scalar.final_point
-        sel = le_indicator_eval(num_rows - 1, num_vars, rs, p) if num_rows else 0
-        idx = idx_eval(num_vars, rs, p)
-        addr_fp = ev["a0"]
-        for k in (1, 2, 3):
-            addr_fp = (addr_fp + gp[k] * ev[f"a{k}"]) % p
-        terms = []
-        for side in ("r", "w"):
-            v = ev["vr"] if side == "r" else ev["vw"]
-            ts = ev["rt"] if side == "r" else (idx + 1) % p
-            kappa = (addr_fp + gp[4] * v + gp[5] * ts) % p
-            terms.append((ev[f"g_{side}"] * ((tau_m - kappa) % p) - sel) % p)
-        recon = (ev["tl0"] + (1 << 16) * ev["tl1"]) % p
-        terms.append((ev["rt"] - recon) % p)
-        recon_d = (ev["dl0"] + (1 << 16) * ev["dl1"]) % p
-        terms.append((idx - ev["rt"] - recon_d) % p)
-        terms.append(ev["st"] * ((1 - ev["st"]) % p) % p)
-        terms.append((1 - ev["st"]) % p * ((ev["vw"] - ev["vr"]) % p) % p)
-        for k in range(4):
-            cin = ev[f"cb{k-1}"] if k else ev["bk"]
-            terms.append((ev[f"ba{k}"] + cin - ev[f"a{k}"]
-                          - (1 << 16) * ev[f"cb{k}"]) % p)
-        for k in range(4):
-            terms.append(ev[f"cb{k}"] * (1 - ev[f"cb{k}"]) % p)
-        for c, coef in _RANGED:
-            terms.append((ev[f"gr_{c}"] * ((tau_r - coef * ev[c]) % p) - 1) % p)
-        return sum(a * t for a, t in zip(alphas, terms)) % p
-
-    combiner_scalar.final_point = None
-    return combiner_scalar
+    return fn
 
 
-def _make_table_combiner(tau_r: int):
-    def combiner(cols, alphas: List[int], p: int):
-        P = np.uint64(p)
-        denom = (np.uint64(tau_r) + P - cols["__key__"]) % P
-        return np.uint64(alphas[0]) * ((cols["h"] * denom + P - cols["m"]) % P) % P
+def _make_table_combiner(tau_r: Ext4):
+    def combiner(cols, alphas: List, p: int):
+        h = g_eval_from_coords(cols, "h")
+        return alphas[0] * (h * (tau_r - cols["__key__"]) - cols["m"])
 
     return combiner
 
 
-def _make_table_combiner_scalar(tau_r: int, final_point: List[int]):
-    def combiner_scalar(ev, alphas: List[int], p: int) -> int:
-        key = idx_eval(16, final_point, p)
-        return alphas[0] * ((ev["h"] * ((tau_r - key) % p) - ev["m"]) % p) % p
+def _table_public_evals(p: int):
+    def fn(rs):
+        return {"__key__": idx_eval(16, rs, p)}
 
-    return combiner_scalar
+    return fn
 
 
 def _addr_limbs(a: int) -> List[int]:
     return [(a >> (16 * k)) & 0xFFFF for k in range(4)]
 
 
-def _boundary_sum(tau_m: int, gamma: int,
-                  entries: List[Tuple[int, int, int]], p: int) -> Optional[int]:
+def _boundary_sum(tau_m: Ext4, gamma: Ext4,
+                  entries: List[Tuple[int, int, int]], p: int) -> Optional[Ext4]:
     """sum 1/(tau - kappa(addr, value, ts)) over (addr, value, ts) tuples
-    — computed identically by prover and verifier."""
-    gp = _gamma_powers(gamma, p)
-    acc = 0
-    for a, v, ts in entries:
-        limbs = _addr_limbs(a)
-        kappa = 0
-        for k in range(4):
-            kappa = (kappa + gp[k] * limbs[k]) % p
-        kappa = (kappa + gp[4] * (v % p) + gp[5] * (ts % p)) % p
-        d = (tau_m - kappa) % p
-        if d == 0:
-            return None  # nonce retry
-        acc = (acc + pow(d, p - 2, p)) % p
-    return acc
+    — computed identically by prover and verifier, in the extension."""
+    if not entries:
+        return ext_lift(0)
+    gp = _gamma_powers(gamma)
+    arr = np.array([(a, v, ts) for a, v, ts in entries], dtype=np.uint64)
+    kappa = gp[0] * (arr[:, 0] & np.uint64(0xFFFF))
+    for k in (1, 2, 3):
+        kappa = kappa + gp[k] * ((arr[:, 0] >> np.uint64(16 * k)) & np.uint64(0xFFFF))
+    kappa = kappa + gp[4] * (arr[:, 1] % np.uint64(p))
+    kappa = kappa + gp[5] * (arr[:, 2] % np.uint64(p))
+    d = tau_m - kappa
+    if np.any(d.is_zero()):
+        return None  # nonce retry
+    return d.inv().sum()
 
 
 # ---------------------------------------------------------------------------
@@ -350,8 +328,8 @@ def prove_memcheck(F, transcript, access: ByteAccessColumns,
     from ..commitments.ligero import LigeroClaim, _row_col_weights, ligero_commit, ligero_prove_claims
 
     p = F.MODULUS
-    if p >= (1 << 31):
-        raise ValueError("memcheck requires a field modulus < 2^31")
+    if p != 2013265921:
+        raise ValueError("memcheck requires BabyBear (extension challenges)")
     A = len(access.addr)
     num_vars = max(1, (max(A, 1) - 1).bit_length() or 1)
     padded = 1 << num_vars
@@ -412,7 +390,7 @@ def prove_memcheck(F, transcript, access: ByteAccessColumns,
     transcript.append_bytes(b"MC_MULT")
     transcript.append_bytes(m_state.root)
 
-    # Challenges with nonce retry on zero denominators.
+    # Extension challenges with nonce retry on zero denominators.
     P64 = np.uint64(p)
     sel = le_table(A - 1, num_vars) if A else np.zeros(padded, dtype=np.uint64)
     nonce = 0
@@ -420,23 +398,22 @@ def prove_memcheck(F, transcript, access: ByteAccessColumns,
         trial = transcript.fork()
         trial.append_bytes(b"MC_CHAL")
         trial.append_u64(nonce)
-        tau_m = trial.challenge_value(p)
-        tau_r = trial.challenge_value(p)
-        gamma = trial.challenge_value(p)
-        gp = _gamma_powers(gamma, p)
-        ok = tau_r >= (1 << 16)
-        denoms = {}
+        tau_m = challenge_ext(trial)
+        tau_r = challenge_ext(trial)
+        gamma = challenge_ext(trial)
+        gp = _gamma_powers(gamma)
+        ok = high_coords_nonzero(tau_r)
+        denoms: Dict[str, Ext4] = {}
         if ok:
-            addr_fp = cols["a0"].copy()
+            addr_fp = gp[0] * cols["a0"]
             for k in (1, 2, 3):
-                addr_fp = (addr_fp + np.uint64(gp[k]) * cols[f"a{k}"]) % P64
+                addr_fp = addr_fp + gp[k] * cols[f"a{k}"]
             for side in ("r", "w"):
                 v = cols["vr"] if side == "r" else cols["vw"]
                 ts = cols["rt"] if side == "r" else (idx + np.uint64(1)) % P64
-                kappa = (addr_fp + np.uint64(gp[4]) * v % P64
-                         + np.uint64(gp[5]) * ts) % P64
-                d = (np.uint64(tau_m) + P64 - kappa) % P64
-                if np.any((d == 0) & (sel == 1)):
+                kappa = addr_fp + gp[4] * v + gp[5] * ts
+                d = tau_m - kappa
+                if np.any(d.is_zero() & (sel == 1)):
                     ok = False
                     break
                 denoms[f"g_{side}"] = d
@@ -449,50 +426,47 @@ def prove_memcheck(F, transcript, access: ByteAccessColumns,
         if ok:
             break
         nonce += 1
+        assert nonce <= MAX_NONCE, "memcheck nonce overflow"
     transcript.append_bytes(b"MC_CHAL")
     transcript.append_u64(nonce)
-    assert transcript.challenge_value(p) == tau_m
-    assert transcript.challenge_value(p) == tau_r
-    assert transcript.challenge_value(p) == gamma
+    assert challenge_ext(transcript) == tau_m
+    assert challenge_ext(transcript) == tau_r
+    assert challenge_ext(transcript) == gamma
 
-    # Inverse columns.
-    g_cols: Dict[str, np.ndarray] = {}
+    # Extension inverse columns, committed as coordinate columns.
+    g_cols: Dict[str, Ext4] = {}
     for name, d in denoms.items():
-        g_cols[name] = sel * np_inv(d, p) % P64
+        g_cols[name] = sel * d.inv()
     for c, coef in _RANGED:
-        d = (np.uint64(tau_r) + P64 - np.uint64(coef) * cols[c] % P64) % P64
-        g_cols[f"gr_{c}"] = np_inv(d, p)
-    h_col = m_col % P64 * np_inv(
-        (np.uint64(tau_r) + P64 - idx_table(16, p)) % P64, p
-    ) % P64
+        d = tau_r - np.uint64(coef) * cols[c] % P64
+        g_cols[f"gr_{c}"] = d.inv()
+    h_col = (tau_r - idx_table(16, p)).inv() * m_col
 
-    g_state = ligero_commit(F, g_cols, hash_mode)
-    g_sums = {name: int(col.sum(dtype=np.uint64) % P64) for name, col in g_cols.items()}
-    h_state = ligero_commit(F, {"h": h_col}, hash_mode)
-    h_sum = int(h_col.sum(dtype=np.uint64) % P64)
+    g_state = ligero_commit(F, pack_g_coords(g_cols), hash_mode)
+    g_sums = {name: col.sum() for name, col in g_cols.items()}
+    h_state = ligero_commit(F, pack_g_coords({"h": h_col}), hash_mode)
+    h_sum = h_col.sum()
     transcript.append_bytes(b"MC_G")
     transcript.append_bytes(g_state.root)
     for name in sorted(g_sums):
-        transcript.append_u64(g_sums[name])
+        absorb_ext(transcript, g_sums[name])
     transcript.append_bytes(b"MC_H")
     transcript.append_bytes(h_state.root)
-    transcript.append_u64(h_sum)
+    absorb_ext(transcript, h_sum)
 
     if not _unsafe_skip_self_checks:
-        lhs = (g_sums["g_r"] + final_sum) % p
-        rhs = (g_sums["g_w"] + init_sum) % p
-        if lhs != rhs:
+        if g_sums["g_r"] + final_sum != g_sums["g_w"] + init_sum:
             raise AssertionError("memcheck violated: memory multiset mismatch")
-        rng_lhs = sum(g_sums[f"gr_{c}"] for c, _ in _RANGED) % p
+        rng_lhs = sum(g_sums[f"gr_{c}"] for c, _ in _RANGED)
         if rng_lhs != h_sum:
             raise AssertionError("memcheck violated: range multiset mismatch")
 
     # Zerochecks + Ligero bindings.
     all_cols = dict(cols)
-    all_cols.update(g_cols)
+    all_cols.update(pack_g_coords(g_cols))
     all_cols["__sel__"] = sel
     all_cols["__idx__"] = idx % P64
-    zc = make_zerocheck_prover(
+    zc = ZerocheckExtProver(
         F, all_cols, _make_combiner(tau_m, tau_r, gamma, p), MEMCHECK_DEGREE,
         num_alphas=NUM_CONSTRAINTS,
     ).prove(transcript)
@@ -506,8 +480,9 @@ def prove_memcheck(F, transcript, access: ByteAccessColumns,
                     b=np.ones(g_state.n, dtype=np.uint64), values={}),
     ], transcript)
 
-    table_cols = {"m": m_col, "h": h_col, "__key__": idx_table(16, p)}
-    zc_t = make_zerocheck_prover(
+    table_cols = {"m": m_col, "__key__": idx_table(16, p)}
+    table_cols.update(pack_g_coords({"h": h_col}))
+    zc_t = ZerocheckExtProver(
         F, table_cols, _make_table_combiner(tau_r), MEMCHECK_DEGREE, num_alphas=1,
     ).prove(transcript)
     am, bm = _row_col_weights(zc_t.final_point, m_state.cn)
@@ -573,35 +548,41 @@ def verify_memcheck(F, transcript, mc: MemCheckProof, num_steps: int,
     transcript.append_bytes(b"MC_MULT")
     transcript.append_bytes(mc.root_m)
 
+    if not (0 <= mc.nonce <= MAX_NONCE):
+        return False
     transcript.append_bytes(b"MC_CHAL")
-    transcript.append_u64(mc.nonce % (1 << 64))
-    tau_m = transcript.challenge_value(p)
-    tau_r = transcript.challenge_value(p)
-    gamma = transcript.challenge_value(p)
-    if tau_r < (1 << 16):
+    transcript.append_u64(mc.nonce)
+    tau_m = challenge_ext(transcript)
+    tau_r = challenge_ext(transcript)
+    gamma = challenge_ext(transcript)
+    if not high_coords_nonzero(tau_r):
         return False
 
     g_names = sorted(G_MEM + G_RNG)
     if set(mc.g_sums) != set(g_names):
         return False
+    if not all(isinstance(v, Ext4) for v in mc.g_sums.values()):
+        return False
+    if not isinstance(mc.h_sum, Ext4):
+        return False
     transcript.append_bytes(b"MC_G")
     transcript.append_bytes(mc.root_g)
     for name in g_names:
-        transcript.append_u64(mc.g_sums[name] % p)
+        absorb_ext(transcript, mc.g_sums[name])
     transcript.append_bytes(b"MC_H")
     transcript.append_bytes(mc.root_h)
-    transcript.append_u64(mc.h_sum % p)
+    absorb_ext(transcript, mc.h_sum)
 
     col_names = sorted(COLUMNS)
-    if set(mc.zc.column_evals) != set(col_names) | set(g_names):
+    gc_names = sorted(g_coord_names(g_names))
+    if set(mc.zc.column_evals) != set(col_names) | set(gc_names):
         return False
     if mc.zc.num_vars != mc.num_vars or mc.zc.degree != MEMCHECK_DEGREE:
         return False
-    comb = _make_combiner_scalar(tau_m, tau_r, gamma, A, mc.num_vars, p)
-    comb.final_point = mc.zc.final_point
-    if not ZerocheckVerifier(F, comb, NUM_CONSTRAINTS, MEMCHECK_DEGREE).verify(
-        mc.zc, transcript
-    ):
+    if not ZerocheckExtVerifier(
+        F, _make_combiner(tau_m, tau_r, gamma, p), NUM_CONSTRAINTS,
+        MEMCHECK_DEGREE, public_evals=_public_evals(A, mc.num_vars, p),
+    ).verify(mc.zc, transcript):
         return False
 
     params = LigeroParams()
@@ -614,30 +595,31 @@ def verify_memcheck(F, transcript, mc: MemCheckProof, num_steps: int,
         mc.cols_proof, transcript, hash_mode,
     ):
         return False
-    cn_g = params.choose_split(mc.num_vars, len(g_names))
+    cn_g = params.choose_split(mc.num_vars, len(gc_names))
     ag, bg = _row_col_weights(mc.zc.final_point, cn_g)
     m_g = (1 << mc.num_vars) >> cn_g
     if not ligero_verify_claims(
-        F, mc.root_g, mc.num_vars, g_names,
+        F, mc.root_g, mc.num_vars, gc_names,
         [
             LigeroClaim(a=ag, b=bg,
-                        values={nm: mc.zc.column_evals[nm] for nm in g_names}),
+                        values={nm: mc.zc.column_evals[nm] for nm in gc_names}),
             LigeroClaim(a=np.ones(m_g, dtype=np.uint64),
                         b=np.ones(1 << cn_g, dtype=np.uint64),
-                        values={nm: mc.g_sums[nm] % p for nm in g_names}),
+                        values=sum_claim_values(mc.g_sums, g_names)),
         ],
         mc.g_proof, transcript, hash_mode,
     ):
         return False
 
     # RANGE16 table side.
-    if set(mc.zc_table.column_evals) != {"m", "h"}:
+    hc_names = sorted(g_coord_names(["h"]))
+    if set(mc.zc_table.column_evals) != {"m"} | set(hc_names):
         return False
     if mc.zc_table.num_vars != 16 or mc.zc_table.degree != MEMCHECK_DEGREE:
         return False
-    if not ZerocheckVerifier(
-        F, _make_table_combiner_scalar(tau_r, mc.zc_table.final_point), 1,
-        MEMCHECK_DEGREE,
+    if not ZerocheckExtVerifier(
+        F, _make_table_combiner(tau_r), 1, MEMCHECK_DEGREE,
+        public_evals=_table_public_evals(p),
     ).verify(mc.zc_table, transcript):
         return False
     cn_m = params.choose_split(16, 1)
@@ -648,16 +630,17 @@ def verify_memcheck(F, transcript, mc: MemCheckProof, num_steps: int,
         mc.m_proof, transcript, hash_mode,
     ):
         return False
-    cn_h = params.choose_split(16, 1)
+    cn_h = params.choose_split(16, len(hc_names))
     ah, bh = _row_col_weights(mc.zc_table.final_point, cn_h)
     m_h = (1 << 16) >> cn_h
     if not ligero_verify_claims(
-        F, mc.root_h, 16, ["h"],
+        F, mc.root_h, 16, hc_names,
         [
-            LigeroClaim(a=ah, b=bh, values={"h": mc.zc_table.column_evals["h"]}),
+            LigeroClaim(a=ah, b=bh,
+                        values={nm: mc.zc_table.column_evals[nm] for nm in hc_names}),
             LigeroClaim(a=np.ones(m_h, dtype=np.uint64),
                         b=np.ones(1 << cn_h, dtype=np.uint64),
-                        values={"h": mc.h_sum % p}),
+                        values=sum_claim_values({"h": mc.h_sum}, ["h"])),
         ],
         mc.h_proof, transcript, hash_mode,
     ):
@@ -669,7 +652,7 @@ def verify_memcheck(F, transcript, mc: MemCheckProof, num_steps: int,
     final_sum = _boundary_sum(tau_m, gamma, mc.touched, p)
     if init_sum is None or final_sum is None:
         return False
-    if (mc.g_sums["g_r"] + final_sum) % p != (mc.g_sums["g_w"] + init_sum) % p:
+    if mc.g_sums["g_r"] + final_sum != mc.g_sums["g_w"] + init_sum:
         return False
-    rng_lhs = sum(mc.g_sums[f"gr_{c}"] for c, _ in _RANGED) % p
-    return rng_lhs == mc.h_sum % p
+    rng_lhs = sum(mc.g_sums[f"gr_{c}"] for c, _ in _RANGED)
+    return rng_lhs == mc.h_sum

@@ -34,13 +34,25 @@ write-set argument) over the 32-cell register file:
   read-before-write ordering then force every read to return the last
   written value (Blum et al.; Spice; Jolt's memory argument).
 
+SOUNDNESS (round-3 hardening): tau_m, tau_r, and gamma are BabyBear^4
+extension draws (core/ext4.py), so a forged multiset collides with
+probability ~rows/p^4 ~ 2^-100 instead of the grindable ~2^-10 of the
+round-2 base-field draws; the retry nonce is verifier-capped at
+MAX_NONCE.  The inverse columns are extension-valued, committed as 4
+base coordinate columns each ("g_r1#0".."gr_wv_3#3") and recombined
+inside the shared combiner; their hypercube sums are Ext4 values whose
+coordinates the Ligero sum claims pin individually.
+
 Together with the public anchoring at BOTH ends (initial_regs, the
 final_regs the verifier already checks against the VM claim), this makes
 the committed rv/wv dataflow the unique register history consistent with
 the public register state — the "register_updates" constraint, for real.
 
 Range checks reuse the RANGE16 logUp pattern from lookups/validity.py
-(multiplicity column over the 2^16 domain, closed-form key MLE).
+(multiplicity column over the 2^16 domain, closed-form key MLE); the
+extension tau_r keeps every range denominator nonzero by construction
+(high_coords_nonzero — the extension twin of the old tau_r >= 2^16
+trick).
 """
 
 from __future__ import annotations
@@ -50,12 +62,21 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
-from ..poly.public_mles import idx_eval, idx_table, le_indicator_eval, le_table, np_inv
+from ..core.ext4 import (
+    MAX_NONCE,
+    Ext4,
+    challenge_ext,
+    ext_from_coords,
+    ext_lift,
+    ext_stack,
+    high_coords_nonzero,
+)
+from ..poly.public_mles import idx_eval, idx_table, le_indicator_eval, le_table
 from ..proofs.zerocheck import (
+    ZerocheckExtProver,
+    ZerocheckExtVerifier,
     ZerocheckProof,
-    ZerocheckProver,
-    ZerocheckVerifier,
-    make_zerocheck_prover,
+    absorb_ext,
 )
 
 __all__ = [
@@ -96,8 +117,27 @@ COLUMNS = (
 )
 G_MEM = tuple(f"g_{side}{m}" for side in ("r", "w") for m in (1, 2, 3))
 G_RNG = tuple(f"gr_{c}" for c, _ in _RANGED)
+G_ALL = G_MEM + G_RNG
 # logUp, ts-decomp, lag-decomp, x0 gadget (3 + 4 wv limbs), ranges.
 NUM_CONSTRAINTS = 6 + 3 + 3 + 7 + len(_RANGED)
+
+
+def g_coord_names(g_names) -> List[str]:
+    """Committed coordinate-column names of extension inverse columns."""
+    return [f"{g}#{e}" for g in g_names for e in range(4)]
+
+
+def pack_g_coords(g_cols: Dict[str, Ext4]) -> Dict[str, np.ndarray]:
+    return {f"{name}#{e}": g.c[e] for name, g in g_cols.items() for e in range(4)}
+
+
+def g_eval_from_coords(evals: Dict[str, object], name: str) -> Ext4:
+    return ext_from_coords([evals[f"{name}#{e}"] for e in range(4)])
+
+
+def sum_claim_values(g_sums: Dict[str, Ext4], g_names) -> Dict[str, int]:
+    """Per-coordinate-column hypercube sums for the Ligero sum claim."""
+    return {f"{g}#{e}": int(g_sums[g].c[e]) for g in g_names for e in range(4)}
 
 
 @dataclass
@@ -160,141 +200,117 @@ class RegCheckProof:
     g_proof: object
     m_proof: object
     h_proof: object
-    g_sums: Dict[str, int]       # per g column (mem + range)
-    h_sum: int
+    g_sums: Dict[str, Ext4]      # per g column (mem + range), Ext4
+    h_sum: Ext4
 
 
 # ---------------------------------------------------------------------------
-# Fingerprints and combiners
+# Fingerprints and the shared (prover/verifier) combiner
 
 
-def _gamma_powers(gamma: int, p: int) -> List[int]:
-    gs = [1]
+def _gamma_powers(gamma: Ext4) -> List[Ext4]:
+    gs = [ext_lift(1)]
     for _ in range(5):
-        gs.append(gs[-1] * gamma % p)
+        gs.append(gs[-1] * gamma)
     return gs
 
 
-def _kappa_parts(m: int, side: str, gp: List[int]):
-    """(addr_col, value_col_prefix, ts) spec for access m and side r/w."""
+def _kappa_parts(m: int, side: str):
+    """(addr_col, value_col_prefix) spec for access m and side r/w."""
     val_prefix = {1: "rv1", 2: "rv2", 3: ("ov" if side == "r" else "wv")}[m]
     return f"a{m}", val_prefix
 
 
-def _make_combiner(tau_m: int, tau_r: int, gamma: int, p: int):
-    gp = _gamma_powers(gamma, p)
+def _make_combiner(tau_m: Ext4, tau_r: Ext4, gamma: Ext4, p: int):
+    """One generic combiner: the prover passes (partially folded) columns
+    plus the g coordinate tables; the verifier passes terminal Ext4
+    evaluations plus public __sel__/__idx__ values."""
+    gp = _gamma_powers(gamma)
 
-    def combiner(cols, alphas: List[int], p_: int):
-        P = np.uint64(p)
+    def combiner(cols, alphas: List, p_: int):
+        one = 1
         sel = cols["__sel__"]
         idx = cols["__idx__"]
         terms = []
         for m in (1, 2, 3):
             for side in ("r", "w"):
-                a_name, vpre = _kappa_parts(m, side, gp)
-                kappa = cols[a_name].copy()
+                a_name, vpre = _kappa_parts(m, side)
+                kappa = gp[0] * cols[a_name]
                 for k in range(4):
-                    kappa = (kappa + np.uint64(gp[k + 1]) * cols[f"{vpre}_{k}"]) % P
+                    kappa = kappa + gp[k + 1] * cols[f"{vpre}_{k}"]
                 if side == "r":
                     ts = cols[f"rt{m}"]
                 else:
-                    ts = (np.uint64(3) * idx + np.uint64(m)) % P
-                kappa = (kappa + np.uint64(gp[5]) * ts) % P
-                denom = (np.uint64(tau_m) + P - kappa) % P
-                terms.append((cols[f"g_{side}{m}"] * denom + P - sel) % P)
+                    ts = (3 * idx + m) % p
+                kappa = kappa + gp[5] * ts
+                g = g_eval_from_coords(cols, f"g_{side}{m}")
+                terms.append(g * (tau_m - kappa) - sel)
         for m in (1, 2, 3):
             # rt = tl0 + 2^16 tl1  and  3 idx + m - 1 - rt = dl0 + 2^16 dl1.
-            recon = (cols[f"tl0_{m}"] + np.uint64(1 << 16) * cols[f"tl1_{m}"]) % P
-            terms.append((cols[f"rt{m}"] + P - recon) % P)
-            lag = (np.uint64(3) * idx + np.uint64(m - 1)) % P
-            recon_d = (cols[f"dl0_{m}"] + np.uint64(1 << 16) * cols[f"dl1_{m}"]) % P
-            terms.append((lag + P + P - cols[f"rt{m}"] - recon_d) % P)
-        one = np.uint64(1)
-        terms.append((cols["a3"] * cols["ia3"] % P + cols["z0"] + P - one) % P)
-        terms.append(cols["z0"] * cols["a3"] % P)
-        terms.append(cols["z0"] * ((one + P - cols["z0"]) % P) % P)
+            recon = (cols[f"tl0_{m}"] + (1 << 16) * cols[f"tl1_{m}"]) % p
+            terms.append((cols[f"rt{m}"] + p - recon) % p)
+            lag = (3 * idx + (m - 1)) % p
+            recon_d = (cols[f"dl0_{m}"] + (1 << 16) * cols[f"dl1_{m}"]) % p
+            terms.append((lag + p + p - cols[f"rt{m}"] - recon_d) % p)
+        terms.append((cols["a3"] * cols["ia3"] % p + cols["z0"] + p - one) % p)
+        terms.append(cols["z0"] * cols["a3"] % p)
+        terms.append(cols["z0"] * ((one + p - cols["z0"]) % p) % p)
         for k in range(4):
-            terms.append(cols["z0"] * cols[f"wv_{k}"] % P)
+            terms.append(cols["z0"] * cols[f"wv_{k}"] % p)
         for c, coef in _RANGED:
-            denom = (np.uint64(tau_r) + P - np.uint64(coef) * cols[c] % P) % P
-            terms.append((cols[f"gr_{c}"] * denom + P - np.uint64(1)) % P)
-        acc = np.zeros_like(sel)
-        for alpha, t in zip(alphas, terms):
-            acc = (acc + np.uint64(alpha) * t) % P
+            denom = tau_r - coef * cols[c]
+            gr = g_eval_from_coords(cols, f"gr_{c}")
+            terms.append(gr * denom - 1)
+        acc = alphas[0] * terms[0]
+        for alpha, t in zip(alphas[1:], terms[1:]):
+            acc = acc + alpha * t
         return acc
 
     return combiner
 
 
-def _make_combiner_scalar(tau_m: int, tau_r: int, gamma: int, num_steps: int,
-                          num_vars: int, p: int):
-    gp = _gamma_powers(gamma, p)
+def _public_evals(num_steps: int, num_vars: int, p: int):
+    def fn(rs):
+        return {
+            "__sel__": le_indicator_eval(num_steps - 1, num_vars, rs, p),
+            "__idx__": idx_eval(num_vars, rs, p),
+        }
 
-    def combiner_scalar(ev, alphas: List[int], p_: int) -> int:
-        rs = combiner_scalar.final_point
-        sel = le_indicator_eval(num_steps - 1, num_vars, rs, p)
-        idx = idx_eval(num_vars, rs, p)
-        terms = []
-        for m in (1, 2, 3):
-            for side in ("r", "w"):
-                a_name, vpre = _kappa_parts(m, side, gp)
-                kappa = ev[a_name]
-                for k in range(4):
-                    kappa = (kappa + gp[k + 1] * ev[f"{vpre}_{k}"]) % p
-                ts = ev[f"rt{m}"] if side == "r" else (3 * idx + m) % p
-                kappa = (kappa + gp[5] * ts) % p
-                terms.append((ev[f"g_{side}{m}"] * ((tau_m - kappa) % p) - sel) % p)
-        for m in (1, 2, 3):
-            recon = (ev[f"tl0_{m}"] + (1 << 16) * ev[f"tl1_{m}"]) % p
-            terms.append((ev[f"rt{m}"] - recon) % p)
-            lag = (3 * idx + m - 1) % p
-            recon_d = (ev[f"dl0_{m}"] + (1 << 16) * ev[f"dl1_{m}"]) % p
-            terms.append((lag - ev[f"rt{m}"] - recon_d) % p)
-        terms.append((ev["a3"] * ev["ia3"] + ev["z0"] - 1) % p)
-        terms.append(ev["z0"] * ev["a3"] % p)
-        terms.append(ev["z0"] * (1 - ev["z0"]) % p)
-        for k in range(4):
-            terms.append(ev["z0"] * ev[f"wv_{k}"] % p)
-        for c, coef in _RANGED:
-            terms.append((ev[f"gr_{c}"] * ((tau_r - coef * ev[c]) % p) - 1) % p)
-        return sum(a * t for a, t in zip(alphas, terms)) % p
-
-    combiner_scalar.final_point = None
-    return combiner_scalar
+    return fn
 
 
-def _make_table_combiner(tau_r: int):
-    def combiner(cols, alphas: List[int], p: int):
-        P = np.uint64(p)
-        denom = (np.uint64(tau_r) + P - cols["__key__"]) % P
-        return np.uint64(alphas[0]) * ((cols["h"] * denom + P - cols["m"]) % P) % P
+def _make_table_combiner(tau_r: Ext4):
+    def combiner(cols, alphas: List, p: int):
+        h = g_eval_from_coords(cols, "h")
+        return alphas[0] * (h * (tau_r - cols["__key__"]) - cols["m"])
 
     return combiner
 
 
-def _make_table_combiner_scalar(tau_r: int, final_point: List[int]):
-    def combiner_scalar(ev, alphas: List[int], p: int) -> int:
-        key = idx_eval(16, final_point, p)
-        return alphas[0] * ((ev["h"] * ((tau_r - key) % p) - ev["m"]) % p) % p
+def _table_public_evals(p: int):
+    def fn(rs):
+        return {"__key__": idx_eval(16, rs, p)}
 
-    return combiner_scalar
+    return fn
 
 
-def _boundary_sum(tau_m: int, gamma: int, regs: List[int], ts: List[int], p: int) -> int:
-    """sum_r 1/(tau - kappa(r, regs[r], ts[r])) — computed by BOTH sides."""
-    gp = _gamma_powers(gamma, p)
-    acc = 0
+def _boundary_sum(tau_m: Ext4, gamma: Ext4, regs: List[int], ts: List[int],
+                  p: int) -> Optional[Ext4]:
+    """sum_r 1/(tau - kappa(r, regs[r], ts[r])) — computed by BOTH sides,
+    in the extension."""
+    gp = _gamma_powers(gamma)
+    kappas = []
     for r in range(32):
         v = regs[r] if r < len(regs) else 0
-        kappa = r
+        kappa = ext_lift(r)
         for k in range(4):
-            kappa = (kappa + gp[k + 1] * ((v >> (16 * k)) & 0xFFFF)) % p
-        kappa = (kappa + gp[5] * (ts[r] % p)) % p
-        d = (tau_m - kappa) % p
-        if d == 0:
-            return None  # nonce retry
-        acc = (acc + pow(d, p - 2, p)) % p
-    return acc
+            kappa = kappa + gp[k + 1] * ((v >> (16 * k)) & 0xFFFF)
+        kappa = kappa + gp[5] * (ts[r] % p)
+        kappas.append(kappa)
+    d = tau_m - ext_stack(kappas)
+    if np.any(d.is_zero()):
+        return None  # nonce retry
+    return d.inv().sum()
 
 
 # ---------------------------------------------------------------------------
@@ -311,10 +327,11 @@ def prove_regcheck(F, transcript, access: RegAccessColumns, num_vars: int,
                    _unsafe_skip_self_checks=False,
                    _return_state: bool = False) -> RegCheckProof:
     from ..commitments.ligero import LigeroClaim, _row_col_weights, ligero_commit, ligero_prove_claims
+    from ..poly.public_mles import np_inv
 
     p = F.MODULUS
-    if p >= (1 << 31):
-        raise ValueError("regcheck requires a field modulus < 2^31")
+    if p != 2013265921:
+        raise ValueError("regcheck requires BabyBear (extension challenges)")
     n = access.cells.shape[1]
     padded = 1 << num_vars
     init = list(initial_regs) if initial_regs is not None else [0] * 32
@@ -352,11 +369,9 @@ def prove_regcheck(F, transcript, access: RegAccessColumns, num_vars: int,
 
     # Multiplicities over RANGE16 for every ranged (scaled) column.
     m_col = np.zeros(1 << 16, dtype=np.uint64)
-    ok_rows = True
     for c, coef in _RANGED:
         scaled = np.uint64(coef) * cols[c]
         if np.any(scaled > _M16):
-            ok_rows = False
             if not _unsafe_skip_self_checks:
                 raise AssertionError(f"regcheck violated: column {c} out of range")
             scaled = scaled & _M16
@@ -374,32 +389,35 @@ def prove_regcheck(F, transcript, access: RegAccessColumns, num_vars: int,
     transcript.append_bytes(b"RC_MULT")
     transcript.append_bytes(m_state.root)
 
-    # Challenges with nonce retry on zero denominators.
-    P64 = np.uint64(p)
+    # Extension challenges with nonce retry on zero denominators.
     sel = le_table(n - 1, num_vars)
-    gp = None
     nonce = 0
     while True:
         trial = transcript.fork()
         trial.append_bytes(b"RC_CHAL")
         trial.append_u64(nonce)
-        tau_m = trial.challenge_value(p)
-        tau_r = trial.challenge_value(p)
-        gamma = trial.challenge_value(p)
-        gp = _gamma_powers(gamma, p)
-        ok = tau_r >= (1 << 16)
-        denoms = {}
+        tau_m = challenge_ext(trial)
+        tau_r = challenge_ext(trial)
+        gamma = challenge_ext(trial)
+        gp = _gamma_powers(gamma)
+        # A tau_r with a nonzero high coordinate can never hit a lifted
+        # base key, so the range/table denominators are nonzero for free.
+        ok = high_coords_nonzero(tau_r)
+        denoms: Dict[str, Ext4] = {}
         if ok:
             for m in (1, 2, 3):
                 for side in ("r", "w"):
-                    a_name, vpre = _kappa_parts(m, side, gp)
-                    kappa = cols[a_name].copy()
+                    a_name, vpre = _kappa_parts(m, side)
+                    kappa = gp[0] * cols[a_name]
                     for k in range(4):
-                        kappa = (kappa + np.uint64(gp[k + 1]) * cols[f"{vpre}_{k}"]) % P64
-                    ts = cols[f"rt{m}"] if side == "r" else (np.uint64(3) * idx % P64 + np.uint64(m)) % P64
-                    kappa = (kappa + np.uint64(gp[5]) * ts) % P64
-                    d = (np.uint64(tau_m) + P64 - kappa) % P64
-                    if np.any((d == 0) & (sel == 1)):
+                        kappa = kappa + gp[k + 1] * cols[f"{vpre}_{k}"]
+                    if side == "r":
+                        ts = cols[f"rt{m}"]
+                    else:
+                        ts = (np.uint64(3) * idx + np.uint64(m)) % np.uint64(p)
+                    kappa = kappa + gp[5] * ts
+                    d = tau_m - kappa
+                    if np.any(d.is_zero() & (sel == 1)):
                         ok = False
                         break
                     denoms[f"g_{side}{m}"] = d
@@ -413,50 +431,51 @@ def prove_regcheck(F, transcript, access: RegAccessColumns, num_vars: int,
         if ok:
             break
         nonce += 1
+        assert nonce <= MAX_NONCE, "regcheck nonce overflow"
     transcript.append_bytes(b"RC_CHAL")
     transcript.append_u64(nonce)
-    assert transcript.challenge_value(p) == tau_m
-    assert transcript.challenge_value(p) == tau_r
-    assert transcript.challenge_value(p) == gamma
+    assert challenge_ext(transcript) == tau_m
+    assert challenge_ext(transcript) == tau_r
+    assert challenge_ext(transcript) == gamma
 
-    # Inverse columns.
-    g_cols: Dict[str, np.ndarray] = {}
+    # Extension inverse columns.
+    g_cols: Dict[str, Ext4] = {}
     for name, d in denoms.items():
-        g_cols[name] = sel * np_inv(d, p) % P64
+        g_cols[name] = sel * d.inv()
     for c, coef in _RANGED:
-        d = (np.uint64(tau_r) + P64 - np.uint64(coef) * cols[c] % P64) % P64
-        g_cols[f"gr_{c}"] = np_inv(d, p)
-    h_col = m_col % P64 * np_inv(
-        (np.uint64(tau_r) + P64 - idx_table(16, p)) % P64, p
-    ) % P64
+        d = tau_r - np.uint64(coef) * cols[c] % np.uint64(p)
+        g_cols[f"gr_{c}"] = d.inv()
+    h_col = (tau_r - idx_table(16, p)).inv() * m_col
 
-    g_state = ligero_commit(F, g_cols, hash_mode)
-    g_sums = {name: int(col.sum(dtype=np.uint64) % P64) for name, col in g_cols.items()}
-    h_state = ligero_commit(F, {"h": h_col}, hash_mode)
-    h_sum = int(h_col.sum(dtype=np.uint64) % P64)
+    g_coords = pack_g_coords(g_cols)
+    g_state = ligero_commit(F, g_coords, hash_mode)
+    g_sums = {name: col.sum() for name, col in g_cols.items()}
+    h_coords = pack_g_coords({"h": h_col})
+    h_state = ligero_commit(F, h_coords, hash_mode)
+    h_sum = h_col.sum()
     transcript.append_bytes(b"RC_G")
     transcript.append_bytes(g_state.root)
     for name in sorted(g_sums):
-        transcript.append_u64(g_sums[name])
+        absorb_ext(transcript, g_sums[name])
     transcript.append_bytes(b"RC_H")
     transcript.append_bytes(h_state.root)
-    transcript.append_u64(h_sum)
+    absorb_ext(transcript, h_sum)
 
     if not _unsafe_skip_self_checks:
-        lhs = (sum(g_sums[f"g_r{m}"] for m in (1, 2, 3)) + final_sum) % p
-        rhs = (sum(g_sums[f"g_w{m}"] for m in (1, 2, 3)) + init_sum) % p
+        lhs = sum(g_sums[f"g_r{m}"] for m in (1, 2, 3)) + final_sum
+        rhs = sum(g_sums[f"g_w{m}"] for m in (1, 2, 3)) + init_sum
         if lhs != rhs:
             raise AssertionError("regcheck violated: register multiset mismatch")
-        rng_lhs = sum(g_sums[f"gr_{c}"] for c, _ in _RANGED) % p
+        rng_lhs = sum(g_sums[f"gr_{c}"] for c, _ in _RANGED)
         if rng_lhs != h_sum:
             raise AssertionError("regcheck violated: range multiset mismatch")
 
     # Zerochecks + Ligero bindings.
     all_cols = dict(cols)
-    all_cols.update(g_cols)
+    all_cols.update(g_coords)
     all_cols["__sel__"] = sel
-    all_cols["__idx__"] = idx % P64
-    zc = make_zerocheck_prover(
+    all_cols["__idx__"] = idx % np.uint64(p)
+    zc = ZerocheckExtProver(
         F, all_cols, _make_combiner(tau_m, tau_r, gamma, p), REGCHECK_DEGREE,
         num_alphas=NUM_CONSTRAINTS,
     ).prove(transcript)
@@ -470,8 +489,9 @@ def prove_regcheck(F, transcript, access: RegAccessColumns, num_vars: int,
                     b=np.ones(g_state.n, dtype=np.uint64), values={}),
     ], transcript)
 
-    table_cols = {"m": m_col, "h": h_col, "__key__": idx_table(16, p)}
-    zc_t = make_zerocheck_prover(
+    table_cols = {"m": m_col, "__key__": idx_table(16, p)}
+    table_cols.update(h_coords)
+    zc_t = ZerocheckExtProver(
         F, table_cols, _make_table_combiner(tau_r), REGCHECK_DEGREE, num_alphas=1,
     ).prove(transcript)
     am, bm = _row_col_weights(zc_t.final_point, m_state.cn)
@@ -515,6 +535,8 @@ def verify_regcheck(F, transcript, rc: RegCheckProof, num_steps: int,
     init = list(initial_regs) if initial_regs is not None else [0] * 32
     if rc.num_vars != num_vars or len(rc.final_ts) != 32:
         return False
+    if not (0 <= rc.nonce <= MAX_NONCE):
+        return False
     if any(not (0 <= t <= 3 * num_steps) for t in rc.final_ts):
         return False
     # x0 is architecturally zero at both public anchors (the committed
@@ -533,34 +555,38 @@ def verify_regcheck(F, transcript, rc: RegCheckProof, num_steps: int,
     transcript.append_bytes(rc.root_m)
 
     transcript.append_bytes(b"RC_CHAL")
-    transcript.append_u64(rc.nonce % (1 << 64))
-    tau_m = transcript.challenge_value(p)
-    tau_r = transcript.challenge_value(p)
-    gamma = transcript.challenge_value(p)
-    if tau_r < (1 << 16):
+    transcript.append_u64(rc.nonce)
+    tau_m = challenge_ext(transcript)
+    tau_r = challenge_ext(transcript)
+    gamma = challenge_ext(transcript)
+    if not high_coords_nonzero(tau_r):
         return False
 
-    g_names = sorted(G_MEM + G_RNG)
+    g_names = sorted(G_ALL)
     if set(rc.g_sums) != set(g_names):
+        return False
+    if not all(isinstance(v, Ext4) for v in rc.g_sums.values()):
+        return False
+    if not isinstance(rc.h_sum, Ext4):
         return False
     transcript.append_bytes(b"RC_G")
     transcript.append_bytes(rc.root_g)
     for name in g_names:
-        transcript.append_u64(rc.g_sums[name] % p)
+        absorb_ext(transcript, rc.g_sums[name])
     transcript.append_bytes(b"RC_H")
     transcript.append_bytes(rc.root_h)
-    transcript.append_u64(rc.h_sum % p)
+    absorb_ext(transcript, rc.h_sum)
 
     col_names = sorted(COLUMNS)
-    if set(rc.zc.column_evals) != set(col_names) | set(g_names):
+    gc_names = sorted(g_coord_names(g_names))
+    if set(rc.zc.column_evals) != set(col_names) | set(gc_names):
         return False
     if rc.zc.num_vars != num_vars or rc.zc.degree != REGCHECK_DEGREE:
         return False
-    comb = _make_combiner_scalar(tau_m, tau_r, gamma, num_steps, num_vars, p)
-    comb.final_point = rc.zc.final_point
-    if not ZerocheckVerifier(F, comb, NUM_CONSTRAINTS, REGCHECK_DEGREE).verify(
-        rc.zc, transcript
-    ):
+    if not ZerocheckExtVerifier(
+        F, _make_combiner(tau_m, tau_r, gamma, p), NUM_CONSTRAINTS,
+        REGCHECK_DEGREE, public_evals=_public_evals(num_steps, num_vars, p),
+    ).verify(rc.zc, transcript):
         return False
 
     params = LigeroParams()
@@ -573,30 +599,31 @@ def verify_regcheck(F, transcript, rc: RegCheckProof, num_steps: int,
         rc.cols_proof, transcript, hash_mode,
     ):
         return False
-    cn_g = params.choose_split(num_vars, len(g_names))
+    cn_g = params.choose_split(num_vars, len(gc_names))
     ag, bg = _row_col_weights(rc.zc.final_point, cn_g)
     m_g = (1 << num_vars) >> cn_g
     if not ligero_verify_claims(
-        F, rc.root_g, num_vars, g_names,
+        F, rc.root_g, num_vars, gc_names,
         [
             LigeroClaim(a=ag, b=bg,
-                        values={nm: rc.zc.column_evals[nm] for nm in g_names}),
+                        values={nm: rc.zc.column_evals[nm] for nm in gc_names}),
             LigeroClaim(a=np.ones(m_g, dtype=np.uint64),
                         b=np.ones(1 << cn_g, dtype=np.uint64),
-                        values={nm: rc.g_sums[nm] % p for nm in g_names}),
+                        values=sum_claim_values(rc.g_sums, g_names)),
         ],
         rc.g_proof, transcript, hash_mode,
     ):
         return False
 
     # RANGE16 table side.
-    if set(rc.zc_table.column_evals) != {"m", "h"}:
+    hc_names = sorted(g_coord_names(["h"]))
+    if set(rc.zc_table.column_evals) != {"m"} | set(hc_names):
         return False
     if rc.zc_table.num_vars != 16 or rc.zc_table.degree != REGCHECK_DEGREE:
         return False
-    if not ZerocheckVerifier(
-        F, _make_table_combiner_scalar(tau_r, rc.zc_table.final_point), 1,
-        REGCHECK_DEGREE,
+    if not ZerocheckExtVerifier(
+        F, _make_table_combiner(tau_r), 1, REGCHECK_DEGREE,
+        public_evals=_table_public_evals(p),
     ).verify(rc.zc_table, transcript):
         return False
     cn_m = params.choose_split(16, 1)
@@ -607,16 +634,17 @@ def verify_regcheck(F, transcript, rc: RegCheckProof, num_steps: int,
         rc.m_proof, transcript, hash_mode,
     ):
         return False
-    cn_h = params.choose_split(16, 1)
+    cn_h = params.choose_split(16, len(hc_names))
     ah, bh = _row_col_weights(rc.zc_table.final_point, cn_h)
     m_h = (1 << 16) >> cn_h
     if not ligero_verify_claims(
-        F, rc.root_h, 16, ["h"],
+        F, rc.root_h, 16, hc_names,
         [
-            LigeroClaim(a=ah, b=bh, values={"h": rc.zc_table.column_evals["h"]}),
+            LigeroClaim(a=ah, b=bh,
+                        values={nm: rc.zc_table.column_evals[nm] for nm in hc_names}),
             LigeroClaim(a=np.ones(m_h, dtype=np.uint64),
                         b=np.ones(1 << cn_h, dtype=np.uint64),
-                        values={"h": rc.h_sum % p}),
+                        values=sum_claim_values({"h": rc.h_sum}, ["h"])),
         ],
         rc.h_proof, transcript, hash_mode,
     ):
@@ -627,9 +655,9 @@ def verify_regcheck(F, transcript, rc: RegCheckProof, num_steps: int,
     final_sum = _boundary_sum(tau_m, gamma, final_regs, rc.final_ts, p)
     if init_sum is None or final_sum is None:
         return False
-    lhs = (sum(rc.g_sums[f"g_r{m}"] for m in (1, 2, 3)) + final_sum) % p
-    rhs = (sum(rc.g_sums[f"g_w{m}"] for m in (1, 2, 3)) + init_sum) % p
+    lhs = sum(rc.g_sums[f"g_r{m}"] for m in (1, 2, 3)) + final_sum
+    rhs = sum(rc.g_sums[f"g_w{m}"] for m in (1, 2, 3)) + init_sum
     if lhs != rhs:
         return False
-    rng_lhs = sum(rc.g_sums[f"gr_{c}"] for c, _ in _RANGED) % p
-    return rng_lhs == rc.h_sum % p
+    rng_lhs = sum(rc.g_sums[f"gr_{c}"] for c, _ in _RANGED)
+    return rng_lhs == rc.h_sum

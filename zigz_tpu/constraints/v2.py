@@ -14,11 +14,12 @@ expressible over the committed columns plus two auxiliary columns:
 
 ``seq`` marks steps whose instruction always advances pc by 4 (everything
 except BRANCH/JAL/JALR/SYSTEM); ``next_pc`` is the recorded next program
-counter.  Both are auxiliary committed columns (padding: next_pc repeats
-the last value like pc, seq pads with 0 so c3/c4 hold on padding).
+counter.  Both are committed columns of the v2 Ligero PCS (padding:
+next_pc repeats the last value like pc, seq pads with 0 so c3/c4 hold on
+padding).
 
 c5/c6 are the PC-CHAIN SHIFT ARGUMENT (the reference leaves pc chaining
-entirely unconstrained; this closes our ROADMAP #2): with
+entirely unconstrained): with
 
     fp1(x) = tau - beta*(idx(x)+1) - next_pc(x)
     fp2(y) = tau - beta*idx(y)     - pc(y)
@@ -33,14 +34,22 @@ injective, this is exactly pc(x+1) = next_pc(x) for every consecutive pair
 count (poly/public_mles.py): the verifier evaluates them itself; only g1
 and g2 are committed (their own Ligero commitment, made after tau/beta).
 
-C(x) = sum a_j c_j has degree 2; with the eq factor the zerocheck rounds
-have degree <= 3 (4 evaluations per round — the same round shape as the
-v1 wire format).
+SOUNDNESS (round-3 hardening): tau and beta are BabyBear^4 extension
+challenges (core/ext4.py), so a forged PC chain collides with probability
+~2n/p^4 ~ 2^-100 instead of the grindable ~2^-10 of a base-field draw.
+g1/g2 are therefore extension-valued, committed as 4 base coordinate
+columns each (g1#0..g1#3, g2#0..g2#3) and recombined inside the combiner.
+The zerocheck itself runs with extension taus/alphas/round challenges
+(proofs/zerocheck.py ZerocheckExt*).
 
-Known scope limits (documented, inherited from the v1 commitment scheme):
-instruction SEMANTICS remain delegated to the lookup argument (Jolt's
-design position); column-eval binding now uses the Ligero PCS
-(commitments/ligero.py) in addition to the v1 point-to-index openings.
+C(x) = sum a_j c_j has degree 2; with the eq factor the zerocheck rounds
+have degree <= 3 (4 evaluations per round).
+
+The combiner below is written against the generic mod-p idioms, so ONE
+function serves the vectorized prover (base/Ext4 numpy columns) and the
+scalar verifier (Ext4 terminal evaluations) — the public idx/sel values
+arrive via the "__"-prefixed entries (dense tables at prove time,
+closed-form MLE evaluations at the extension point at verify time).
 """
 
 from __future__ import annotations
@@ -49,6 +58,7 @@ from typing import Dict, List
 
 import numpy as np
 
+from ..core.ext4 import Ext4, ext_from_coords
 from ..isa.rv64i import Opcode
 from ..poly.public_mles import (
     eq_zero_eval,
@@ -56,25 +66,25 @@ from ..poly.public_mles import (
     idx_table,
     le_indicator_eval,
     le_table,
-    np_inv,
 )
 
 __all__ = [
     "NUM_V2_CONSTRAINTS",
     "NUM_V2_ALPHAS",
     "V2_DEGREE",
+    "V2_G_COLUMNS",
     "build_aux_columns",
     "build_logup_columns",
     "logup_public_tables",
     "make_v2_combiner",
-    "make_v2_combiner_scalar",
-    "v2_combiner",
-    "v2_combiner_scalar",
+    "v2_public_evals",
+    "v2_columns",
 ]
 
 NUM_V2_CONSTRAINTS = 4  # base execution constraints (c1-c4)
 NUM_V2_ALPHAS = 6  # c1-c4 + the two logUp inverse constraints
 V2_DEGREE = 3  # deg(eq * C) per variable
+V2_G_COLUMNS = tuple(f"g{i}#{e}" for i in (1, 2) for e in range(4))
 
 _NONSEQ_OPCODES = (Opcode.BRANCH, Opcode.JAL, Opcode.JALR, Opcode.SYSTEM)
 
@@ -140,44 +150,6 @@ def v2_columns(witness, aux: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
     }
 
 
-def v2_combiner(cols: Dict[str, np.ndarray], alphas: List[int], p: int):
-    """Vectorized C(x) over numpy arrays (mod-p after every product)."""
-    P = np.uint64(p)
-    one = np.uint64(1)
-    x0 = cols["x0"]
-    is_read = cols["is_read"]
-    seq = cols["seq"]
-    pc = cols["pc"]
-    next_pc = cols["next_pc"]
-
-    c1 = x0
-    c2 = is_read * ((one + P - is_read) % P) % P
-    c3 = seq * ((one + P - seq) % P) % P
-    delta = (next_pc + P + P - pc - np.uint64(4)) % P
-    c4 = seq * delta % P
-
-    acc = np.uint64(alphas[0]) * c1 % P
-    acc = (acc + np.uint64(alphas[1]) * c2) % P
-    acc = (acc + np.uint64(alphas[2]) * c3) % P
-    acc = (acc + np.uint64(alphas[3]) * c4) % P
-    return acc
-
-
-def v2_combiner_scalar(col_evals: Dict[str, int], alphas: List[int], p: int) -> int:
-    """Scalar C at the terminal point (verifier side)."""
-    x0 = col_evals["x0"] % p
-    is_read = col_evals["is_read"] % p
-    seq = col_evals["seq"] % p
-    pc = col_evals["pc"] % p
-    next_pc = col_evals["next_pc"] % p
-
-    c1 = x0
-    c2 = is_read * ((1 - is_read) % p) % p
-    c3 = seq * ((1 - seq) % p) % p
-    c4 = seq * ((next_pc - pc - 4) % p) % p
-    return (alphas[0] * c1 + alphas[1] * c2 + alphas[2] * c3 + alphas[3] * c4) % p
-
-
 # ---------------------------------------------------------------------------
 # PC-chain logUp (the shift argument)
 
@@ -199,74 +171,74 @@ def logup_public_tables(num_steps: int, num_vars: int, p: int) -> Dict[str, np.n
 
 
 def build_logup_columns(pc: np.ndarray, next_pc: np.ndarray, num_steps: int,
-                        num_vars: int, tau: int, beta: int, p: int):
-    """(g1, g2, shared_sum) inverse columns, or None on a zero active
-    denominator (caller retries with the next transcript nonce; probability
-    ~2n/p per attempt)."""
-    P = np.uint64(p)
+                        num_vars: int, tau: Ext4, beta: Ext4, p: int):
+    """(g1, g2, shared_sum) extension inverse columns, or None on a zero
+    active denominator (caller retries with the next transcript nonce;
+    probability ~2n/p^4 per attempt — effectively never for honest runs)."""
     pub = logup_public_tables(num_steps, num_vars, p)
     idx = pub["__idx__"]
     sel1 = pub["__sel1__"]
     sel2 = pub["__sel2__"]
 
-    fp1 = (np.uint64(tau) + P + P - np.uint64(beta) * ((idx + np.uint64(1)) % P) % P
-           - next_pc % P) % P
-    fp2 = (np.uint64(tau) + P + P - np.uint64(beta) * idx % P - pc % P) % P
-    if np.any((fp1 == 0) & (sel1 == 1)) or np.any((fp2 == 0) & (sel2 == 1)):
+    fp1 = tau - beta * ((idx + np.uint64(1)) % np.uint64(p)) - next_pc
+    fp2 = tau - beta * idx - pc
+    if np.any(fp1.is_zero() & (sel1 == 1)) or np.any(fp2.is_zero() & (sel2 == 1)):
         return None
-    g1 = sel1 * np_inv(fp1, p) % P
-    g2 = sel2 * np_inv(fp2, p) % P
-    # z_vals < p < 2^31: u64 sums exact for any 2^v <= 2^33.
-    s1 = int(g1.sum(dtype=np.uint64)) % p
-    s2 = int(g2.sum(dtype=np.uint64)) % p
+    g1 = sel1 * fp1.inv()
+    g2 = sel2 * fp2.inv()
+    s1 = g1.sum()
+    s2 = g2.sum()
     if s1 != s2:
         raise AssertionError("PC chain broken in honest trace (VM bug?)")
     return g1, g2, s1
 
 
-def _logup_terms(cols, tau: int, beta: int, p: int):
-    """Vectorized c5, c6 at one evaluation point (folded tables)."""
-    P = np.uint64(p)
-    idx = cols["__idx__"]
-    one = np.uint64(1)
-    fp1 = (np.uint64(tau) + P + P - np.uint64(beta) * ((idx + one) % P) % P
-           - cols["next_pc"] % P) % P
-    fp2 = (np.uint64(tau) + P + P - np.uint64(beta) * idx % P - cols["pc"] % P) % P
-    c5 = (cols["g1"] * fp1 + P - cols["__sel1__"]) % P
-    c6 = (cols["g2"] * fp2 + P - cols["__sel2__"]) % P
-    return c5, c6
+def make_v2_combiner(tau: Ext4, beta: Ext4):
+    """Full 6-constraint combiner, generic over base/Ext4 inputs: the
+    prover passes (partially folded) columns incl. the g1/g2 coordinate
+    tables; the verifier passes terminal Ext4 evaluations plus the public
+    values from :func:`v2_public_evals`."""
 
+    def combiner(cols, alphas: List, p: int):
+        one = 1
+        x0 = cols["x0"]
+        is_read = cols["is_read"]
+        seq = cols["seq"]
+        pc = cols["pc"]
+        next_pc = cols["next_pc"]
+        idx = cols["__idx__"]
+        sel1 = cols["__sel1__"]
+        sel2 = cols["__sel2__"]
 
-def make_v2_combiner(tau: int, beta: int):
-    """Full 6-constraint vectorized combiner (prover side)."""
+        c1 = x0
+        c2 = is_read * ((one + p - is_read) % p) % p
+        c3 = seq * ((one + p - seq) % p) % p
+        delta = (next_pc + p + p - pc - 4) % p
+        c4 = seq * delta % p
 
-    def combiner(cols: Dict[str, np.ndarray], alphas: List[int], p: int):
-        P = np.uint64(p)
-        acc = v2_combiner(cols, alphas, p)
-        c5, c6 = _logup_terms(cols, tau, beta, p)
-        acc = (acc + np.uint64(alphas[4]) * c5) % P
-        acc = (acc + np.uint64(alphas[5]) * c6) % P
+        g1 = ext_from_coords([cols[f"g1#{e}"] for e in range(4)])
+        g2 = ext_from_coords([cols[f"g2#{e}"] for e in range(4)])
+        fp1 = tau - beta * ((idx + 1) % p) - next_pc
+        fp2 = tau - beta * idx - pc
+        c5 = g1 * fp1 - sel1
+        c6 = g2 * fp2 - sel2
+
+        acc = alphas[0] * c1
+        for a, t in zip(alphas[1:], (c2, c3, c4, c5, c6)):
+            acc = acc + a * t
         return acc
 
     return combiner
 
 
-def make_v2_combiner_scalar(num_steps: int, num_vars: int, tau: int, beta: int,
-                            final_point: List[int]):
-    """Full 6-constraint scalar combiner (verifier side).
+def v2_public_evals(num_steps: int, num_vars: int, p: int):
+    """Verifier-side public values at the extension final point."""
 
-    idx/sel1/sel2 at the terminal point are computed from PUBLIC data
-    (num_steps) via their closed-form MLEs — never from the proof."""
-    def combiner_scalar(col_evals: Dict[str, int], alphas: List[int], p: int) -> int:
-        acc = v2_combiner_scalar(col_evals, alphas, p)
-        idx_r = idx_eval(num_vars, final_point, p)
-        sel1_r = le_indicator_eval(num_steps - 2, num_vars, final_point, p)
-        sel2_r = (le_indicator_eval(num_steps - 1, num_vars, final_point, p)
-                  - eq_zero_eval(final_point, p)) % p
-        fp1 = (tau - beta * ((idx_r + 1) % p) - col_evals["next_pc"]) % p
-        fp2 = (tau - beta * idx_r - col_evals["pc"]) % p
-        c5 = (col_evals["g1"] * fp1 - sel1_r) % p
-        c6 = (col_evals["g2"] * fp2 - sel2_r) % p
-        return (acc + alphas[4] * c5 + alphas[5] * c6) % p
+    def fn(rs):
+        idx_r = idx_eval(num_vars, rs, p)
+        sel1 = le_indicator_eval(num_steps - 2, num_vars, rs, p)
+        sel2 = (le_indicator_eval(num_steps - 1, num_vars, rs, p)
+                - eq_zero_eval(rs, p)) % p
+        return {"__idx__": idx_r, "__sel1__": sel1, "__sel2__": sel2}
 
-    return combiner_scalar
+    return fn

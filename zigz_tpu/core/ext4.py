@@ -63,9 +63,11 @@ _W64 = np.uint64(W)
 # Verifier-enforced cap on every logUp/fingerprint nonce-retry counter.
 # With extension-field challenges a zero denominator occurs with
 # probability ~rows/p^4 (~2^-100 at 2^20 rows), so honest provers always
-# land on nonce 0; the cap bounds the grinding surface a malicious prover
-# gets from the retry loop to log2(MAX_NONCE+1) < 7 bits.
-MAX_NONCE = 64
+# land on nonce 0 (needing even one retry is a ~2^-100 event; exhausting
+# the cap is ~2^-300).  The cap bounds the grinding surface a malicious
+# prover gets from the retry loop to log2(MAX_NONCE+1) < 1.6 bits — see
+# PROVER.md "Soundness budget".
+MAX_NONCE = 2
 
 _FROB = [
     np.array([pow(SIGMA, (k * i) % 4, P) for i in range(4)], dtype=np.uint64)
@@ -330,6 +332,11 @@ def ext_stack(values: Iterable[Ext4]) -> Ext4:
     return Ext4(np.stack([v.c for v in vals], axis=-1), _trusted=True)
 
 
+def ext_concat(parts: Sequence[Ext4]) -> Ext4:
+    """Concatenate Ext4 arrays along the last (base) axis."""
+    return Ext4(np.concatenate([p.c for p in parts], axis=-1), _trusted=True)
+
+
 def ext_where(mask, a, b) -> Ext4:
     ae, be = _coerce(a), _coerce(b)
     m = np.asarray(mask, dtype=bool)
@@ -359,6 +366,15 @@ def ext_pow_range(base: Ext4, count: int) -> Ext4:
 
 def ext_batch_inv(values: Ext4) -> Ext4:
     return values.inv()
+
+
+def high_coords_nonzero(x: Ext4) -> bool:
+    """True when any of the X^1..X^3 coordinates is nonzero — such a value
+    can never equal a lifted base-field element, so fingerprint
+    denominators tau - base_key are automatically nonzero (the extension
+    twin of the round-2 ``tau_r >= 2^16`` trick).  A fresh extension draw
+    fails this with probability ~2^-93."""
+    return bool(np.any(x.c[1:]))
 
 
 def challenge_ext(transcript) -> Ext4:

@@ -9,8 +9,8 @@ REAL sumcheck per table over the query polynomial — challenges drawn from
 the MAIN pipeline transcript (an improvement over the standalone module,
 which uses a detached transcript).
 
-Query encodings (32-bit operand truncation, consistent with the catalog's
-32-bit table shapes, instruction_table.zig:91-240):
+Query encodings (full 64-bit RV64 values; the catalog's 32-bit table
+shapes, instruction_table.zig:91-240, are reference metadata only):
 
     OP        (rs1_val, rs2_val)         -> rd_val_after
     OP_IMM    (rs1_val, imm)             -> rd_val_after
@@ -22,14 +22,16 @@ Query encodings (32-bit operand truncation, consistent with the catalog's
                                             of the query so the validity
                                             gadget can bind the semantics)
 
-All values are FULL 64-bit (RV64 semantics; the catalog's "32-bit table
-shapes" are reference metadata only — truncating here would make the
-query multisets inconsistent with the actual RV64 results for operands
->= 2^32, e.g. SLTU or overflowing fibonacci).  Per table the proof carries the
-claimed hypercube sum and the SHA3 query-polynomial commitment, both
+Truncating to 32 bits would make the query multisets inconsistent with
+the actual RV64 results for operands >= 2^32 (e.g. SLTU or overflowing
+fibonacci), so values are never truncated.  Per table the proof carries
+the claimed hypercube sum and the SHA3 query-polynomial commitment, both
 absorbed into the transcript BEFORE any round challenge; the verifier
-replays the rounds from the bound claim.  Binding the query polynomial to
-the witness commitments awaits a real PCS (see PROVER.md "Known gaps").
+replays the rounds from the bound claim.  The query multisets are bound
+to the proven execution two further ways: lookups/validity.py proves
+every query is a genuine entry of its (procedural) table, and
+constraints/linkage.py ties the committed query columns to the
+regcheck-proven operand/result values step by step.
 
 v2 proofs therefore contain at most 13 Lasso records (one per catalog
 table in use) instead of one filler per step — a ~1000x proof-size

@@ -84,12 +84,24 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
+from ..constraints.regcheck import (
+    g_coord_names,
+    g_eval_from_coords,
+    pack_g_coords,
+    sum_claim_values,
+)
+from ..core.ext4 import (
+    MAX_NONCE,
+    Ext4,
+    challenge_ext,
+    high_coords_nonzero,
+)
 from ..poly.public_mles import idx_eval, np_inv
 from ..proofs.zerocheck import (
+    ZerocheckExtProver,
+    ZerocheckExtVerifier,
     ZerocheckProof,
-    ZerocheckProver,
-    ZerocheckVerifier,
-    make_zerocheck_prover,
+    absorb_ext,
 )
 
 __all__ = [
@@ -1407,68 +1419,53 @@ class LookupValidityProof:
 # Combiners
 
 
-def _key_array(cols, spec: Dict[str, int], p: int) -> np.ndarray:
-    P = np.uint64(p)
+def _key_array(cols, spec: Dict[str, int], p: int):
+    """key = sum coef * col, generic over base arrays / Ext4 values."""
     acc = None
     for name, coef in sorted(spec.items()):
-        term = np.uint64(coef % p) * cols[name] % P
-        acc = term if acc is None else (acc + term) % P
+        term = np.uint64(coef % p) * cols[name] % np.uint64(p)
+        acc = term if acc is None else (acc + term) % p
     return acc
 
 
-def _key_scalar(ev, spec: Dict[str, int], p: int) -> int:
-    return sum(coef * ev[name] for name, coef in spec.items()) % p
+def _make_query_combiner(gadget, tau: Ext4):
+    """One generic combiner (prover arrays / verifier Ext4 evals): the
+    gadget constraint terms route through the generic mod-p idioms, the
+    logUp inclusion terms recombine the extension g coordinate columns."""
 
-
-def _make_query_combiner(gadget, tau: int):
-    def combiner(cols, alphas: List[int], p: int):
-        P = np.uint64(p)
-        terms = gadget.constraint_arrays(cols, p)
+    def combiner(cols, alphas: List, p: int):
+        terms = list(gadget.constraint_arrays(cols, p))
         for g_name, _sub, spec in gadget.inclusions:
-            denom = (np.uint64(tau % p) + P - _key_array(cols, spec, p)) % P
-            terms.append((cols[g_name] * denom + P - np.uint64(1)) % P)
-        acc = np.zeros_like(next(iter(cols.values())))
-        for alpha, term in zip(alphas, terms):
-            acc = (acc + np.uint64(alpha) * term) % P
+            denom = tau - _key_array(cols, spec, p)
+            g = g_eval_from_coords(cols, g_name)
+            terms.append(g * denom - 1)
+        acc = alphas[0] * terms[0]
+        for alpha, term in zip(alphas[1:], terms[1:]):
+            acc = acc + alpha * term
         return acc
 
     return combiner
 
 
-def _make_query_combiner_scalar(gadget, tau: int):
-    def combiner_scalar(ev, alphas: List[int], p: int) -> int:
-        terms = gadget.constraint_scalars(ev, p)
-        for g_name, _sub, spec in gadget.inclusions:
-            denom = (tau - _key_scalar(ev, spec, p)) % p
-            terms.append((ev[g_name] * denom - 1) % p)
-        return sum(a * t for a, t in zip(alphas, terms)) % p
-
-    return combiner_scalar
-
-
-def _make_table_combiner(names: List[str], tau: int):
-    def combiner(cols, alphas: List[int], p: int):
-        P = np.uint64(p)
-        acc = np.zeros_like(next(iter(cols.values())))
+def _make_table_combiner(names: List[str], tau: Ext4):
+    def combiner(cols, alphas: List, p: int):
+        acc = None
         for j, name in enumerate(names):
-            denom = (np.uint64(tau % p) + P - cols[f"__key_{name}__"]) % P
-            term = (cols[f"h_{name}"] * denom + P - cols[f"m_{name}"]) % P
-            acc = (acc + np.uint64(alphas[j]) * term) % P
+            h = g_eval_from_coords(cols, f"h_{name}")
+            term = h * (tau - cols[f"__key_{name}__"]) - cols[f"m_{name}"]
+            term = alphas[j] * term
+            acc = term if acc is None else acc + term
         return acc
 
     return combiner
 
 
-def _make_table_combiner_scalar(names: List[str], tau: int, final_point: List[int]):
-    def combiner_scalar(ev, alphas: List[int], p: int) -> int:
-        acc = 0
-        for j, name in enumerate(names):
-            key_r = SUBTABLES[name].key_eval(final_point, p)
-            term = (ev[f"h_{name}"] * ((tau - key_r) % p) - ev[f"m_{name}"]) % p
-            acc = (acc + alphas[j] * term) % p
-        return acc
+def _table_public_evals(names: List[str], p: int):
+    def fn(rs):
+        return {f"__key_{name}__": SUBTABLES[name].key_eval(rs, p)
+                for name in names}
 
-    return combiner_scalar
+    return fn
 
 
 def _num_constraints(gadget) -> int:
@@ -1567,74 +1564,62 @@ def prove_lookup_validity(F, transcript, queries_by_table, hash_mode: str = "sha
         transcript.append_bytes(name.encode())
     transcript.append_bytes(m_state.root)
 
-    # Phase 3: fingerprint challenges (nonce-retryable: ~2^-15 per draw a
-    # denominator lands on zero somewhere).
+    # Phase 3: extension fingerprint challenges.  A tau with a nonzero
+    # high coordinate can never equal a (lifted) base-field key, so every
+    # query- and table-side denominator is nonzero by construction; the
+    # nonce loop only retries the ~2^-93 all-high-zero draw.
     nonce = 0
     while True:
         trial = transcript.fork()
         trial.append_bytes(b"LV_CHAL")
         trial.append_u64(nonce)
-        tau = trial.challenge_value(p)
-        gamma = trial.challenge_value(p)  # reserved for multi-word keys (shifts)
-        ok = all(
-            int((((tau - dense_keys[name].astype(np.int64)) % p) == 0).sum()) == 0
-            for name in sub_names
-        )
-        if ok:
-            for tid in table_ids:
-                info = per_table[tid]
-                for _g, _sub, spec in info["gadget"].inclusions:
-                    keys = _key_array(info["cols"], spec, p)
-                    if np.any((np.uint64(tau) + np.uint64(p) - keys) % np.uint64(p) == 0):
-                        ok = False
-                        break
-                if not ok:
-                    break
-        if ok:
+        tau = challenge_ext(trial)
+        gamma = challenge_ext(trial)  # reserved for multi-word keys (shifts)
+        if high_coords_nonzero(tau):
             break
         nonce += 1
+        assert nonce <= MAX_NONCE, "validity nonce overflow"
     transcript.append_bytes(b"LV_CHAL")
     transcript.append_u64(nonce)
-    assert transcript.challenge_value(p) == tau
-    assert transcript.challenge_value(p) == gamma
+    assert challenge_ext(transcript) == tau
+    assert challenge_ext(transcript) == gamma
 
-    # Phase 4: inverse columns (query side g, table side h) + commitments.
-    P64 = np.uint64(p)
+    # Phase 4: extension inverse columns (query side g, table side h),
+    # committed as coordinate columns.
     for tid in table_ids:
         info = per_table[tid]
-        g_cols = {}
+        g_cols: Dict[str, Ext4] = {}
         for g_name, _sub, spec in info["gadget"].inclusions:
             keys = _key_array(info["cols"], spec, p)
-            g_cols[g_name] = np_inv((np.uint64(tau) + P64 - keys) % P64, p)
+            g_cols[g_name] = (tau - keys).inv()
         info["g_cols"] = g_cols
-        info["g_state"] = ligero_commit(F, g_cols, hash_mode)
-        info["g_sums"] = {
-            name: int(col.sum(dtype=np.uint64)) % p for name, col in g_cols.items()
-        }
+        info["g_state"] = ligero_commit(F, pack_g_coords(g_cols), hash_mode)
+        info["g_sums"] = {name: col.sum() for name, col in g_cols.items()}
         transcript.append_bytes(b"LV_G")
         transcript.append_bytes(info["g_state"].root)
         for name in sorted(info["g_sums"]):
-            transcript.append_u64(info["g_sums"][name])
+            absorb_ext(transcript, info["g_sums"][name])
 
-    h_cols = {}
-    h_sums = {}
+    h_cols: Dict[str, Ext4] = {}
+    h_sums: Dict[str, Ext4] = {}
     for name in sub_names:
-        denom = (np.uint64(tau) + P64 - dense_keys[name]) % P64
-        h = m_cols[f"m_{name}"] * np_inv(denom, p) % P64
+        h = (tau - dense_keys[name]).inv() * m_cols[f"m_{name}"]
         h_cols[f"h_{name}"] = h
-        h_sums[name] = int(h.sum(dtype=np.uint64)) % p
-    h_state = ligero_commit(F, h_cols, hash_mode)
+        h_sums[name] = h.sum()
+    h_state = ligero_commit(F, pack_g_coords(h_cols), hash_mode)
     transcript.append_bytes(b"LV_H")
     transcript.append_bytes(h_state.root)
     for name in sub_names:
-        transcript.append_u64(h_sums[name])
+        absorb_ext(transcript, h_sums[name])
 
     # Honest-prover grand-sum self-check (the logUp identity).
-    use_sums = {name: 0 for name in sub_names}
+    from ..core.ext4 import ext_lift
+
+    use_sums = {name: ext_lift(0) for name in sub_names}
     for tid in table_ids:
         info = per_table[tid]
         for g_name, sub, _spec in info["gadget"].inclusions:
-            use_sums[sub] = (use_sums[sub] + info["g_sums"][g_name]) % p
+            use_sums[sub] = use_sums[sub] + info["g_sums"][g_name]
     for name in sub_names:
         if use_sums[name] != h_sums[name] and not _unsafe_skip_self_checks:
             raise AssertionError(f"lookup validity violated: {name} multiset mismatch")
@@ -1645,8 +1630,8 @@ def prove_lookup_validity(F, transcript, queries_by_table, hash_mode: str = "sha
         info = per_table[tid]
         gadget = info["gadget"]
         all_cols = dict(info["cols"])
-        all_cols.update(info["g_cols"])
-        zc = make_zerocheck_prover(
+        all_cols.update(pack_g_coords(info["g_cols"]))
+        zc = ZerocheckExtProver(
             F, all_cols, _make_query_combiner(gadget, tau), VALIDITY_DEGREE,
             num_alphas=_num_constraints(gadget),
         ).prove(transcript)
@@ -1672,10 +1657,10 @@ def prove_lookup_validity(F, transcript, queries_by_table, hash_mode: str = "sha
         ))
 
     table_cols = dict(m_cols)
-    table_cols.update(h_cols)
+    table_cols.update(pack_g_coords(h_cols))
     for name in sub_names:
         table_cols[f"__key_{name}__"] = dense_keys[name]
-    zc_t = make_zerocheck_prover(
+    zc_t = ZerocheckExtProver(
         F, table_cols, _make_table_combiner(sub_names, tau), VALIDITY_DEGREE,
         num_alphas=len(sub_names),
     ).prove(transcript)
@@ -1761,32 +1746,41 @@ def verify_lookup_validity(F, transcript, lv: LookupValidityProof,
         transcript.append_bytes(name.encode())
     transcript.append_bytes(ts.root_m)
 
+    if not (0 <= lv.nonce <= MAX_NONCE):
+        return False
     transcript.append_bytes(b"LV_CHAL")
-    transcript.append_u64(lv.nonce % (1 << 64))
-    tau = transcript.challenge_value(p)
-    transcript.challenge_value(p)  # gamma (reserved)
+    transcript.append_u64(lv.nonce)
+    tau = challenge_ext(transcript)
+    challenge_ext(transcript)  # gamma (reserved)
+    if not high_coords_nonzero(tau):
+        return False
 
     for rec in lv.tables:
+        if not all(isinstance(v, Ext4) for v in rec.g_sums.values()):
+            return False
         transcript.append_bytes(b"LV_G")
         transcript.append_bytes(rec.root_g)
         for name in sorted(rec.g_sums):
-            transcript.append_u64(rec.g_sums[name] % p)
+            absorb_ext(transcript, rec.g_sums[name])
+    if not all(isinstance(v, Ext4) for v in ts.h_sums.values()):
+        return False
     transcript.append_bytes(b"LV_H")
     transcript.append_bytes(ts.root_h)
     for name in sub_names:
-        transcript.append_u64(ts.h_sums[name] % p)
+        absorb_ext(transcript, ts.h_sums[name])
 
     params = LigeroParams()
     for rec in lv.tables:
         gadget = GADGETS[rec.table_id]
         g_names = sorted(g for g, _s, _k in gadget.inclusions)
+        gc_names = sorted(g_coord_names(g_names))
         col_names = sorted(gadget.columns)
-        if set(rec.zc.column_evals) != set(col_names) | set(g_names):
+        if set(rec.zc.column_evals) != set(col_names) | set(gc_names):
             return False
         if rec.zc.num_vars != rec.num_vars or rec.zc.degree != VALIDITY_DEGREE:
             return False
-        ok = ZerocheckVerifier(
-            F, _make_query_combiner_scalar(gadget, tau),
+        ok = ZerocheckExtVerifier(
+            F, _make_query_combiner(gadget, tau),
             _num_constraints(gadget), VALIDITY_DEGREE,
         ).verify(rec.zc, transcript)
         if not ok:
@@ -1801,20 +1795,20 @@ def verify_lookup_validity(F, transcript, lv: LookupValidityProof,
             rec.cols_proof, transcript, hash_mode,
         ):
             return False
-        cn_g = params.choose_split(rec.num_vars, len(g_names))
+        cn_g = params.choose_split(rec.num_vars, len(gc_names))
         ag, bg = _row_col_weights(rec.zc.final_point, cn_g)
         m_g = (1 << rec.num_vars) >> cn_g
         g_claims = [
             LigeroClaim(a=ag, b=bg,
-                        values={n: rec.zc.column_evals[n] for n in g_names}),
+                        values={n: rec.zc.column_evals[n] for n in gc_names}),
             LigeroClaim(
                 a=np.ones(m_g, dtype=np.uint64),
                 b=np.ones(1 << cn_g, dtype=np.uint64),
-                values={n: rec.g_sums[n] % p for n in g_names},
+                values=sum_claim_values(rec.g_sums, g_names),
             ),
         ]
         if not ligero_verify_claims(
-            F, rec.root_g, rec.num_vars, g_names, g_claims,
+            F, rec.root_g, rec.num_vars, gc_names, g_claims,
             rec.g_proof, transcript, hash_mode,
         ):
             return False
@@ -1823,13 +1817,15 @@ def verify_lookup_validity(F, transcript, lv: LookupValidityProof,
     tv = 16  # all current subtables are 16-var
     m_names = [f"m_{n}" for n in sub_names]
     h_names = [f"h_{n}" for n in sub_names]
-    if set(ts.zc.column_evals) != set(m_names) | set(h_names):
+    hc_names = sorted(g_coord_names(h_names))
+    if set(ts.zc.column_evals) != set(m_names) | set(hc_names):
         return False
     if ts.zc.num_vars != tv or ts.zc.degree != VALIDITY_DEGREE:
         return False
-    ok = ZerocheckVerifier(
-        F, _make_table_combiner_scalar(sub_names, tau, ts.zc.final_point),
+    ok = ZerocheckExtVerifier(
+        F, _make_table_combiner(sub_names, tau),
         len(sub_names), VALIDITY_DEGREE,
+        public_evals=_table_public_evals(sub_names, p),
     ).verify(ts.zc, transcript)
     if not ok:
         return False
@@ -1842,27 +1838,31 @@ def verify_lookup_validity(F, transcript, lv: LookupValidityProof,
         ts.m_proof, transcript, hash_mode,
     ):
         return False
-    cn_h = params.choose_split(tv, len(h_names))
+    cn_h = params.choose_split(tv, len(hc_names))
     ah, bh = _row_col_weights(ts.zc.final_point, cn_h)
     m_h = (1 << tv) >> cn_h
     h_claims = [
         LigeroClaim(a=ah, b=bh,
-                    values={n: ts.zc.column_evals[n] for n in h_names}),
+                    values={n: ts.zc.column_evals[n] for n in hc_names}),
         LigeroClaim(
             a=np.ones(m_h, dtype=np.uint64),
             b=np.ones(1 << cn_h, dtype=np.uint64),
-            values={f"h_{n}": ts.h_sums[n] % p for n in sub_names},
+            values=sum_claim_values(
+                {f"h_{n}": ts.h_sums[n] for n in sub_names}, h_names
+            ),
         ),
     ]
     if not ligero_verify_claims(
-        F, ts.root_h, tv, h_names, h_claims, ts.h_proof, transcript, hash_mode,
+        F, ts.root_h, tv, hc_names, h_claims, ts.h_proof, transcript, hash_mode,
     ):
         return False
 
     # The logUp grand-sum equation: per subtable, the query-side inverse
     # sums across every use must equal the table-side sum.
-    use_sums = {name: 0 for name in sub_names}
+    from ..core.ext4 import ext_lift
+
+    use_sums = {name: ext_lift(0) for name in sub_names}
     for rec in lv.tables:
         for g_name, sub, _spec in GADGETS[rec.table_id].inclusions:
-            use_sums[sub] = (use_sums[sub] + rec.g_sums[g_name]) % p
-    return all(use_sums[n] == ts.h_sums[n] % p for n in sub_names)
+            use_sums[sub] = use_sums[sub] + rec.g_sums[g_name]
+    return all(use_sums[n] == ts.h_sums[n] for n in sub_names)

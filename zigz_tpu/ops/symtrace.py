@@ -9,7 +9,7 @@ ZerocheckProver sweeps these combiners ``degree+1`` times per round — the
 dominant v2 prover cost at scale.
 
 Instead of hand-porting each combiner to a device kernel (the approach of
-ops/zerocheck_dev.py for the fixed v2 combiner), this module runs the
+the removed round-2 fixed v2 device combiner), this module runs the
 combiner ONCE with symbolic operands and records the expression DAG, then
 compiles the DAG to BabyBear Montgomery uint32 lanes (ops/babybear).  The
 same Python definition therefore serves as both the host reference and the

@@ -1,6 +1,6 @@
 """Generic device zerocheck: any combiner's rounds on TPU via symtrace.
 
-ops/zerocheck_dev.py hand-ports the v2 *main* constraint combiner to
+the round-2 device zerocheck hand-ported the v2 *main* combiner to
 Montgomery lanes; this module covers every OTHER zerocheck in the protocol
 (bytecode fetch/decode, register-file and RAM memory checks, lookup
 validity, query linkage) by symbolically tracing the call site's own numpy
@@ -37,6 +37,53 @@ from ..core.hash import FiatShamirTranscript
 from .symtrace import TraceError, compile_device, trace_combiner
 
 __all__ = ["GenericDeviceZerocheck", "zerocheck_device_pref"]
+
+
+def _eq_table_jit_factory():
+    import jax
+    import jax.numpy as jnp
+
+    from .babybear import R_MOD_P, mont_mul, sub_mod
+
+    @jax.jit
+    def _eq_table_jit(taus_m, bits):
+        """eq(tau, .) over the hypercube in Montgomery form.
+
+        ``bits`` is (v, n) uint32 with bits[j][i] = bit (v-1-j) of i —
+        tau_j controls the MSB-first fold variable j (matching
+        zerocheck._eq_table's reversed-concat construction)."""
+        n = bits.shape[1]
+        acc = jnp.full((n,), jnp.uint32(R_MOD_P))
+        for j in range(bits.shape[0]):
+            tau = jnp.broadcast_to(taus_m[j], (n,))
+            one_minus = jnp.broadcast_to(sub_mod(jnp.uint32(R_MOD_P), taus_m[j]), (n,))
+            factor = jnp.where(bits[j] == 1, tau, one_minus)
+            acc = mont_mul(acc, factor)
+        return acc
+
+    return _eq_table_jit
+
+
+_eq_table_jit = None
+
+
+def eq_table_device(taus, n: int, sharding=None):
+    """(n,) mont eq table from canonical tau challenges, built on device."""
+    global _eq_table_jit
+    import jax
+    import jax.numpy as jnp
+
+    from .babybear import np_to_mont
+
+    if _eq_table_jit is None:
+        _eq_table_jit = _eq_table_jit_factory()
+    v = len(taus)
+    idx = jnp.arange(n, dtype=jnp.uint32)
+    if sharding is not None:
+        idx = jax.device_put(idx, sharding)
+    bits = jnp.stack([(idx >> jnp.uint32(v - 1 - j)) & jnp.uint32(1) for j in range(v)])
+    taus_m = jnp.asarray(np_to_mont(np.asarray(taus, dtype=np.uint64)))
+    return _eq_table_jit(taus_m, bits)
 
 P = 2013265921
 
@@ -120,7 +167,6 @@ class GenericDeviceZerocheck:
         from ..proofs.zerocheck import ZerocheckProof, _fold_msb, _interp_eval
         from .babybear import from_mont, mont_mul, np_to_mont, to_mont
         from .mle import fold_msb, sum_mod
-        from .zerocheck_dev import eq_table_device
 
         F = self.F
         p = P

@@ -36,8 +36,12 @@ __all__ = [
     "ZerocheckProof",
     "ZerocheckProver",
     "ZerocheckVerifier",
+    "ZerocheckExtProver",
+    "ZerocheckExtVerifier",
     "eq_eval",
+    "eq_eval_ext",
     "make_zerocheck_prover",
+    "absorb_ext",
 ]
 
 
@@ -322,3 +326,265 @@ class ZerocheckVerifier:
         eq_r = eq_eval(taus, rs, p)
         c_final = self.combiner_scalar(proof.column_evals, alphas, p)
         return (eq_r * c_final) % p == claim
+
+
+# ===========================================================================
+# Extension-field zerocheck (protocol v2+ soundness hardening)
+#
+# Same protocol as ZerocheckProver/Verifier, with every challenge — the
+# eq randomizer taus, the constraint-combination alphas, and the per-round
+# fold challenges — drawn from BabyBear^4 (core/ext4.py) instead of the
+# base field.  Committed columns stay base-field; they become Ext4 arrays
+# after the first extension-point fold.  Round evaluations, the final
+# point, and the terminal column evaluations are Ext4 scalars, absorbed as
+# 4 LE u64 limbs each (coordinate order c0..c3).
+#
+# Soundness: round error <= degree * num_vars / p^4 and batching error
+# <= 1/p^4 per alpha — ~2^-124-scale terms instead of the base field's
+# grindable ~2^-26 (round-2 verdict item 1).
+# ===========================================================================
+
+from ..core.ext4 import Ext4, challenge_ext, ext_zeros  # noqa: E402
+
+
+def absorb_ext(transcript: FiatShamirTranscript, x: Ext4) -> None:
+    """Absorb a scalar Ext4 as 4 canonical LE u64 limbs (c0..c3)."""
+    transcript.append_u64s(x.c)
+
+
+def _is_ext(tab) -> bool:
+    return isinstance(tab, Ext4)
+
+
+def _width(tab) -> int:
+    return tab.shape[-1] if _is_ext(tab) else tab.shape[-1]
+
+
+def _at_t_g(tab, t: int, p: int):
+    """Table restricted to current-var = t; generic over base/ext tables."""
+    half = _width(tab) // 2
+    lo = tab[..., :half]
+    hi = tab[..., half:]
+    if t == 0:
+        return lo
+    if t == 1:
+        return hi
+    om = (1 - t) % p
+    if _is_ext(tab):
+        return om * lo + t * hi
+    return (np.uint64(om) * lo + np.uint64(t) * hi) % np.uint64(p)
+
+
+def _delta_g(tab, p: int):
+    """hi - lo (the per-step increment for t = 2..degree sweeps)."""
+    half = _width(tab) // 2
+    lo = tab[..., :half]
+    hi = tab[..., half:]
+    if _is_ext(tab):
+        return hi - lo
+    return (hi + np.uint64(p) - lo) % np.uint64(p)
+
+
+def _add_g(a, b, p: int):
+    if _is_ext(a) or _is_ext(b):
+        return a + b
+    return (a + b) % np.uint64(p)
+
+
+def _fold_ext(tab, r: Ext4, p: int) -> Ext4:
+    """(1-r)*lo + r*hi with an EXTENSION challenge: base tables become
+    Ext4 arrays on their first fold."""
+    half = _width(tab) // 2
+    return (1 - r) * tab[..., :half] + r * tab[..., half:]
+
+
+def _eq_table_ext(taus: List[Ext4], p: int) -> Ext4:
+    """Dense eq(tau, .) over the hypercube for extension taus; same
+    MSB-first concat order as _eq_table."""
+    from ..core.ext4 import ext_from_ints
+
+    table = ext_from_ints([1, 0, 0, 0]).c.reshape(4, 1)
+    table = Ext4(table)
+    for t in reversed(taus):
+        om_part = (1 - t) * table
+        t_part = t * table
+        table = Ext4(np.concatenate([om_part.c, t_part.c], axis=-1), _trusted=True)
+    return table
+
+
+def eq_eval_ext(taus: List[Ext4], rs: List[Ext4], p: int) -> Ext4:
+    from ..core.ext4 import ext_from_ints
+
+    acc = ext_from_ints([1, 0, 0, 0])
+    for t, r in zip(taus, rs):
+        acc = acc * ((1 - t) * (1 - r) + t * r)
+    return acc
+
+
+def _interp_eval_ext(ys: List[Ext4], x: Ext4, p: int) -> Ext4:
+    """Lagrange evaluation through (0..d, ys) at an extension point."""
+    d = len(ys) - 1
+    acc = ext_zeros()
+    for i in range(d + 1):
+        num = None
+        den = 1
+        for j in range(d + 1):
+            if i == j:
+                continue
+            term = x - j
+            num = term if num is None else num * term
+            den = den * ((i - j) % p) % p
+        coeff = ys[i] * pow(den, -1, p)
+        acc = acc + (coeff * num if num is not None else coeff)
+    return acc
+
+
+class ZerocheckExtProver:
+    """ZerocheckProver with extension-field challenges.
+
+    ``columns`` values may be base canonical uint64 arrays OR Ext4 arrays
+    (e.g. a logUp inverse column's coordinate representation recombined by
+    the combiner).  ``combiner(cols, alphas, p)`` receives base-or-Ext4
+    values and Ext4 alphas and must use the generic mod-p idioms
+    ((a + p - b) % p, a * b % p) so it evaluates on both."""
+
+    COMBINE_CHUNK = 1 << 16
+
+    def __init__(self, F, columns: Dict[str, np.ndarray], combiner: Callable,
+                 degree: int, num_alphas: int = None):
+        self.F = F
+        self.columns = columns
+        self.combiner = combiner
+        self.degree = degree
+        self.num_alphas = num_alphas if num_alphas is not None else len(columns)
+
+    def _combined_sum(self, at: Dict[str, object], alphas, p: int) -> Ext4:
+        n = _width(at["__eq__"])
+        if n <= self.COMBINE_CHUNK:
+            c_vals = self.combiner(at, alphas, p)
+            return (at["__eq__"] * c_vals).sum()
+        total = ext_zeros()
+        for lo in range(0, n, self.COMBINE_CHUNK):
+            sl = {name: a[..., lo: lo + self.COMBINE_CHUNK] for name, a in at.items()}
+            c_vals = self.combiner(sl, alphas, p)
+            total = total + (sl["__eq__"] * c_vals).sum()
+        return total
+
+    def prove(self, transcript: FiatShamirTranscript) -> ZerocheckProof:
+        F = self.F
+        p = F.MODULUS
+        assert p == 2013265921, "extension zerocheck is BabyBear-only"
+        any_col = next(iter(self.columns.values()))
+        n = _width(any_col)
+        num_vars = n.bit_length() - 1
+
+        taus = [challenge_ext(transcript) for _ in range(num_vars)]
+        alphas = [challenge_ext(transcript) for _ in range(self.num_alphas)]
+
+        tables: Dict[str, object] = {}
+        for name, col in self.columns.items():
+            if _is_ext(col):
+                tables[name] = col
+            else:
+                tables[name] = col.astype(np.uint64) % np.uint64(p)
+        tables["__eq__"] = _eq_table_ext(taus, p)
+
+        round_evals: List[List[Ext4]] = []
+        rs: List[Ext4] = []
+        claim = ext_zeros()
+        for _ in range(num_vars):
+            at0 = {name: _at_t_g(tab, 0, p) for name, tab in tables.items()}
+            g0 = self._combined_sum(at0, alphas, p)
+            evals_this_round = [g0, claim - g0]
+            if self.degree >= 2:
+                deltas = {name: _delta_g(tab, p) for name, tab in tables.items()}
+                cur = {name: _at_t_g(tab, 1, p) for name, tab in tables.items()}
+                for _t in range(2, self.degree + 1):
+                    for name in cur:
+                        cur[name] = _add_g(cur[name], deltas[name], p)
+                    evals_this_round.append(self._combined_sum(cur, alphas, p))
+            round_evals.append(evals_this_round)
+
+            for g in evals_this_round:
+                absorb_ext(transcript, g)
+            r = challenge_ext(transcript)
+            rs.append(r)
+            claim = _interp_eval_ext(evals_this_round, r, p)
+            tables = {name: _fold_ext(tab, r, p) for name, tab in tables.items()}
+
+        column_evals: Dict[str, Ext4] = {}
+        for name, tab in tables.items():
+            if name.startswith("__"):
+                continue
+            val = tab[..., 0] if _is_ext(tab) else Ext4.lift(int(tab[0]))
+            if _is_ext(val):
+                column_evals[name] = Ext4(val.c.reshape(4))
+            else:
+                column_evals[name] = val
+        for name in sorted(column_evals):
+            absorb_ext(transcript, column_evals[name])
+
+        return ZerocheckProof(
+            num_vars=num_vars,
+            degree=self.degree,
+            round_evals=round_evals,
+            final_point=rs,
+            column_evals=column_evals,
+        )
+
+
+class ZerocheckExtVerifier:
+    """Round-consistency + terminal algebraic check, extension challenges.
+
+    ``public_evals(rs) -> dict`` (optional) supplies the verifier-computed
+    "__"-prefixed values (selector/idx MLEs at the extension final point),
+    merged into the evaluation dict the shared combiner consumes — so one
+    combiner serves prover and verifier."""
+
+    def __init__(self, F, combiner: Callable, num_alphas: int, degree: int,
+                 public_evals: Callable = None):
+        self.F = F
+        self.combiner = combiner
+        self.num_alphas = num_alphas
+        self.degree = degree
+        self.public_evals = public_evals
+
+    def verify(self, proof: ZerocheckProof, transcript: FiatShamirTranscript) -> bool:
+        p = self.F.MODULUS
+        if len(proof.round_evals) != proof.num_vars:
+            return False
+        if len(proof.final_point) != proof.num_vars:
+            return False
+        taus = [challenge_ext(transcript) for _ in range(proof.num_vars)]
+        alphas = [challenge_ext(transcript) for _ in range(self.num_alphas)]
+
+        claim = ext_zeros()
+        rs: List[Ext4] = []
+        for evals in proof.round_evals:
+            if len(evals) != self.degree + 1:
+                return False
+            if not all(isinstance(g, Ext4) and g.is_scalar for g in evals):
+                return False
+            if evals[0] + evals[1] != claim:
+                return False
+            for g in evals:
+                absorb_ext(transcript, g)
+            r = challenge_ext(transcript)
+            rs.append(r)
+            claim = _interp_eval_ext(evals, r, p)
+
+        if rs != proof.final_point:
+            return False
+
+        for name in sorted(proof.column_evals):
+            val = proof.column_evals[name]
+            if not (isinstance(val, Ext4) and val.is_scalar):
+                return False
+            absorb_ext(transcript, val)
+
+        ev = dict(proof.column_evals)
+        if self.public_evals is not None:
+            ev.update(self.public_evals(rs))
+        eq_r = eq_eval_ext(taus, rs, p)
+        c_final = self.combiner(ev, alphas, p)
+        return eq_r * c_final == claim

@@ -107,15 +107,15 @@ class CommitmentOpening:
 class V2Section:
     """Protocol-v2 extension: real constraint zerocheck artifacts.
 
-    The v1 sections keep their wire layout (the zerocheck's 4 round
-    evaluations reuse the constraint proof's 4-coefficient rows); this
-    section adds the auxiliary column commitments (seq, next_pc), the
-    terminal per-column evaluations the verifier's algebraic check
-    consumes, and Merkle openings for the aux columns."""
+    Round 3: the constraint zerocheck runs entirely over BabyBear^4
+    challenges (proofs/zerocheck.py ZerocheckExt*), so its round
+    evaluations, final point, and terminal column evaluations are Ext4
+    values carried HERE (the v1 constraint_proof rows stay zeroed for v2+
+    and are not serialized).  The round-2 aux Merkle forest is gone: the
+    seq/next_pc columns are bound through the v2 Ligero PCS commitment."""
 
-    aux_roots: dict  # name -> 32B root
-    column_evals: dict  # name -> int (terminal zerocheck evaluations)
-    aux_openings: dict  # name -> merkle OpeningProof
+    zerocheck: object  # ZerocheckProof with Ext4 entries
+    column_evals: dict  # name -> Ext4 (terminal zerocheck evaluations)
     # Real per-table Lasso metadata (lookups/pipeline_lasso.py):
     # table_id -> {"claimed_sum": int, "query_commitment": 32B}
     lasso_extras: dict = None

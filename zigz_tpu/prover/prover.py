@@ -271,12 +271,13 @@ class Prover:
         constraints (see zigz_tpu/constraints/v2.py + proofs/zerocheck.py).
 
         Transcript schedule (v2): "SUMCHECK_BEGIN" + F(num_steps) +
-        F(num_vars) as in v1, then "V2_AUX_COMMITMENTS" + the aux column
-        roots (binding BEFORE any challenge), then the zerocheck (taus,
-        alphas, per-round evals, terminal column evals)."""
+        F(num_vars) as in v1, then "V2_PCS_COMMIT" + the Ligero root over
+        the five zerocheck columns (binding BEFORE any challenge), the
+        PC-chain logUp commitment, then the extension-field zerocheck
+        (BabyBear^4 taus/alphas/round challenges — the round-3 soundness
+        hardening; see core/ext4.py)."""
         import numpy as np
 
-        from ..commitments.merkle import SimpleMerkleTree
         from ..constraints.v2 import (
             NUM_V2_ALPHAS,
             V2_DEGREE,
@@ -286,18 +287,17 @@ class Prover:
             make_v2_combiner,
             v2_columns,
         )
-        from ..proofs.zerocheck import ZerocheckProver
+        from ..core.ext4 import MAX_NONCE, challenge_ext
+        from ..proofs.zerocheck import ZerocheckExtProver, absorb_ext
         from .proof import V2Section
 
         F = self.F
-        # The v2 hot paths (zerocheck round sums, Lasso folds) accumulate
-        # canonical values in uint64; products a*b stay exact only when
-        # both factors are < 2^31.  Larger presets (Goldilocks, Mersenne61)
-        # would silently wrap and produce rejected honest proofs.
-        if F.MODULUS >= (1 << 31):
+        # The v2 protocol's extension-field challenge layer and the Ligero
+        # PCS are BabyBear-specific (2-adic NTT + the X^4-11 extension).
+        if F.MODULUS != 2013265921:
             raise ValueError(
-                f"protocol_version=2 requires a field modulus < 2^31 "
-                f"(got {F.MODULUS}); use protocol_version=1 for this field"
+                f"protocol_version>=2 is BabyBear-only (got modulus "
+                f"{F.MODULUS}); use protocol_version=1 for this field"
             )
         transcript = self.transcript
         num_vars = witness.num_vars
@@ -307,34 +307,13 @@ class Prover:
         transcript.append_field_element(F, F(num_vars))
 
         aux = build_aux_columns(trace, num_vars, F.MODULUS)
-        aux_names = sorted(aux)
-        aux_forest = None
-        if self._use_device_commitments(witness.num_steps):
-            # Same bit-exact device forest as the witness commitments
-            # (hashes 2 * 2^(v+1) messages on-chip instead of the host).
-            from ..commitments.device_forest import DeviceMerkleForest
-
-            aux_forest = DeviceMerkleForest(
-                F, np.stack([aux[n] for n in aux_names]), mesh=self.mesh,
-                hash_mode=self._hash_mode(),
-            )
-            roots_list = aux_forest.roots()
-            aux_roots = {n: roots_list[i] for i, n in enumerate(aux_names)}
-        else:
-            aux_trees = {
-                name: SimpleMerkleTree.build(F, aux[name], self._hash_mode())
-                for name in aux_names
-            }
-            aux_roots = {name: tree.get_root() for name, tree in aux_trees.items()}
-
-        transcript.append_bytes(b"V2_AUX_COMMITMENTS")
-        for name in sorted(aux_roots):
-            transcript.append_bytes(aux_roots[name])
 
         # Ligero PCS commitment to the five zerocheck columns — bound
         # BEFORE any zerocheck challenge so the terminal column_evals are
         # cryptographically tied to committed data (closes the round-1
-        # bare-claim gap; commitments/ligero.py).
+        # bare-claim gap; commitments/ligero.py).  The aux columns
+        # (seq/next_pc) are bound through this commitment; the round-2
+        # separate aux Merkle forest was redundant and is gone.
         from ..commitments.ligero import ligero_commit
 
         t0 = time.perf_counter()
@@ -380,9 +359,10 @@ class Prover:
             self.last_timings["witness_pcs_commit_s"] = time.perf_counter() - t0
 
         # PC-chain logUp (the shift argument, constraints/v2.py c5/c6):
-        # tau/beta are drawn AFTER the pc/next_pc data is bound (aux roots
-        # + Ligero root above); the nonce makes the draw retryable when a
-        # fingerprint denominator lands on zero (~2n/p per attempt).
+        # tau/beta are BabyBear^4 extension draws AFTER the pc/next_pc data
+        # is bound (Ligero root above); the nonce keeps the draw retryable
+        # on a zero fingerprint denominator (~2n/p^4 per attempt — honest
+        # provers land on nonce 0; the verifier caps it at MAX_NONCE).
         t0 = time.perf_counter()
         p = F.MODULUS
         num_steps = witness.num_steps
@@ -391,8 +371,8 @@ class Prover:
             trial = transcript.fork()
             trial.append_bytes(b"V2_LOGUP_NONCE")
             trial.append_u64(nonce)
-            tau_lu = trial.challenge_value(p)
-            beta_lu = trial.challenge_value(p)
+            tau_lu = challenge_ext(trial)
+            beta_lu = challenge_ext(trial)
             logup = build_logup_columns(
                 host_columns["pc"], host_columns["next_pc"], num_steps,
                 num_vars, tau_lu, beta_lu, p,
@@ -400,60 +380,31 @@ class Prover:
             if logup is not None:
                 break
             nonce += 1
+            assert nonce <= MAX_NONCE, "logUp nonce overflow (VM bug?)"
         transcript.append_bytes(b"V2_LOGUP_NONCE")
         transcript.append_u64(nonce)
-        assert transcript.challenge_value(p) == tau_lu
-        assert transcript.challenge_value(p) == beta_lu
+        assert challenge_ext(transcript) == tau_lu
+        assert challenge_ext(transcript) == beta_lu
         g1, g2, logup_sum = logup
-        logup_state = ligero_commit(F, {"g1": g1, "g2": g2}, self._hash_mode())
+        g_coord_cols = {f"g{i}#{e}": g.c[e] for i, g in ((1, g1), (2, g2))
+                        for e in range(4)}
+        logup_state = ligero_commit(F, g_coord_cols, self._hash_mode())
         transcript.append_bytes(b"V2_LOGUP_COMMIT")
         transcript.append_bytes(logup_state.root)
-        transcript.append_u64(logup_sum)
+        absorb_ext(transcript, logup_sum)
         self.last_timings["logup_commit_s"] = time.perf_counter() - t0
 
-        # Hot loop: device zerocheck when the witness already lives on
-        # device (reuses resident rows 0/1/42 — no extra transfer),
-        # falling back to the host numpy prover.  Both produce identical
-        # round evaluations (tests/test_zerocheck_dev.py).
-        use_dev = (
-            self._use_device_commitments(witness.num_steps)
-            and F.MODULUS == 2013265921
-            and num_vars > 0
-        )
-        device_cols = None
-        if use_dev:
-            lo = witness.device_lo()
-            if lo is not None:
-                device_cols = {
-                    "x0": lo[1], "is_read": lo[42], "pc": lo[0],
-                    "seq": aux["seq"], "next_pc": aux["next_pc"],
-                    "g1": g1, "g2": g2,
-                }
-        if device_cols is not None:
-            from ..ops.zerocheck_dev import DeviceZerocheckProver
-
-            zc = DeviceZerocheckProver(
-                F, device_cols, V2_DEGREE, NUM_V2_ALPHAS, num_steps,
-                tau_lu, beta_lu, mesh=self.mesh,
-            ).prove(transcript)
-        else:
-            columns = dict(host_columns)
-            columns["g1"] = g1
-            columns["g2"] = g2
-            columns.update(logup_public_tables(num_steps, num_vars, p))
-            zc = ZerocheckProver(
-                F, columns, make_v2_combiner(tau_lu, beta_lu), V2_DEGREE,
-                num_alphas=NUM_V2_ALPHAS,
-            ).prove(transcript)
-
-        # Reuse the v1 wire shape: 4 round evaluations per row, challenges
-        # as the final point, final_eval = 0 (the zerocheck total).
-        for rnd, evals in enumerate(zc.round_evals):
-            proof.constraint_proof.round_polynomials[rnd] = [
-                F.from_reduced(g) for g in evals
-            ]
-        proof.constraint_proof.final_point = [F.from_reduced(r) for r in zc.final_point]
-        proof.constraint_proof.final_eval = F.zero()
+        # The extension-field zerocheck over the execution constraints.
+        # (The round-2 base-field device/native zerocheck backends do not
+        # speak BabyBear^4 yet — the host prover carries v2 until the
+        # extension kernels land; see ROADMAP.)
+        columns = dict(host_columns)
+        columns.update(g_coord_cols)
+        columns.update(logup_public_tables(num_steps, num_vars, p))
+        zc = ZerocheckExtProver(
+            F, columns, make_v2_combiner(tau_lu, beta_lu), V2_DEGREE,
+            num_alphas=NUM_V2_ALPHAS,
+        ).prove(transcript)
 
         # Ligero evaluation argument at the zerocheck terminal point: binds
         # zc.column_evals to the committed columns.
@@ -479,13 +430,14 @@ class Prover:
             wit_evals = ligero_column_evals(wit_state, zc.final_point)
             transcript.append_bytes(b"V4_WITNESS_EVALS")
             for name in wit_state.names:
-                transcript.append_u64(wit_evals[name])
+                absorb_ext(transcript, wit_evals[name])
             wit_proof = ligero_prove_eval(wit_state, zc.final_point, transcript)
             self.last_timings["witness_pcs_eval_s"] = time.perf_counter() - t0
 
         # logUp binding: one Ligero argument carrying BOTH the evaluation
-        # claim at the zerocheck point (ties the g1/g2 terminal evals) and
-        # the hypercube-sum claim (ties sum(g1) == sum(g2) == logup_sum).
+        # claim at the zerocheck point (ties the g1/g2 coordinate-column
+        # terminal evals) and the hypercube-sum claim (ties the coordinate
+        # sums — hence sum(g1) == sum(g2) == logup_sum).
         from ..commitments.ligero import _row_col_weights
 
         t0 = time.perf_counter()
@@ -501,19 +453,9 @@ class Prover:
         logup_proof = ligero_prove_claims(logup_state, claims, transcript)
         self.last_timings["logup_eval_s"] = time.perf_counter() - t0
 
-        # Aux openings at the v1-style index derived from the first
-        # zerocheck challenge.
-        index = zc.final_point[0] % (1 << num_vars) if num_vars else 0
-        if aux_forest is not None:
-            opened = aux_forest.open_all(np.full(len(aux_names), index, dtype=np.int64))
-            aux_openings = {n: opened[i] for i, n in enumerate(aux_names)}
-        else:
-            aux_openings = {name: aux_trees[name].open(index) for name in aux_names}
-
         proof.v2 = V2Section(
-            aux_roots=aux_roots,
+            zerocheck=zc,
             column_evals=zc.column_evals,
-            aux_openings=aux_openings,
             pcs_root=pcs_state.root,
             pcs_proof=pcs_proof,
             logup_nonce=nonce,

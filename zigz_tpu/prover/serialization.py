@@ -134,7 +134,10 @@ class BinarySerializer:
     def _write_all(self, w: _Writer, proof: Proof) -> None:
         self._write_header(w, proof)
         self._write_public_io(w, proof.public_io)
-        self._write_sumcheck(w, proof.constraint_proof)
+        if proof.metadata.version < 2:
+            # v2+ carries its extension-field zerocheck in the v2 section;
+            # the v1 constraint rows would be dead zero bytes.
+            self._write_sumcheck(w, proof.constraint_proof)
         self._write_lasso_proofs(w, proof.lookup_proofs)
         if proof.metadata.version < 4:
             # v4 has no per-column Merkle forest (Ligero witness PCS in
@@ -229,27 +232,27 @@ class BinarySerializer:
 
 
     # -- v2 extension section ----------------------------------------------
-    # Layout: per aux column (sorted names): 32B root; then the 7 terminal
-    # column evals (sorted names, incl. the logUp g columns) as u64; then
-    # per aux column (sorted): u64 index | u64 leaf value | u32 path_len |
-    # siblings | directions.
-    _V2_COLUMNS = ("g1", "g2", "is_read", "next_pc", "pc", "seq", "x0")
-    _V2_AUX = ("next_pc", "seq")
+    # Round-3 layout (extension-field protocol): the constraint zerocheck
+    # (ext kind) | lasso extras | 32B pcs root + ligero proof | logUp
+    # nonce (u64) + ext sum (4 u64) + 32B root + ligero proof | validity |
+    # regcheck | memcheck | bytecode | (v4) witness root + 43 ext evals +
+    # ligero proof.  Extension values serialize as 4 LE u64 limbs c0..c3.
+    _V2_COLUMNS = tuple(sorted(
+        ("is_read", "next_pc", "pc", "seq", "x0")
+        + tuple(f"g{i}#{e}" for i in (1, 2) for e in range(4))
+    ))
+
+    def _write_ext(self, w: _Writer, x) -> None:
+        for limb in x.to_ints():
+            w.u64(limb)
+
+    def _read_ext(self, r: _Reader):
+        from ..core.ext4 import Ext4
+
+        return Ext4.from_ints([r.u64() for _ in range(4)])
 
     def _write_v2_section(self, w: _Writer, v2, version: int = 2) -> None:
-        for name in self._V2_AUX:
-            w.bytes_(v2.aux_roots[name])
-        for name in self._V2_COLUMNS:
-            w.u64(v2.column_evals[name] % self.F.MODULUS)
-        for name in self._V2_AUX:
-            opening = v2.aux_openings[name]
-            w.u64(opening.index)
-            w.u64(opening.value.value)
-            w.u32(len(opening.path.siblings))
-            for sib in opening.path.siblings:
-                w.bytes_(sib)
-            for d in opening.path.directions:
-                w.u8(1 if d else 0)
+        self._write_zerocheck(w, v2.zerocheck)
         # Real-Lasso metadata: u32 count; per table u32 id | u64 claimed
         # sum | 32B query commitment (ids ascending).
         extras = v2.lasso_extras or {}
@@ -258,17 +261,17 @@ class BinarySerializer:
             w.u32(table_id)
             w.u64(extras[table_id]["claimed_sum"] % self.F.MODULUS)
             w.bytes_(extras[table_id]["query_commitment"])
-        # Ligero PCS binding: 32B root | u32 n + n x u32 u-row | u32 reps,
-        # per rep n x u32 | u32 t | u32 rows, t x rows u32 columns |
-        # t x (u32 path_len + siblings).  All values are canonical
-        # BabyBear (< 2^31), so u32 LE storage is lossless.  Directions
-        # are re-derived from the transcript indices by the verifier and
-        # not serialized.
+        # Ligero PCS binding: 32B root | u32 n, u32 claim count, per claim
+        # 4 x n u32 u-row limbs | u32 reps, per rep 4 x n u32 | u32 t |
+        # u32 rows, t x rows u32 columns | t x (u32 path_len + siblings).
+        # All values are canonical BabyBear (< 2^31), so u32 LE storage is
+        # lossless.  Directions are re-derived from the transcript indices
+        # by the verifier and not serialized.
         w.bytes_(v2.pcs_root)
         self._write_ligero_proof(w, v2.pcs_proof)
-        # PC-chain logUp: nonce | shared sum | root | proof.
+        # PC-chain logUp: nonce | shared ext sum | root | proof.
         w.u64(v2.logup_nonce)
-        w.u64(v2.logup_sum % self.F.MODULUS)
+        self._write_ext(w, v2.logup_sum)
         w.bytes_(v2.logup_root)
         self._write_ligero_proof(w, v2.logup_proof)
         self._write_lookup_validity(w, v2.lookup_validity)
@@ -276,13 +279,13 @@ class BinarySerializer:
         self._write_memcheck(w, v2.memcheck)
         self._write_bytecode(w, v2.bytecode)
         if version >= 4:
-            # Witness PCS: 32B root | 43 u64 evals (sorted witness poly
+            # Witness PCS: 32B root | 43 ext evals (sorted witness poly
             # names) | ligero proof.
             from ..constraints.witness import WITNESS_POLY_NAMES
 
             w.bytes_(v2.witness_root)
             for name in sorted(WITNESS_POLY_NAMES):
-                w.u64(v2.witness_evals[name] % self.F.MODULUS)
+                self._write_ext(w, v2.witness_evals[name])
             self._write_ligero_proof(w, v2.witness_proof)
 
     # -- register memory check (constraints/regcheck.py) -------------------
@@ -312,13 +315,19 @@ class BinarySerializer:
         self._write_ligero_proof(w, rc.m_proof)
         self._write_ligero_proof(w, rc.h_proof)
         for name in sorted(rc.g_sums):
-            w.u64(rc.g_sums[name] % p)
-        w.u64(rc.h_sum % p)
+            self._write_ext(w, rc.g_sums[name])
+        self._write_ext(w, rc.h_sum)
 
     def _read_regcheck(self, r: _Reader):
         if not r.u8():
             return None
-        from ..constraints.regcheck import COLUMNS, G_MEM, G_RNG, RegCheckProof
+        from ..constraints.regcheck import (
+            COLUMNS,
+            G_MEM,
+            G_RNG,
+            RegCheckProof,
+            g_coord_names,
+        )
 
         nonce = r.u64()
         num_vars = r.u32()
@@ -328,14 +337,14 @@ class BinarySerializer:
         root_m = r.bytes_(32)
         root_h = r.bytes_(32)
         g_names = sorted(G_MEM + G_RNG)
-        zc = self._read_zerocheck(r, list(COLUMNS) + g_names)
-        zc_table = self._read_zerocheck(r, ["m", "h"])
+        zc = self._read_zerocheck(r, list(COLUMNS) + g_coord_names(g_names))
+        zc_table = self._read_zerocheck(r, ["m"] + g_coord_names(["h"]))
         cols_proof = self._read_ligero_proof(r)
         g_proof = self._read_ligero_proof(r)
         m_proof = self._read_ligero_proof(r)
         h_proof = self._read_ligero_proof(r)
-        g_sums = {name: r.u64() for name in g_names}
-        h_sum = r.u64()
+        g_sums = {name: self._read_ext(r) for name in g_names}
+        h_sum = self._read_ext(r)
         return RegCheckProof(
             nonce=nonce, num_vars=num_vars, final_ts=final_ts,
             root_cols=root_cols, root_g=root_g, root_m=root_m, root_h=root_h,
@@ -374,13 +383,14 @@ class BinarySerializer:
         self._write_ligero_proof(w, mc.m_proof)
         self._write_ligero_proof(w, mc.h_proof)
         for name in sorted(mc.g_sums):
-            w.u64(mc.g_sums[name] % p)
-        w.u64(mc.h_sum % p)
+            self._write_ext(w, mc.g_sums[name])
+        self._write_ext(w, mc.h_sum)
 
     def _read_memcheck(self, r: _Reader):
         if not r.u8():
             return None
         from ..constraints.memcheck import COLUMNS, G_MEM, G_RNG, MemCheckProof
+        from ..constraints.regcheck import g_coord_names
 
         nonce = r.u64()
         num_vars = r.u32()
@@ -391,14 +401,14 @@ class BinarySerializer:
         root_m = r.bytes_(32)
         root_h = r.bytes_(32)
         g_names = sorted(G_MEM + G_RNG)
-        zc = self._read_zerocheck(r, list(COLUMNS) + g_names)
-        zc_table = self._read_zerocheck(r, ["m", "h"])
+        zc = self._read_zerocheck(r, list(COLUMNS) + g_coord_names(g_names))
+        zc_table = self._read_zerocheck(r, ["m"] + g_coord_names(["h"]))
         cols_proof = self._read_ligero_proof(r)
         g_proof = self._read_ligero_proof(r)
         m_proof = self._read_ligero_proof(r)
         h_proof = self._read_ligero_proof(r)
-        g_sums = {name: r.u64() for name in g_names}
-        h_sum = r.u64()
+        g_sums = {name: self._read_ext(r) for name in g_names}
+        h_sum = self._read_ext(r)
         return MemCheckProof(
             nonce=nonce, num_vars=num_vars, num_accesses=num_accesses,
             touched=touched, root_cols=root_cols, root_g=root_g,
@@ -435,14 +445,14 @@ class BinarySerializer:
         self._write_ligero_proof(w, bc.m_proof)
         self._write_ligero_proof(w, bc.h_proof)
         for name in sorted(bc.reg_evals):
-            w.u64(bc.reg_evals[name] % p)
+            self._write_ext(w, bc.reg_evals[name])
         for name in sorted(bc.pcs_evals):
-            w.u64(bc.pcs_evals[name] % p)
-        w.u64(bc.g_sum % p)
-        w.u64(bc.h_sum % p)
-        w.u64(bc.gc1_sum % p)
-        w.u64(bc.gc2_sum % p)
-        w.u64(bc.gout_sum % p)
+            self._write_ext(w, bc.pcs_evals[name])
+        self._write_ext(w, bc.g_sum)
+        self._write_ext(w, bc.h_sum)
+        self._write_ext(w, bc.gc1_sum)
+        self._write_ext(w, bc.gc2_sum)
+        self._write_ext(w, bc.gout_sum)
         # RANGE16 check (adder limbs): roots + zerocheck + proofs + sums.
         from ..constraints.bytecode import RANGED
 
@@ -452,24 +462,24 @@ class BinarySerializer:
         self._write_ligero_proof(w, bc.mr_proof)
         self._write_ligero_proof(w, bc.hr_proof)
         for name, _ in RANGED:
-            w.u64(bc.gr_sums[name] % p)
-        w.u64(bc.hr_sum % p)
+            self._write_ext(w, bc.gr_sums[name])
+        self._write_ext(w, bc.hr_sum)
         # LOAD/STORE linkage: per-byte-slot sums, byte-counter chain
         # sums, and the memcheck byte-row side.
         for s in bc.gm_sums:
-            w.u64(s % p)
-        w.u64(bc.gb1_sum % p)
-        w.u64(bc.gb2_sum % p)
+            self._write_ext(w, s)
+        self._write_ext(w, bc.gb1_sum)
+        self._write_ext(w, bc.gb2_sum)
         w.bytes_(bc.root_wg)
         self._write_zerocheck(w, bc.zc_mem)
         self._write_ligero_proof(w, bc.mclink_proof)
         self._write_ligero_proof(w, bc.wg_proof)
         for name in sorted(bc.mc_evals):
-            w.u64(bc.mc_evals[name] % p)
-        w.u64(bc.wg_sum % p)
+            self._write_ext(w, bc.mc_evals[name])
+        self._write_ext(w, bc.wg_sum)
         # Witness linkage (constraints/linkage.py): step-side sum + one
         # query-domain record per gadget-covered validity table.
-        w.u64(bc.glk_sum % p)
+        self._write_ext(w, bc.glk_sum)
         links = bc.links or []
         w.u32(len(links))
         for ln in links:
@@ -480,7 +490,7 @@ class BinarySerializer:
             self._write_zerocheck(w, ln.zc)
             self._write_ligero_proof(w, ln.cols_proof)
             self._write_ligero_proof(w, ln.g_proof)
-            w.u64(ln.g_sum % p)
+            self._write_ext(w, ln.g_sum)
 
     def _read_bytecode(self, r: _Reader):
         if not r.u8():
@@ -501,54 +511,56 @@ class BinarySerializer:
         root_g = r.bytes_(32)
         root_h = r.bytes_(32)
         from ..constraints.bytecode import RANGED as _BC_RANGED
+        from ..constraints.regcheck import g_coord_names
 
-        zc_names = (list(LINK_COLUMNS)
-                    + ["g_bc", "g_c1", "g_c2", "g_out", "g_lk_s",
+        bc_g_names = (["g_bc", "g_c1", "g_c2", "g_out", "g_lk_s",
                        "g_b1", "g_b2"]
-                    + [f"g_m{k}" for k in range(8)]
-                    + [f"gr_{name}" for name, _ in _BC_RANGED]
+                      + [f"g_m{k}" for k in range(8)]
+                      + [f"gr_{name}" for name, _ in _BC_RANGED])
+        zc_names = (list(LINK_COLUMNS)
+                    + g_coord_names(bc_g_names)
                     + [f"ref_{n}" for n in _REG_REFS]
                     + [f"ref_{n}" for n in _PCS_REFS])
         zc = self._read_zerocheck(r, zc_names)
-        zc_table = self._read_zerocheck(r, ["m", "h"])
+        zc_table = self._read_zerocheck(r, ["m"] + g_coord_names(["h"]))
         lk_proof = self._read_ligero_proof(r)
         g_proof = self._read_ligero_proof(r)
         reg_proof = self._read_ligero_proof(r)
         pcs_proof = self._read_ligero_proof(r)
         m_proof = self._read_ligero_proof(r)
         h_proof = self._read_ligero_proof(r)
-        reg_evals = {name: r.u64() for name in sorted(RC_COLUMNS)}
+        reg_evals = {name: self._read_ext(r) for name in sorted(RC_COLUMNS)}
         pcs_names = sorted(["x0", "is_read", "pc", "seq", "next_pc"])
-        pcs_evals = {name: r.u64() for name in pcs_names}
-        g_sum = r.u64()
-        h_sum = r.u64()
-        gc1_sum = r.u64()
-        gc2_sum = r.u64()
-        gout_sum = r.u64()
+        pcs_evals = {name: self._read_ext(r) for name in pcs_names}
+        g_sum = self._read_ext(r)
+        h_sum = self._read_ext(r)
+        gc1_sum = self._read_ext(r)
+        gc2_sum = self._read_ext(r)
+        gout_sum = self._read_ext(r)
         from ..constraints.bytecode import RANGED
 
         root_mr = r.bytes_(32)
         root_hr = r.bytes_(32)
-        zc_range = self._read_zerocheck(r, ["m", "h"])
+        zc_range = self._read_zerocheck(r, ["m"] + g_coord_names(["h"]))
         mr_proof = self._read_ligero_proof(r)
         hr_proof = self._read_ligero_proof(r)
-        gr_sums = {name: r.u64() for name, _ in RANGED}
-        hr_sum = r.u64()
+        gr_sums = {name: self._read_ext(r) for name, _ in RANGED}
+        hr_sum = self._read_ext(r)
         from ..constraints.memcheck import COLUMNS as MC_COLUMNS
 
-        gm_sums = [r.u64() for _ in range(8)]
-        gb1_sum = r.u64()
-        gb2_sum = r.u64()
+        gm_sums = [self._read_ext(r) for _ in range(8)]
+        gb1_sum = self._read_ext(r)
+        gb2_sum = self._read_ext(r)
         root_wg = r.bytes_(32)
         wl_refs = ("ba0", "ba1", "ba2", "ba3", "bk", "vw", "st")
         zc_mem = self._read_zerocheck(
-            r, ["g_lnk"] + [f"ref_{n}" for n in wl_refs]
+            r, g_coord_names(["g_lnk"]) + [f"ref_{n}" for n in wl_refs]
         )
         mclink_proof = self._read_ligero_proof(r)
         wg_proof = self._read_ligero_proof(r)
-        mc_evals = {name: r.u64() for name in sorted(MC_COLUMNS)}
-        wg_sum = r.u64()
-        glk_sum = r.u64()
+        mc_evals = {name: self._read_ext(r) for name in sorted(MC_COLUMNS)}
+        wg_sum = self._read_ext(r)
+        glk_sum = self._read_ext(r)
         from ..constraints.linkage import QueryLinkRecord
         from ..lookups.validity import GADGETS
 
@@ -559,11 +571,11 @@ class BinarySerializer:
             v = r.u32()
             lk_root_g = r.bytes_(32)
             zc_lk = self._read_zerocheck(
-                r, list(GADGETS[tid].columns) + ["g_lk"]
+                r, list(GADGETS[tid].columns) + g_coord_names(["g_lk"])
             )
             lk_cols_proof = self._read_ligero_proof(r)
             lk_g_proof = self._read_ligero_proof(r)
-            g_sum_lk = r.u64()
+            g_sum_lk = self._read_ext(r)
             links.append(QueryLinkRecord(
                 table_id=tid, num_queries=nq, num_vars=v, root_g=lk_root_g,
                 zc=zc_lk, cols_proof=lk_cols_proof, g_proof=lk_g_proof,
@@ -590,15 +602,18 @@ class BinarySerializer:
     def _write_ligero_proof(w: _Writer, pp) -> None:
         # All payload values are canonical BabyBear (< 2^31): u32 LE
         # storage halves the dominant proof-size term (opened columns).
+        # u/w rows are extension-valued (4 coordinate rows each,
+        # coordinate-major) since the Ligero batching/proximity challenges
+        # moved to BabyBear^4.
         import numpy as np
 
         w.u32(len(pp.us[0]))
         w.u32(len(pp.us))
         for u in pp.us:
-            w.bytes_(np.ascontiguousarray(u, dtype="<u4").tobytes())
+            w.bytes_(np.ascontiguousarray(u.c, dtype="<u4").tobytes())
         w.u32(len(pp.ws))
         for wr in pp.ws:
-            w.bytes_(np.ascontiguousarray(wr, dtype="<u4").tobytes())
+            w.bytes_(np.ascontiguousarray(wr.c, dtype="<u4").tobytes())
         t, rows = pp.columns.shape
         w.u32(t)
         w.u32(rows)
@@ -621,9 +636,26 @@ class BinarySerializer:
     # wire).
 
     def _write_zerocheck(self, w: _Writer, zc) -> None:
+        # Kind byte: 0 = base-field (round-2 arguments during the ongoing
+        # extension migration), 1 = BabyBear^4 (4 limbs per value).
+        from ..core.ext4 import Ext4
+
         p = self.F.MODULUS
+        is_ext = bool(zc.final_point) and isinstance(zc.final_point[0], Ext4)
+        if not zc.final_point and zc.column_evals:
+            is_ext = isinstance(next(iter(zc.column_evals.values())), Ext4)
+        w.u8(1 if is_ext else 0)
         w.u32(zc.num_vars)
         w.u32(zc.degree)
+        if is_ext:
+            for row in zc.round_evals:
+                for g in row:
+                    self._write_ext(w, g)
+            for r_ in zc.final_point:
+                self._write_ext(w, r_)
+            for name in sorted(zc.column_evals):
+                self._write_ext(w, zc.column_evals[name])
+            return
         for row in zc.round_evals:
             for g in row:
                 w.u64(g % p)
@@ -632,15 +664,23 @@ class BinarySerializer:
         for name in sorted(zc.column_evals):
             w.u64(zc.column_evals[name] % p)
 
-    @staticmethod
-    def _read_zerocheck(r: _Reader, eval_names):
+    def _read_zerocheck(self, r: _Reader, eval_names):
         from ..proofs.zerocheck import ZerocheckProof
 
+        is_ext = r.u8() != 0
         num_vars = r.u32()
         degree = r.u32()
-        rounds = [[r.u64() for _ in range(degree + 1)] for _ in range(num_vars)]
-        point = [r.u64() for _ in range(num_vars)]
-        evals = {name: r.u64() for name in sorted(eval_names)}
+        if degree > 64 or num_vars > 40:
+            raise SerializationError("InvalidData")
+        if is_ext:
+            rounds = [[self._read_ext(r) for _ in range(degree + 1)]
+                      for _ in range(num_vars)]
+            point = [self._read_ext(r) for _ in range(num_vars)]
+            evals = {name: self._read_ext(r) for name in sorted(eval_names)}
+        else:
+            rounds = [[r.u64() for _ in range(degree + 1)] for _ in range(num_vars)]
+            point = [r.u64() for _ in range(num_vars)]
+            evals = {name: r.u64() for name in sorted(eval_names)}
         return ZerocheckProof(
             num_vars=num_vars, degree=degree, round_evals=rounds,
             final_point=point, column_evals=evals,
@@ -663,7 +703,7 @@ class BinarySerializer:
             self._write_ligero_proof(w, rec.cols_proof)
             self._write_ligero_proof(w, rec.g_proof)
             for name in sorted(rec.g_sums):
-                w.u64(rec.g_sums[name] % self.F.MODULUS)
+                self._write_ext(w, rec.g_sums[name])
         ts = lv.table_side
         w.u8(1 if ts is not None else 0)
         if ts is None:
@@ -679,7 +719,7 @@ class BinarySerializer:
         self._write_ligero_proof(w, ts.m_proof)
         self._write_ligero_proof(w, ts.h_proof)
         for name in ts.names:
-            w.u64(ts.h_sums[name] % self.F.MODULUS)
+            self._write_ext(w, ts.h_sums[name])
 
     def _read_lookup_validity(self, r: _Reader):
         from ..lookups.validity import (
@@ -700,11 +740,15 @@ class BinarySerializer:
             num_vars = r.u32()
             root_cols = r.bytes_(32)
             root_g = r.bytes_(32)
+            from ..constraints.regcheck import g_coord_names
+
             g_names = sorted(g for g, _s, _k in gadget.inclusions)
-            zc = self._read_zerocheck(r, list(gadget.columns) + g_names)
+            zc = self._read_zerocheck(
+                r, list(gadget.columns) + g_coord_names(g_names)
+            )
             cols_proof = self._read_ligero_proof(r)
             g_proof = self._read_ligero_proof(r)
-            g_sums = {name: r.u64() for name in g_names}
+            g_sums = {name: self._read_ext(r) for name in g_names}
             tables.append(TableValidityRecord(
                 table_id=table_id, num_queries=num_queries, num_vars=num_vars,
                 root_cols=root_cols, root_g=root_g, zc=zc,
@@ -717,11 +761,14 @@ class BinarySerializer:
                 names.append(r.bytes_(r.u8()).decode())
             root_m = r.bytes_(32)
             root_h = r.bytes_(32)
-            eval_names = [f"m_{n}" for n in names] + [f"h_{n}" for n in names]
+            from ..constraints.regcheck import g_coord_names
+
+            eval_names = ([f"m_{n}" for n in names]
+                          + g_coord_names([f"h_{n}" for n in names]))
             zc = self._read_zerocheck(r, eval_names)
             m_proof = self._read_ligero_proof(r)
             h_proof = self._read_ligero_proof(r)
-            h_sums = {name: r.u64() for name in names}
+            h_sums = {name: self._read_ext(r) for name in names}
             table_side = SubtableSideRecord(
                 names=names, root_m=root_m, root_h=root_h, zc=zc,
                 m_proof=m_proof, h_proof=h_proof, h_sums=h_sums,
@@ -734,15 +781,18 @@ class BinarySerializer:
 
         from ..commitments.ligero import LigeroEvalProof
         from ..commitments.merkle import MerklePath
+        from ..core.ext4 import Ext4
 
         n = r.u32()
-        us = [
-            np.frombuffer(r.bytes_(4 * n), dtype="<u4").astype(np.uint64)
-            for _ in range(r.u32())
-        ]
-        ws = []
-        for _ in range(r.u32()):
-            ws.append(np.frombuffer(r.bytes_(4 * n), dtype="<u4").astype(np.uint64))
+        if n > (1 << 28):
+            raise SerializationError("InvalidData")
+
+        def read_row():
+            raw = np.frombuffer(r.bytes_(16 * n), dtype="<u4").astype(np.uint64)
+            return Ext4(raw.reshape(4, n))
+
+        us = [read_row() for _ in range(r.u32())]
+        ws = [read_row() for _ in range(r.u32())]
         t = r.u32()
         rows = r.u32()
         columns = np.frombuffer(r.bytes_(4 * t * rows), dtype="<u4").astype(np.uint64).reshape(t, rows)
@@ -753,23 +803,9 @@ class BinarySerializer:
         return LigeroEvalProof(us=us, ws=ws, columns=columns, paths=paths)
 
     def _read_v2_section(self, r: _Reader, version: int = 2):
-        from ..commitments.merkle import MerklePath, OpeningProof as MerkleOpening
         from .proof import V2Section
 
-        F = self.F
-        aux_roots = {name: r.bytes_(32) for name in self._V2_AUX}
-        column_evals = {name: r.u64() for name in self._V2_COLUMNS}
-        aux_openings = {}
-        for name in self._V2_AUX:
-            index = r.u64()
-            value = F(r.u64())
-            path_len = r.u32()
-            siblings = [r.bytes_(32) for _ in range(path_len)]
-            directions = [r.u8() != 0 for _ in range(path_len)]
-            aux_openings[name] = MerkleOpening(
-                index=index, value=value,
-                path=MerklePath(siblings=siblings, directions=directions),
-            )
+        zerocheck = self._read_zerocheck(r, list(self._V2_COLUMNS))
         lasso_extras = {}
         for _ in range(r.u32()):
             table_id = r.u32()
@@ -782,7 +818,7 @@ class BinarySerializer:
         pcs_root = r.bytes_(32)
         pcs_proof = self._read_ligero_proof(r)
         logup_nonce = r.u64()
-        logup_sum = r.u64()
+        logup_sum = self._read_ext(r)
         logup_root = r.bytes_(32)
         logup_proof = self._read_ligero_proof(r)
         lookup_validity = self._read_lookup_validity(r)
@@ -796,10 +832,12 @@ class BinarySerializer:
             from ..constraints.witness import WITNESS_POLY_NAMES
 
             witness_root = r.bytes_(32)
-            witness_evals = {name: r.u64() for name in sorted(WITNESS_POLY_NAMES)}
+            witness_evals = {name: self._read_ext(r)
+                             for name in sorted(WITNESS_POLY_NAMES)}
             witness_proof = self._read_ligero_proof(r)
-        return V2Section(aux_roots=aux_roots, column_evals=column_evals,
-                         aux_openings=aux_openings, lasso_extras=lasso_extras,
+        return V2Section(zerocheck=zerocheck,
+                         column_evals=zerocheck.column_evals,
+                         lasso_extras=lasso_extras,
                          pcs_root=pcs_root, pcs_proof=pcs_proof,
                          logup_nonce=logup_nonce, logup_sum=logup_sum,
                          logup_root=logup_root, logup_proof=logup_proof,
@@ -845,7 +883,8 @@ class BinarySerializer:
         )
 
         proof.public_io = self._read_public_io(r)
-        self._read_sumcheck(r, proof.constraint_proof)
+        if version < 2:
+            self._read_sumcheck(r, proof.constraint_proof)
         self._read_lasso_proofs(r, proof)
         if version < 4:
             self._read_witness_commitments(r, proof)

@@ -99,10 +99,13 @@ class Verifier:
         from ..constraints.v2 import (
             NUM_V2_ALPHAS,
             V2_DEGREE,
-            make_v2_combiner_scalar,
+            V2_G_COLUMNS,
+            make_v2_combiner,
+            v2_public_evals,
         )
+        from ..core.ext4 import MAX_NONCE, Ext4, challenge_ext
         from ..prover.proof import CompactLassoList
-        from ..proofs.zerocheck import ZerocheckProof, ZerocheckVerifier
+        from ..proofs.zerocheck import ZerocheckExtVerifier, absorb_ext
 
         F = self.F
         if proof.v2 is None:
@@ -117,10 +120,6 @@ class Verifier:
         transcript.append_bytes(b"SUMCHECK_BEGIN")
         transcript.append_field_element(F, F(proof.public_io.num_steps))
         transcript.append_field_element(F, F(proof.metadata.num_vars))
-
-        transcript.append_bytes(b"V2_AUX_COMMITMENTS")
-        for name in sorted(proof.v2.aux_roots):
-            transcript.append_bytes(proof.v2.aux_roots[name])
 
         # Ligero PCS root bound before any zerocheck challenge.
         if proof.v2.pcs_root is None or proof.v2.pcs_proof is None:
@@ -140,45 +139,52 @@ class Verifier:
             transcript.append_bytes(b"V4_WITNESS_COMMIT")
             transcript.append_bytes(proof.v2.witness_root)
 
-        # PC-chain logUp replay: nonce-bound tau/beta draw, then the g1/g2
-        # commitment + shared sum (constraints/v2.py c5/c6).
+        # PC-chain logUp replay: nonce-bound BabyBear^4 tau/beta draw, then
+        # the g1/g2 coordinate-column commitment + shared extension sum
+        # (constraints/v2.py c5/c6).  The nonce cap bounds retry grinding.
         if proof.v2.logup_root is None or proof.v2.logup_proof is None:
             return VerificationResult.RejectInvalidCommitment
         p = F.MODULUS
+        if not (0 <= proof.v2.logup_nonce <= MAX_NONCE):
+            return VerificationResult.RejectInvalidSumcheck
         transcript.append_bytes(b"V2_LOGUP_NONCE")
-        transcript.append_u64(proof.v2.logup_nonce % (1 << 64))
-        tau_lu = transcript.challenge_value(p)
-        beta_lu = transcript.challenge_value(p)
+        transcript.append_u64(proof.v2.logup_nonce)
+        tau_lu = challenge_ext(transcript)
+        beta_lu = challenge_ext(transcript)
+        logup_sum = proof.v2.logup_sum
+        if not isinstance(logup_sum, Ext4):
+            return VerificationResult.RejectInvalidSumcheck
         transcript.append_bytes(b"V2_LOGUP_COMMIT")
         transcript.append_bytes(proof.v2.logup_root)
-        transcript.append_u64(proof.v2.logup_sum % p)
+        absorb_ext(transcript, logup_sum)
 
-        # Zerocheck replay + algebraic check (the scalar combiner computes
-        # the public idx/selector MLE evaluations itself — the c5/c6 terms
-        # only trust the committed g1/g2/pc/next_pc evals, which the two
-        # Ligero arguments below bind).
+        # Extension zerocheck replay + algebraic check (the combiner's
+        # public idx/selector MLE values are computed by the verifier at
+        # the extension final point — the c5/c6 terms only trust the
+        # committed g/pc/next_pc evals, which the Ligero arguments below
+        # bind).
         num_steps = proof.public_io.num_steps
-        final_point = [c.value for c in proof.constraint_proof.final_point]
-        zc_proof = ZerocheckProof(
-            num_vars=proof.metadata.num_vars,
-            degree=V2_DEGREE,
-            round_evals=[[c.value for c in row] for row in proof.constraint_proof.round_polynomials],
-            final_point=final_point,
-            column_evals=proof.v2.column_evals,
-        )
-        required_evals = {"x0", "is_read", "pc", "seq", "next_pc", "g1", "g2"}
-        if set(proof.v2.column_evals) != required_evals:
+        zc_proof = proof.v2.zerocheck
+        if zc_proof is None or zc_proof.num_vars != proof.metadata.num_vars:
             return VerificationResult.RejectInvalidSumcheck
-        zc_ok = ZerocheckVerifier(
+        if zc_proof.degree != V2_DEGREE:
+            return VerificationResult.RejectInvalidSumcheck
+        required_evals = {"x0", "is_read", "pc", "seq", "next_pc"} | set(V2_G_COLUMNS)
+        if set(zc_proof.column_evals) != required_evals:
+            return VerificationResult.RejectInvalidSumcheck
+        if proof.v2.column_evals is not zc_proof.column_evals:
+            if proof.v2.column_evals != zc_proof.column_evals:
+                return VerificationResult.RejectInvalidSumcheck
+        zc_ok = ZerocheckExtVerifier(
             F,
-            make_v2_combiner_scalar(
-                num_steps, proof.metadata.num_vars, tau_lu, beta_lu, final_point
-            ),
+            make_v2_combiner(tau_lu, beta_lu),
             NUM_V2_ALPHAS,
             V2_DEGREE,
+            public_evals=v2_public_evals(num_steps, proof.metadata.num_vars, p),
         ).verify(zc_proof, transcript)
         if not zc_ok:
             return VerificationResult.RejectInvalidSumcheck
+        final_point = zc_proof.final_point
 
         # Ligero evaluation argument: the terminal column_evals must be
         # consistent with the committed columns at the zerocheck point —
@@ -217,16 +223,18 @@ class Verifier:
             wev = proof.v2.witness_evals
             if set(wev) != set(wit_names):
                 return VerificationResult.RejectInvalidCommitment
+            if not all(isinstance(v, Ext4) for v in wev.values()):
+                return VerificationResult.RejectInvalidCommitment
             cev = proof.v2.column_evals
             if (
-                wev["pc"] != cev["pc"] % p
-                or wev["x0"] != cev["x0"] % p
-                or wev["mem_is_read"] != cev["is_read"] % p
+                wev["pc"] != cev["pc"]
+                or wev["x0"] != cev["x0"]
+                or wev["mem_is_read"] != cev["is_read"]
             ):
                 return VerificationResult.RejectInvalidCommitment
             transcript.append_bytes(b"V4_WITNESS_EVALS")
             for name in wit_names:
-                transcript.append_u64(wev[name] % p)
+                absorb_ext(transcript, wev[name])
             if not ligero_verify_eval(
                 F,
                 proof.v2.witness_root,
@@ -240,33 +248,37 @@ class Verifier:
             ):
                 return VerificationResult.RejectInvalidCommitment
 
-        # logUp Ligero argument: claim 1 binds the g1/g2 terminal evals at
-        # the zerocheck point; claim 2 binds sum(g1) == sum(g2) ==
-        # logup_sum over the hypercube.  Together with c5/c6 this is the
+        # logUp Ligero argument: claim 1 binds the g1/g2 coordinate-column
+        # terminal evals at the zerocheck point; claim 2 binds each
+        # coordinate's hypercube sum to the matching logup_sum coordinate —
+        # together sum(g1) == sum(g2) == logup_sum.  With c5/c6 this is the
         # complete PC-chain multiset check.
         import numpy as np
 
+        g_names = sorted(V2_G_COLUMNS)
         lp = LigeroParams()
-        cn = lp.choose_split(proof.metadata.num_vars, 2)
+        cn = lp.choose_split(proof.metadata.num_vars, len(g_names))
         lg_m = (1 << proof.metadata.num_vars) >> cn
         a_eval, b_eval = _row_col_weights(final_point, cn)
-        s = proof.v2.logup_sum % p
+        sum_values = {}
+        for name in g_names:
+            e = int(name.split("#")[1])
+            sum_values[name] = int(logup_sum.c[e])
         claims = [
             LigeroClaim(a=a_eval, b=b_eval, values={
-                "g1": proof.v2.column_evals["g1"],
-                "g2": proof.v2.column_evals["g2"],
+                name: zc_proof.column_evals[name] for name in g_names
             }),
             LigeroClaim(
                 a=np.ones(lg_m, dtype=np.uint64),
                 b=np.ones(1 << cn, dtype=np.uint64),
-                values={"g1": s, "g2": s},
+                values=sum_values,
             ),
         ]
         if not ligero_verify_claims(
             F,
             proof.v2.logup_root,
             proof.metadata.num_vars,
-            ["g1", "g2"],
+            g_names,
             claims,
             proof.v2.logup_proof,
             transcript,
@@ -379,20 +391,6 @@ class Verifier:
                     hasher=hasher,
                 ):
                     return VerificationResult.RejectInvalidCommitment
-
-        # Aux column openings: strict path check + index matches zerocheck
-        # point.
-        zc_index = (
-            proof.constraint_proof.final_point[0].value % (1 << num_vars) if num_vars else 0
-        )
-        for name in sorted(proof.v2.aux_openings):
-            opening = proof.v2.aux_openings[name]
-            if opening.index != zc_index:
-                return VerificationResult.RejectInvalidCommitment
-            if not SimpleMerkleTree.verify_at_index(
-                F, proof.v2.aux_roots[name], opening, num_vars, hasher=hasher
-            ):
-                return VerificationResult.RejectInvalidCommitment
 
         return VerificationResult.Accept
 
