@@ -55,13 +55,18 @@ __all__ = [
     "LigeroParams",
     "LigeroCommitState",
     "LigeroClaim",
+    "LigeroMixedClaim",
     "LigeroEvalProof",
     "ntt_pow2",
     "ligero_commit",
+    "ligero_commit_mixed",
     "ligero_prove_claims",
     "ligero_verify_claims",
     "ligero_prove_eval",
     "ligero_verify_eval",
+    "ligero_prove_mixed",
+    "ligero_verify_mixed",
+    "mixed_layout",
 ]
 
 P = 2013265921  # BabyBear
@@ -256,6 +261,12 @@ class LigeroCommitState:
     leaf_digests: bytes
     levels: List[bytes]
     hash_mode: str
+    # Mixed-length commitments (ligero_commit_mixed) only: per-column
+    # variable counts and the derived row layout.  Uniform commitments
+    # leave these None and use the single (num_vars, m) pair above.
+    col_vars: Dict[str, int] = None
+    offsets: Dict[str, int] = None  # first matrix row of each column
+    heights: Dict[str, int] = None  # m_k rows per column
 
 
 @dataclass
@@ -665,3 +676,278 @@ def ligero_verify_eval(F, root: bytes, num_vars: int, names: List[str],
     return ligero_verify_claims(
         F, root, num_vars, names, [claim], proof, transcript, hash_mode, params
     )
+
+
+# ===========================================================================
+# Mixed-length commitments (protocol v2+ unified PCS, round 3)
+#
+# One Merkle root over columns of DIFFERENT hypercube sizes: column k with
+# 2^{v_k} evaluations occupies m_k = max(1, 2^{v_k}/n) consecutive matrix
+# rows (zero-padded to one n-wide row when 2^{v_k} < n).  This is what lets
+# the whole v2 argument pipeline share ONE data commitment and ONE advice
+# commitment instead of ~20 per-argument ones — the per-opening costs
+# (t opened columns, Merkle paths, proximity rows) are paid once.
+#
+# A LigeroMixedClaim is a single linear query over the whole matrix:
+# shared column weights ``b`` (n,) and per-column row weights ``a_k``
+# (m_k,), gamma-batched across columns exactly like the uniform scheme.
+# The batch-evaluation sumcheck (proofs/batch_eval.py) reduces every
+# argument's per-point/per-sum claims to one such query.
+# ===========================================================================
+
+
+def choose_split_mixed(total_data: int, num_claims: int,
+                       params: LigeroParams) -> int:
+    """log2(n) minimizing proof bytes: t opened columns cost
+    ~t * (D/n) * 4 bytes, the extension query/proximity rows cost
+    ~(num_claims + num_rho) * 16 * n bytes."""
+    import math
+
+    if total_data <= 2:
+        return 1
+    rows = 16 * max(1, num_claims + params.num_rho)
+    target = 0.5 * math.log2(params.num_queries * 4 * total_data / rows)
+    return max(1, min(int(total_data).bit_length(), round(target)))
+
+
+def mixed_layout(col_vars: Dict[str, int], cn: int):
+    """(names, offsets, heights, total_rows) — the deterministic row
+    layout both sides derive from the public per-column sizes."""
+    names = sorted(col_vars)
+    offsets: Dict[str, int] = {}
+    heights: Dict[str, int] = {}
+    off = 0
+    n = 1 << cn
+    for name in names:
+        m_k = max(1, (1 << col_vars[name]) // n)
+        offsets[name] = off
+        heights[name] = m_k
+        off += m_k
+    return names, offsets, heights, off
+
+
+def ligero_commit_mixed(F, columns: Dict[str, np.ndarray], hash_mode: str = "sha3",
+                        params: LigeroParams = None,
+                        num_claims_hint: int = 1) -> LigeroCommitState:
+    """Commit power-of-two-length MLEs of HETEROGENEOUS sizes under one
+    column-Merkle root.  ``num_claims_hint`` feeds the row/column balance
+    (it only affects proof size, not soundness — but it is part of the
+    public layout, so prover and verifier must agree on it)."""
+    assert F.MODULUS == P, "Ligero PCS is BabyBear-only (needs 2-adic NTT)"
+    params = params or LigeroParams()
+    col_vars = {}
+    total = 0
+    for name, arr in columns.items():
+        ln = len(arr)
+        assert ln & (ln - 1) == 0 and ln >= 1, f"column {name} not a power of two"
+        col_vars[name] = ln.bit_length() - 1
+        total += ln
+    cn = choose_split_mixed(total, num_claims_hint, params)
+    n = 1 << cn
+    names, offsets, heights, total_rows = mixed_layout(col_vars, cn)
+    mat = np.zeros((total_rows, n), dtype=np.uint64)
+    for name in names:
+        arr = np.asarray(columns[name], dtype=np.uint64)
+        off, m_k = offsets[name], heights[name]
+        if len(arr) >= n:
+            mat[off : off + m_k] = arr.reshape(m_k, n)
+        else:
+            mat[off, : len(arr)] = arr
+    encoded = ntt_pow2_u32(mat, params.inv_rate * n)
+    leaf_digests = _hash_columns(encoded, hash_mode)
+    levels = _build_levels(leaf_digests, hash_mode)
+    return LigeroCommitState(
+        root=levels[-1],
+        names=names,
+        num_vars=max(col_vars.values()),
+        cn=cn,
+        m=0,  # heterogeneous; use ``heights``
+        n=n,
+        n_e=params.inv_rate * n,
+        matrix=mat,
+        encoded=encoded,
+        leaf_digests=leaf_digests,
+        levels=levels,
+        hash_mode=hash_mode,
+        col_vars=col_vars,
+        offsets=offsets,
+        heights=heights,
+    )
+
+
+@dataclass
+class LigeroMixedClaim:
+    """One linear query over a mixed commitment: claims
+    sum_j a_k[j] * M_k[j, :] . b == value_k for every named entry.
+
+    ``b`` (n,) is shared; each entry carries its own (m_k,) row weights
+    and claimed value.  Weights/values may be base or Ext4 — the batched
+    query row u is always extension-valued."""
+
+    b: object  # (n,) np.ndarray or Ext4
+    entries: Dict[str, tuple]  # name -> (a_k, value)
+
+
+def _gamma_a_hat_mixed(gamma, claim: LigeroMixedClaim,
+                       names: List[str], offsets: Dict[str, int],
+                       heights: Dict[str, int], total_rows: int):
+    """Stacked gamma-scaled row weights over the mixed layout: column k
+    (position k in names) contributes gamma^k * a_k on its row block,
+    zero elsewhere."""
+    from ..core.ext4 import Ext4
+
+    out = np.zeros((4, total_rows), dtype=np.uint64)
+    a_hat = Ext4(out, _trusted=True)
+    gpow = Ext4.from_ints([1, 0, 0, 0])
+    for name in names:
+        ent = claim.entries.get(name)
+        if ent is not None:
+            a_k = ent[0]
+            blk = gpow * a_k
+            if not isinstance(blk, Ext4):
+                blk = Ext4.lift(blk)
+            off, m_k = offsets[name], heights[name]
+            out[:, off : off + m_k] = blk.c
+        gpow = gpow * gamma
+    return a_hat
+
+
+def _combined_value_mixed(gamma, claim: LigeroMixedClaim, names: List[str]):
+    from ..core.ext4 import Ext4, ext_lift
+
+    combined = ext_lift(0)
+    gpow = Ext4.from_ints([1, 0, 0, 0])
+    for name in names:
+        ent = claim.entries.get(name)
+        if ent is not None:
+            combined = combined + gpow * ent[1]
+        gpow = gpow * gamma
+    return combined
+
+
+def ligero_prove_mixed(state: LigeroCommitState, claims: List[LigeroMixedClaim],
+                       transcript: FiatShamirTranscript,
+                       params: LigeroParams = None) -> LigeroEvalProof:
+    """Multi-claim linear-query argument on one mixed commitment.  Same
+    transcript schedule as ligero_prove_claims (per-claim gamma + u row,
+    per-rep rho + w row, t column indices)."""
+    from ..core.ext4 import challenge_ext, ext_pow_range
+
+    params = params or LigeroParams()
+    total_rows = state.matrix.shape[0]
+
+    us = []
+    for claim in claims:
+        gamma = challenge_ext(transcript)
+        a_hat = _gamma_a_hat_mixed(
+            gamma, claim, state.names, state.offsets, state.heights, total_rows
+        )
+        u = _vecmat_ext(a_hat, state.matrix)
+        transcript.append_u64s(u.c)
+        us.append(u)
+
+    ws = []
+    for _ in range(params.num_rho):
+        rho = ext_pow_range(challenge_ext(transcript), total_rows)
+        w = _vecmat_ext(rho, state.matrix)
+        transcript.append_u64s(w.c)
+        ws.append(w)
+
+    indices = [transcript.challenge_value(P) % state.n_e
+               for _ in range(params.num_queries)]
+    columns = state.encoded[:, indices].T.astype(np.uint64)  # (t, total_rows)
+    paths = _open_column_paths(state, indices)
+    return LigeroEvalProof(us=us, ws=ws, columns=columns, paths=paths)
+
+
+def ligero_verify_mixed(F, root: bytes, col_vars: Dict[str, int],
+                        claims: List[LigeroMixedClaim], proof: LigeroEvalProof,
+                        transcript: FiatShamirTranscript,
+                        hash_mode: str = "sha3",
+                        params: LigeroParams = None,
+                        num_claims_hint: int = 1) -> bool:
+    """Replay the mixed-claim schedule: per-claim <u, b> binding, per-row
+    code-consistency at the opened columns, Merkle paths."""
+    from ..core.ext4 import Ext4, challenge_ext, ext_pow_range
+
+    params = params or LigeroParams()
+    p = np.uint64(P)
+    total = sum(1 << v for v in col_vars.values())
+    cn = choose_split_mixed(total, num_claims_hint, params)
+    n = 1 << cn
+    n_e = params.inv_rate * n
+    height = n_e.bit_length() - 1
+    names, offsets, heights, total_rows = mixed_layout(col_vars, cn)
+
+    if len(proof.us) != len(claims):
+        return False
+    if any(not (isinstance(u, Ext4) and u.shape == (n,)) for u in proof.us):
+        return False
+    if len(proof.ws) != params.num_rho:
+        return False
+    if any(not (isinstance(w, Ext4) and w.shape == (n,)) for w in proof.ws):
+        return False
+    if proof.columns.shape != (params.num_queries, total_rows):
+        return False
+    if len(proof.paths) != params.num_queries:
+        return False
+
+    a_hats = []
+    bindings_ok = True
+    for claim, u in zip(claims, proof.us):
+        b = claim.b
+        if (b.shape if isinstance(b, Ext4) else np.shape(b)) != (n,):
+            return False
+        for name, (a_k, _val) in claim.entries.items():
+            if name not in heights:
+                return False
+            shp = a_k.shape if isinstance(a_k, Ext4) else np.shape(a_k)
+            if shp != (heights[name],):
+                return False
+        gamma = challenge_ext(transcript)
+        a_hats.append(_gamma_a_hat_mixed(gamma, claim, names, offsets,
+                                         heights, total_rows))
+        transcript.append_u64s(u.c)
+        if (u * claim.b).sum() != _combined_value_mixed(gamma, claim, names):
+            bindings_ok = False
+
+    rhos = []
+    for w in proof.ws:
+        rho = ext_pow_range(challenge_ext(transcript), total_rows)
+        transcript.append_u64s(w.c)
+        rhos.append(rho)
+
+    indices = [transcript.challenge_value(P) % n_e
+               for _ in range(params.num_queries)]
+
+    cols = proof.columns.astype(np.uint64) % p
+    idx_arr = np.asarray(indices)
+    for a_hat, u in zip(a_hats + rhos, proof.us + proof.ws):
+        u_enc = Ext4(np.stack([
+            ntt_pow2_u32(u.c[e].reshape(1, -1), n_e)[0].astype(np.uint64)
+            for e in range(4)
+        ]))
+        col_dot = Ext4(np.stack([
+            (a_hat.c[e][None, :] * cols % p).sum(axis=1, dtype=np.uint64) % p
+            for e in range(4)
+        ]))
+        if not np.array_equal(col_dot.c, u_enc.c[:, idx_arr]):
+            return False
+
+    leaf_blob = _hash_columns(cols.T, hash_mode)
+    _, merge_fn, hasher = _hash_fns(hash_mode)
+    for t, (idx, path) in enumerate(zip(indices, proof.paths)):
+        if len(path.siblings) != height:
+            return False
+        current = leaf_blob[t * 32 : (t + 1) * 32]
+        walk = idx
+        for sibling in path.siblings:
+            if walk & 1:
+                current = hasher.hash_internal(sibling, current)
+            else:
+                current = hasher.hash_internal(current, sibling)
+            walk >>= 1
+        if current != root:
+            return False
+
+    return bindings_ok
