@@ -212,7 +212,7 @@ def test_tampered_external_reg_eval_rejected():
     ser = BinarySerializer(F)
     restored = ser.deserialize(ser.serialize(proof))
     bc = restored.v2.bytecode
-    bc.reg_evals["a1"] = (bc.reg_evals["a1"] + 1) % P
+    bc.zc.column_evals["ref_rv1_0"] = (bc.zc.column_evals["ref_rv1_0"] + 1) % P
     assert (
         Verifier(F).verify(restored, program)
         == VerificationResult.RejectInvalidBytecode
@@ -259,19 +259,19 @@ def test_prover_rejects_inconsistent_tape():
     guest = fibonacci_guest()
     loaded = elf.load(guest)
     prover = Prover(F, seed=0, protocol_version=2)
-    old = bc_mod.prove_bytecode
+    old = bc_mod.BytecodeArgument.__init__
 
-    def patched(*args, **kwargs):
+    def patched(self, *args, **kwargs):
         kwargs["outputs"] = [999]
-        return old(*args, **kwargs)
+        return old(self, *args, **kwargs)
 
-    bc_mod.prove_bytecode = patched
+    bc_mod.BytecodeArgument.__init__ = patched
     try:
         with pytest.raises(AssertionError, match="output tape mismatch"):
             prover.prove(guest, loaded.entry_pc, None, 1 << 16,
                          loaded.segments, [8])
     finally:
-        bc_mod.prove_bytecode = old
+        bc_mod.BytecodeArgument.__init__ = old
 
 
 def test_forged_counter_chain_rejected():

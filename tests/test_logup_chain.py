@@ -154,7 +154,13 @@ def test_forged_branch_target_rejected_by_verifier(monkeypatch):
     monkeypatch.setattr(v2mod, "build_logup_columns", malicious_logup)
     program = _branch_program()
     proof = _prove(program)
-    assert Verifier(F).verify(proof, program) == VerificationResult.RejectInvalidCommitment
+    # Round 3: the bytecode argument's control-flow chain ALSO constrains
+    # next_pc and fires first in the unified ordering; either rejection
+    # closes the forgery.
+    assert Verifier(F).verify(proof, program) in (
+        VerificationResult.RejectInvalidBytecode,
+        VerificationResult.RejectInvalidCommitment,
+    )
 
 
 def test_tampered_logup_sum_rejected():
@@ -172,9 +178,10 @@ def test_tampered_g_eval_rejected():
 
 
 def test_tampered_logup_root_rejected():
+    """The g1/g2 advice columns live in the unified advice commitment."""
     program = _branch_program()
     proof = _prove(program)
-    proof.v2.logup_root = bytes(32)
+    proof.v2.unified.advice_root = bytes(32)
     assert Verifier(F).verify(proof, program) != VerificationResult.Accept
 
 

@@ -349,11 +349,11 @@ def test_engine_forged_sum_rejected():
 def test_engine_tampered_roots_rejected():
     queries = {2: _mk_queries(2, 9)}
     lv = prove_lookup_validity(F, FiatShamirTranscript(), queries)
-    lv.tables[0].root_cols = bytes(32)
+    lv.unified.data_root = bytes(32)
     assert not verify_lookup_validity(F, FiatShamirTranscript(), lv, {2: 9})
 
     lv = prove_lookup_validity(F, FiatShamirTranscript(), queries)
-    lv.table_side.root_h = bytes(32)
+    lv.unified.advice_root = bytes(32)
     assert not verify_lookup_validity(F, FiatShamirTranscript(), lv, {2: 9})
 
 

@@ -125,9 +125,9 @@ def test_v2_rejects_tampered_logup_root():
     guest = fibonacci_guest()
     loaded = elf.load(guest)
     proof = _prove_v2(guest, loaded.entry_pc, loaded.segments, [5])
-    tampered = bytearray(proof.v2.logup_root)
+    tampered = bytearray(proof.v2.unified.advice_root)
     tampered[0] ^= 1
-    proof.v2.logup_root = bytes(tampered)
+    proof.v2.unified.advice_root = bytes(tampered)
     assert Verifier(F).verify(proof, guest) != VerificationResult.Accept
 
 
@@ -281,21 +281,22 @@ def _nop_add_program():
 def test_v2_rejects_tampered_pcs_root():
     program = _nop_add_program()
     proof = _prove_v2_simple(program)
-    proof.v2.pcs_root = bytes(32)
+    proof.v2.unified.data_root = bytes(32)
     assert Verifier(F).verify(proof, program) != VerificationResult.Accept
 
 
 def test_v2_rejects_missing_pcs():
     program = _nop_add_program()
     proof = _prove_v2_simple(program)
-    proof.v2.pcs_proof = None
+    proof.v2.unified.data_open = None
     assert Verifier(F).verify(proof, program) == VerificationResult.RejectInvalidCommitment
 
 
 def test_v2_rejects_tampered_pcs_column():
     program = _nop_add_program()
     proof = _prove_v2_simple(program)
-    proof.v2.pcs_proof.columns[3][1] = (int(proof.v2.pcs_proof.columns[3][1]) + 1) % F.MODULUS
+    op = proof.v2.unified.data_open
+    op.columns[3][1] = (int(op.columns[3][1]) + 1) % F.MODULUS
     assert Verifier(F).verify(proof, program) == VerificationResult.RejectInvalidCommitment
 
 

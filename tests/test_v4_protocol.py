@@ -60,7 +60,7 @@ def test_v4_all_43_columns_bound(proof_and_program):
 
     proof, _ = proof_and_program
     assert set(proof.v2.witness_evals) == set(WITNESS_POLY_NAMES)
-    assert len(proof.v2.witness_root) == 32
+    assert len(proof.v2.unified.data_root) == 32
 
 
 def test_v4_tampered_witness_eval_rejected(proof_and_program):
@@ -76,7 +76,7 @@ def test_v4_tampered_witness_eval_rejected(proof_and_program):
 def test_v4_tampered_witness_root_rejected(proof_and_program):
     proof, program = proof_and_program
     t = copy.deepcopy(proof)
-    t.v2.witness_root = bytes(32)
+    t.v2.unified.data_root = bytes(32)
     assert Verifier(F).verify(t, program) != VerificationResult.Accept
 
 
@@ -98,7 +98,7 @@ def test_v4_cross_commitment_consistency_enforced(proof_and_program):
 def test_v4_missing_section_rejected(proof_and_program):
     proof, program = proof_and_program
     t = copy.deepcopy(proof)
-    t.v2.witness_root = None
+    t.v2.witness_evals = None
     assert Verifier(F).verify(t, program) != VerificationResult.Accept
 
 

@@ -115,10 +115,10 @@ from .regcheck import g_coord_names, g_eval_from_coords, pack_g_coords, sum_clai
 __all__ = [
     "BYTECODE_SLOTS",
     "BytecodeProof",
+    "BytecodeArgument",
+    "BytecodeVerify",
     "build_bytecode_table",
     "step_static_columns",
-    "prove_bytecode",
-    "verify_bytecode",
     "BYTECODE_DEGREE",
 ]
 
@@ -821,55 +821,38 @@ def _make_table_combiner(tau: Ext4, kappa_table, p: int):
 
 @dataclass
 class BytecodeProof:
+    """Round-3 slim form: Ligero roots/openings (and the external
+    regcheck/PCS/memcheck reference claims) moved to the shared unified
+    commitment (prover/unified.py) — the ref_* terminal evaluations of
+    the zerochecks below ARE the cross-argument claims now."""
+
     nonce: int
     num_vars: int  # step domain
     table_vars: int  # program-table domain
-    root_lk: bytes
-    root_m: bytes
-    root_g: bytes
-    root_h: bytes
     zc: ZerocheckProof  # step-domain zerocheck
     zc_table: ZerocheckProof  # program-domain zerocheck
-    lk_proof: object
-    g_proof: object
-    m_proof: object
-    h_proof: object
-    reg_proof: object  # claims on the REGCHECK commitment at zc point
-    pcs_proof: object  # claims on the v2 PCS commitment at zc point
-    reg_evals: Dict[str, int]  # full eval dict for the regcheck columns
-    pcs_evals: Dict[str, int]  # full eval dict for the PCS columns
-    g_sum: int
-    h_sum: int
+    zc_range: ZerocheckProof  # RANGE16 domain (JALR/AUIPC adder limbs)
+    zc_mem: ZerocheckProof  # memcheck byte-row domain (LOAD/STORE linkage)
+    g_sum: object
+    h_sum: object
     # Output-tape binding: commit-counter chain sums (must be equal) and
     # the step-side tape logUp sum (must equal the verifier's own sum
     # over the public outputs list).
-    gc1_sum: int = 0
-    gc2_sum: int = 0
-    gout_sum: int = 0
+    gc1_sum: object
+    gc2_sum: object
+    gout_sum: object
     # Witness linkage: step-side g sum and per-table query-side records
     # (constraints/linkage.py).
-    glk_sum: int = 0
-    links: Optional[list] = None
-    # RANGE16 check for the JALR/AUIPC adder limbs.
-    root_mr: bytes = b""
-    root_hr: bytes = b""
-    zc_range: Optional[ZerocheckProof] = None
-    mr_proof: object = None
-    hr_proof: object = None
-    gr_sums: Optional[Dict[str, int]] = None
-    hr_sum: int = 0
-    # LOAD/STORE linkage: step-side per-byte-slot sums, byte-counter
-    # chain sums, and the memcheck byte-row side (g_lnk + full memcheck
-    # column evals at the byte-domain zerocheck point).
-    gm_sums: Optional[list] = None
-    gb1_sum: int = 0
-    gb2_sum: int = 0
-    root_wg: bytes = b""
-    zc_mem: Optional[ZerocheckProof] = None
-    mclink_proof: object = None
-    wg_proof: object = None
-    mc_evals: Optional[Dict[str, int]] = None
-    wg_sum: int = 0
+    glk_sum: object
+    links: list
+    gr_sums: Dict[str, object]
+    hr_sum: object
+    # LOAD/STORE linkage sums: per-byte-slot, byte-counter chain, and the
+    # memcheck byte-row side.
+    gm_sums: list
+    gb1_sum: object
+    gb2_sum: object
+    wg_sum: object
 
 
 # ---------------------------------------------------------------------------
@@ -896,21 +879,62 @@ def _trace_decode_arrays(trace):
     )
 
 
-def prove_bytecode(F, transcript, trace, program: bytes, entry_pc: int,
-                   segments, num_vars: int,
-                   reg_cols: Dict[str, np.ndarray], reg_state,
-                   pcs_cols: Dict[str, np.ndarray], pcs_state,
-                   hash_mode: str = "sha3", outputs=None, final_pc: int = 0,
-                   validity_info=None,
-                   memcheck_info=None,
-                   _forge_hook=None,
-                   _unsafe_skip_self_checks=False) -> BytecodeProof:
-    from ..commitments.ligero import (
-        LigeroClaim,
-        _row_col_weights,
-        ligero_commit,
-        ligero_prove_claims,
-    )
+class BytecodeArgument:
+    """Prover-side phased argument (prover/unified.py harness): the
+    fetch/decode argument, control-flow/output-tape/linkage chains, the
+    LOAD/STORE memcheck linkage, and the per-table query links — sharing
+    the unified data/advice commitments with every other argument.
+
+    Cross-argument references: ``reg_arg`` (RegcheckArgument) supplies
+    the proven operand columns, ``core_arg`` the v2 PCS columns (pc /
+    next_pc / flags), ``validity_info`` the validity argument's per-table
+    committed query columns, ``mem_arg`` (MemcheckArgument) the byte-row
+    columns; claims against them route through their locmaps."""
+
+    ns = "bc"
+
+    def __init__(self, F, trace, program: bytes, entry_pc: int, segments,
+                 num_vars: int, reg_arg, core_arg, validity_arg, mem_arg,
+                 outputs=None, final_pc: int = 0, forge_hook=None,
+                 unsafe_skip_self_checks=False):
+        self.F = F
+        self.trace = trace
+        self.program = program
+        self.entry_pc = entry_pc
+        self.segments = segments
+        self.num_vars = num_vars
+        self.reg_arg = reg_arg
+        self.core_arg = core_arg
+        self.validity_arg = validity_arg
+        self.mem_arg = mem_arg
+        self.outputs = outputs
+        self.final_pc = final_pc
+        self._forge_hook = forge_hook
+        self._unsafe = unsafe_skip_self_checks
+        self.locmap = {}
+        self.proof: Optional[BytecodeProof] = None
+
+    def data_phase(self, transcript) -> Dict[str, np.ndarray]:
+        return _bc_data_phase(self, transcript)
+
+    def advice_phase(self, transcript) -> Dict[str, np.ndarray]:
+        return _bc_advice_phase(self, transcript)
+
+    def zerocheck_phase(self, transcript, sink) -> None:
+        _bc_zerocheck_phase(self, transcript, sink)
+
+
+def _bc_data_phase(self: BytecodeArgument, transcript) -> Dict[str, np.ndarray]:
+    F, trace = self.F, self.trace
+    program, entry_pc, segments = self.program, self.entry_pc, self.segments
+    num_vars = self.num_vars
+    reg_cols = self.reg_arg.cols
+    # Per-table committed query columns retained by the validity argument
+    # (its data phase ran first in the harness order).
+    validity_info = self.validity_info = self.validity_arg.linkage_info()
+    _forge_hook = self._forge_hook
+    _unsafe_skip_self_checks = self._unsafe
+    outputs = self.outputs
 
     p = F.MODULUS
     if p >= (1 << 31):
@@ -1087,19 +1111,37 @@ def prove_bytecode(F, transcript, trace, program: bytes, entry_pc: int,
     transcript.append_bytes(b"BC_BEGIN")
     transcript.append_u64(n)
     transcript.append_u64(table.num_vars)
-    lk_state = ligero_commit(F, lk, hash_mode)
-    transcript.append_bytes(lk_state.root)
-    m_state = ligero_commit(F, {"m": m_col}, hash_mode)
-    transcript.append_bytes(b"BC_MULT")
-    transcript.append_bytes(m_state.root)
     # RANGE16 multiplicities for the adder limbs (full padded domain).
     m_r = np.zeros(1 << 16, dtype=np.uint64)
     for name, coef in RANGED:
         m_r += np.bincount((np.uint64(coef) * lk[name]).astype(np.int64),
                            minlength=1 << 16).astype(np.uint64)
-    mr_state = ligero_commit(F, {"m": m_r}, hash_mode)
-    transcript.append_bytes(b"BC_RMULT")
-    transcript.append_bytes(mr_state.root)
+
+    self.n = n
+    self.table = table
+    self.lk = lk
+    self.m_col = m_col
+    self.m_r = m_r
+    self.outs = outs
+    return {**lk, "m_prog": m_col, "m_r16": m_r}
+
+
+def _bc_advice_phase(self: BytecodeArgument, transcript) -> Dict[str, np.ndarray]:
+    F, trace = self.F, self.trace
+    entry_pc, num_vars = self.entry_pc, self.num_vars
+    n, table, lk = self.n, self.table, self.lk
+    m_col, m_r, outs = self.m_col, self.m_r, self.outs
+    reg_cols = self.reg_arg.cols
+    pcs_cols = self.core_arg.columns
+    validity_info = self.validity_info
+    memcheck_info = dict(
+        cols=self.mem_arg.cols, num_accesses=self.mem_arg.A,
+        num_vars=self.mem_arg.num_vars,
+    )
+    _unsafe_skip_self_checks = self._unsafe
+    p = F.MODULUS
+    P64 = np.uint64(p)
+    from .linkage import link_deltas, link_denominators
 
     # Fingerprint challenges (nonce retry on zero denominators).
     sel = le_table(n - 1, num_vars)
@@ -1218,10 +1260,7 @@ def prove_bytecode(F, transcript, trace, program: bytes, entry_pc: int,
         g_cols_all[f"g_m{k}"] = mem_sels[k] * mem_dens[k].inv()
     g_cols_all["g_b1"] = sel1 * den_b1.inv()
     g_cols_all["g_b2"] = sel2 * den_b2.inv()
-    g_state = ligero_commit(F, pack_g_coords(g_cols_all), hash_mode)
-    h_state = ligero_commit(F, pack_g_coords({"h": h_col}), hash_mode)
     h_r = (tau_r - idx_table(16, p)).inv() * (m_r % P64)
-    hr_state = ligero_commit(F, pack_g_coords({"h": h_r}), hash_mode)
     g_sum = g_bc.sum()
     h_sum = h_col.sum()
     gc1_sum = g_c1.sum()
@@ -1234,7 +1273,6 @@ def prove_bytecode(F, transcript, trace, program: bytes, entry_pc: int,
     gb1_sum = g_cols_all["g_b1"].sum()
     gb2_sum = g_cols_all["g_b2"].sum()
     transcript.append_bytes(b"BC_G")
-    transcript.append_bytes(g_state.root)
     absorb_ext(transcript, g_sum)
     absorb_ext(transcript, gc1_sum)
     absorb_ext(transcript, gc2_sum)
@@ -1247,10 +1285,8 @@ def prove_bytecode(F, transcript, trace, program: bytes, entry_pc: int,
     absorb_ext(transcript, gb1_sum)
     absorb_ext(transcript, gb2_sum)
     transcript.append_bytes(b"BC_H")
-    transcript.append_bytes(h_state.root)
     absorb_ext(transcript, h_sum)
     transcript.append_bytes(b"BC_HR")
-    transcript.append_bytes(hr_state.root)
     absorb_ext(transcript, hr_sum)
     if not _unsafe_skip_self_checks:
         if sum(gr_sums.values()) != hr_sum:
@@ -1268,6 +1304,81 @@ def prove_bytecode(F, transcript, trace, program: bytes, entry_pc: int,
         pub_sum = den_pub.inv().sum() if len(outs) else ext_lift(0)
         if gout_sum != pub_sum:
             raise AssertionError("bytecode argument violated: output tape mismatch")
+
+    # Memory-side linkage advice: one inverse column over the memcheck
+    # byte-row domain (proven against the memcheck columns in the
+    # zerocheck phase).
+    mcc = memcheck_info["cols"]
+    A = memcheck_info["num_accesses"]
+    mvv = memcheck_info["num_vars"]
+    idx_A = np.arange(1 << mvv, dtype=np.uint64) % P64
+    kap_w = ep[0] * idx_A
+    for j in range(4):
+        kap_w = kap_w + ep[1 + j] * mcc[f"ba{j}"]
+    kap_w = kap_w + ep[5] * mcc["bk"] + ep[6] * mcc["vw"] + ep[7] * mcc["st"]
+    sel_w = le_table(A - 1, mvv)
+    g_lnk = sel_w * (tau_w - kap_w).inv()
+    wg_sum = g_lnk.sum()
+    transcript.append_bytes(b"BC_WLNK")
+    absorb_ext(transcript, wg_sum)
+    if sum(gm_sums) != wg_sum and not _unsafe_skip_self_checks:
+        raise AssertionError(
+            "bytecode argument violated: memory access/step multiset mismatch"
+        )
+
+    # Query-side linkage advice (constraints/linkage.py): per-table g_lk
+    # inverse columns over the validity query domains.
+    from .linkage import build_query_link_advice
+
+    lk_advice, link_total = build_query_link_advice(
+        F, transcript, validity_info, tau_l, delta
+    )
+    if link_total != glk_sum and not _unsafe_skip_self_checks:
+        raise AssertionError(
+            "bytecode argument violated: lookup-queries/steps multiset mismatch"
+        )
+
+    self.sel, self.sel1, self.sel2, self.idx = sel, sel1, sel2, idx
+    self.nonce = nonce
+    self.challenges = (tau, gamma, tau_c, beta_c, tau_o, beta_o, tau_l,
+                       delta, tau_r, tau_w, eps)
+    self.ep = ep
+    self.kap_t = kap_t
+    self.g_cols_all = g_cols_all
+    self.g_coords = pack_g_coords(g_cols_all)
+    self.h_col, self.h_r = h_col, h_r
+    self.g_lnk, self.sel_w, self.idx_A = g_lnk, sel_w, idx_A
+    self.A, self.mvv, self.mcc = A, mvv, mcc
+    self.sums = dict(
+        g_sum=g_sum, h_sum=h_sum, gc1_sum=gc1_sum, gc2_sum=gc2_sum,
+        gout_sum=gout_sum, glk_sum=glk_sum, gr_sums=gr_sums, hr_sum=hr_sum,
+        gm_sums=gm_sums, gb1_sum=gb1_sum, gb2_sum=gb2_sum, wg_sum=wg_sum,
+    )
+    out = dict(self.g_coords)
+    out.update(pack_g_coords({"h_prog": h_col, "h_r16": h_r,
+                              "g_lnk": g_lnk}))
+    out.update(lk_advice)
+    return out
+
+
+def _bc_zerocheck_phase(self: BytecodeArgument, transcript, sink) -> None:
+    F, trace = self.F, self.trace
+    entry_pc, num_vars = self.entry_pc, self.num_vars
+    padded = 1 << num_vars
+    final_pc = self.final_pc
+    n, table, lk = self.n, self.table, self.lk
+    m_col, m_r = self.m_col, self.m_r
+    reg_cols = self.reg_arg.cols
+    pcs_cols = self.core_arg.columns
+    validity_info = self.validity_info
+    p = F.MODULUS
+    P64 = np.uint64(p)
+    (tau, gamma, tau_c, beta_c, tau_o, beta_o, tau_l, delta, tau_r,
+     tau_w, eps) = self.challenges
+    ep, kap_t = self.ep, self.kap_t
+    sel, sel1, sel2, idx = self.sel, self.sel1, self.sel2, self.idx
+    g_cols_all, h_col, h_r = self.g_cols_all, self.h_col, self.h_r
+    s = self.sums
 
     # Step-domain zerocheck (extension challenges throughout).
     zc_cols = dict(lk)
@@ -1307,126 +1418,107 @@ def prove_bytecode(F, transcript, trace, program: bytes, entry_pc: int,
         F, r_cols, r_combiner, BYTECODE_DEGREE, num_alphas=1,
     ).prove(transcript)
 
-    # Ligero bindings at the step-zerocheck point.
-    a, b = _row_col_weights(zc.final_point, lk_state.cn)
-    lk_proof = ligero_prove_claims(lk_state, [LigeroClaim(a=a, b=b, values={})], transcript)
-    ag, bg = _row_col_weights(zc.final_point, g_state.cn)
-    g_proof = ligero_prove_claims(g_state, [
-        LigeroClaim(a=ag, b=bg, values={}),
-        LigeroClaim(a=np.ones(g_state.m, dtype=np.uint64),
-                    b=np.ones(g_state.n, dtype=np.uint64), values={}),
-    ], transcript)
-    # External commitments: full-column eval claims at the SAME point.
-    ar, br = _row_col_weights(zc.final_point, reg_state.cn)
-    reg_proof = ligero_prove_claims(reg_state, [LigeroClaim(a=ar, b=br, values={})], transcript)
-    ap, bp = _row_col_weights(zc.final_point, pcs_state.cn)
-    pcs_proof = ligero_prove_claims(pcs_state, [LigeroClaim(a=ap, b=bp, values={})], transcript)
-    reg_evals = {
-        name: _mle_eval(reg_cols[name], zc.final_point, p)
-        for name in reg_state.names
-    }
-    pcs_evals = {
-        name: _mle_eval(pcs_cols[name] % P64, zc.final_point, p)
-        for name in pcs_state.names
-    }
-    for name in sorted(reg_evals):
-        absorb_ext(transcript, reg_evals[name])
-    for name in sorted(pcs_evals):
-        absorb_ext(transcript, pcs_evals[name])
+    # Claims at the step-zerocheck point: own lk/g columns via this
+    # argument's locmap, ref_* columns via the regcheck / v2-core maps.
+    register_bc_step_claims(self, sink, zc)
 
-    # Table-side bindings.
-    am, bm = _row_col_weights(zc_t.final_point, m_state.cn)
-    m_proof = ligero_prove_claims(m_state, [LigeroClaim(a=am, b=bm, values={})], transcript)
-    ah, bh = _row_col_weights(zc_t.final_point, h_state.cn)
-    h_proof = ligero_prove_claims(h_state, [
-        LigeroClaim(a=ah, b=bh, values={}),
-        LigeroClaim(a=np.ones(h_state.m, dtype=np.uint64),
-                    b=np.ones(h_state.n, dtype=np.uint64), values={}),
-    ], transcript)
-    # Range-domain bindings.
-    amr, bmr = _row_col_weights(zc_r.final_point, mr_state.cn)
-    mr_proof = ligero_prove_claims(
-        mr_state, [LigeroClaim(a=amr, b=bmr, values={})], transcript
-    )
-    ahr, bhr = _row_col_weights(zc_r.final_point, hr_state.cn)
-    hr_proof = ligero_prove_claims(hr_state, [
-        LigeroClaim(a=ahr, b=bhr, values={}),
-        LigeroClaim(a=np.ones(hr_state.m, dtype=np.uint64),
-                    b=np.ones(hr_state.n, dtype=np.uint64), values={}),
-    ], transcript)
+    # Table-side claims (program domain): local zc names "m"/"h#e" map to
+    # the committed "m_prog"/"h_prog#e" columns.
+    register_bc_table_claims(self, sink, zc_t, "m_prog", "h_prog")
+    register_bc_table_claims(self, sink, zc_r, "m_r16", "h_r16")
 
     # Witness linkage, query side (constraints/linkage.py): per-table
     # zerochecks proving the g_lk inverse columns against the validity
     # argument's committed query representation.
-    links, link_total = prove_query_links(
-        F, transcript, validity_info, tau_l, delta, hash_mode
-    )
-    if link_total != glk_sum and not _unsafe_skip_self_checks:
-        raise AssertionError(
-            "bytecode argument violated: lookup-queries/steps multiset mismatch"
-        )
+    from .linkage import prove_query_links
 
-    # Memory-side linkage: one inverse column over the memcheck byte-row
-    # domain, bound to the memcheck column commitment at a fresh point.
-    mcc = memcheck_info["cols"]
-    mc_state = memcheck_info["state"]
-    A = memcheck_info["num_accesses"]
-    mvv = memcheck_info["num_vars"]
-    idx_A = np.arange(1 << mvv, dtype=np.uint64) % P64
-    kap_w = ep[0] * idx_A
-    for j in range(4):
-        kap_w = kap_w + ep[1 + j] * mcc[f"ba{j}"]
-    kap_w = kap_w + ep[5] * mcc["bk"] + ep[6] * mcc["vw"] + ep[7] * mcc["st"]
-    sel_w = le_table(A - 1, mvv)
-    g_lnk = sel_w * (tau_w - kap_w).inv()
-    wg_state = ligero_commit(F, pack_g_coords({"g_lnk": g_lnk}), hash_mode)
-    wg_sum = g_lnk.sum()
-    transcript.append_bytes(b"BC_WLNK")
-    transcript.append_bytes(wg_state.root)
-    absorb_ext(transcript, wg_sum)
-    if sum(gm_sums) != wg_sum and not _unsafe_skip_self_checks:
-        raise AssertionError(
-            "bytecode argument violated: memory access/step multiset mismatch"
-        )
-    wl_combiner, _ = _make_memlink_combiner(tau_w, ep, A, mvv, p)
-    wl_cols = {"__sel__": sel_w, "__idx__": idx_A}
-    wl_cols.update(pack_g_coords({"g_lnk": g_lnk}))
+    links = prove_query_links(F, transcript, sink, validity_info,
+                              tau_l, delta, self.locmap)
+
+    # Memory-side linkage zerocheck over the memcheck byte-row domain.
+    wl_combiner, _ = _make_memlink_combiner(tau_w, ep, self.A, self.mvv, p)
+    wl_cols = {"__sel__": self.sel_w, "__idx__": self.idx_A}
+    wl_cols.update(pack_g_coords({"g_lnk": self.g_lnk}))
     for name in ("ba0", "ba1", "ba2", "ba3", "bk", "vw", "st"):
-        wl_cols[f"ref_{name}"] = mcc[name]
+        wl_cols[f"ref_{name}"] = self.mcc[name]
     zc_mem = ZerocheckExtProver(F, wl_cols, wl_combiner, MEMLINK_DEGREE,
                                 num_alphas=1).prove(transcript)
-    awl, bwl = _row_col_weights(zc_mem.final_point, mc_state.cn)
-    mclink_proof = ligero_prove_claims(
-        mc_state, [LigeroClaim(a=awl, b=bwl, values={})], transcript
-    )
-    awg, bwg = _row_col_weights(zc_mem.final_point, wg_state.cn)
-    wg_proof = ligero_prove_claims(wg_state, [
-        LigeroClaim(a=awg, b=bwg, values={}),
-        LigeroClaim(a=np.ones(wg_state.m, dtype=np.uint64),
-                    b=np.ones(wg_state.n, dtype=np.uint64), values={}),
-    ], transcript)
-    mc_evals = {
-        name: _mle_eval(mcc[name], zc_mem.final_point, p)
-        for name in mc_state.names
-    }
-    for name in sorted(mc_evals):
-        absorb_ext(transcript, mc_evals[name])
+    register_bc_memlink_claims(self, sink, zc_mem)
 
-    return BytecodeProof(
-        nonce=nonce, num_vars=num_vars, table_vars=table.num_vars,
-        root_lk=lk_state.root, root_m=m_state.root, root_g=g_state.root,
-        root_h=h_state.root, zc=zc, zc_table=zc_t, lk_proof=lk_proof,
-        g_proof=g_proof, m_proof=m_proof, h_proof=h_proof,
-        reg_proof=reg_proof, pcs_proof=pcs_proof,
-        reg_evals=reg_evals, pcs_evals=pcs_evals, g_sum=g_sum, h_sum=h_sum,
-        gc1_sum=gc1_sum, gc2_sum=gc2_sum, gout_sum=gout_sum,
-        glk_sum=glk_sum, links=links,
-        root_mr=mr_state.root, root_hr=hr_state.root, zc_range=zc_r,
-        mr_proof=mr_proof, hr_proof=hr_proof, gr_sums=gr_sums, hr_sum=hr_sum,
-        gm_sums=gm_sums, gb1_sum=gb1_sum, gb2_sum=gb2_sum,
-        root_wg=wg_state.root, zc_mem=zc_mem, mclink_proof=mclink_proof,
-        wg_proof=wg_proof, mc_evals=mc_evals, wg_sum=wg_sum,
+    self.proof = BytecodeProof(
+        nonce=self.nonce, num_vars=num_vars, table_vars=table.num_vars,
+        zc=zc, zc_table=zc_t, zc_range=zc_r, zc_mem=zc_mem,
+        g_sum=s["g_sum"], h_sum=s["h_sum"], gc1_sum=s["gc1_sum"],
+        gc2_sum=s["gc2_sum"], gout_sum=s["gout_sum"], glk_sum=s["glk_sum"],
+        links=links, gr_sums=s["gr_sums"], hr_sum=s["hr_sum"],
+        gm_sums=s["gm_sums"], gb1_sum=s["gb1_sum"], gb2_sum=s["gb2_sum"],
+        wg_sum=s["wg_sum"],
     )
+
+
+def register_bc_step_claims(arg, sink, zc) -> None:
+    """Shared prover/verifier claim schedule for the step zerocheck: own
+    columns via arg.locmap; ref_* via the regcheck / v2-core locmaps."""
+    reg_locmap = arg.reg_arg.locmap
+    pcs_locmap = arg.core_arg.locmap
+    reg_refs = {f"ref_{n}": n for n in _REG_REFS}
+    pcs_refs = {f"ref_{n}": n for n in _PCS_REFS}
+    for name in sorted(zc.column_evals):
+        if name in reg_refs:
+            ck, fn, v = reg_locmap[reg_refs[name]]
+        elif name in pcs_refs:
+            ck, fn, v = pcs_locmap[pcs_refs[name]]
+        else:
+            ck, fn, v = arg.locmap[name]
+        sink.eval_claim(ck, fn, v, zc.final_point, zc.column_evals[name])
+    from ..core.ext4 import ext_lift as _lift
+
+    s = arg.sums
+    g_sums = {
+        "g_bc": s["g_sum"], "g_c1": s["gc1_sum"], "g_c2": s["gc2_sum"],
+        "g_out": s["gout_sum"], "g_lk_s": s["glk_sum"],
+        "g_b1": s["gb1_sum"], "g_b2": s["gb2_sum"],
+    }
+    for name, _ in RANGED:
+        g_sums[f"gr_{name}"] = s["gr_sums"][name]
+    for k in range(8):
+        g_sums[f"g_m{k}"] = s["gm_sums"][k]
+    for g in sorted(g_sums):
+        for e in range(4):
+            ck, fn, v = arg.locmap[f"{g}#{e}"]
+            sink.sum_claim(ck, fn, v, _lift(int(g_sums[g].c[e])))
+
+
+def register_bc_table_claims(arg, sink, zc_t, m_name: str, h_name: str) -> None:
+    from ..core.ext4 import ext_lift as _lift
+
+    for name in sorted(zc_t.column_evals):
+        if name == "m":
+            ck, fn, v = arg.locmap[m_name]
+        else:  # "h#e"
+            ck, fn, v = arg.locmap[f"{h_name}{name[1:]}"]
+        sink.eval_claim(ck, fn, v, zc_t.final_point, zc_t.column_evals[name])
+    h_sum = arg.sums["h_sum"] if h_name == "h_prog" else arg.sums["hr_sum"]
+    for e in range(4):
+        ck, fn, v = arg.locmap[f"{h_name}#{e}"]
+        sink.sum_claim(ck, fn, v, _lift(int(h_sum.c[e])))
+
+
+def register_bc_memlink_claims(arg, sink, zc_mem) -> None:
+    from ..core.ext4 import ext_lift as _lift
+
+    mc_locmap = arg.mem_arg.locmap
+    wl_refs = {f"ref_{n}": n for n in ("ba0", "ba1", "ba2", "ba3", "bk", "vw", "st")}
+    for name in sorted(zc_mem.column_evals):
+        if name in wl_refs:
+            ck, fn, v = mc_locmap[wl_refs[name]]
+        else:  # "g_lnk#e"
+            ck, fn, v = arg.locmap[name]
+        sink.eval_claim(ck, fn, v, zc_mem.final_point, zc_mem.column_evals[name])
+    wg_sum = arg.sums["wg_sum"]
+    for e in range(4):
+        ck, fn, v = arg.locmap[f"g_lnk#{e}"]
+        sink.sum_claim(ck, fn, v, _lift(int(wg_sum.c[e])))
 
 
 def _mle_eval(col: np.ndarray, rs: List[Ext4], p: int) -> Ext4:
@@ -1444,356 +1536,248 @@ def _mle_eval(col: np.ndarray, rs: List[Ext4], p: int) -> Ext4:
 # Verifier
 
 
-def verify_bytecode(F, transcript, bc: BytecodeProof, program: bytes,
-                    entry_pc: int, num_steps: int, num_vars: int,
-                    reg_root: bytes, reg_names: List[str],
-                    pcs_root: bytes, pcs_names: List[str],
-                    hash_mode: str = "sha3", outputs=None, final_pc: int = 0,
-                    lv_tables=None, mc=None) -> bool:
-    from ..commitments.ligero import (
-        LigeroClaim,
-        LigeroParams,
-        _row_col_weights,
-        ligero_verify_claims,
-    )
+BC_G_NAMES = (["g_bc", "g_c1", "g_c2", "g_out", "g_lk_s", "g_b1", "g_b2"]
+              + [f"gr_{name}" for name, _ in RANGED]
+              + [f"g_m{k}" for k in range(8)])
 
-    p = F.MODULUS
-    if bc.num_vars != num_vars:
-        return False
-    table = build_bytecode_table(program, entry_pc, None, p)
-    if bc.table_vars != table.num_vars:
-        return False
-    if table.addrs.size and int(table.addrs.max()) >= ADDR_BOUND:
-        return False  # protocol rule: addresses < 2^29 (see ADDR_BOUND)
 
-    transcript.append_bytes(b"BC_BEGIN")
-    transcript.append_u64(num_steps)
-    transcript.append_u64(table.num_vars)
-    transcript.append_bytes(bc.root_lk)
-    transcript.append_bytes(b"BC_MULT")
-    transcript.append_bytes(bc.root_m)
-    transcript.append_bytes(b"BC_RMULT")
-    transcript.append_bytes(bc.root_mr)
+class BytecodeVerify:
+    """Verifier-side phased argument (prover/unified.py harness).  Needs
+    the regcheck / v2-core / validity / memcheck verify-args for their
+    locmaps (cross-argument reference claims)."""
 
-    if not (0 <= bc.nonce <= MAX_NONCE):
-        return False
-    transcript.append_bytes(b"BC_CHAL")
-    transcript.append_u64(bc.nonce)
-    tau = challenge_ext(transcript)
-    gamma = challenge_ext(transcript)
-    tau_c = challenge_ext(transcript)
-    beta_c = challenge_ext(transcript)
-    tau_o = challenge_ext(transcript)
-    beta_o = challenge_ext(transcript)
-    tau_l = challenge_ext(transcript)
-    delta = challenge_ext(transcript)
-    tau_r = challenge_ext(transcript)
-    tau_w = challenge_ext(transcript)
-    eps = challenge_ext(transcript)
-    if not high_coords_nonzero(tau_r):
-        return False
-    ep = _eps_powers(eps, p)
-    kap_t = table.kappa(gamma, p)
-    if np.any((tau - kap_t).is_zero()):
-        return False
-    # Public side of the output-tape logUp: the verifier sums it itself.
-    outs = [int(v) & _int64_mask for v in (outputs or [])]
-    ob = _out_betas(beta_o, p)
-    pub_sum = ext_lift(0)
-    for j, v in enumerate(outs):
-        key = ob[0] * (j % p)
-        for k in range(4):
-            key = key + ob[k + 1] * ((v >> (16 * k)) & 0xFFFF)
-        den = tau_o - key
-        if bool(den.is_zero()):
+    ns = "bc"
+
+    def __init__(self, F, bc: BytecodeProof, program: bytes, entry_pc: int,
+                 num_steps: int, num_vars: int, reg_arg, core_arg,
+                 validity_arg, mem_arg, outputs=None, final_pc: int = 0):
+        self.F = F
+        self.bc = bc
+        self.program = program
+        self.entry_pc = entry_pc
+        self.num_steps = num_steps
+        self.num_vars = num_vars
+        self.reg_arg = reg_arg
+        self.core_arg = core_arg
+        self.validity_arg = validity_arg
+        self.mem_arg = mem_arg
+        self.outputs = outputs
+        self.final_pc = final_pc
+        self.locmap = {}
+
+    def data_phase(self, transcript):
+        bc = self.bc
+        if not isinstance(bc, BytecodeProof):
+            return None
+        p = self.F.MODULUS
+        if bc.num_vars != self.num_vars:
+            return None
+        table = build_bytecode_table(self.program, self.entry_pc, None, p)
+        if bc.table_vars != table.num_vars:
+            return None
+        if table.addrs.size and int(table.addrs.max()) >= ADDR_BOUND:
+            return None  # protocol rule: addresses < 2^29 (see ADDR_BOUND)
+        if not (0 <= bc.nonce <= MAX_NONCE):
+            return None
+
+        transcript.append_bytes(b"BC_BEGIN")
+        transcript.append_u64(self.num_steps)
+        transcript.append_u64(table.num_vars)
+        self.table = table
+        shape = {name: self.num_vars for name in sorted(LINK_COLUMNS)}
+        shape["m_prog"] = table.num_vars
+        shape["m_r16"] = 16
+        return shape
+
+    def advice_phase(self, transcript):
+        from .linkage import verify_query_link_sums
+
+        bc, F = self.bc, self.F
+        p = F.MODULUS
+        transcript.append_bytes(b"BC_CHAL")
+        transcript.append_u64(bc.nonce)
+        tau = challenge_ext(transcript)
+        gamma = challenge_ext(transcript)
+        tau_c = challenge_ext(transcript)
+        beta_c = challenge_ext(transcript)
+        tau_o = challenge_ext(transcript)
+        beta_o = challenge_ext(transcript)
+        tau_l = challenge_ext(transcript)
+        delta = challenge_ext(transcript)
+        tau_r = challenge_ext(transcript)
+        tau_w = challenge_ext(transcript)
+        eps = challenge_ext(transcript)
+        if not high_coords_nonzero(tau_r):
+            return None
+        ep = _eps_powers(eps, p)
+        kap_t = self.table.kappa(gamma, p)
+        if np.any((tau - kap_t).is_zero()):
+            return None
+        # Public side of the output-tape logUp: the verifier sums it itself.
+        outs = [int(v) & _int64_mask for v in (self.outputs or [])]
+        ob = _out_betas(beta_o, p)
+        pub_sum = ext_lift(0)
+        for j, v in enumerate(outs):
+            key = ob[0] * (j % p)
+            for k in range(4):
+                key = key + ob[k + 1] * ((v >> (16 * k)) & 0xFFFF)
+            den = tau_o - key
+            if bool(den.is_zero()):
+                return None
+            pub_sum = pub_sum + den.inv()
+
+        gr_sums_in = bc.gr_sums or {}
+        gm_in = list(bc.gm_sums or [])
+        ext_sums = ([bc.g_sum, bc.gc1_sum, bc.gc2_sum, bc.gout_sum, bc.glk_sum,
+                     bc.h_sum, bc.hr_sum, bc.gb1_sum, bc.gb2_sum, bc.wg_sum]
+                    + list(gr_sums_in.values()) + gm_in)
+        if not all(isinstance(v, Ext4) and v.is_scalar for v in ext_sums):
+            return None
+        if set(gr_sums_in) != {name for name, _ in RANGED}:
+            return None
+        if len(gm_in) != 8:
+            return None
+        transcript.append_bytes(b"BC_G")
+        absorb_ext(transcript, bc.g_sum)
+        absorb_ext(transcript, bc.gc1_sum)
+        absorb_ext(transcript, bc.gc2_sum)
+        absorb_ext(transcript, bc.gout_sum)
+        absorb_ext(transcript, bc.glk_sum)
+        for name, _ in RANGED:
+            absorb_ext(transcript, gr_sums_in[name])
+        for v in gm_in:
+            absorb_ext(transcript, v)
+        absorb_ext(transcript, bc.gb1_sum)
+        absorb_ext(transcript, bc.gb2_sum)
+        transcript.append_bytes(b"BC_H")
+        absorb_ext(transcript, bc.h_sum)
+        transcript.append_bytes(b"BC_HR")
+        absorb_ext(transcript, bc.hr_sum)
+        # Grand equations.
+        if bc.g_sum != bc.h_sum:
+            return None
+        if bc.gc1_sum != bc.gc2_sum:
+            return None
+        if bc.gout_sum != pub_sum:
+            return None
+        if sum(gr_sums_in.values()) != bc.hr_sum:
+            return None
+        if bc.gb1_sum != bc.gb2_sum:
+            return None
+        if sum(gm_in) != bc.wg_sum:
+            return None
+
+        # Memory-side linkage sum, then per-table query-link sums.
+        transcript.append_bytes(b"BC_WLNK")
+        absorb_ext(transcript, bc.wg_sum)
+        lv_tables = self.validity_arg.lv.tables
+        ok, link_total = verify_query_link_sums(transcript, bc.links or [],
+                                                lv_tables)
+        if not ok or link_total != bc.glk_sum:
+            return None
+
+        self.challenges = (tau, gamma, tau_c, beta_c, tau_o, beta_o, tau_l,
+                           delta, tau_r, tau_w, eps)
+        self.ep = ep
+        self.kap_t = kap_t
+        # Reconstruct the sums dict the shared claim helpers consume.
+        self.sums = dict(
+            g_sum=bc.g_sum, h_sum=bc.h_sum, gc1_sum=bc.gc1_sum,
+            gc2_sum=bc.gc2_sum, gout_sum=bc.gout_sum, glk_sum=bc.glk_sum,
+            gr_sums=gr_sums_in, hr_sum=bc.hr_sum, gm_sums=gm_in,
+            gb1_sum=bc.gb1_sum, gb2_sum=bc.gb2_sum, wg_sum=bc.wg_sum,
+        )
+        mvv = self.mem_arg.mc.num_vars
+        shape = {gc: self.num_vars for gc in g_coord_names(BC_G_NAMES)}
+        for e in range(4):
+            shape[f"h_prog#{e}"] = self.table.num_vars
+            shape[f"h_r16#{e}"] = 16
+            shape[f"g_lnk#{e}"] = mvv
+        for link in bc.links or []:
+            for e in range(4):
+                shape[f"lk{link.table_id}:g_lk#{e}"] = link.num_vars
+        return shape
+
+    def zerocheck_phase(self, transcript, sink) -> bool:
+        from .linkage import verify_query_links
+
+        bc, F = self.bc, self.F
+        p = F.MODULUS
+        (tau, gamma, tau_c, beta_c, tau_o, beta_o, tau_l, delta, tau_r,
+         tau_w, eps) = self.challenges
+        num_vars = self.num_vars
+        table = self.table
+
+        lk_names = sorted(LINK_COLUMNS)
+        expected_cols = (set(lk_names) | set(g_coord_names(BC_G_NAMES))
+                         | {f"ref_{n}" for n in _REG_REFS}
+                         | {f"ref_{n}" for n in _PCS_REFS})
+        if set(bc.zc.column_evals) != expected_cols:
             return False
-        pub_sum = pub_sum + den.inv()
-
-    ext_sums = ([bc.g_sum, bc.gc1_sum, bc.gc2_sum, bc.gout_sum, bc.glk_sum,
-                 bc.h_sum, bc.hr_sum, bc.gb1_sum, bc.gb2_sum, bc.wg_sum]
-                + list((bc.gr_sums or {}).values()) + list(bc.gm_sums or []))
-    if not all(isinstance(v, Ext4) for v in ext_sums):
-        return False
-    transcript.append_bytes(b"BC_G")
-    transcript.append_bytes(bc.root_g)
-    absorb_ext(transcript, bc.g_sum)
-    absorb_ext(transcript, bc.gc1_sum)
-    absorb_ext(transcript, bc.gc2_sum)
-    absorb_ext(transcript, bc.gout_sum)
-    absorb_ext(transcript, bc.glk_sum)
-    gr_sums_in = bc.gr_sums or {}
-    if set(gr_sums_in) != {name for name, _ in RANGED}:
-        return False
-    for name, _ in RANGED:
-        absorb_ext(transcript, gr_sums_in[name])
-    gm_in = list(bc.gm_sums or [])
-    if len(gm_in) != 8:
-        return False
-    for s in gm_in:
-        absorb_ext(transcript, s)
-    absorb_ext(transcript, bc.gb1_sum)
-    absorb_ext(transcript, bc.gb2_sum)
-    transcript.append_bytes(b"BC_H")
-    transcript.append_bytes(bc.root_h)
-    absorb_ext(transcript, bc.h_sum)
-    transcript.append_bytes(b"BC_HR")
-    transcript.append_bytes(bc.root_hr)
-    absorb_ext(transcript, bc.hr_sum)
-    if bc.g_sum != bc.h_sum:
-        return False
-    if bc.gc1_sum != bc.gc2_sum:
-        return False
-    if bc.gout_sum != pub_sum:
-        return False
-    if sum(gr_sums_in.values()) != bc.hr_sum:
-        return False
-    if bc.gb1_sum != bc.gb2_sum:
-        return False
-    if sum(gm_in) != bc.wg_sum:
-        return False
-
-    bc_g_names = (["g_bc", "g_c1", "g_c2", "g_out", "g_lk_s", "g_b1", "g_b2"]
-                  + [f"gr_{name}" for name, _ in RANGED]
-                  + [f"g_m{k}" for k in range(8)])
-    lk_names = sorted(LINK_COLUMNS)
-    expected_cols = (set(lk_names) | set(g_coord_names(bc_g_names))
-                     | {f"ref_{n}" for n in _REG_REFS}
-                     | {f"ref_{n}" for n in _PCS_REFS})
-    if set(bc.zc.column_evals) != expected_cols:
-        return False
-    if bc.zc.num_vars != num_vars or bc.zc.degree != BYTECODE_DEGREE:
-        return False
-    combiner, step_public = _make_step_combiner(
-        tau, gamma, entry_pc % p, num_steps, num_vars, p,
-        tau_c, beta_c, tau_o, beta_o, tau_l, delta, tau_r, tau_w, eps,
-        final_pc,
-    )
-    if not ZerocheckExtVerifier(F, combiner, NUM_BC_CONSTRAINTS,
-                                BYTECODE_DEGREE,
-                                public_evals=step_public).verify(bc.zc, transcript):
-        return False
-
-    if bc.zc_table.num_vars != table.num_vars or bc.zc_table.degree != BYTECODE_DEGREE:
-        return False
-    if set(bc.zc_table.column_evals) != {"m"} | set(g_coord_names(["h"])):
-        return False
-    t_combiner, t_public = _make_table_combiner(tau, kap_t, p)
-    if not ZerocheckExtVerifier(F, t_combiner, 1, BYTECODE_DEGREE,
-                                public_evals=t_public).verify(
-        bc.zc_table, transcript
-    ):
-        return False
-
-    if bc.zc_range is None or bc.zc_range.num_vars != 16:
-        return False
-    if bc.zc_range.degree != BYTECODE_DEGREE:
-        return False
-    if set(bc.zc_range.column_evals) != {"m"} | set(g_coord_names(["h"])):
-        return False
-    key16 = idx_table(16, p)
-    r_combiner, r_public = _make_table_combiner(tau_r, key16, p)
-    if not ZerocheckExtVerifier(F, r_combiner, 1, BYTECODE_DEGREE,
-                                public_evals=r_public).verify(
-        bc.zc_range, transcript
-    ):
-        return False
-
-    params = LigeroParams()
-    # Linkage columns.
-    cn = params.choose_split(num_vars, len(lk_names))
-    a, b = _row_col_weights(bc.zc.final_point, cn)
-    if not ligero_verify_claims(
-        F, bc.root_lk, num_vars, lk_names,
-        [LigeroClaim(a=a, b=b, values={nm: bc.zc.column_evals[nm] for nm in lk_names})],
-        bc.lk_proof, transcript, hash_mode,
-    ):
-        return False
-    # g-column evals + hypercube sums (fetch, counter chain, tape, linkage).
-    g_names = sorted(bc_g_names)
-    gc_names = sorted(g_coord_names(g_names))
-    cn_g = params.choose_split(num_vars, len(gc_names))
-    ag, bg = _row_col_weights(bc.zc.final_point, cn_g)
-    m_g = (1 << num_vars) >> cn_g
-    g_sums = {"g_bc": bc.g_sum, "g_c1": bc.gc1_sum,
-              "g_c2": bc.gc2_sum, "g_out": bc.gout_sum,
-              "g_lk_s": bc.glk_sum}
-    for name, _ in RANGED:
-        g_sums[f"gr_{name}"] = gr_sums_in[name]
-    for k in range(8):
-        g_sums[f"g_m{k}"] = gm_in[k]
-    g_sums["g_b1"] = bc.gb1_sum
-    g_sums["g_b2"] = bc.gb2_sum
-    if not ligero_verify_claims(
-        F, bc.root_g, num_vars, gc_names,
-        [
-            LigeroClaim(a=ag, b=bg,
-                        values={nm: bc.zc.column_evals[nm] for nm in gc_names}),
-            LigeroClaim(a=np.ones(m_g, dtype=np.uint64),
-                        b=np.ones(1 << cn_g, dtype=np.uint64),
-                        values=sum_claim_values(g_sums, g_names)),
-        ],
-        bc.g_proof, transcript, hash_mode,
-    ):
-        return False
-    # External references: the claimed full-column eval dicts must agree
-    # with the zerocheck's terminal evaluations on the referenced names,
-    # and the Ligero claims tie them to the regcheck / v2 PCS roots.
-    if set(bc.reg_evals) != set(reg_names) or set(bc.pcs_evals) != set(pcs_names):
-        return False
-    if not all(isinstance(v, Ext4) for v in bc.reg_evals.values()):
-        return False
-    if not all(isinstance(v, Ext4) for v in bc.pcs_evals.values()):
-        return False
-    for name in _REG_REFS:
-        if bc.reg_evals[name] != bc.zc.column_evals[f"ref_{name}"]:
+        if bc.zc.num_vars != num_vars or bc.zc.degree != BYTECODE_DEGREE:
             return False
-    for name in _PCS_REFS:
-        if bc.pcs_evals[name] != bc.zc.column_evals[f"ref_{name}"]:
+        combiner, step_public = _make_step_combiner(
+            tau, gamma, self.entry_pc % p, self.num_steps, num_vars, p,
+            tau_c, beta_c, tau_o, beta_o, tau_l, delta, tau_r, tau_w, eps,
+            self.final_pc,
+        )
+        if not ZerocheckExtVerifier(F, combiner, NUM_BC_CONSTRAINTS,
+                                    BYTECODE_DEGREE,
+                                    public_evals=step_public).verify(bc.zc, transcript):
             return False
-    cn_r = params.choose_split(num_vars, len(reg_names))
-    ar, br = _row_col_weights(bc.zc.final_point, cn_r)
-    if not ligero_verify_claims(
-        F, reg_root, num_vars, sorted(reg_names),
-        [LigeroClaim(a=ar, b=br,
-                     values={nm: bc.reg_evals[nm] for nm in reg_names})],
-        bc.reg_proof, transcript, hash_mode,
-    ):
-        return False
-    cn_p = params.choose_split(num_vars, len(pcs_names))
-    ap, bp = _row_col_weights(bc.zc.final_point, cn_p)
-    if not ligero_verify_claims(
-        F, pcs_root, num_vars, sorted(pcs_names),
-        [LigeroClaim(a=ap, b=bp,
-                     values={nm: bc.pcs_evals[nm] for nm in pcs_names})],
-        bc.pcs_proof, transcript, hash_mode,
-    ):
-        return False
-    for name in sorted(bc.reg_evals):
-        absorb_ext(transcript, bc.reg_evals[name])
-    for name in sorted(bc.pcs_evals):
-        absorb_ext(transcript, bc.pcs_evals[name])
 
-    # Table side.
-    hc_names = sorted(g_coord_names(["h"]))
-    cn_m = params.choose_split(table.num_vars, 1)
-    am, bm = _row_col_weights(bc.zc_table.final_point, cn_m)
-    if not ligero_verify_claims(
-        F, bc.root_m, table.num_vars, ["m"],
-        [LigeroClaim(a=am, b=bm, values={"m": bc.zc_table.column_evals["m"]})],
-        bc.m_proof, transcript, hash_mode,
-    ):
-        return False
-    cn_h = params.choose_split(table.num_vars, len(hc_names))
-    ah, bh = _row_col_weights(bc.zc_table.final_point, cn_h)
-    m_h = (1 << table.num_vars) >> cn_h
-    if not ligero_verify_claims(
-        F, bc.root_h, table.num_vars, hc_names,
-        [
-            LigeroClaim(a=ah, b=bh,
-                        values={nm: bc.zc_table.column_evals[nm]
-                                for nm in hc_names}),
-            LigeroClaim(a=np.ones(m_h, dtype=np.uint64),
-                        b=np.ones(1 << cn_h, dtype=np.uint64),
-                        values=sum_claim_values({"h": bc.h_sum}, ["h"])),
-        ],
-        bc.h_proof, transcript, hash_mode,
-    ):
-        return False
-    # Range side (2^16 domain).
-    cn_mr = params.choose_split(16, 1)
-    amr, bmr = _row_col_weights(bc.zc_range.final_point, cn_mr)
-    if not ligero_verify_claims(
-        F, bc.root_mr, 16, ["m"],
-        [LigeroClaim(a=amr, b=bmr,
-                     values={"m": bc.zc_range.column_evals["m"]})],
-        bc.mr_proof, transcript, hash_mode,
-    ):
-        return False
-    cn_hr = params.choose_split(16, len(hc_names))
-    ahr, bhr = _row_col_weights(bc.zc_range.final_point, cn_hr)
-    m_hr = (1 << 16) >> cn_hr
-    if not ligero_verify_claims(
-        F, bc.root_hr, 16, hc_names,
-        [
-            LigeroClaim(a=ahr, b=bhr,
-                        values={nm: bc.zc_range.column_evals[nm]
-                                for nm in hc_names}),
-            LigeroClaim(a=np.ones(m_hr, dtype=np.uint64),
-                        b=np.ones(1 << cn_hr, dtype=np.uint64),
-                        values=sum_claim_values({"h": bc.hr_sum}, ["h"])),
-        ],
-        bc.hr_proof, transcript, hash_mode,
-    ):
-        return False
-
-    # Witness linkage, query side: every gadget-covered validity table
-    # must carry a link record, and the two logUp sums must agree.
-    from .linkage import verify_query_links
-
-    ok, link_total = verify_query_links(
-        F, transcript, bc.links or [], lv_tables or [], tau_l, delta, hash_mode
-    )
-    if not ok:
-        return False
-    if link_total != bc.glk_sum:
-        return False
-
-    # Memory-side linkage over the memcheck byte-row domain.
-    if mc is None or bc.zc_mem is None:
-        return False
-    from .memcheck import COLUMNS as MC_COLUMNS
-
-    A = mc.num_accesses
-    mvv = mc.num_vars
-    transcript.append_bytes(b"BC_WLNK")
-    transcript.append_bytes(bc.root_wg)
-    absorb_ext(transcript, bc.wg_sum)
-    wl_refs = ("ba0", "ba1", "ba2", "ba3", "bk", "vw", "st")
-    wg_names = sorted(g_coord_names(["g_lnk"]))
-    if bc.zc_mem.num_vars != mvv or bc.zc_mem.degree != MEMLINK_DEGREE:
-        return False
-    if set(bc.zc_mem.column_evals) != set(wg_names) | {f"ref_{n}" for n in wl_refs}:
-        return False
-    wl_combiner, wl_public = _make_memlink_combiner(tau_w, ep, A, mvv, p)
-    if not ZerocheckExtVerifier(F, wl_combiner, 1, MEMLINK_DEGREE,
-                                public_evals=wl_public).verify(
-        bc.zc_mem, transcript
-    ):
-        return False
-    mc_names = sorted(MC_COLUMNS)
-    if set(bc.mc_evals or {}) != set(mc_names):
-        return False
-    if not all(isinstance(v, Ext4) for v in bc.mc_evals.values()):
-        return False
-    for name in wl_refs:
-        if bc.mc_evals[name] != bc.zc_mem.column_evals[f"ref_{name}"]:
+        if bc.zc_table.num_vars != table.num_vars or bc.zc_table.degree != BYTECODE_DEGREE:
             return False
-    cn_mc = params.choose_split(mvv, len(mc_names))
-    awl, bwl = _row_col_weights(bc.zc_mem.final_point, cn_mc)
-    if not ligero_verify_claims(
-        F, mc.root_cols, mvv, mc_names,
-        [LigeroClaim(a=awl, b=bwl,
-                     values={nm: bc.mc_evals[nm] for nm in mc_names})],
-        bc.mclink_proof, transcript, hash_mode,
-    ):
-        return False
-    cn_wg = params.choose_split(mvv, len(wg_names))
-    awg, bwg = _row_col_weights(bc.zc_mem.final_point, cn_wg)
-    m_wg = (1 << mvv) >> cn_wg
-    if not ligero_verify_claims(
-        F, bc.root_wg, mvv, wg_names,
-        [
-            LigeroClaim(a=awg, b=bwg,
-                        values={nm: bc.zc_mem.column_evals[nm]
-                                for nm in wg_names}),
-            LigeroClaim(a=np.ones(m_wg, dtype=np.uint64),
-                        b=np.ones(1 << cn_wg, dtype=np.uint64),
-                        values=sum_claim_values({"g_lnk": bc.wg_sum},
-                                                ["g_lnk"])),
-        ],
-        bc.wg_proof, transcript, hash_mode,
-    ):
-        return False
-    for name in sorted(bc.mc_evals):
-        absorb_ext(transcript, bc.mc_evals[name])
-    return True
+        if set(bc.zc_table.column_evals) != {"m"} | set(g_coord_names(["h"])):
+            return False
+        t_combiner, t_public = _make_table_combiner(tau, self.kap_t, p)
+        if not ZerocheckExtVerifier(F, t_combiner, 1, BYTECODE_DEGREE,
+                                    public_evals=t_public).verify(
+            bc.zc_table, transcript
+        ):
+            return False
+
+        if bc.zc_range is None or bc.zc_range.num_vars != 16:
+            return False
+        if bc.zc_range.degree != BYTECODE_DEGREE:
+            return False
+        if set(bc.zc_range.column_evals) != {"m"} | set(g_coord_names(["h"])):
+            return False
+        key16 = idx_table(16, p)
+        r_combiner, r_public = _make_table_combiner(tau_r, key16, p)
+        if not ZerocheckExtVerifier(F, r_combiner, 1, BYTECODE_DEGREE,
+                                    public_evals=r_public).verify(
+            bc.zc_range, transcript
+        ):
+            return False
+
+        register_bc_step_claims(self, sink, bc.zc)
+        register_bc_table_claims(self, sink, bc.zc_table, "m_prog", "h_prog")
+        register_bc_table_claims(self, sink, bc.zc_range, "m_r16", "h_r16")
+
+        # Witness linkage, query side: every gadget-covered validity table
+        # must carry a link record (counts already matched in advice).
+        if not verify_query_links(F, transcript, sink, bc.links or [],
+                                  tau_l, delta, self.validity_arg.locmap,
+                                  self.locmap):
+            return False
+
+        # Memory-side linkage over the memcheck byte-row domain.
+        mc = self.mem_arg.mc
+        A, mvv = mc.num_accesses, mc.num_vars
+        wl_refs = ("ba0", "ba1", "ba2", "ba3", "bk", "vw", "st")
+        wg_names = sorted(g_coord_names(["g_lnk"]))
+        if bc.zc_mem is None:
+            return False
+        if bc.zc_mem.num_vars != mvv or bc.zc_mem.degree != MEMLINK_DEGREE:
+            return False
+        if set(bc.zc_mem.column_evals) != set(wg_names) | {f"ref_{n}" for n in wl_refs}:
+            return False
+        wl_combiner, wl_public = _make_memlink_combiner(tau_w, self.ep, A, mvv, p)
+        if not ZerocheckExtVerifier(F, wl_combiner, 1, MEMLINK_DEGREE,
+                                    public_evals=wl_public).verify(
+            bc.zc_mem, transcript
+        ):
+            return False
+        register_bc_memlink_claims(self, sink, bc.zc_mem)
+        return True

@@ -214,14 +214,14 @@ def _key_array(tid: int, slots: Dict, dl: List[Ext4], p: int) -> Ext4:
 
 @dataclass
 class QueryLinkRecord:
+    """Round-3 slim form: the g_lk commitment and the extra claim on the
+    validity columns live in the shared unified commitment."""
+
     table_id: int
     num_queries: int
     num_vars: int
-    root_g: bytes
     zc: ZerocheckProof  # query-domain zerocheck (gadget cols + g_lk)
-    cols_proof: object  # extra Ligero claim on the validity cols root
-    g_proof: object  # g_lk eval + hypercube-sum claims
-    g_sum: int
+    g_sum: object
 
 
 def _make_link_combiner(gadget, tid: int, tau_l: Ext4, dl: List[Ext4], p: int):
@@ -252,136 +252,127 @@ def link_denominators(tid: int, cols: Dict[str, np.ndarray], nq: int,
     return tau_l - key
 
 
-def prove_query_links(F, transcript, validity_info: List[dict], tau_l: int,
-                      delta: int, hash_mode: str = "sha3") -> Tuple[List[QueryLinkRecord], int]:
-    """``validity_info``: per-table dicts with keys gadget/cols/state/nq/v
-    (retained from prove_lookup_validity).  Returns (records, total g sum).
-    The caller draws (tau_l, delta) after ALL referenced commitments."""
-    from ..commitments.ligero import (
-        LigeroClaim,
-        _row_col_weights,
-        ligero_commit,
-        ligero_prove_claims,
-    )
-
+def build_query_link_advice(F, transcript, validity_info: List[dict],
+                            tau_l, delta) -> Tuple[dict, object]:
+    """ADVICE phase of the query linkage (run inside the bytecode
+    argument): per validity table, build the g_lk inverse column, absorb
+    its sum, and return ({local advice name: coord column}, total sum).
+    The caller draws (tau_l, delta) after the data commitment."""
     from ..proofs.zerocheck import absorb_ext
 
     p = F.MODULUS
-    records: List[QueryLinkRecord] = []
+    out = {}
     total = ext_lift(0)
+    dl = link_deltas(delta, p)
     for info in validity_info:
         tid = info["tid"]
-        gadget = info["gadget"]
         nq, v = info["nq"], info["v"]
-        dl = link_deltas(delta, p)
         sel = le_table(nq - 1, v)
         den = link_denominators(tid, info["cols"], nq, tau_l, dl, p)
         g_lk = sel * den.inv()
-        g_state = ligero_commit(F, pack_g_coords({"g_lk": g_lk}), hash_mode)
         g_sum = g_lk.sum()
         total = total + g_sum
         transcript.append_bytes(b"LK_G")
         transcript.append_u64(tid)
-        transcript.append_bytes(g_state.root)
         absorb_ext(transcript, g_sum)
+        info["g_lk"] = g_lk
+        info["g_lk_sum"] = g_sum
+        info["sel"] = sel
+        for e in range(4):
+            out[f"lk{tid}:g_lk#{e}"] = g_lk.c[e]
+    return out, total
 
+
+def prove_query_links(F, transcript, sink, validity_info: List[dict],
+                      tau_l, delta, bc_locmap) -> List[QueryLinkRecord]:
+    """ZEROCHECK phase of the query linkage: per-table zerochecks over
+    the validity argument's committed query columns + the g_lk advice,
+    registering claims on the shared commitments (validity columns via
+    each table's ``arg`` locmap; g_lk via the bytecode locmap)."""
+    from ..core.ext4 import ext_lift as _lift
+
+    p = F.MODULUS
+    records: List[QueryLinkRecord] = []
+    dl = link_deltas(delta, p)
+    for info in validity_info:
+        tid = info["tid"]
+        gadget = info["gadget"]
         zc_cols = dict(info["cols"])
-        zc_cols.update(pack_g_coords({"g_lk": g_lk}))
-        zc_cols["__sel__"] = sel
+        zc_cols.update(pack_g_coords({"g_lk": info["g_lk"]}))
+        zc_cols["__sel__"] = info["sel"]
         combiner = _make_link_combiner(gadget, tid, tau_l, dl, p)
         zc = ZerocheckExtProver(F, zc_cols, combiner, LINKAGE_DEGREE,
                                 num_alphas=1).prove(transcript)
-
-        a, b = _row_col_weights(zc.final_point, info["state"].cn)
-        cols_proof = ligero_prove_claims(
-            info["state"], [LigeroClaim(a=a, b=b, values={})], transcript
-        )
-        ag, bg = _row_col_weights(zc.final_point, g_state.cn)
-        g_proof = ligero_prove_claims(g_state, [
-            LigeroClaim(a=ag, b=bg, values={}),
-            LigeroClaim(a=np.ones(g_state.m, dtype=np.uint64),
-                        b=np.ones(g_state.n, dtype=np.uint64), values={}),
-        ], transcript)
         records.append(QueryLinkRecord(
-            table_id=tid, num_queries=nq, num_vars=v, root_g=g_state.root,
-            zc=zc, cols_proof=cols_proof, g_proof=g_proof, g_sum=g_sum,
+            table_id=tid, num_queries=info["nq"], num_vars=info["v"],
+            zc=zc, g_sum=info["g_lk_sum"],
         ))
-    return records, total
+        register_link_claims(sink, zc, tid, info["arg"].locmap, bc_locmap,
+                             info["g_lk_sum"])
+    return records
 
 
-def verify_query_links(F, transcript, links: List[QueryLinkRecord],
-                       lv_tables: List, tau_l: int, delta: int,
-                       hash_mode: str = "sha3") -> Tuple[bool, int]:
-    """Verify against the validity proof's table records (roots + shapes
-    must match).  Returns (ok, total query-side g sum)."""
-    from ..commitments.ligero import (
-        LigeroClaim,
-        LigeroParams,
-        _row_col_weights,
-        ligero_verify_claims,
-    )
-    from ..lookups.validity import GADGETS
+def register_link_claims(sink, zc, tid: int, lv_locmap, bc_locmap, g_sum):
+    """Shared prover/verifier claim schedule for one link record."""
+    from ..core.ext4 import ext_lift as _lift
 
+    gc_names = set(g_coord_names(["g_lk"]))
+    for name in sorted(zc.column_evals):
+        if name in gc_names:
+            ck, fn, v = bc_locmap[f"lk{tid}:{name}"]
+        else:
+            ck, fn, v = lv_locmap[f"t{tid}:{name}"]
+        sink.eval_claim(ck, fn, v, zc.final_point, zc.column_evals[name])
+    for e in range(4):
+        ck, fn, v = bc_locmap[f"lk{tid}:g_lk#{e}"]
+        sink.sum_claim(ck, fn, v, _lift(int(g_sum.c[e])))
+
+
+def verify_query_link_sums(transcript, links: List[QueryLinkRecord],
+                           lv_tables: List) -> Tuple[bool, object]:
+    """ADVICE-phase replay: shape checks + sum absorption.  Returns
+    (ok, total query-side g sum)."""
     from ..proofs.zerocheck import absorb_ext
 
-    p = F.MODULUS
     if len(links) != len(lv_tables):
         return False, ext_lift(0)
-    params = LigeroParams()
-    dl = link_deltas(delta, p)
     total = ext_lift(0)
-    gc_names = sorted(g_coord_names(["g_lk"]))
     for link, rec in zip(links, lv_tables):
-        tid = rec.table_id
-        if link.table_id != tid or link.num_queries != rec.num_queries:
+        if link.table_id != rec.table_id or link.num_queries != rec.num_queries:
             return False, ext_lift(0)
         if link.num_vars != rec.num_vars:
             return False, ext_lift(0)
-        if not isinstance(link.g_sum, Ext4):
+        if not (isinstance(link.g_sum, Ext4) and link.g_sum.is_scalar):
             return False, ext_lift(0)
-        gadget = GADGETS[tid]
         total = total + link.g_sum
         transcript.append_bytes(b"LK_G")
-        transcript.append_u64(tid)
-        transcript.append_bytes(link.root_g)
+        transcript.append_u64(link.table_id)
         absorb_ext(transcript, link.g_sum)
+    return True, total
 
+
+def verify_query_links(F, transcript, sink, links: List[QueryLinkRecord],
+                       tau_l, delta, lv_locmap, bc_locmap) -> bool:
+    """ZEROCHECK-phase replay of the per-table link zerochecks."""
+    from ..lookups.validity import GADGETS
+
+    p = F.MODULUS
+    dl = link_deltas(delta, p)
+    gc_names = sorted(g_coord_names(["g_lk"]))
+    for link in links:
+        tid = link.table_id
+        gadget = GADGETS[tid]
         names = sorted(gadget.columns)
         if set(link.zc.column_evals) != set(names) | set(gc_names):
-            return False, ext_lift(0)
-        if link.zc.num_vars != rec.num_vars or link.zc.degree != LINKAGE_DEGREE:
-            return False, ext_lift(0)
+            return False
+        if link.zc.num_vars != link.num_vars or link.zc.degree != LINKAGE_DEGREE:
+            return False
         combiner = _make_link_combiner(gadget, tid, tau_l, dl, p)
         if not ZerocheckExtVerifier(
             F, combiner, 1, LINKAGE_DEGREE,
-            public_evals=_link_public_evals(rec.num_queries, rec.num_vars, p),
+            public_evals=_link_public_evals(link.num_queries, link.num_vars, p),
         ).verify(link.zc, transcript):
-            return False, ext_lift(0)
-
-        cn = params.choose_split(rec.num_vars, len(names))
-        a, b = _row_col_weights(link.zc.final_point, cn)
-        if not ligero_verify_claims(
-            F, rec.root_cols, rec.num_vars, names,
-            [LigeroClaim(a=a, b=b,
-                         values={nm: link.zc.column_evals[nm] for nm in names})],
-            link.cols_proof, transcript, hash_mode,
-        ):
-            return False, ext_lift(0)
-        cn_g = params.choose_split(rec.num_vars, len(gc_names))
-        ag, bg = _row_col_weights(link.zc.final_point, cn_g)
-        m_g = (1 << rec.num_vars) >> cn_g
-        if not ligero_verify_claims(
-            F, link.root_g, rec.num_vars, gc_names,
-            [
-                LigeroClaim(a=ag, b=bg,
-                            values={nm: link.zc.column_evals[nm]
-                                    for nm in gc_names}),
-                LigeroClaim(a=np.ones(m_g, dtype=np.uint64),
-                            b=np.ones(1 << cn_g, dtype=np.uint64),
-                            values=sum_claim_values({"g_lk": link.g_sum},
-                                                    ["g_lk"])),
-            ],
-            link.g_proof, transcript, hash_mode,
-        ):
-            return False, ext_lift(0)
-    return True, total
+            return False
+        register_link_claims(sink, link.zc, tid, lv_locmap, bc_locmap,
+                             link.g_sum)
+    return True

@@ -66,6 +66,9 @@ from .regcheck import g_coord_names, g_eval_from_coords, pack_g_coords, sum_clai
 
 __all__ = [
     "MemCheckProof",
+    "MemCheckStandalone",
+    "MemcheckArgument",
+    "MemcheckVerify",
     "ByteAccessColumns",
     "initial_memory_map",
     "extract_byte_accesses",
@@ -197,20 +200,15 @@ def extract_byte_accesses(trace, init_mem: Dict[int, int]) -> ByteAccessColumns:
 
 @dataclass
 class MemCheckProof:
+    """Round-3 slim form: Ligero roots/openings live in the shared
+    unified commitment (prover/unified.py)."""
+
     nonce: int
     num_vars: int
     num_accesses: int
     touched: List[Tuple[int, int, int]]  # sorted (addr, final_val, final_ts)
-    root_cols: bytes
-    root_g: bytes
-    root_m: bytes
-    root_h: bytes
     zc: ZerocheckProof           # access-domain zerocheck
     zc_table: ZerocheckProof     # RANGE16-domain zerocheck
-    cols_proof: object
-    g_proof: object
-    m_proof: object
-    h_proof: object
     g_sums: Dict[str, Ext4]
     h_sum: Ext4
 
@@ -321,338 +319,354 @@ def _boundary_sum(tau_m: Ext4, gamma: Ext4,
 # Prover
 
 
+class MemcheckArgument:
+    """Prover-side phased argument (prover/unified.py harness)."""
+
+    ns = "mc"
+
+    def __init__(self, F, access: ByteAccessColumns, init_mem: Dict[int, int],
+                 forge_hook=None, unsafe_skip_self_checks=False):
+        self.F = F
+        self.access = access
+        self.init_mem = init_mem
+        self._forge_hook = forge_hook
+        self._unsafe = unsafe_skip_self_checks
+        self.locmap = {}
+        self.proof: Optional[MemCheckProof] = None
+
+    def data_phase(self, transcript) -> Dict[str, np.ndarray]:
+        F, access = self.F, self.access
+        p = F.MODULUS
+        if p != 2013265921:
+            raise ValueError("memcheck requires BabyBear (extension challenges)")
+        A = len(access.addr)
+        num_vars = max(1, (max(A, 1) - 1).bit_length() or 1)
+        padded = 1 << num_vars
+        assert padded < (1 << 28), "access stream too long for the ts decomposition"
+
+        cols: Dict[str, np.ndarray] = {}
+
+        def _pad(a):
+            b = np.zeros(padded, dtype=np.uint64)
+            b[:A] = a
+            return b
+
+        for k in range(4):
+            cols[f"a{k}"] = _pad((access.addr >> np.uint64(16 * k)) & _M16)
+        for k in range(4):
+            cols[f"ba{k}"] = _pad((access.base >> np.uint64(16 * k)) & _M16)
+        cols["bk"] = _pad(access.bk)
+        carry = np.zeros(A, dtype=np.uint64)
+        for k in range(4):
+            s = ((access.base >> np.uint64(16 * k)) & _M16) + (access.bk if k == 0 else 0) + carry
+            carry = s >> np.uint64(16)
+            cols[f"cb{k}"] = _pad(carry)
+        cols["vr"] = _pad(access.vr)
+        cols["vw"] = _pad(access.vw)
+        cols["st"] = _pad(access.st)
+        cols["rt"] = _pad(access.read_ts)
+        idx = np.arange(padded, dtype=np.uint64)
+        rt = cols["rt"]
+        cols["tl0"] = rt & _M16
+        cols["tl1"] = rt >> np.uint64(16)
+        lag = idx - rt  # >= 0 for honest advice (rt <= position)
+        cols["dl0"] = lag & _M16
+        cols["dl1"] = lag >> np.uint64(16)
+
+        if self._forge_hook is not None:
+            self._forge_hook(cols)
+
+        # Multiplicities over RANGE16 for every ranged (scaled) column.
+        m_col = np.zeros(1 << 16, dtype=np.uint64)
+        for c, coef in _RANGED:
+            scaled = np.uint64(coef) * cols[c]
+            if np.any(scaled > _M16):
+                if not self._unsafe:
+                    raise AssertionError(f"memcheck violated: column {c} out of range")
+                scaled = scaled & _M16
+            m_col += np.bincount(scaled.astype(np.int64), minlength=1 << 16).astype(np.uint64)
+
+        transcript.append_bytes(b"MC_BEGIN")
+        transcript.append_u64(A)
+        transcript.append_u64(len(access.touched))
+        for a, fv, fts in access.touched:
+            transcript.append_u64(a)
+            transcript.append_u64(fv)
+            transcript.append_u64(fts)
+
+        self.A = A
+        self.num_vars = num_vars
+        self.idx = idx
+        self.cols = cols
+        self.m_col = m_col
+        return {**cols, "m": m_col}
+
+    def advice_phase(self, transcript) -> Dict[str, np.ndarray]:
+        F, cols, idx, access = self.F, self.cols, self.idx, self.access
+        p = F.MODULUS
+        P64 = np.uint64(p)
+        A, num_vars = self.A, self.num_vars
+        padded = 1 << num_vars
+        sel = le_table(A - 1, num_vars) if A else np.zeros(padded, dtype=np.uint64)
+
+        nonce = 0
+        while True:
+            trial = transcript.fork()
+            trial.append_bytes(b"MC_CHAL")
+            trial.append_u64(nonce)
+            tau_m = challenge_ext(trial)
+            tau_r = challenge_ext(trial)
+            gamma = challenge_ext(trial)
+            gp = _gamma_powers(gamma)
+            ok = high_coords_nonzero(tau_r)
+            denoms: Dict[str, Ext4] = {}
+            if ok:
+                addr_fp = gp[0] * cols["a0"]
+                for k in (1, 2, 3):
+                    addr_fp = addr_fp + gp[k] * cols[f"a{k}"]
+                for side in ("r", "w"):
+                    v = cols["vr"] if side == "r" else cols["vw"]
+                    ts = cols["rt"] if side == "r" else (idx + np.uint64(1)) % P64
+                    kappa = addr_fp + gp[4] * v + gp[5] * ts
+                    d = tau_m - kappa
+                    if np.any(d.is_zero() & (sel == 1)):
+                        ok = False
+                        break
+                    denoms[f"g_{side}"] = d
+            init_sum = final_sum = None
+            if ok:
+                init_entries = [(a, self.init_mem.get(a, 0), 0)
+                                for a, _fv, _ft in access.touched]
+                init_sum = _boundary_sum(tau_m, gamma, init_entries, p)
+                final_sum = _boundary_sum(tau_m, gamma, access.touched, p)
+                ok = init_sum is not None and final_sum is not None
+            if ok:
+                break
+            nonce += 1
+            assert nonce <= MAX_NONCE, "memcheck nonce overflow"
+        transcript.append_bytes(b"MC_CHAL")
+        transcript.append_u64(nonce)
+        assert challenge_ext(transcript) == tau_m
+        assert challenge_ext(transcript) == tau_r
+        assert challenge_ext(transcript) == gamma
+
+        g_cols: Dict[str, Ext4] = {}
+        for name, d in denoms.items():
+            g_cols[name] = sel * d.inv()
+        for c, coef in _RANGED:
+            d = tau_r - np.uint64(coef) * cols[c] % P64
+            g_cols[f"gr_{c}"] = d.inv()
+        h_col = (tau_r - idx_table(16, p)).inv() * self.m_col
+
+        g_sums = {name: col.sum() for name, col in g_cols.items()}
+        h_sum = h_col.sum()
+        transcript.append_bytes(b"MC_G")
+        for name in sorted(g_sums):
+            absorb_ext(transcript, g_sums[name])
+        transcript.append_bytes(b"MC_H")
+        absorb_ext(transcript, h_sum)
+
+        if not self._unsafe:
+            if g_sums["g_r"] + final_sum != g_sums["g_w"] + init_sum:
+                raise AssertionError("memcheck violated: memory multiset mismatch")
+            rng_lhs = sum(g_sums[f"gr_{c}"] for c, _ in _RANGED)
+            if rng_lhs != h_sum:
+                raise AssertionError("memcheck violated: range multiset mismatch")
+
+        self.sel = sel
+        self.tau_m, self.tau_r, self.gamma = tau_m, tau_r, gamma
+        self.nonce = nonce
+        self.g_coords = pack_g_coords(g_cols)
+        self.h_coords = pack_g_coords({"h": h_col})
+        self.g_sums = g_sums
+        self.h_sum = h_sum
+        return {**self.g_coords, **self.h_coords}
+
+    def zerocheck_phase(self, transcript, sink) -> None:
+        from .regcheck import register_claims
+
+        F = self.F
+        p = F.MODULUS
+        all_cols = dict(self.cols)
+        all_cols.update(self.g_coords)
+        all_cols["__sel__"] = self.sel
+        all_cols["__idx__"] = self.idx % np.uint64(p)
+        zc = ZerocheckExtProver(
+            F, all_cols, _make_combiner(self.tau_m, self.tau_r, self.gamma, p),
+            MEMCHECK_DEGREE, num_alphas=NUM_CONSTRAINTS,
+        ).prove(transcript)
+
+        table_cols = {"m": self.m_col, "__key__": idx_table(16, p)}
+        table_cols.update(self.h_coords)
+        zc_t = ZerocheckExtProver(
+            F, table_cols, _make_table_combiner(self.tau_r), MEMCHECK_DEGREE,
+            num_alphas=1,
+        ).prove(transcript)
+
+        self.proof = MemCheckProof(
+            nonce=self.nonce, num_vars=self.num_vars, num_accesses=self.A,
+            touched=list(self.access.touched), zc=zc, zc_table=zc_t,
+            g_sums=self.g_sums, h_sum=self.h_sum,
+        )
+        register_claims(self, sink, zc, zc_t, self.g_sums, self.h_sum)
+
+
+class MemCheckStandalone:
+    def __init__(self, mc: MemCheckProof, unified):
+        self.mc = mc
+        self.unified = unified
+
+    def __getattr__(self, name):
+        return getattr(object.__getattribute__(self, "mc"), name)
+
+    @property
+    def root_cols(self):
+        return self.unified.data_root
+
+    @root_cols.setter
+    def root_cols(self, value):
+        self.unified.data_root = value
+
+
 def prove_memcheck(F, transcript, access: ByteAccessColumns,
                    init_mem: Dict[int, int], hash_mode: str = "sha3",
                    _forge_hook=None,
-                   _unsafe_skip_self_checks=False, _return_state=False):
-    from ..commitments.ligero import LigeroClaim, _row_col_weights, ligero_commit, ligero_prove_claims
+                   _unsafe_skip_self_checks=False) -> MemCheckStandalone:
+    from ..prover.unified import prove_unified
 
-    p = F.MODULUS
-    if p != 2013265921:
-        raise ValueError("memcheck requires BabyBear (extension challenges)")
-    A = len(access.addr)
-    num_vars = max(1, (max(A, 1) - 1).bit_length() or 1)
-    padded = 1 << num_vars
-    assert padded < (1 << 28), "access stream too long for the ts decomposition"
-
-    cols: Dict[str, np.ndarray] = {}
-
-    def _pad(a):
-        b = np.zeros(padded, dtype=np.uint64)
-        b[:A] = a
-        return b
-
-    for k in range(4):
-        cols[f"a{k}"] = _pad((access.addr >> np.uint64(16 * k)) & _M16)
-    for k in range(4):
-        cols[f"ba{k}"] = _pad((access.base >> np.uint64(16 * k)) & _M16)
-    cols["bk"] = _pad(access.bk)
-    carry = np.zeros(A, dtype=np.uint64)
-    for k in range(4):
-        s = ((access.base >> np.uint64(16 * k)) & _M16) + (access.bk if k == 0 else 0) + carry
-        carry = s >> np.uint64(16)
-        cols[f"cb{k}"] = _pad(carry)
-    cols["vr"] = _pad(access.vr)
-    cols["vw"] = _pad(access.vw)
-    cols["st"] = _pad(access.st)
-    cols["rt"] = _pad(access.read_ts)
-    idx = np.arange(padded, dtype=np.uint64)
-    rt = cols["rt"]
-    cols["tl0"] = rt & _M16
-    cols["tl1"] = rt >> np.uint64(16)
-    lag = idx - rt  # >= 0 for honest advice (rt <= position)
-    cols["dl0"] = lag & _M16
-    cols["dl1"] = lag >> np.uint64(16)
-
-    if _forge_hook is not None:
-        _forge_hook(cols)
-
-    # Multiplicities over RANGE16 for every ranged (scaled) column.
-    m_col = np.zeros(1 << 16, dtype=np.uint64)
-    for c, coef in _RANGED:
-        scaled = np.uint64(coef) * cols[c]
-        if np.any(scaled > _M16):
-            if not _unsafe_skip_self_checks:
-                raise AssertionError(f"memcheck violated: column {c} out of range")
-            scaled = scaled & _M16
-        m_col += np.bincount(scaled.astype(np.int64), minlength=1 << 16).astype(np.uint64)
-
-    transcript.append_bytes(b"MC_BEGIN")
-    transcript.append_u64(A)
-    transcript.append_u64(len(access.touched))
-    for a, fv, fts in access.touched:
-        transcript.append_u64(a)
-        transcript.append_u64(fv)
-        transcript.append_u64(fts)
-    state = ligero_commit(F, cols, hash_mode)
-    transcript.append_bytes(state.root)
-    m_state = ligero_commit(F, {"m": m_col}, hash_mode)
-    transcript.append_bytes(b"MC_MULT")
-    transcript.append_bytes(m_state.root)
-
-    # Extension challenges with nonce retry on zero denominators.
-    P64 = np.uint64(p)
-    sel = le_table(A - 1, num_vars) if A else np.zeros(padded, dtype=np.uint64)
-    nonce = 0
-    while True:
-        trial = transcript.fork()
-        trial.append_bytes(b"MC_CHAL")
-        trial.append_u64(nonce)
-        tau_m = challenge_ext(trial)
-        tau_r = challenge_ext(trial)
-        gamma = challenge_ext(trial)
-        gp = _gamma_powers(gamma)
-        ok = high_coords_nonzero(tau_r)
-        denoms: Dict[str, Ext4] = {}
-        if ok:
-            addr_fp = gp[0] * cols["a0"]
-            for k in (1, 2, 3):
-                addr_fp = addr_fp + gp[k] * cols[f"a{k}"]
-            for side in ("r", "w"):
-                v = cols["vr"] if side == "r" else cols["vw"]
-                ts = cols["rt"] if side == "r" else (idx + np.uint64(1)) % P64
-                kappa = addr_fp + gp[4] * v + gp[5] * ts
-                d = tau_m - kappa
-                if np.any(d.is_zero() & (sel == 1)):
-                    ok = False
-                    break
-                denoms[f"g_{side}"] = d
-        init_sum = final_sum = None
-        if ok:
-            init_entries = [(a, init_mem.get(a, 0), 0) for a, _fv, _ft in access.touched]
-            init_sum = _boundary_sum(tau_m, gamma, init_entries, p)
-            final_sum = _boundary_sum(tau_m, gamma, access.touched, p)
-            ok = init_sum is not None and final_sum is not None
-        if ok:
-            break
-        nonce += 1
-        assert nonce <= MAX_NONCE, "memcheck nonce overflow"
-    transcript.append_bytes(b"MC_CHAL")
-    transcript.append_u64(nonce)
-    assert challenge_ext(transcript) == tau_m
-    assert challenge_ext(transcript) == tau_r
-    assert challenge_ext(transcript) == gamma
-
-    # Extension inverse columns, committed as coordinate columns.
-    g_cols: Dict[str, Ext4] = {}
-    for name, d in denoms.items():
-        g_cols[name] = sel * d.inv()
-    for c, coef in _RANGED:
-        d = tau_r - np.uint64(coef) * cols[c] % P64
-        g_cols[f"gr_{c}"] = d.inv()
-    h_col = (tau_r - idx_table(16, p)).inv() * m_col
-
-    g_state = ligero_commit(F, pack_g_coords(g_cols), hash_mode)
-    g_sums = {name: col.sum() for name, col in g_cols.items()}
-    h_state = ligero_commit(F, pack_g_coords({"h": h_col}), hash_mode)
-    h_sum = h_col.sum()
-    transcript.append_bytes(b"MC_G")
-    transcript.append_bytes(g_state.root)
-    for name in sorted(g_sums):
-        absorb_ext(transcript, g_sums[name])
-    transcript.append_bytes(b"MC_H")
-    transcript.append_bytes(h_state.root)
-    absorb_ext(transcript, h_sum)
-
-    if not _unsafe_skip_self_checks:
-        if g_sums["g_r"] + final_sum != g_sums["g_w"] + init_sum:
-            raise AssertionError("memcheck violated: memory multiset mismatch")
-        rng_lhs = sum(g_sums[f"gr_{c}"] for c, _ in _RANGED)
-        if rng_lhs != h_sum:
-            raise AssertionError("memcheck violated: range multiset mismatch")
-
-    # Zerochecks + Ligero bindings.
-    all_cols = dict(cols)
-    all_cols.update(pack_g_coords(g_cols))
-    all_cols["__sel__"] = sel
-    all_cols["__idx__"] = idx % P64
-    zc = ZerocheckExtProver(
-        F, all_cols, _make_combiner(tau_m, tau_r, gamma, p), MEMCHECK_DEGREE,
-        num_alphas=NUM_CONSTRAINTS,
-    ).prove(transcript)
-
-    a, b = _row_col_weights(zc.final_point, state.cn)
-    cols_proof = ligero_prove_claims(state, [LigeroClaim(a=a, b=b, values={})], transcript)
-    ag, bg = _row_col_weights(zc.final_point, g_state.cn)
-    g_proof = ligero_prove_claims(g_state, [
-        LigeroClaim(a=ag, b=bg, values={}),
-        LigeroClaim(a=np.ones(g_state.m, dtype=np.uint64),
-                    b=np.ones(g_state.n, dtype=np.uint64), values={}),
-    ], transcript)
-
-    table_cols = {"m": m_col, "__key__": idx_table(16, p)}
-    table_cols.update(pack_g_coords({"h": h_col}))
-    zc_t = ZerocheckExtProver(
-        F, table_cols, _make_table_combiner(tau_r), MEMCHECK_DEGREE, num_alphas=1,
-    ).prove(transcript)
-    am, bm = _row_col_weights(zc_t.final_point, m_state.cn)
-    m_proof = ligero_prove_claims(m_state, [LigeroClaim(a=am, b=bm, values={})], transcript)
-    ah, bh = _row_col_weights(zc_t.final_point, h_state.cn)
-    h_proof = ligero_prove_claims(h_state, [
-        LigeroClaim(a=ah, b=bh, values={}),
-        LigeroClaim(a=np.ones(h_state.m, dtype=np.uint64),
-                    b=np.ones(h_state.n, dtype=np.uint64), values={}),
-    ], transcript)
-
-    mc = MemCheckProof(
-        nonce=nonce, num_vars=num_vars, num_accesses=A,
-        touched=list(access.touched), root_cols=state.root, root_g=g_state.root,
-        root_m=m_state.root, root_h=h_state.root, zc=zc, zc_table=zc_t,
-        cols_proof=cols_proof, g_proof=g_proof, m_proof=m_proof,
-        h_proof=h_proof, g_sums=g_sums, h_sum=h_sum,
-    )
-    if _return_state:
-        # The step<->byte-row linkage (constraints/bytecode.py) issues
-        # additional Ligero claims on this commitment at its own point.
-        return mc, cols, state
-    return mc
+    arg = MemcheckArgument(F, access, init_mem, forge_hook=_forge_hook,
+                           unsafe_skip_self_checks=_unsafe_skip_self_checks)
+    unified = prove_unified(F, transcript, [arg], hash_mode)
+    return MemCheckStandalone(mc=arg.proof, unified=unified)
 
 
 # ---------------------------------------------------------------------------
 # Verifier
 
 
-def verify_memcheck(F, transcript, mc: MemCheckProof, num_steps: int,
-                    init_mem: Dict[int, int], hash_mode: str = "sha3") -> bool:
-    from ..commitments.ligero import (
-        LigeroClaim,
-        LigeroParams,
-        _row_col_weights,
-        ligero_verify_claims,
-    )
+class MemcheckVerify:
+    """Verifier-side phased argument (prover/unified.py harness)."""
 
-    p = F.MODULUS
-    A = mc.num_accesses
-    if not (0 <= A <= 8 * num_steps):
-        return False
-    if mc.num_vars != max(1, (max(A, 1) - 1).bit_length() or 1):
-        return False
-    if len(mc.touched) > max(A, 1):
-        return False
-    prev = -1
-    for a, fv, fts in mc.touched:
-        if not (0 <= a <= _M64 and prev < a):
-            return False  # sorted, deduplicated addresses
-        if not (0 <= fv < 256 and 0 <= fts <= A):
+    ns = "mc"
+
+    def __init__(self, F, mc: MemCheckProof, num_steps: int,
+                 init_mem: Dict[int, int]):
+        self.F = F
+        self.mc = mc
+        self.num_steps = num_steps
+        self.init_mem = init_mem
+        self.locmap = {}
+
+    def data_phase(self, transcript) -> Optional[Dict[str, int]]:
+        mc = self.mc
+        if not isinstance(mc, MemCheckProof):
+            return None
+        A = mc.num_accesses
+        if not (0 <= A <= 8 * self.num_steps):
+            return None
+        if mc.num_vars != max(1, (max(A, 1) - 1).bit_length() or 1):
+            return None
+        if len(mc.touched) > max(A, 1):
+            return None
+        prev = -1
+        for a, fv, fts in mc.touched:
+            if not (0 <= a <= _M64 and prev < a):
+                return None  # sorted, deduplicated addresses
+            if not (0 <= fv < 256 and 0 <= fts <= A):
+                return None
+            prev = a
+        if not (0 <= mc.nonce <= MAX_NONCE):
+            return None
+
+        transcript.append_bytes(b"MC_BEGIN")
+        transcript.append_u64(A)
+        transcript.append_u64(len(mc.touched))
+        for a, fv, fts in mc.touched:
+            transcript.append_u64(a)
+            transcript.append_u64(fv)
+            transcript.append_u64(fts)
+        shape = {name: mc.num_vars for name in COLUMNS}
+        shape["m"] = 16
+        return shape
+
+    def advice_phase(self, transcript) -> Optional[Dict[str, int]]:
+        mc = self.mc
+        p = self.F.MODULUS
+        transcript.append_bytes(b"MC_CHAL")
+        transcript.append_u64(mc.nonce)
+        tau_m = challenge_ext(transcript)
+        tau_r = challenge_ext(transcript)
+        gamma = challenge_ext(transcript)
+        if not high_coords_nonzero(tau_r):
+            return None
+
+        g_names = sorted(G_MEM + G_RNG)
+        if set(mc.g_sums) != set(g_names):
+            return None
+        if not all(isinstance(v, Ext4) and v.is_scalar for v in mc.g_sums.values()):
+            return None
+        if not (isinstance(mc.h_sum, Ext4) and mc.h_sum.is_scalar):
+            return None
+        transcript.append_bytes(b"MC_G")
+        for name in g_names:
+            absorb_ext(transcript, mc.g_sums[name])
+        transcript.append_bytes(b"MC_H")
+        absorb_ext(transcript, mc.h_sum)
+
+        # Grand equations: the memory multiset and the range multiset.
+        init_entries = [(a, self.init_mem.get(a, 0), 0)
+                        for a, _fv, _ft in mc.touched]
+        init_sum = _boundary_sum(tau_m, gamma, init_entries, p)
+        final_sum = _boundary_sum(tau_m, gamma, mc.touched, p)
+        if init_sum is None or final_sum is None:
+            return None
+        if mc.g_sums["g_r"] + final_sum != mc.g_sums["g_w"] + init_sum:
+            return None
+        if sum(mc.g_sums[f"gr_{c}"] for c, _ in _RANGED) != mc.h_sum:
+            return None
+
+        self.tau_m, self.tau_r, self.gamma = tau_m, tau_r, gamma
+        shape = {gc: mc.num_vars for gc in g_coord_names(g_names)}
+        for e in range(4):
+            shape[f"h#{e}"] = 16
+        return shape
+
+    def zerocheck_phase(self, transcript, sink) -> bool:
+        from .regcheck import register_claims
+
+        F, mc = self.F, self.mc
+        p = F.MODULUS
+        col_names = sorted(COLUMNS)
+        gc_names = sorted(g_coord_names(sorted(G_MEM + G_RNG)))
+        if set(mc.zc.column_evals) != set(col_names) | set(gc_names):
             return False
-        prev = a
+        if mc.zc.num_vars != mc.num_vars or mc.zc.degree != MEMCHECK_DEGREE:
+            return False
+        if not ZerocheckExtVerifier(
+            F, _make_combiner(self.tau_m, self.tau_r, self.gamma, p),
+            NUM_CONSTRAINTS, MEMCHECK_DEGREE,
+            public_evals=_public_evals(mc.num_accesses, mc.num_vars, p),
+        ).verify(mc.zc, transcript):
+            return False
 
-    transcript.append_bytes(b"MC_BEGIN")
-    transcript.append_u64(A)
-    transcript.append_u64(len(mc.touched))
-    for a, fv, fts in mc.touched:
-        transcript.append_u64(a)
-        transcript.append_u64(fv)
-        transcript.append_u64(fts)
-    transcript.append_bytes(mc.root_cols)
-    transcript.append_bytes(b"MC_MULT")
-    transcript.append_bytes(mc.root_m)
+        hc_names = sorted(g_coord_names(["h"]))
+        if set(mc.zc_table.column_evals) != {"m"} | set(hc_names):
+            return False
+        if mc.zc_table.num_vars != 16 or mc.zc_table.degree != MEMCHECK_DEGREE:
+            return False
+        if not ZerocheckExtVerifier(
+            F, _make_table_combiner(self.tau_r), 1, MEMCHECK_DEGREE,
+            public_evals=_table_public_evals(p),
+        ).verify(mc.zc_table, transcript):
+            return False
 
-    if not (0 <= mc.nonce <= MAX_NONCE):
-        return False
-    transcript.append_bytes(b"MC_CHAL")
-    transcript.append_u64(mc.nonce)
-    tau_m = challenge_ext(transcript)
-    tau_r = challenge_ext(transcript)
-    gamma = challenge_ext(transcript)
-    if not high_coords_nonzero(tau_r):
-        return False
+        register_claims(self, sink, mc.zc, mc.zc_table, mc.g_sums, mc.h_sum)
+        return True
 
-    g_names = sorted(G_MEM + G_RNG)
-    if set(mc.g_sums) != set(g_names):
-        return False
-    if not all(isinstance(v, Ext4) for v in mc.g_sums.values()):
-        return False
-    if not isinstance(mc.h_sum, Ext4):
-        return False
-    transcript.append_bytes(b"MC_G")
-    transcript.append_bytes(mc.root_g)
-    for name in g_names:
-        absorb_ext(transcript, mc.g_sums[name])
-    transcript.append_bytes(b"MC_H")
-    transcript.append_bytes(mc.root_h)
-    absorb_ext(transcript, mc.h_sum)
 
-    col_names = sorted(COLUMNS)
-    gc_names = sorted(g_coord_names(g_names))
-    if set(mc.zc.column_evals) != set(col_names) | set(gc_names):
-        return False
-    if mc.zc.num_vars != mc.num_vars or mc.zc.degree != MEMCHECK_DEGREE:
-        return False
-    if not ZerocheckExtVerifier(
-        F, _make_combiner(tau_m, tau_r, gamma, p), NUM_CONSTRAINTS,
-        MEMCHECK_DEGREE, public_evals=_public_evals(A, mc.num_vars, p),
-    ).verify(mc.zc, transcript):
-        return False
+def verify_memcheck(F, transcript, proof: MemCheckStandalone, num_steps: int,
+                    init_mem: Dict[int, int], hash_mode: str = "sha3") -> bool:
+    from ..prover.unified import verify_unified
 
-    params = LigeroParams()
-    cn_c = params.choose_split(mc.num_vars, len(col_names))
-    a, b = _row_col_weights(mc.zc.final_point, cn_c)
-    if not ligero_verify_claims(
-        F, mc.root_cols, mc.num_vars, col_names,
-        [LigeroClaim(a=a, b=b,
-                     values={nm: mc.zc.column_evals[nm] for nm in col_names})],
-        mc.cols_proof, transcript, hash_mode,
-    ):
-        return False
-    cn_g = params.choose_split(mc.num_vars, len(gc_names))
-    ag, bg = _row_col_weights(mc.zc.final_point, cn_g)
-    m_g = (1 << mc.num_vars) >> cn_g
-    if not ligero_verify_claims(
-        F, mc.root_g, mc.num_vars, gc_names,
-        [
-            LigeroClaim(a=ag, b=bg,
-                        values={nm: mc.zc.column_evals[nm] for nm in gc_names}),
-            LigeroClaim(a=np.ones(m_g, dtype=np.uint64),
-                        b=np.ones(1 << cn_g, dtype=np.uint64),
-                        values=sum_claim_values(mc.g_sums, g_names)),
-        ],
-        mc.g_proof, transcript, hash_mode,
-    ):
-        return False
-
-    # RANGE16 table side.
-    hc_names = sorted(g_coord_names(["h"]))
-    if set(mc.zc_table.column_evals) != {"m"} | set(hc_names):
-        return False
-    if mc.zc_table.num_vars != 16 or mc.zc_table.degree != MEMCHECK_DEGREE:
-        return False
-    if not ZerocheckExtVerifier(
-        F, _make_table_combiner(tau_r), 1, MEMCHECK_DEGREE,
-        public_evals=_table_public_evals(p),
-    ).verify(mc.zc_table, transcript):
-        return False
-    cn_m = params.choose_split(16, 1)
-    am, bm = _row_col_weights(mc.zc_table.final_point, cn_m)
-    if not ligero_verify_claims(
-        F, mc.root_m, 16, ["m"],
-        [LigeroClaim(a=am, b=bm, values={"m": mc.zc_table.column_evals["m"]})],
-        mc.m_proof, transcript, hash_mode,
-    ):
-        return False
-    cn_h = params.choose_split(16, len(hc_names))
-    ah, bh = _row_col_weights(mc.zc_table.final_point, cn_h)
-    m_h = (1 << 16) >> cn_h
-    if not ligero_verify_claims(
-        F, mc.root_h, 16, hc_names,
-        [
-            LigeroClaim(a=ah, b=bh,
-                        values={nm: mc.zc_table.column_evals[nm] for nm in hc_names}),
-            LigeroClaim(a=np.ones(m_h, dtype=np.uint64),
-                        b=np.ones(1 << cn_h, dtype=np.uint64),
-                        values=sum_claim_values({"h": mc.h_sum}, ["h"])),
-        ],
-        mc.h_proof, transcript, hash_mode,
-    ):
-        return False
-
-    # Grand equations: the memory multiset and the range multiset.
-    init_entries = [(a, init_mem.get(a, 0), 0) for a, _fv, _ft in mc.touched]
-    init_sum = _boundary_sum(tau_m, gamma, init_entries, p)
-    final_sum = _boundary_sum(tau_m, gamma, mc.touched, p)
-    if init_sum is None or final_sum is None:
-        return False
-    if mc.g_sums["g_r"] + final_sum != mc.g_sums["g_w"] + init_sum:
-        return False
-    rng_lhs = sum(mc.g_sums[f"gr_{c}"] for c, _ in _RANGED)
-    return rng_lhs == mc.h_sum
+    arg = MemcheckVerify(F, proof.mc, num_steps, init_mem)
+    return verify_unified(F, transcript, [arg], proof.unified, hash_mode) is None

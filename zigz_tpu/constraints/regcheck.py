@@ -81,7 +81,10 @@ from ..proofs.zerocheck import (
 
 __all__ = [
     "RegCheckProof",
+    "RegCheckStandalone",
     "RegAccessColumns",
+    "RegcheckArgument",
+    "RegcheckVerify",
     "extract_access_columns",
     "prove_regcheck",
     "verify_regcheck",
@@ -187,19 +190,15 @@ def extract_access_columns(rs1, rs2, rd, rv1, rv2, ov, wv) -> RegAccessColumns:
 
 @dataclass
 class RegCheckProof:
+    """Round-3 slim form: the per-argument Ligero roots/openings moved to
+    the shared unified commitment (prover/unified.py); what remains is
+    the argument-specific transcript content."""
+
     nonce: int
     num_vars: int
     final_ts: List[int]          # 32 entries
-    root_cols: bytes
-    root_g: bytes
-    root_m: bytes
-    root_h: bytes
     zc: ZerocheckProof           # trace-domain zerocheck
     zc_table: ZerocheckProof     # RANGE16-domain zerocheck
-    cols_proof: object
-    g_proof: object
-    m_proof: object
-    h_proof: object
     g_sums: Dict[str, Ext4]      # per g column (mem + range), Ext4
     h_sum: Ext4
 
@@ -321,343 +320,382 @@ def _limb(v: np.ndarray, k: int) -> np.ndarray:
     return (v >> np.uint64(16 * k)) & _M16
 
 
+class RegcheckArgument:
+    """Prover-side phased argument (prover/unified.py harness)."""
+
+    ns = "rc"
+
+    def __init__(self, F, access: RegAccessColumns, num_vars: int,
+                 initial_regs: Optional[List[int]], final_regs: List[int],
+                 forge_hook=None, unsafe_skip_self_checks=False):
+        self.F = F
+        self.access = access
+        self.num_vars = num_vars
+        self.init = list(initial_regs) if initial_regs is not None else [0] * 32
+        self.final_regs = final_regs
+        self._forge_hook = forge_hook
+        self._unsafe = unsafe_skip_self_checks
+        self.locmap = {}
+        self.proof: Optional[RegCheckProof] = None
+
+    def data_phase(self, transcript) -> Dict[str, np.ndarray]:
+        F, access, num_vars = self.F, self.access, self.num_vars
+        from ..poly.public_mles import np_inv
+
+        p = F.MODULUS
+        if p != 2013265921:
+            raise ValueError("regcheck requires BabyBear (extension challenges)")
+        n = access.cells.shape[1]
+        padded = 1 << num_vars
+        ts_w_max = 3 * padded + 3
+        assert ts_w_max < (1 << 30), "trace too long for the 2-limb ts decomposition"
+
+        cols: Dict[str, np.ndarray] = {}
+
+        def _pad(a):
+            b = np.zeros(padded, dtype=np.uint64)
+            b[:n] = a
+            return b
+
+        for m in (1, 2, 3):
+            cols[f"a{m}"] = _pad(access.cells[m - 1])
+            cols[f"rt{m}"] = _pad(access.read_ts[m - 1])
+        for j, pre in enumerate(("rv1", "rv2", "ov", "wv")):
+            for k in range(4):
+                cols[f"{pre}_{k}"] = _pad(_limb(access.values[j], k))
+        idx = np.arange(padded, dtype=np.uint64)
+        for m in (1, 2, 3):
+            rt = cols[f"rt{m}"]
+            cols[f"tl0_{m}"] = rt & _M16
+            cols[f"tl1_{m}"] = rt >> np.uint64(16)
+            lag = 3 * idx + np.uint64(m - 1) - rt  # >= 0 for honest advice
+            cols[f"dl0_{m}"] = lag & _M16
+            cols[f"dl1_{m}"] = lag >> np.uint64(16)
+        # x0 hardwiring gadget: z0 = 1[a3 == 0] (padding rows are cell-0
+        # zero-writes, so the global constraints hold there too).
+        cols["z0"] = (cols["a3"] == 0).astype(np.uint64)
+        cols["ia3"] = np_inv(cols["a3"], p)
+
+        if self._forge_hook is not None:
+            self._forge_hook(cols)
+
+        # Multiplicities over RANGE16 for every ranged (scaled) column.
+        m_col = np.zeros(1 << 16, dtype=np.uint64)
+        for c, coef in _RANGED:
+            scaled = np.uint64(coef) * cols[c]
+            if np.any(scaled > _M16):
+                if not self._unsafe:
+                    raise AssertionError(f"regcheck violated: column {c} out of range")
+                scaled = scaled & _M16
+            m_col += np.bincount(scaled.astype(np.int64), minlength=1 << 16).astype(np.uint64)
+
+        transcript.append_bytes(b"RC_BEGIN")
+        transcript.append_u64(n)
+        for r in range(32):
+            transcript.append_u64(self.final_regs[r] if r < len(self.final_regs) else 0)
+        for r in range(32):
+            transcript.append_u64(access.final_ts[r])
+
+        self.n = n
+        self.idx = idx
+        self.cols = cols
+        self.m_col = m_col
+        return {**cols, "m": m_col}
+
+    def advice_phase(self, transcript) -> Dict[str, np.ndarray]:
+        F, cols, idx = self.F, self.cols, self.idx
+        p = F.MODULUS
+        n, num_vars = self.n, self.num_vars
+        sel = le_table(n - 1, num_vars)
+
+        nonce = 0
+        while True:
+            trial = transcript.fork()
+            trial.append_bytes(b"RC_CHAL")
+            trial.append_u64(nonce)
+            tau_m = challenge_ext(trial)
+            tau_r = challenge_ext(trial)
+            gamma = challenge_ext(trial)
+            gp = _gamma_powers(gamma)
+            # A tau_r with a nonzero high coordinate can never hit a lifted
+            # base key, so the range/table denominators are nonzero for free.
+            ok = high_coords_nonzero(tau_r)
+            denoms: Dict[str, Ext4] = {}
+            if ok:
+                for m in (1, 2, 3):
+                    for side in ("r", "w"):
+                        a_name, vpre = _kappa_parts(m, side)
+                        kappa = gp[0] * cols[a_name]
+                        for k in range(4):
+                            kappa = kappa + gp[k + 1] * cols[f"{vpre}_{k}"]
+                        if side == "r":
+                            ts = cols[f"rt{m}"]
+                        else:
+                            ts = (np.uint64(3) * idx + np.uint64(m)) % np.uint64(p)
+                        kappa = kappa + gp[5] * ts
+                        d = tau_m - kappa
+                        if np.any(d.is_zero() & (sel == 1)):
+                            ok = False
+                            break
+                        denoms[f"g_{side}{m}"] = d
+                    if not ok:
+                        break
+            init_sum = final_sum = None
+            if ok:
+                init_sum = _boundary_sum(tau_m, gamma, self.init, [0] * 32, p)
+                final_sum = _boundary_sum(tau_m, gamma, self.final_regs,
+                                          self.access.final_ts, p)
+                ok = init_sum is not None and final_sum is not None
+            if ok:
+                break
+            nonce += 1
+            assert nonce <= MAX_NONCE, "regcheck nonce overflow"
+        transcript.append_bytes(b"RC_CHAL")
+        transcript.append_u64(nonce)
+        assert challenge_ext(transcript) == tau_m
+        assert challenge_ext(transcript) == tau_r
+        assert challenge_ext(transcript) == gamma
+
+        g_cols: Dict[str, Ext4] = {}
+        for name, d in denoms.items():
+            g_cols[name] = sel * d.inv()
+        for c, coef in _RANGED:
+            d = tau_r - np.uint64(coef) * cols[c] % np.uint64(p)
+            g_cols[f"gr_{c}"] = d.inv()
+        h_col = (tau_r - idx_table(16, p)).inv() * self.m_col
+
+        g_sums = {name: col.sum() for name, col in g_cols.items()}
+        h_sum = h_col.sum()
+        transcript.append_bytes(b"RC_G")
+        for name in sorted(g_sums):
+            absorb_ext(transcript, g_sums[name])
+        transcript.append_bytes(b"RC_H")
+        absorb_ext(transcript, h_sum)
+
+        if not self._unsafe:
+            lhs = sum(g_sums[f"g_r{m}"] for m in (1, 2, 3)) + final_sum
+            rhs = sum(g_sums[f"g_w{m}"] for m in (1, 2, 3)) + init_sum
+            if lhs != rhs:
+                raise AssertionError("regcheck violated: register multiset mismatch")
+            rng_lhs = sum(g_sums[f"gr_{c}"] for c, _ in _RANGED)
+            if rng_lhs != h_sum:
+                raise AssertionError("regcheck violated: range multiset mismatch")
+
+        self.sel = sel
+        self.tau_m, self.tau_r, self.gamma = tau_m, tau_r, gamma
+        self.nonce = nonce
+        self.g_cols = g_cols
+        self.g_coords = pack_g_coords(g_cols)
+        self.h_coords = pack_g_coords({"h": h_col})
+        self.g_sums = g_sums
+        self.h_sum = h_sum
+        return {**self.g_coords, **self.h_coords}
+
+    def zerocheck_phase(self, transcript, sink) -> None:
+        F = self.F
+        p = F.MODULUS
+        all_cols = dict(self.cols)
+        all_cols.update(self.g_coords)
+        all_cols["__sel__"] = self.sel
+        all_cols["__idx__"] = self.idx % np.uint64(p)
+        zc = ZerocheckExtProver(
+            F, all_cols, _make_combiner(self.tau_m, self.tau_r, self.gamma, p),
+            REGCHECK_DEGREE, num_alphas=NUM_CONSTRAINTS,
+        ).prove(transcript)
+
+        table_cols = {"m": self.m_col, "__key__": idx_table(16, p)}
+        table_cols.update(self.h_coords)
+        zc_t = ZerocheckExtProver(
+            F, table_cols, _make_table_combiner(self.tau_r), REGCHECK_DEGREE,
+            num_alphas=1,
+        ).prove(transcript)
+
+        self.proof = RegCheckProof(
+            nonce=self.nonce, num_vars=self.num_vars,
+            final_ts=list(self.access.final_ts), zc=zc, zc_table=zc_t,
+            g_sums=self.g_sums, h_sum=self.h_sum,
+        )
+        register_claims(self, sink, zc, zc_t, self.g_sums, self.h_sum)
+
+
+def register_claims(arg, sink, zc, zc_table, g_sums, h_sum) -> None:
+    """Shared prover/verifier claim schedule for the regcheck shape (one
+    trace-domain zerocheck + one RANGE16 zerocheck + per-column sums)."""
+    for name in sorted(zc.column_evals):
+        ck, fn, v = arg.locmap[name]
+        sink.eval_claim(ck, fn, v, zc.final_point, zc.column_evals[name])
+    for name in sorted(zc_table.column_evals):
+        ck, fn, v = arg.locmap[name]
+        sink.eval_claim(ck, fn, v, zc_table.final_point, zc_table.column_evals[name])
+    from ..core.ext4 import ext_lift
+
+    for g in sorted(g_sums):
+        for e in range(4):
+            ck, fn, v = arg.locmap[f"{g}#{e}"]
+            sink.sum_claim(ck, fn, v, ext_lift(int(g_sums[g].c[e])))
+    for e in range(4):
+        ck, fn, v = arg.locmap[f"h#{e}"]
+        sink.sum_claim(ck, fn, v, ext_lift(int(h_sum.c[e])))
+
+
 def prove_regcheck(F, transcript, access: RegAccessColumns, num_vars: int,
                    initial_regs: Optional[List[int]], final_regs: List[int],
                    hash_mode: str = "sha3", _forge_hook=None,
-                   _unsafe_skip_self_checks=False,
-                   _return_state: bool = False) -> RegCheckProof:
-    from ..commitments.ligero import LigeroClaim, _row_col_weights, ligero_commit, ligero_prove_claims
-    from ..poly.public_mles import np_inv
+                   _unsafe_skip_self_checks=False) -> "RegCheckStandalone":
+    """Standalone entry point: the phased argument under a private
+    unified harness (its own data/advice commitments + batch opening)."""
+    from ..prover.unified import prove_unified
 
-    p = F.MODULUS
-    if p != 2013265921:
-        raise ValueError("regcheck requires BabyBear (extension challenges)")
-    n = access.cells.shape[1]
-    padded = 1 << num_vars
-    init = list(initial_regs) if initial_regs is not None else [0] * 32
-    ts_w_max = 3 * padded + 3
-    assert ts_w_max < (1 << 30), "trace too long for the 2-limb ts decomposition"
+    arg = RegcheckArgument(F, access, num_vars, initial_regs, final_regs,
+                           forge_hook=_forge_hook,
+                           unsafe_skip_self_checks=_unsafe_skip_self_checks)
+    unified = prove_unified(F, transcript, [arg], hash_mode)
+    return RegCheckStandalone(rc=arg.proof, unified=unified)
 
-    cols: Dict[str, np.ndarray] = {}
 
-    def _pad(a):
-        b = np.zeros(padded, dtype=np.uint64)
-        b[:n] = a
-        return b
+class RegCheckStandalone:
+    """Wrapper pairing the argument subproof with its private unified
+    commitment proof; forwards field access so callers (and tamper
+    tests) treat it like the subproof itself."""
 
-    for m in (1, 2, 3):
-        cols[f"a{m}"] = _pad(access.cells[m - 1])
-        cols[f"rt{m}"] = _pad(access.read_ts[m - 1])
-    for j, pre in enumerate(("rv1", "rv2", "ov", "wv")):
-        for k in range(4):
-            cols[f"{pre}_{k}"] = _pad(_limb(access.values[j], k))
-    idx = np.arange(padded, dtype=np.uint64)
-    for m in (1, 2, 3):
-        rt = cols[f"rt{m}"]
-        cols[f"tl0_{m}"] = rt & _M16
-        cols[f"tl1_{m}"] = rt >> np.uint64(16)
-        lag = 3 * idx + np.uint64(m - 1) - rt  # >= 0 for honest advice
-        cols[f"dl0_{m}"] = lag & _M16
-        cols[f"dl1_{m}"] = lag >> np.uint64(16)
-    # x0 hardwiring gadget: z0 = 1[a3 == 0] (padding rows are cell-0
-    # zero-writes, so the global constraints hold there too).
-    cols["z0"] = (cols["a3"] == 0).astype(np.uint64)
-    cols["ia3"] = np_inv(cols["a3"], p)
+    def __init__(self, rc: RegCheckProof, unified):
+        self.rc = rc
+        self.unified = unified
 
-    if _forge_hook is not None:
-        _forge_hook(cols)
+    def __getattr__(self, name):
+        return getattr(object.__getattribute__(self, "rc"), name)
 
-    # Multiplicities over RANGE16 for every ranged (scaled) column.
-    m_col = np.zeros(1 << 16, dtype=np.uint64)
-    for c, coef in _RANGED:
-        scaled = np.uint64(coef) * cols[c]
-        if np.any(scaled > _M16):
-            if not _unsafe_skip_self_checks:
-                raise AssertionError(f"regcheck violated: column {c} out of range")
-            scaled = scaled & _M16
-        m_col += np.bincount(scaled.astype(np.int64), minlength=1 << 16).astype(np.uint64)
+    @property
+    def root_cols(self):
+        return self.unified.data_root
 
-    transcript.append_bytes(b"RC_BEGIN")
-    transcript.append_u64(n)
-    for r in range(32):
-        transcript.append_u64(final_regs[r] if r < len(final_regs) else 0)
-    for r in range(32):
-        transcript.append_u64(access.final_ts[r])
-    state = ligero_commit(F, cols, hash_mode)
-    transcript.append_bytes(state.root)
-    m_state = ligero_commit(F, {"m": m_col}, hash_mode)
-    transcript.append_bytes(b"RC_MULT")
-    transcript.append_bytes(m_state.root)
-
-    # Extension challenges with nonce retry on zero denominators.
-    sel = le_table(n - 1, num_vars)
-    nonce = 0
-    while True:
-        trial = transcript.fork()
-        trial.append_bytes(b"RC_CHAL")
-        trial.append_u64(nonce)
-        tau_m = challenge_ext(trial)
-        tau_r = challenge_ext(trial)
-        gamma = challenge_ext(trial)
-        gp = _gamma_powers(gamma)
-        # A tau_r with a nonzero high coordinate can never hit a lifted
-        # base key, so the range/table denominators are nonzero for free.
-        ok = high_coords_nonzero(tau_r)
-        denoms: Dict[str, Ext4] = {}
-        if ok:
-            for m in (1, 2, 3):
-                for side in ("r", "w"):
-                    a_name, vpre = _kappa_parts(m, side)
-                    kappa = gp[0] * cols[a_name]
-                    for k in range(4):
-                        kappa = kappa + gp[k + 1] * cols[f"{vpre}_{k}"]
-                    if side == "r":
-                        ts = cols[f"rt{m}"]
-                    else:
-                        ts = (np.uint64(3) * idx + np.uint64(m)) % np.uint64(p)
-                    kappa = kappa + gp[5] * ts
-                    d = tau_m - kappa
-                    if np.any(d.is_zero() & (sel == 1)):
-                        ok = False
-                        break
-                    denoms[f"g_{side}{m}"] = d
-                if not ok:
-                    break
-        init_sum = final_sum = None
-        if ok:
-            init_sum = _boundary_sum(tau_m, gamma, init, [0] * 32, p)
-            final_sum = _boundary_sum(tau_m, gamma, final_regs, access.final_ts, p)
-            ok = init_sum is not None and final_sum is not None
-        if ok:
-            break
-        nonce += 1
-        assert nonce <= MAX_NONCE, "regcheck nonce overflow"
-    transcript.append_bytes(b"RC_CHAL")
-    transcript.append_u64(nonce)
-    assert challenge_ext(transcript) == tau_m
-    assert challenge_ext(transcript) == tau_r
-    assert challenge_ext(transcript) == gamma
-
-    # Extension inverse columns.
-    g_cols: Dict[str, Ext4] = {}
-    for name, d in denoms.items():
-        g_cols[name] = sel * d.inv()
-    for c, coef in _RANGED:
-        d = tau_r - np.uint64(coef) * cols[c] % np.uint64(p)
-        g_cols[f"gr_{c}"] = d.inv()
-    h_col = (tau_r - idx_table(16, p)).inv() * m_col
-
-    g_coords = pack_g_coords(g_cols)
-    g_state = ligero_commit(F, g_coords, hash_mode)
-    g_sums = {name: col.sum() for name, col in g_cols.items()}
-    h_coords = pack_g_coords({"h": h_col})
-    h_state = ligero_commit(F, h_coords, hash_mode)
-    h_sum = h_col.sum()
-    transcript.append_bytes(b"RC_G")
-    transcript.append_bytes(g_state.root)
-    for name in sorted(g_sums):
-        absorb_ext(transcript, g_sums[name])
-    transcript.append_bytes(b"RC_H")
-    transcript.append_bytes(h_state.root)
-    absorb_ext(transcript, h_sum)
-
-    if not _unsafe_skip_self_checks:
-        lhs = sum(g_sums[f"g_r{m}"] for m in (1, 2, 3)) + final_sum
-        rhs = sum(g_sums[f"g_w{m}"] for m in (1, 2, 3)) + init_sum
-        if lhs != rhs:
-            raise AssertionError("regcheck violated: register multiset mismatch")
-        rng_lhs = sum(g_sums[f"gr_{c}"] for c, _ in _RANGED)
-        if rng_lhs != h_sum:
-            raise AssertionError("regcheck violated: range multiset mismatch")
-
-    # Zerochecks + Ligero bindings.
-    all_cols = dict(cols)
-    all_cols.update(g_coords)
-    all_cols["__sel__"] = sel
-    all_cols["__idx__"] = idx % np.uint64(p)
-    zc = ZerocheckExtProver(
-        F, all_cols, _make_combiner(tau_m, tau_r, gamma, p), REGCHECK_DEGREE,
-        num_alphas=NUM_CONSTRAINTS,
-    ).prove(transcript)
-
-    a, b = _row_col_weights(zc.final_point, state.cn)
-    cols_proof = ligero_prove_claims(state, [LigeroClaim(a=a, b=b, values={})], transcript)
-    ag, bg = _row_col_weights(zc.final_point, g_state.cn)
-    g_proof = ligero_prove_claims(g_state, [
-        LigeroClaim(a=ag, b=bg, values={}),
-        LigeroClaim(a=np.ones(g_state.m, dtype=np.uint64),
-                    b=np.ones(g_state.n, dtype=np.uint64), values={}),
-    ], transcript)
-
-    table_cols = {"m": m_col, "__key__": idx_table(16, p)}
-    table_cols.update(h_coords)
-    zc_t = ZerocheckExtProver(
-        F, table_cols, _make_table_combiner(tau_r), REGCHECK_DEGREE, num_alphas=1,
-    ).prove(transcript)
-    am, bm = _row_col_weights(zc_t.final_point, m_state.cn)
-    m_proof = ligero_prove_claims(m_state, [LigeroClaim(a=am, b=bm, values={})], transcript)
-    ah, bh = _row_col_weights(zc_t.final_point, h_state.cn)
-    h_proof = ligero_prove_claims(h_state, [
-        LigeroClaim(a=ah, b=bh, values={}),
-        LigeroClaim(a=np.ones(h_state.m, dtype=np.uint64),
-                    b=np.ones(h_state.n, dtype=np.uint64), values={}),
-    ], transcript)
-
-    rc = RegCheckProof(
-        nonce=nonce, num_vars=num_vars, final_ts=list(access.final_ts),
-        root_cols=state.root, root_g=g_state.root, root_m=m_state.root,
-        root_h=h_state.root, zc=zc, zc_table=zc_t, cols_proof=cols_proof,
-        g_proof=g_proof, m_proof=m_proof, h_proof=h_proof,
-        g_sums=g_sums, h_sum=h_sum,
-    )
-    if _return_state:
-        # The bytecode/linkage argument (constraints/bytecode.py) issues
-        # additional Ligero claims on this commitment at its own point.
-        return rc, cols, state
-    return rc
+    @root_cols.setter
+    def root_cols(self, value):
+        self.unified.data_root = value
 
 
 # ---------------------------------------------------------------------------
 # Verifier
 
 
-def verify_regcheck(F, transcript, rc: RegCheckProof, num_steps: int,
+class RegcheckVerify:
+    """Verifier-side phased argument (prover/unified.py harness)."""
+
+    ns = "rc"
+
+    def __init__(self, F, rc: RegCheckProof, num_steps: int, num_vars: int,
+                 initial_regs: Optional[List[int]], final_regs: List[int]):
+        self.F = F
+        self.rc = rc
+        self.num_steps = num_steps
+        self.num_vars = num_vars
+        self.init = list(initial_regs) if initial_regs is not None else [0] * 32
+        self.final_regs = final_regs
+        self.locmap = {}
+
+    def data_phase(self, transcript) -> Optional[Dict[str, int]]:
+        rc = self.rc
+        if not isinstance(rc, RegCheckProof):
+            return None
+        if rc.num_vars != self.num_vars or len(rc.final_ts) != 32:
+            return None
+        if not (0 <= rc.nonce <= MAX_NONCE):
+            return None
+        if any(not (0 <= t <= 3 * self.num_steps) for t in rc.final_ts):
+            return None
+        # x0 is architecturally zero at both public anchors (the committed
+        # side is pinned by the z0 write gadget).
+        if self.init[0] != 0 or (self.final_regs and self.final_regs[0] != 0):
+            return None
+
+        transcript.append_bytes(b"RC_BEGIN")
+        transcript.append_u64(self.num_steps)
+        for r in range(32):
+            transcript.append_u64(self.final_regs[r] if r < len(self.final_regs) else 0)
+        for r in range(32):
+            transcript.append_u64(rc.final_ts[r])
+        shape = {name: self.num_vars for name in COLUMNS}
+        shape["m"] = 16
+        return shape
+
+    def advice_phase(self, transcript) -> Optional[Dict[str, int]]:
+        rc = self.rc
+        transcript.append_bytes(b"RC_CHAL")
+        transcript.append_u64(rc.nonce)
+        tau_m = challenge_ext(transcript)
+        tau_r = challenge_ext(transcript)
+        gamma = challenge_ext(transcript)
+        if not high_coords_nonzero(tau_r):
+            return None
+
+        g_names = sorted(G_ALL)
+        if set(rc.g_sums) != set(g_names):
+            return None
+        if not all(isinstance(v, Ext4) and v.is_scalar for v in rc.g_sums.values()):
+            return None
+        if not (isinstance(rc.h_sum, Ext4) and rc.h_sum.is_scalar):
+            return None
+        transcript.append_bytes(b"RC_G")
+        for name in g_names:
+            absorb_ext(transcript, rc.g_sums[name])
+        transcript.append_bytes(b"RC_H")
+        absorb_ext(transcript, rc.h_sum)
+
+        # Grand equations: the register multiset and the range multiset.
+        p = self.F.MODULUS
+        init_sum = _boundary_sum(tau_m, gamma, self.init, [0] * 32, p)
+        final_sum = _boundary_sum(tau_m, gamma, self.final_regs, rc.final_ts, p)
+        if init_sum is None or final_sum is None:
+            return None
+        lhs = sum(rc.g_sums[f"g_r{m}"] for m in (1, 2, 3)) + final_sum
+        rhs = sum(rc.g_sums[f"g_w{m}"] for m in (1, 2, 3)) + init_sum
+        if lhs != rhs:
+            return None
+        if sum(rc.g_sums[f"gr_{c}"] for c, _ in _RANGED) != rc.h_sum:
+            return None
+
+        self.tau_m, self.tau_r, self.gamma = tau_m, tau_r, gamma
+        shape = {gc: self.num_vars for gc in g_coord_names(g_names)}
+        for e in range(4):
+            shape[f"h#{e}"] = 16
+        return shape
+
+    def zerocheck_phase(self, transcript, sink) -> bool:
+        F, rc = self.F, self.rc
+        p = F.MODULUS
+        col_names = sorted(COLUMNS)
+        gc_names = sorted(g_coord_names(sorted(G_ALL)))
+        if set(rc.zc.column_evals) != set(col_names) | set(gc_names):
+            return False
+        if rc.zc.num_vars != self.num_vars or rc.zc.degree != REGCHECK_DEGREE:
+            return False
+        if not ZerocheckExtVerifier(
+            F, _make_combiner(self.tau_m, self.tau_r, self.gamma, p),
+            NUM_CONSTRAINTS, REGCHECK_DEGREE,
+            public_evals=_public_evals(self.num_steps, self.num_vars, p),
+        ).verify(rc.zc, transcript):
+            return False
+
+        hc_names = sorted(g_coord_names(["h"]))
+        if set(rc.zc_table.column_evals) != {"m"} | set(hc_names):
+            return False
+        if rc.zc_table.num_vars != 16 or rc.zc_table.degree != REGCHECK_DEGREE:
+            return False
+        if not ZerocheckExtVerifier(
+            F, _make_table_combiner(self.tau_r), 1, REGCHECK_DEGREE,
+            public_evals=_table_public_evals(p),
+        ).verify(rc.zc_table, transcript):
+            return False
+
+        register_claims(self, sink, rc.zc, rc.zc_table, rc.g_sums, rc.h_sum)
+        return True
+
+
+def verify_regcheck(F, transcript, proof: "RegCheckStandalone", num_steps: int,
                     num_vars: int, initial_regs: Optional[List[int]],
                     final_regs: List[int], hash_mode: str = "sha3") -> bool:
-    from ..commitments.ligero import (
-        LigeroClaim,
-        LigeroParams,
-        _row_col_weights,
-        ligero_verify_claims,
-    )
+    from ..prover.unified import verify_unified
 
-    p = F.MODULUS
-    init = list(initial_regs) if initial_regs is not None else [0] * 32
-    if rc.num_vars != num_vars or len(rc.final_ts) != 32:
-        return False
-    if not (0 <= rc.nonce <= MAX_NONCE):
-        return False
-    if any(not (0 <= t <= 3 * num_steps) for t in rc.final_ts):
-        return False
-    # x0 is architecturally zero at both public anchors (the committed
-    # side is pinned by the z0 write gadget).
-    if init[0] != 0 or (final_regs and final_regs[0] != 0):
-        return False
-
-    transcript.append_bytes(b"RC_BEGIN")
-    transcript.append_u64(num_steps)
-    for r in range(32):
-        transcript.append_u64(final_regs[r] if r < len(final_regs) else 0)
-    for r in range(32):
-        transcript.append_u64(rc.final_ts[r])
-    transcript.append_bytes(rc.root_cols)
-    transcript.append_bytes(b"RC_MULT")
-    transcript.append_bytes(rc.root_m)
-
-    transcript.append_bytes(b"RC_CHAL")
-    transcript.append_u64(rc.nonce)
-    tau_m = challenge_ext(transcript)
-    tau_r = challenge_ext(transcript)
-    gamma = challenge_ext(transcript)
-    if not high_coords_nonzero(tau_r):
-        return False
-
-    g_names = sorted(G_ALL)
-    if set(rc.g_sums) != set(g_names):
-        return False
-    if not all(isinstance(v, Ext4) for v in rc.g_sums.values()):
-        return False
-    if not isinstance(rc.h_sum, Ext4):
-        return False
-    transcript.append_bytes(b"RC_G")
-    transcript.append_bytes(rc.root_g)
-    for name in g_names:
-        absorb_ext(transcript, rc.g_sums[name])
-    transcript.append_bytes(b"RC_H")
-    transcript.append_bytes(rc.root_h)
-    absorb_ext(transcript, rc.h_sum)
-
-    col_names = sorted(COLUMNS)
-    gc_names = sorted(g_coord_names(g_names))
-    if set(rc.zc.column_evals) != set(col_names) | set(gc_names):
-        return False
-    if rc.zc.num_vars != num_vars or rc.zc.degree != REGCHECK_DEGREE:
-        return False
-    if not ZerocheckExtVerifier(
-        F, _make_combiner(tau_m, tau_r, gamma, p), NUM_CONSTRAINTS,
-        REGCHECK_DEGREE, public_evals=_public_evals(num_steps, num_vars, p),
-    ).verify(rc.zc, transcript):
-        return False
-
-    params = LigeroParams()
-    cn_c = params.choose_split(num_vars, len(col_names))
-    a, b = _row_col_weights(rc.zc.final_point, cn_c)
-    if not ligero_verify_claims(
-        F, rc.root_cols, num_vars, col_names,
-        [LigeroClaim(a=a, b=b,
-                     values={nm: rc.zc.column_evals[nm] for nm in col_names})],
-        rc.cols_proof, transcript, hash_mode,
-    ):
-        return False
-    cn_g = params.choose_split(num_vars, len(gc_names))
-    ag, bg = _row_col_weights(rc.zc.final_point, cn_g)
-    m_g = (1 << num_vars) >> cn_g
-    if not ligero_verify_claims(
-        F, rc.root_g, num_vars, gc_names,
-        [
-            LigeroClaim(a=ag, b=bg,
-                        values={nm: rc.zc.column_evals[nm] for nm in gc_names}),
-            LigeroClaim(a=np.ones(m_g, dtype=np.uint64),
-                        b=np.ones(1 << cn_g, dtype=np.uint64),
-                        values=sum_claim_values(rc.g_sums, g_names)),
-        ],
-        rc.g_proof, transcript, hash_mode,
-    ):
-        return False
-
-    # RANGE16 table side.
-    hc_names = sorted(g_coord_names(["h"]))
-    if set(rc.zc_table.column_evals) != {"m"} | set(hc_names):
-        return False
-    if rc.zc_table.num_vars != 16 or rc.zc_table.degree != REGCHECK_DEGREE:
-        return False
-    if not ZerocheckExtVerifier(
-        F, _make_table_combiner(tau_r), 1, REGCHECK_DEGREE,
-        public_evals=_table_public_evals(p),
-    ).verify(rc.zc_table, transcript):
-        return False
-    cn_m = params.choose_split(16, 1)
-    am, bm = _row_col_weights(rc.zc_table.final_point, cn_m)
-    if not ligero_verify_claims(
-        F, rc.root_m, 16, ["m"],
-        [LigeroClaim(a=am, b=bm, values={"m": rc.zc_table.column_evals["m"]})],
-        rc.m_proof, transcript, hash_mode,
-    ):
-        return False
-    cn_h = params.choose_split(16, len(hc_names))
-    ah, bh = _row_col_weights(rc.zc_table.final_point, cn_h)
-    m_h = (1 << 16) >> cn_h
-    if not ligero_verify_claims(
-        F, rc.root_h, 16, hc_names,
-        [
-            LigeroClaim(a=ah, b=bh,
-                        values={nm: rc.zc_table.column_evals[nm] for nm in hc_names}),
-            LigeroClaim(a=np.ones(m_h, dtype=np.uint64),
-                        b=np.ones(1 << cn_h, dtype=np.uint64),
-                        values=sum_claim_values({"h": rc.h_sum}, ["h"])),
-        ],
-        rc.h_proof, transcript, hash_mode,
-    ):
-        return False
-
-    # Grand equations: the register multiset and the range multiset.
-    init_sum = _boundary_sum(tau_m, gamma, init, [0] * 32, p)
-    final_sum = _boundary_sum(tau_m, gamma, final_regs, rc.final_ts, p)
-    if init_sum is None or final_sum is None:
-        return False
-    lhs = sum(rc.g_sums[f"g_r{m}"] for m in (1, 2, 3)) + final_sum
-    rhs = sum(rc.g_sums[f"g_w{m}"] for m in (1, 2, 3)) + init_sum
-    if lhs != rhs:
-        return False
-    rng_lhs = sum(rc.g_sums[f"gr_{c}"] for c, _ in _RANGED)
-    return rng_lhs == rc.h_sum
+    arg = RegcheckVerify(F, proof.rc, num_steps, num_vars, initial_regs,
+                         final_regs)
+    return verify_unified(F, transcript, [arg], proof.unified, hash_mode) is None

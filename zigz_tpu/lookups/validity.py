@@ -1386,26 +1386,21 @@ GADGET_TABLE_IDS = frozenset(GADGETS)
 
 @dataclass
 class TableValidityRecord:
+    """Round-3 slim form: the Ligero roots/openings moved to the shared
+    unified commitment (prover/unified.py)."""
+
     table_id: int
     num_queries: int
     num_vars: int
-    root_cols: bytes
-    root_g: bytes
     zc: ZerocheckProof
-    cols_proof: object  # LigeroEvalProof (eval claim at zc point)
-    g_proof: object  # LigeroEvalProof (eval claim + per-column sum claim)
-    g_sums: Dict[str, int]
+    g_sums: Dict[str, Ext4]
 
 
 @dataclass
 class SubtableSideRecord:
     names: List[str]  # used subtables, sorted
-    root_m: bytes
-    root_h: bytes
     zc: ZerocheckProof
-    m_proof: object
-    h_proof: object
-    h_sums: Dict[str, int]
+    h_sums: Dict[str, Ext4]
 
 
 @dataclass
@@ -1483,214 +1478,258 @@ def _qvars(n: int) -> int:
 # Prover
 
 
+class ValidityArgument:
+    """Prover-side phased argument (prover/unified.py harness).  Local
+    column names are prefixed ``t{tid}:`` per table; the table side keeps
+    its ``m_{sub}`` / ``h_{sub}#{e}`` names."""
+
+    ns = "lv"
+
+    def __init__(self, F, queries_by_table, forge_hook=None,
+                 unsafe_skip_self_checks=False):
+        self.F = F
+        self.queries_by_table = queries_by_table
+        self._forge_hook = forge_hook
+        self._unsafe = unsafe_skip_self_checks
+        self.locmap = {}
+        self.proof: Optional[LookupValidityProof] = None
+        self.per_table: Dict[int, dict] = {}
+
+    def data_phase(self, transcript) -> Dict[str, np.ndarray]:
+        F = self.F
+        p = F.MODULUS
+        if p >= (1 << 31):
+            raise ValueError("lookup validity requires a field modulus < 2^31")
+        table_ids = sorted(t for t in self.queries_by_table if t in GADGET_TABLE_IDS)
+        self.table_ids = table_ids
+
+        transcript.append_bytes(b"LV_BEGIN")
+        transcript.append_u64(len(table_ids))
+        if not table_ids:
+            self.sub_names = []
+            return {}
+
+        out: Dict[str, np.ndarray] = {}
+        used_subs = set()
+        for tid in table_ids:
+            gadget = GADGETS[tid]
+            inputs, outputs = self.queries_by_table[tid]
+            nq = inputs.shape[0]
+            v = _qvars(nq)
+            cols = gadget.build(inputs, outputs, 1 << v, p)
+            if self._forge_hook is not None:
+                self._forge_hook(tid, cols)
+            if not self._unsafe:
+                for j, arr in enumerate(gadget.constraint_arrays(cols, p)):
+                    if np.any(arr != 0):
+                        bad = int(np.nonzero(arr)[0][0])
+                        raise AssertionError(
+                            f"lookup validity violated: table {tid} row {bad} breaks "
+                            f"constraint {j} (forged lookup output?)"
+                        )
+            transcript.append_bytes(b"LV_TABLE")
+            transcript.append_u64(tid)
+            transcript.append_u64(nq)
+            transcript.append_u64(v)
+            self.per_table[tid] = dict(gadget=gadget, cols=cols, nq=nq, v=v)
+            used_subs.update(sub for _, sub, _ in gadget.inclusions)
+            for c, arr in cols.items():
+                out[f"t{tid}:{c}"] = arr
+
+        # Multiplicities over each used subtable domain (tau-independent;
+        # counting validates every query key is in-table).
+        sub_names = sorted(used_subs)
+        dense_keys = {name: SUBTABLES[name].dense_key(p) for name in sub_names}
+        m_cols = {f"m_{name}": np.zeros(1 << SUBTABLES[name].num_vars, dtype=np.uint64)
+                  for name in sub_names}
+        for tid in table_ids:
+            info = self.per_table[tid]
+            for _g_name, sub, spec in info["gadget"].inclusions:
+                keys = _key_array(info["cols"], spec, p)
+                size = 1 << SUBTABLES[sub].num_vars
+                x = (keys & np.uint64(size - 1)).astype(np.int64)
+                if not np.array_equal(dense_keys[sub][x], keys) and not self._unsafe:
+                    bad = int(np.nonzero(dense_keys[sub][x] != keys)[0][0])
+                    raise AssertionError(
+                        f"lookup validity violated: table {tid} row {bad} is not a "
+                        f"{sub} entry (forged lookup output?)"
+                    )
+                m_cols[f"m_{sub}"] += np.bincount(x, minlength=size).astype(np.uint64)
+        transcript.append_bytes(b"LV_MULT")
+        transcript.append_u64(len(sub_names))
+        for name in sub_names:
+            transcript.append_bytes(name.encode())
+
+        self.sub_names = sub_names
+        self.dense_keys = dense_keys
+        self.m_cols = m_cols
+        out.update(m_cols)
+        return out
+
+    def advice_phase(self, transcript) -> Dict[str, np.ndarray]:
+        if not self.table_ids:
+            self.proof = LookupValidityProof(nonce=0, tables=[], table_side=None)
+            return {}
+        F = self.F
+        p = F.MODULUS
+        # Extension fingerprint challenges.  A tau with a nonzero high
+        # coordinate can never equal a (lifted) base-field key, so every
+        # query- and table-side denominator is nonzero by construction;
+        # the nonce loop only retries the ~2^-93 all-high-zero draw.
+        nonce = 0
+        while True:
+            trial = transcript.fork()
+            trial.append_bytes(b"LV_CHAL")
+            trial.append_u64(nonce)
+            tau = challenge_ext(trial)
+            gamma = challenge_ext(trial)  # reserved for multi-word keys (shifts)
+            if high_coords_nonzero(tau):
+                break
+            nonce += 1
+            assert nonce <= MAX_NONCE, "validity nonce overflow"
+        transcript.append_bytes(b"LV_CHAL")
+        transcript.append_u64(nonce)
+        assert challenge_ext(transcript) == tau
+        assert challenge_ext(transcript) == gamma
+        self.tau = tau
+        self.nonce = nonce
+
+        out: Dict[str, np.ndarray] = {}
+        for tid in self.table_ids:
+            info = self.per_table[tid]
+            g_cols: Dict[str, Ext4] = {}
+            for g_name, _sub, spec in info["gadget"].inclusions:
+                keys = _key_array(info["cols"], spec, p)
+                g_cols[g_name] = (tau - keys).inv()
+            info["g_cols"] = g_cols
+            info["g_coords"] = pack_g_coords(g_cols)
+            info["g_sums"] = {name: col.sum() for name, col in g_cols.items()}
+            transcript.append_bytes(b"LV_G")
+            for name in sorted(info["g_sums"]):
+                absorb_ext(transcript, info["g_sums"][name])
+            for c, arr in info["g_coords"].items():
+                out[f"t{tid}:{c}"] = arr
+
+        h_cols: Dict[str, Ext4] = {}
+        h_sums: Dict[str, Ext4] = {}
+        for name in self.sub_names:
+            h = (tau - self.dense_keys[name]).inv() * self.m_cols[f"m_{name}"]
+            h_cols[f"h_{name}"] = h
+            h_sums[name] = h.sum()
+        self.h_coords = pack_g_coords(h_cols)
+        self.h_sums = h_sums
+        transcript.append_bytes(b"LV_H")
+        for name in self.sub_names:
+            absorb_ext(transcript, h_sums[name])
+        out.update(self.h_coords)
+
+        # Honest-prover grand-sum self-check (the logUp identity).
+        from ..core.ext4 import ext_lift
+
+        use_sums = {name: ext_lift(0) for name in self.sub_names}
+        for tid in self.table_ids:
+            info = self.per_table[tid]
+            for g_name, sub, _spec in info["gadget"].inclusions:
+                use_sums[sub] = use_sums[sub] + info["g_sums"][g_name]
+        for name in self.sub_names:
+            if use_sums[name] != h_sums[name] and not self._unsafe:
+                raise AssertionError(f"lookup validity violated: {name} multiset mismatch")
+        return out
+
+    def zerocheck_phase(self, transcript, sink) -> None:
+        if not self.table_ids:
+            return
+        F = self.F
+        p = F.MODULUS
+        from ..core.ext4 import ext_lift
+
+        records = []
+        for tid in self.table_ids:
+            info = self.per_table[tid]
+            gadget = info["gadget"]
+            all_cols = dict(info["cols"])
+            all_cols.update(info["g_coords"])
+            zc = ZerocheckExtProver(
+                F, all_cols, _make_query_combiner(gadget, self.tau),
+                VALIDITY_DEGREE, num_alphas=_num_constraints(gadget),
+            ).prove(transcript)
+            records.append(TableValidityRecord(
+                table_id=tid, num_queries=info["nq"], num_vars=info["v"],
+                zc=zc, g_sums=info["g_sums"],
+            ))
+            for name in sorted(zc.column_evals):
+                ck, fn, v = self.locmap[f"t{tid}:{name}"]
+                sink.eval_claim(ck, fn, v, zc.final_point, zc.column_evals[name])
+            for g in sorted(info["g_sums"]):
+                for e in range(4):
+                    ck, fn, v = self.locmap[f"t{tid}:{g}#{e}"]
+                    sink.sum_claim(ck, fn, v,
+                                   ext_lift(int(info["g_sums"][g].c[e])))
+            info["zc"] = zc
+
+        table_cols = dict(self.m_cols)
+        table_cols.update(self.h_coords)
+        for name in self.sub_names:
+            table_cols[f"__key_{name}__"] = self.dense_keys[name]
+        zc_t = ZerocheckExtProver(
+            F, table_cols, _make_table_combiner(self.sub_names, self.tau),
+            VALIDITY_DEGREE, num_alphas=len(self.sub_names),
+        ).prove(transcript)
+        for name in sorted(zc_t.column_evals):
+            ck, fn, v = self.locmap[name]
+            sink.eval_claim(ck, fn, v, zc_t.final_point, zc_t.column_evals[name])
+        for name in self.sub_names:
+            for e in range(4):
+                ck, fn, v = self.locmap[f"h_{name}#{e}"]
+                sink.sum_claim(ck, fn, v, ext_lift(int(self.h_sums[name].c[e])))
+
+        self.proof = LookupValidityProof(
+            nonce=self.nonce, tables=records,
+            table_side=SubtableSideRecord(names=self.sub_names, zc=zc_t,
+                                          h_sums=self.h_sums),
+        )
+
+    def linkage_info(self) -> List[dict]:
+        """Per-table state the witness-linkage argument consumes: the
+        committed query columns plus this argument's locmap handle (for
+        issuing claims on the shared data commitment)."""
+        return [
+            dict(tid=tid, gadget=self.per_table[tid]["gadget"],
+                 cols=self.per_table[tid]["cols"],
+                 nq=self.per_table[tid]["nq"], v=self.per_table[tid]["v"],
+                 arg=self)
+            for tid in self.table_ids
+        ]
+
+
+class LookupValidityStandalone:
+    def __init__(self, lv: LookupValidityProof, unified):
+        self.lv = lv
+        self.unified = unified
+
+    def __getattr__(self, name):
+        return getattr(object.__getattribute__(self, "lv"), name)
+
+
 def prove_lookup_validity(F, transcript, queries_by_table, hash_mode: str = "sha3",
                           _forge_hook=None, _unsafe_skip_self_checks=False,
                           _return_state: bool = False):
-    """Prove every gadget-covered query is a genuine table entry.
+    """Standalone entry point: prove every gadget-covered query is a
+    genuine table entry, under a private unified harness.
 
     ``queries_by_table``: table_id -> (inputs (n,2), outputs (n,1)).
     ``_forge_hook`` / ``_unsafe_skip_self_checks`` are test seams: the
     hook mutates a table's column dict before commitment and the flag
     suppresses the honest-prover assertions — together they model a
-    malicious prover (tests/test_lookup_validity.py).
+    malicious prover (tests/test_lookup_validity.py)."""
+    from ..prover.unified import prove_unified
 
-    With ``_return_state`` also returns per-table state dicts
-    (tid/gadget/cols/state/nq/v) the witness-linkage argument
-    (constraints/linkage.py) issues additional Ligero claims on."""
-    from ..commitments.ligero import LigeroClaim, _row_col_weights, ligero_commit, ligero_prove_claims
-
-    p = F.MODULUS
-    if p >= (1 << 31):
-        raise ValueError("lookup validity requires a field modulus < 2^31")
-    table_ids = sorted(t for t in queries_by_table if t in GADGET_TABLE_IDS)
-
-    transcript.append_bytes(b"LV_BEGIN")
-    transcript.append_u64(len(table_ids))
-    if not table_ids:
-        empty = LookupValidityProof(nonce=0, tables=[], table_side=None)
-        return (empty, []) if _return_state else empty
-
-    # Phase 1: commit query columns per table (tau-independent).
-    per_table = {}
-    used_subs = set()
-    for tid in table_ids:
-        gadget = GADGETS[tid]
-        inputs, outputs = queries_by_table[tid]
-        nq = inputs.shape[0]
-        v = _qvars(nq)
-        cols = gadget.build(inputs, outputs, 1 << v, p)
-        if _forge_hook is not None:
-            _forge_hook(tid, cols)
-        if not _unsafe_skip_self_checks:
-            for j, arr in enumerate(gadget.constraint_arrays(cols, p)):
-                if np.any(arr != 0):
-                    bad = int(np.nonzero(arr)[0][0])
-                    raise AssertionError(
-                        f"lookup validity violated: table {tid} row {bad} breaks "
-                        f"constraint {j} (forged lookup output?)"
-                    )
-        state = ligero_commit(F, cols, hash_mode)
-        transcript.append_bytes(b"LV_TABLE")
-        transcript.append_u64(tid)
-        transcript.append_u64(nq)
-        transcript.append_u64(v)
-        transcript.append_bytes(state.root)
-        per_table[tid] = dict(gadget=gadget, cols=cols, state=state, nq=nq, v=v)
-        used_subs.update(sub for _, sub, _ in gadget.inclusions)
-
-    # Phase 2: multiplicities over each used subtable domain (also
-    # tau-independent; counting validates every query key is in-table).
-    sub_names = sorted(used_subs)
-    dense_keys = {name: SUBTABLES[name].dense_key(p) for name in sub_names}
-    m_cols = {f"m_{name}": np.zeros(1 << SUBTABLES[name].num_vars, dtype=np.uint64)
-              for name in sub_names}
-    for tid in table_ids:
-        info = per_table[tid]
-        for _g_name, sub, spec in info["gadget"].inclusions:
-            keys = _key_array(info["cols"], spec, p)
-            size = 1 << SUBTABLES[sub].num_vars
-            x = (keys & np.uint64(size - 1)).astype(np.int64)
-            if not np.array_equal(dense_keys[sub][x], keys) and not _unsafe_skip_self_checks:
-                bad = int(np.nonzero(dense_keys[sub][x] != keys)[0][0])
-                raise AssertionError(
-                    f"lookup validity violated: table {tid} row {bad} is not a "
-                    f"{sub} entry (forged lookup output?)"
-                )
-            m_cols[f"m_{sub}"] += np.bincount(x, minlength=size).astype(np.uint64)
-    m_state = ligero_commit(F, m_cols, hash_mode)
-    transcript.append_bytes(b"LV_MULT")
-    transcript.append_u64(len(sub_names))
-    for name in sub_names:
-        transcript.append_bytes(name.encode())
-    transcript.append_bytes(m_state.root)
-
-    # Phase 3: extension fingerprint challenges.  A tau with a nonzero
-    # high coordinate can never equal a (lifted) base-field key, so every
-    # query- and table-side denominator is nonzero by construction; the
-    # nonce loop only retries the ~2^-93 all-high-zero draw.
-    nonce = 0
-    while True:
-        trial = transcript.fork()
-        trial.append_bytes(b"LV_CHAL")
-        trial.append_u64(nonce)
-        tau = challenge_ext(trial)
-        gamma = challenge_ext(trial)  # reserved for multi-word keys (shifts)
-        if high_coords_nonzero(tau):
-            break
-        nonce += 1
-        assert nonce <= MAX_NONCE, "validity nonce overflow"
-    transcript.append_bytes(b"LV_CHAL")
-    transcript.append_u64(nonce)
-    assert challenge_ext(transcript) == tau
-    assert challenge_ext(transcript) == gamma
-
-    # Phase 4: extension inverse columns (query side g, table side h),
-    # committed as coordinate columns.
-    for tid in table_ids:
-        info = per_table[tid]
-        g_cols: Dict[str, Ext4] = {}
-        for g_name, _sub, spec in info["gadget"].inclusions:
-            keys = _key_array(info["cols"], spec, p)
-            g_cols[g_name] = (tau - keys).inv()
-        info["g_cols"] = g_cols
-        info["g_state"] = ligero_commit(F, pack_g_coords(g_cols), hash_mode)
-        info["g_sums"] = {name: col.sum() for name, col in g_cols.items()}
-        transcript.append_bytes(b"LV_G")
-        transcript.append_bytes(info["g_state"].root)
-        for name in sorted(info["g_sums"]):
-            absorb_ext(transcript, info["g_sums"][name])
-
-    h_cols: Dict[str, Ext4] = {}
-    h_sums: Dict[str, Ext4] = {}
-    for name in sub_names:
-        h = (tau - dense_keys[name]).inv() * m_cols[f"m_{name}"]
-        h_cols[f"h_{name}"] = h
-        h_sums[name] = h.sum()
-    h_state = ligero_commit(F, pack_g_coords(h_cols), hash_mode)
-    transcript.append_bytes(b"LV_H")
-    transcript.append_bytes(h_state.root)
-    for name in sub_names:
-        absorb_ext(transcript, h_sums[name])
-
-    # Honest-prover grand-sum self-check (the logUp identity).
-    from ..core.ext4 import ext_lift
-
-    use_sums = {name: ext_lift(0) for name in sub_names}
-    for tid in table_ids:
-        info = per_table[tid]
-        for g_name, sub, _spec in info["gadget"].inclusions:
-            use_sums[sub] = use_sums[sub] + info["g_sums"][g_name]
-    for name in sub_names:
-        if use_sums[name] != h_sums[name] and not _unsafe_skip_self_checks:
-            raise AssertionError(f"lookup validity violated: {name} multiset mismatch")
-
-    # Phase 5: zerochecks + Ligero bindings.
-    records = []
-    for tid in table_ids:
-        info = per_table[tid]
-        gadget = info["gadget"]
-        all_cols = dict(info["cols"])
-        all_cols.update(pack_g_coords(info["g_cols"]))
-        zc = ZerocheckExtProver(
-            F, all_cols, _make_query_combiner(gadget, tau), VALIDITY_DEGREE,
-            num_alphas=_num_constraints(gadget),
-        ).prove(transcript)
-
-        a, b = _row_col_weights(zc.final_point, info["state"].cn)
-        cols_proof = ligero_prove_claims(
-            info["state"], [LigeroClaim(a=a, b=b, values={})], transcript
-        )
-        ag, bg = _row_col_weights(zc.final_point, info["g_state"].cn)
-        g_claims = [
-            LigeroClaim(a=ag, b=bg, values={}),
-            LigeroClaim(
-                a=np.ones(info["g_state"].m, dtype=np.uint64),
-                b=np.ones(info["g_state"].n, dtype=np.uint64),
-                values={},
-            ),
-        ]
-        g_proof = ligero_prove_claims(info["g_state"], g_claims, transcript)
-        records.append(TableValidityRecord(
-            table_id=tid, num_queries=info["nq"], num_vars=info["v"],
-            root_cols=info["state"].root, root_g=info["g_state"].root,
-            zc=zc, cols_proof=cols_proof, g_proof=g_proof, g_sums=info["g_sums"],
-        ))
-
-    table_cols = dict(m_cols)
-    table_cols.update(pack_g_coords(h_cols))
-    for name in sub_names:
-        table_cols[f"__key_{name}__"] = dense_keys[name]
-    zc_t = ZerocheckExtProver(
-        F, table_cols, _make_table_combiner(sub_names, tau), VALIDITY_DEGREE,
-        num_alphas=len(sub_names),
-    ).prove(transcript)
-    am, bm = _row_col_weights(zc_t.final_point, m_state.cn)
-    m_proof = ligero_prove_claims(
-        m_state, [LigeroClaim(a=am, b=bm, values={})], transcript
-    )
-    ah, bh = _row_col_weights(zc_t.final_point, h_state.cn)
-    h_claims = [
-        LigeroClaim(a=ah, b=bh, values={}),
-        LigeroClaim(
-            a=np.ones(h_state.m, dtype=np.uint64),
-            b=np.ones(h_state.n, dtype=np.uint64),
-            values={},
-        ),
-    ]
-    h_proof = ligero_prove_claims(h_state, h_claims, transcript)
-    table_side = SubtableSideRecord(
-        names=sub_names, root_m=m_state.root, root_h=h_state.root,
-        zc=zc_t, m_proof=m_proof, h_proof=h_proof, h_sums=h_sums,
-    )
-    lv = LookupValidityProof(nonce=nonce, tables=records, table_side=table_side)
+    arg = ValidityArgument(F, queries_by_table, forge_hook=_forge_hook,
+                           unsafe_skip_self_checks=_unsafe_skip_self_checks)
+    unified = prove_unified(F, transcript, [arg], hash_mode)
+    lv = LookupValidityStandalone(lv=arg.proof, unified=unified)
     if _return_state:
-        info = [
-            dict(tid=tid, gadget=per_table[tid]["gadget"],
-                 cols=per_table[tid]["cols"], state=per_table[tid]["state"],
-                 nq=per_table[tid]["nq"], v=per_table[tid]["v"])
-            for tid in table_ids
-        ]
-        return lv, info
+        return lv, arg.linkage_info()
     return lv
 
 
@@ -1698,171 +1737,174 @@ def prove_lookup_validity(F, transcript, queries_by_table, hash_mode: str = "sha
 # Verifier
 
 
-def verify_lookup_validity(F, transcript, lv: LookupValidityProof,
-                           lasso_counts: Dict[int, int],
+class ValidityVerify:
+    """Verifier-side phased argument (prover/unified.py harness).
+
+    ``lasso_counts``: table_id -> num_lookups from the (already verified)
+    pipeline Lasso records; every gadget-covered table there MUST carry a
+    validity record with the same query count — a prover cannot silently
+    omit the argument."""
+
+    ns = "lv"
+
+    def __init__(self, F, lv: LookupValidityProof, lasso_counts: Dict[int, int]):
+        self.F = F
+        self.lv = lv
+        self.lasso_counts = lasso_counts
+        self.locmap = {}
+
+    def data_phase(self, transcript) -> Optional[Dict[str, int]]:
+        lv = self.lv
+        if not isinstance(lv, LookupValidityProof):
+            return None
+        expected_ids = sorted(t for t in self.lasso_counts if t in GADGET_TABLE_IDS)
+        if [r.table_id for r in lv.tables] != expected_ids:
+            return None
+        if not (0 <= lv.nonce <= MAX_NONCE):
+            return None
+
+        transcript.append_bytes(b"LV_BEGIN")
+        transcript.append_u64(len(lv.tables))
+        if not lv.tables:
+            self.sub_names = []
+            return {} if lv.table_side is None else None
+
+        shape: Dict[str, int] = {}
+        used_subs = set()
+        for rec in lv.tables:
+            gadget = GADGETS[rec.table_id]
+            if rec.num_queries != self.lasso_counts[rec.table_id]:
+                return None
+            if rec.num_vars != _qvars(rec.num_queries):
+                return None
+            transcript.append_bytes(b"LV_TABLE")
+            transcript.append_u64(rec.table_id)
+            transcript.append_u64(rec.num_queries)
+            transcript.append_u64(rec.num_vars)
+            used_subs.update(sub for _, sub, _ in gadget.inclusions)
+            for c in gadget.columns:
+                shape[f"t{rec.table_id}:{c}"] = rec.num_vars
+
+        sub_names = sorted(used_subs)
+        ts = lv.table_side
+        if ts is None or ts.names != sub_names:
+            return None
+        transcript.append_bytes(b"LV_MULT")
+        transcript.append_u64(len(sub_names))
+        for name in sub_names:
+            transcript.append_bytes(name.encode())
+            shape[f"m_{name}"] = SUBTABLES[name].num_vars
+        self.sub_names = sub_names
+        return shape
+
+    def advice_phase(self, transcript) -> Optional[Dict[str, int]]:
+        lv = self.lv
+        if not lv.tables:
+            return {}
+        transcript.append_bytes(b"LV_CHAL")
+        transcript.append_u64(lv.nonce)
+        tau = challenge_ext(transcript)
+        challenge_ext(transcript)  # gamma (reserved)
+        if not high_coords_nonzero(tau):
+            return None
+        self.tau = tau
+
+        shape: Dict[str, int] = {}
+        for rec in lv.tables:
+            gadget = GADGETS[rec.table_id]
+            g_names = sorted(g for g, _s, _k in gadget.inclusions)
+            if set(rec.g_sums) != set(g_names):
+                return None
+            if not all(isinstance(v, Ext4) and v.is_scalar
+                       for v in rec.g_sums.values()):
+                return None
+            transcript.append_bytes(b"LV_G")
+            for name in g_names:
+                absorb_ext(transcript, rec.g_sums[name])
+            for gc in g_coord_names(g_names):
+                shape[f"t{rec.table_id}:{gc}"] = rec.num_vars
+        ts = lv.table_side
+        if set(ts.h_sums) != set(self.sub_names):
+            return None
+        if not all(isinstance(v, Ext4) and v.is_scalar for v in ts.h_sums.values()):
+            return None
+        transcript.append_bytes(b"LV_H")
+        for name in self.sub_names:
+            absorb_ext(transcript, ts.h_sums[name])
+            for e in range(4):
+                shape[f"h_{name}#{e}"] = SUBTABLES[name].num_vars
+
+        # The logUp grand-sum equation: per subtable, the query-side
+        # inverse sums across every use must equal the table-side sum.
+        from ..core.ext4 import ext_lift
+
+        use_sums = {name: ext_lift(0) for name in self.sub_names}
+        for rec in lv.tables:
+            for g_name, sub, _spec in GADGETS[rec.table_id].inclusions:
+                use_sums[sub] = use_sums[sub] + rec.g_sums[g_name]
+        if not all(use_sums[n] == ts.h_sums[n] for n in self.sub_names):
+            return None
+        return shape
+
+    def zerocheck_phase(self, transcript, sink) -> bool:
+        lv, F = self.lv, self.F
+        if not lv.tables:
+            return True
+        p = F.MODULUS
+        from ..core.ext4 import ext_lift
+
+        for rec in lv.tables:
+            gadget = GADGETS[rec.table_id]
+            g_names = sorted(g for g, _s, _k in gadget.inclusions)
+            gc_names = sorted(g_coord_names(g_names))
+            col_names = sorted(gadget.columns)
+            if set(rec.zc.column_evals) != set(col_names) | set(gc_names):
+                return False
+            if rec.zc.num_vars != rec.num_vars or rec.zc.degree != VALIDITY_DEGREE:
+                return False
+            if not ZerocheckExtVerifier(
+                F, _make_query_combiner(gadget, self.tau),
+                _num_constraints(gadget), VALIDITY_DEGREE,
+            ).verify(rec.zc, transcript):
+                return False
+            for name in sorted(rec.zc.column_evals):
+                ck, fn, v = self.locmap[f"t{rec.table_id}:{name}"]
+                sink.eval_claim(ck, fn, v, rec.zc.final_point,
+                                rec.zc.column_evals[name])
+            for g in g_names:
+                for e in range(4):
+                    ck, fn, v = self.locmap[f"t{rec.table_id}:{g}#{e}"]
+                    sink.sum_claim(ck, fn, v, ext_lift(int(rec.g_sums[g].c[e])))
+
+        # Table side.
+        ts = lv.table_side
+        m_names = [f"m_{n}" for n in self.sub_names]
+        hc_names = sorted(g_coord_names([f"h_{n}" for n in self.sub_names]))
+        if set(ts.zc.column_evals) != set(m_names) | set(hc_names):
+            return False
+        if ts.zc.num_vars != 16 or ts.zc.degree != VALIDITY_DEGREE:
+            return False
+        if not ZerocheckExtVerifier(
+            F, _make_table_combiner(self.sub_names, self.tau),
+            len(self.sub_names), VALIDITY_DEGREE,
+            public_evals=_table_public_evals(self.sub_names, p),
+        ).verify(ts.zc, transcript):
+            return False
+        for name in sorted(ts.zc.column_evals):
+            ck, fn, v = self.locmap[name]
+            sink.eval_claim(ck, fn, v, ts.zc.final_point, ts.zc.column_evals[name])
+        for name in self.sub_names:
+            for e in range(4):
+                ck, fn, v = self.locmap[f"h_{name}#{e}"]
+                sink.sum_claim(ck, fn, v, ext_lift(int(ts.h_sums[name].c[e])))
+        return True
+
+
+def verify_lookup_validity(F, transcript, lv, lasso_counts: Dict[int, int],
                            hash_mode: str = "sha3") -> bool:
-    """Replay the validity phase.  ``lasso_counts``: table_id ->
-    num_lookups from the (already verified) pipeline Lasso records; every
-    gadget-covered table there MUST carry a validity record with the same
-    query count — a prover cannot silently omit the argument."""
-    from ..commitments.ligero import (
-        LigeroClaim,
-        LigeroParams,
-        _row_col_weights,
-        ligero_verify_claims,
-    )
+    """Standalone verifier (see ValidityVerify for the phase logic)."""
+    from ..prover.unified import verify_unified
 
-    p = F.MODULUS
-    expected_ids = sorted(t for t in lasso_counts if t in GADGET_TABLE_IDS)
-    if [r.table_id for r in lv.tables] != expected_ids:
-        return False
-
-    transcript.append_bytes(b"LV_BEGIN")
-    transcript.append_u64(len(lv.tables))
-    if not lv.tables:
-        return lv.table_side is None
-
-    used_subs = set()
-    for rec in lv.tables:
-        gadget = GADGETS[rec.table_id]
-        if rec.num_queries != lasso_counts[rec.table_id]:
-            return False
-        if rec.num_vars != _qvars(rec.num_queries):
-            return False
-        transcript.append_bytes(b"LV_TABLE")
-        transcript.append_u64(rec.table_id)
-        transcript.append_u64(rec.num_queries)
-        transcript.append_u64(rec.num_vars)
-        transcript.append_bytes(rec.root_cols)
-        used_subs.update(sub for _, sub, _ in gadget.inclusions)
-
-    sub_names = sorted(used_subs)
-    ts = lv.table_side
-    if ts is None or ts.names != sub_names:
-        return False
-    transcript.append_bytes(b"LV_MULT")
-    transcript.append_u64(len(sub_names))
-    for name in sub_names:
-        transcript.append_bytes(name.encode())
-    transcript.append_bytes(ts.root_m)
-
-    if not (0 <= lv.nonce <= MAX_NONCE):
-        return False
-    transcript.append_bytes(b"LV_CHAL")
-    transcript.append_u64(lv.nonce)
-    tau = challenge_ext(transcript)
-    challenge_ext(transcript)  # gamma (reserved)
-    if not high_coords_nonzero(tau):
-        return False
-
-    for rec in lv.tables:
-        if not all(isinstance(v, Ext4) for v in rec.g_sums.values()):
-            return False
-        transcript.append_bytes(b"LV_G")
-        transcript.append_bytes(rec.root_g)
-        for name in sorted(rec.g_sums):
-            absorb_ext(transcript, rec.g_sums[name])
-    if not all(isinstance(v, Ext4) for v in ts.h_sums.values()):
-        return False
-    transcript.append_bytes(b"LV_H")
-    transcript.append_bytes(ts.root_h)
-    for name in sub_names:
-        absorb_ext(transcript, ts.h_sums[name])
-
-    params = LigeroParams()
-    for rec in lv.tables:
-        gadget = GADGETS[rec.table_id]
-        g_names = sorted(g for g, _s, _k in gadget.inclusions)
-        gc_names = sorted(g_coord_names(g_names))
-        col_names = sorted(gadget.columns)
-        if set(rec.zc.column_evals) != set(col_names) | set(gc_names):
-            return False
-        if rec.zc.num_vars != rec.num_vars or rec.zc.degree != VALIDITY_DEGREE:
-            return False
-        ok = ZerocheckExtVerifier(
-            F, _make_query_combiner(gadget, tau),
-            _num_constraints(gadget), VALIDITY_DEGREE,
-        ).verify(rec.zc, transcript)
-        if not ok:
-            return False
-
-        cn_c = params.choose_split(rec.num_vars, len(col_names))
-        a, b = _row_col_weights(rec.zc.final_point, cn_c)
-        if not ligero_verify_claims(
-            F, rec.root_cols, rec.num_vars, col_names,
-            [LigeroClaim(a=a, b=b,
-                         values={n: rec.zc.column_evals[n] for n in col_names})],
-            rec.cols_proof, transcript, hash_mode,
-        ):
-            return False
-        cn_g = params.choose_split(rec.num_vars, len(gc_names))
-        ag, bg = _row_col_weights(rec.zc.final_point, cn_g)
-        m_g = (1 << rec.num_vars) >> cn_g
-        g_claims = [
-            LigeroClaim(a=ag, b=bg,
-                        values={n: rec.zc.column_evals[n] for n in gc_names}),
-            LigeroClaim(
-                a=np.ones(m_g, dtype=np.uint64),
-                b=np.ones(1 << cn_g, dtype=np.uint64),
-                values=sum_claim_values(rec.g_sums, g_names),
-            ),
-        ]
-        if not ligero_verify_claims(
-            F, rec.root_g, rec.num_vars, gc_names, g_claims,
-            rec.g_proof, transcript, hash_mode,
-        ):
-            return False
-
-    # Table side.
-    tv = 16  # all current subtables are 16-var
-    m_names = [f"m_{n}" for n in sub_names]
-    h_names = [f"h_{n}" for n in sub_names]
-    hc_names = sorted(g_coord_names(h_names))
-    if set(ts.zc.column_evals) != set(m_names) | set(hc_names):
-        return False
-    if ts.zc.num_vars != tv or ts.zc.degree != VALIDITY_DEGREE:
-        return False
-    ok = ZerocheckExtVerifier(
-        F, _make_table_combiner(sub_names, tau),
-        len(sub_names), VALIDITY_DEGREE,
-        public_evals=_table_public_evals(sub_names, p),
-    ).verify(ts.zc, transcript)
-    if not ok:
-        return False
-    cn_m = params.choose_split(tv, len(m_names))
-    am, bm = _row_col_weights(ts.zc.final_point, cn_m)
-    if not ligero_verify_claims(
-        F, ts.root_m, tv, m_names,
-        [LigeroClaim(a=am, b=bm,
-                     values={n: ts.zc.column_evals[n] for n in m_names})],
-        ts.m_proof, transcript, hash_mode,
-    ):
-        return False
-    cn_h = params.choose_split(tv, len(hc_names))
-    ah, bh = _row_col_weights(ts.zc.final_point, cn_h)
-    m_h = (1 << tv) >> cn_h
-    h_claims = [
-        LigeroClaim(a=ah, b=bh,
-                    values={n: ts.zc.column_evals[n] for n in hc_names}),
-        LigeroClaim(
-            a=np.ones(m_h, dtype=np.uint64),
-            b=np.ones(1 << cn_h, dtype=np.uint64),
-            values=sum_claim_values(
-                {f"h_{n}": ts.h_sums[n] for n in sub_names}, h_names
-            ),
-        ),
-    ]
-    if not ligero_verify_claims(
-        F, ts.root_h, tv, hc_names, h_claims, ts.h_proof, transcript, hash_mode,
-    ):
-        return False
-
-    # The logUp grand-sum equation: per subtable, the query-side inverse
-    # sums across every use must equal the table-side sum.
-    from ..core.ext4 import ext_lift
-
-    use_sums = {name: ext_lift(0) for name in sub_names}
-    for rec in lv.tables:
-        for g_name, sub, _spec in GADGETS[rec.table_id].inclusions:
-            use_sums[sub] = use_sums[sub] + rec.g_sums[g_name]
-    return all(use_sums[n] == ts.h_sums[n] for n in sub_names)
+    arg = ValidityVerify(F, lv.lv if isinstance(lv, LookupValidityStandalone) else lv,
+                         lasso_counts)
+    return verify_unified(F, transcript, [arg], lv.unified, hash_mode) is None

@@ -119,14 +119,9 @@ class V2Section:
     # Real per-table Lasso metadata (lookups/pipeline_lasso.py):
     # table_id -> {"claimed_sum": int, "query_commitment": 32B}
     lasso_extras: dict = None
-    # Ligero PCS binding of column_evals (commitments/ligero.py):
-    pcs_root: bytes = None  # 32B column-Merkle root
-    pcs_proof: object = None  # LigeroEvalProof
     # PC-chain logUp (shift argument, constraints/v2.py c5/c6):
     logup_nonce: int = 0  # transcript retry nonce for the tau/beta draw
     logup_sum: int = 0  # shared value of sum(g1) == sum(g2)
-    logup_root: bytes = None  # Ligero root over the g1/g2 columns
-    logup_proof: object = None  # LigeroEvalProof (eval claim + sum claim)
     # Lookup validity argument (lookups/validity.py): proves every
     # gadget-covered query is a genuine table entry.
     lookup_validity: object = None  # LookupValidityProof
@@ -142,14 +137,16 @@ class V2Section:
     # step's decoded tuple is proven to equal the public program's decode
     # at its pc (Jolt-style bytecode memory check).
     bytecode: object = None  # BytecodeProof
-    # Protocol v4: the 43 witness MLEs under ONE Ligero commitment,
-    # opened at the zerocheck terminal point (replaces the v1-style
-    # 43 Merkle trees + point-to-index openings entirely; closes the
-    # reference's known gap at polynomial_commit.zig:178-183 for every
-    # witness column, not just the zerocheck's).
-    witness_root: bytes = None  # 32B Ligero column-Merkle root
-    witness_evals: dict = None  # name -> int, at the zerocheck point
-    witness_proof: object = None  # LigeroEvalProof
+    # Protocol v4: the 43 witness MLEs inside the unified data
+    # commitment, claimed at the zerocheck terminal point (replaces the
+    # v1-style 43 Merkle trees + point-to-index openings entirely;
+    # closes the reference's known gap at polynomial_commit.zig:178-183
+    # for every witness column, not just the zerocheck's).
+    witness_evals: dict = None  # name -> Ext4, at the zerocheck point
+    # Round 3: the unified commitment proof (prover/unified.py) — two
+    # mixed Ligero roots (data + advice), the batch-evaluation reduction,
+    # and the two openings that replace the round-2 per-argument ones.
+    unified: object = None  # UnifiedProof
 
 
 class CompactLassoList:

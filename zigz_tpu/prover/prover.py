@@ -172,24 +172,17 @@ class Prover:
         constraints = ConstraintSystem()
         constraints.builder.build_all(F, witness)
 
-        # STEP 4: constraint sumcheck — v1 placeholder (prover.zig:250-288)
-        # or the v2 real zerocheck (constraints/v2.py).
+        # STEP 4+5: constraint sumcheck + lookups — v1 placeholders
+        # (prover.zig:250-363) or the v2+ real argument pipeline under the
+        # unified commitment harness (prover/unified.py).
         proof = Proof.create(F, num_steps)
         if self.protocol_version >= 2:
             proof.metadata.version = self.protocol_version
-            self._generate_zerocheck_proof_v2(proof, witness, trace)
+            self._generate_v2_unified(proof, witness, trace, program,
+                                      entry_pc, segments, initial_regs,
+                                      final_state)
         else:
             self._generate_sumcheck_proof(proof, constraints, witness)
-
-        # STEP 5: Lasso phase — v1 filler (prover.zig:292-363) or the v2
-        # real per-table sumchecks (lookups/pipeline_lasso.py).
-        if self.protocol_version >= 2:
-            self._generate_lasso_proofs_v2(proof, trace)
-            self._generate_regcheck(proof, trace, initial_regs, final_state)
-            self._generate_memcheck(proof, trace, program, entry_pc, segments)
-            self._generate_bytecode(proof, trace, program, entry_pc, segments,
-                                    final_state)
-        else:
             self._generate_lasso_proofs(proof, lookup_count)
         t3 = time.perf_counter()
 
@@ -217,6 +210,116 @@ class Prover:
         return proof
 
     # ------------------------------------------------------------------
+    def _generate_v2_unified(self, proof: Proof, witness, trace, program,
+                             entry_pc, segments, initial_regs, final_state) -> None:
+        """Protocol v2+ (round 3): the real argument pipeline under the
+        unified commitment harness.  Transcript schedule:
+
+          public inputs (prover.zig order) ->
+          per-argument public blocks (SUMCHECK_BEGIN / LV / RC / MC / BC)
+          -> "V2_DATA" + one mixed Ligero root over EVERY argument's
+          challenge-independent columns -> per-argument extension
+          challenge draws (nonce retry loops) -> per-argument logUp sums
+          -> "V2_ADVICE" + one root over every inverse/multiplicity
+          advice column -> per-argument zerochecks -> the batch-eval
+          reduction (proofs/batch_eval.py) -> two LigeroMixedClaim
+          openings at the reduced point -> "LASSO_BEGIN" + the per-table
+          pipeline Lasso sumchecks.
+
+        Replaces the round-2 per-argument commitments (~20 roots and
+        openings per proof) with two."""
+        from ..constraints.bytecode import BytecodeArgument
+        from ..constraints.core_arg import CoreV2Argument
+        from ..constraints.memcheck import (
+            MemcheckArgument,
+            extract_byte_accesses,
+            initial_memory_map,
+        )
+        from ..constraints.regcheck import RegcheckArgument, extract_access_columns
+        from ..lookups.pipeline_lasso import (
+            extract_table_queries,
+            instruction_registers,
+            operand_values,
+            prove_pipeline_lasso,
+            system_read_override,
+            write_access_values,
+        )
+        from ..lookups.validity import ValidityArgument
+        from ..prover.unified import prove_unified
+        from .proof import V2Section
+
+        F = self.F
+        transcript = self.transcript
+        num_vars = proof.metadata.num_vars
+        t0 = time.perf_counter()
+
+        core = CoreV2Argument(F, witness, trace, self.protocol_version)
+
+        queries = extract_table_queries(trace)
+        validity = ValidityArgument(
+            F, queries, forge_hook=getattr(self, "_lv_forge_hook", None),
+            unsafe_skip_self_checks=getattr(self, "_lv_unsafe", False),
+        )
+
+        rs1, rs2, rd = instruction_registers(trace)
+        rv1, rv2, _rd_after, _rd_before = operand_values(trace, rs1, rs2, rd)
+        wr, ov, wv = write_access_values(trace)
+        # SYSTEM steps read (a7, a0) so the syscall dispatch state is a
+        # proven column (consumed by the bytecode argument).
+        rs1, rs2, rv1, rv2 = system_read_override(trace, rs1, rs2, rv1, rv2)
+        access = extract_access_columns(rs1, rs2, wr, rv1, rv2, ov, wv)
+        reg = RegcheckArgument(
+            F, access, num_vars, initial_regs, final_state["final_regs"],
+        )
+
+        init_mem = initial_memory_map(program, entry_pc, segments)
+        mc_access = extract_byte_accesses(trace, init_mem)
+        mem = MemcheckArgument(
+            F, mc_access, init_mem,
+            forge_hook=getattr(self, "_mc_forge_hook", None),
+            unsafe_skip_self_checks=getattr(self, "_mc_unsafe", False),
+        )
+
+        bc = BytecodeArgument(
+            F, trace, program, entry_pc, segments, num_vars, reg, core,
+            validity, mem, outputs=final_state["output_tape"],
+            final_pc=final_state["final_pc"],
+            forge_hook=getattr(self, "_bc_forge_hook", None),
+            unsafe_skip_self_checks=getattr(self, "_bc_unsafe", False),
+        )
+
+        unified = prove_unified(
+            F, transcript, [core, validity, reg, mem, bc],
+            self._hash_mode(), timings=self.last_timings,
+        )
+        self.last_timings["unified_s"] = time.perf_counter() - t0
+
+        # Lasso phase: real per-table sumchecks over the trace's actual
+        # operand/result multisets (lookups/pipeline_lasso.py).
+        transcript.append_bytes(b"LASSO_BEGIN")
+        t0 = time.perf_counter()
+        lookup_proofs, extras = prove_pipeline_lasso(
+            F, transcript, queries,
+            device=self._use_device_commitments(proof.metadata.num_steps),
+            mesh=self.mesh,
+        )
+        proof.lookup_proofs = lookup_proofs
+        self.last_timings["lasso_s"] = time.perf_counter() - t0
+
+        proof.v2 = V2Section(
+            zerocheck=core.zc,
+            column_evals=core.zc.column_evals,
+            lasso_extras=extras,
+            logup_nonce=core.logup_nonce,
+            logup_sum=core.logup_sum,
+            lookup_validity=validity.proof,
+            regcheck=reg.proof,
+            memcheck=mem.proof,
+            bytecode=bc.proof,
+            witness_evals=core.witness_evals,
+            unified=unified,
+        )
+
     def _execute_python(self, program, entry_pc, initial_regs, max_steps, segments, input_tape):
         if segments is not None:
             vm = VMState.init_from_segments(segments, entry_pc, input_tape)
@@ -266,207 +369,6 @@ class Prover:
             transcript.append_bytes(zero_coeff_bytes)
             proof.constraint_proof.final_point[rnd] = transcript.challenge(F)
 
-    def _generate_zerocheck_proof_v2(self, proof: Proof, witness, trace) -> None:
-        """Protocol v2: real eq-weighted zerocheck over the execution
-        constraints (see zigz_tpu/constraints/v2.py + proofs/zerocheck.py).
-
-        Transcript schedule (v2): "SUMCHECK_BEGIN" + F(num_steps) +
-        F(num_vars) as in v1, then "V2_PCS_COMMIT" + the Ligero root over
-        the five zerocheck columns (binding BEFORE any challenge), the
-        PC-chain logUp commitment, then the extension-field zerocheck
-        (BabyBear^4 taus/alphas/round challenges — the round-3 soundness
-        hardening; see core/ext4.py)."""
-        import numpy as np
-
-        from ..constraints.v2 import (
-            NUM_V2_ALPHAS,
-            V2_DEGREE,
-            build_aux_columns,
-            build_logup_columns,
-            logup_public_tables,
-            make_v2_combiner,
-            v2_columns,
-        )
-        from ..core.ext4 import MAX_NONCE, challenge_ext
-        from ..proofs.zerocheck import ZerocheckExtProver, absorb_ext
-        from .proof import V2Section
-
-        F = self.F
-        # The v2 protocol's extension-field challenge layer and the Ligero
-        # PCS are BabyBear-specific (2-adic NTT + the X^4-11 extension).
-        if F.MODULUS != 2013265921:
-            raise ValueError(
-                f"protocol_version>=2 is BabyBear-only (got modulus "
-                f"{F.MODULUS}); use protocol_version=1 for this field"
-            )
-        transcript = self.transcript
-        num_vars = witness.num_vars
-
-        transcript.append_bytes(b"SUMCHECK_BEGIN")
-        transcript.append_field_element(F, F(witness.num_steps))
-        transcript.append_field_element(F, F(num_vars))
-
-        aux = build_aux_columns(trace, num_vars, F.MODULUS)
-
-        # Ligero PCS commitment to the five zerocheck columns — bound
-        # BEFORE any zerocheck challenge so the terminal column_evals are
-        # cryptographically tied to committed data (closes the round-1
-        # bare-claim gap; commitments/ligero.py).  The aux columns
-        # (seq/next_pc) are bound through this commitment; the round-2
-        # separate aux Merkle forest was redundant and is gone.
-        from ..commitments.ligero import ligero_commit
-
-        t0 = time.perf_counter()
-        host_columns = v2_columns(witness, aux)
-        pcs_state = ligero_commit(F, host_columns, self._hash_mode())
-        transcript.append_bytes(b"V2_PCS_COMMIT")
-        transcript.append_bytes(pcs_state.root)
-        self.last_timings["pcs_commit_s"] = time.perf_counter() - t0
-        # Retained for the bytecode argument's extra claims at its point.
-        self._v2_pcs_state = pcs_state
-        self._v2_pcs_cols = host_columns
-
-        # Protocol v4: ONE Ligero commitment over all 43 witness MLEs,
-        # bound before any zerocheck challenge so the opening point is
-        # unpredictable to the committer.  Replaces the v1-style Merkle
-        # forest + point-to-index openings (polynomial_commit.zig:178-183
-        # gap, closed for every witness column).
-        wit_state = None
-        if self.protocol_version >= 4:
-            from ..constraints.witness import WITNESS_POLY_NAMES
-
-            t0 = time.perf_counter()
-            wit_state = None
-            if (self._use_device_commitments(witness.num_steps)
-                    and self._hash_mode() == "sha3"):
-                # Device commit: the witness matrix is (re)built on device
-                # from compact trace columns, encoded and column-hashed
-                # there, and only the digest blob crosses the link —
-                # byte-identical to the host commit (tests/test_ligero_dev.py).
-                lo = witness.device_lo()
-                if lo is not None:
-                    from ..ops.ligero_dev import ligero_commit_device
-
-                    names = sorted(WITNESS_POLY_NAMES)
-                    perm = [WITNESS_POLY_NAMES.index(n) for n in names]
-                    wit_state = ligero_commit_device(F, names, lo[perm, :], "sha3")
-            if wit_state is None:
-                mat = witness.matrix
-                wit_cols = {name: mat[i] for i, name in enumerate(WITNESS_POLY_NAMES)}
-                wit_state = ligero_commit(F, wit_cols, self._hash_mode())
-            transcript.append_bytes(b"V4_WITNESS_COMMIT")
-            transcript.append_bytes(wit_state.root)
-            self.last_timings["witness_pcs_commit_s"] = time.perf_counter() - t0
-
-        # PC-chain logUp (the shift argument, constraints/v2.py c5/c6):
-        # tau/beta are BabyBear^4 extension draws AFTER the pc/next_pc data
-        # is bound (Ligero root above); the nonce keeps the draw retryable
-        # on a zero fingerprint denominator (~2n/p^4 per attempt — honest
-        # provers land on nonce 0; the verifier caps it at MAX_NONCE).
-        t0 = time.perf_counter()
-        p = F.MODULUS
-        num_steps = witness.num_steps
-        nonce = 0
-        while True:
-            trial = transcript.fork()
-            trial.append_bytes(b"V2_LOGUP_NONCE")
-            trial.append_u64(nonce)
-            tau_lu = challenge_ext(trial)
-            beta_lu = challenge_ext(trial)
-            logup = build_logup_columns(
-                host_columns["pc"], host_columns["next_pc"], num_steps,
-                num_vars, tau_lu, beta_lu, p,
-            )
-            if logup is not None:
-                break
-            nonce += 1
-            assert nonce <= MAX_NONCE, "logUp nonce overflow (VM bug?)"
-        transcript.append_bytes(b"V2_LOGUP_NONCE")
-        transcript.append_u64(nonce)
-        assert challenge_ext(transcript) == tau_lu
-        assert challenge_ext(transcript) == beta_lu
-        g1, g2, logup_sum = logup
-        g_coord_cols = {f"g{i}#{e}": g.c[e] for i, g in ((1, g1), (2, g2))
-                        for e in range(4)}
-        logup_state = ligero_commit(F, g_coord_cols, self._hash_mode())
-        transcript.append_bytes(b"V2_LOGUP_COMMIT")
-        transcript.append_bytes(logup_state.root)
-        absorb_ext(transcript, logup_sum)
-        self.last_timings["logup_commit_s"] = time.perf_counter() - t0
-
-        # The extension-field zerocheck over the execution constraints.
-        # (The round-2 base-field device/native zerocheck backends do not
-        # speak BabyBear^4 yet — the host prover carries v2 until the
-        # extension kernels land; see ROADMAP.)
-        columns = dict(host_columns)
-        columns.update(g_coord_cols)
-        columns.update(logup_public_tables(num_steps, num_vars, p))
-        zc = ZerocheckExtProver(
-            F, columns, make_v2_combiner(tau_lu, beta_lu), V2_DEGREE,
-            num_alphas=NUM_V2_ALPHAS,
-        ).prove(transcript)
-
-        # Ligero evaluation argument at the zerocheck terminal point: binds
-        # zc.column_evals to the committed columns.
-        from ..commitments.ligero import (
-            LigeroClaim,
-            ligero_prove_claims,
-            ligero_prove_eval,
-        )
-
-        t0 = time.perf_counter()
-        pcs_proof = ligero_prove_eval(pcs_state, zc.final_point, transcript)
-        self.last_timings["pcs_eval_s"] = time.perf_counter() - t0
-
-        # v4: open the witness commitment at the zerocheck point.  The 43
-        # evals are absorbed before the eval argument's challenges so they
-        # are transcript-bound, then proven against the committed matrix.
-        wit_evals = None
-        wit_proof = None
-        if wit_state is not None:
-            from ..commitments.ligero import ligero_column_evals
-
-            t0 = time.perf_counter()
-            wit_evals = ligero_column_evals(wit_state, zc.final_point)
-            transcript.append_bytes(b"V4_WITNESS_EVALS")
-            for name in wit_state.names:
-                absorb_ext(transcript, wit_evals[name])
-            wit_proof = ligero_prove_eval(wit_state, zc.final_point, transcript)
-            self.last_timings["witness_pcs_eval_s"] = time.perf_counter() - t0
-
-        # logUp binding: one Ligero argument carrying BOTH the evaluation
-        # claim at the zerocheck point (ties the g1/g2 coordinate-column
-        # terminal evals) and the hypercube-sum claim (ties the coordinate
-        # sums — hence sum(g1) == sum(g2) == logup_sum).
-        from ..commitments.ligero import _row_col_weights
-
-        t0 = time.perf_counter()
-        a_eval, b_eval = _row_col_weights(zc.final_point, logup_state.cn)
-        claims = [
-            LigeroClaim(a=a_eval, b=b_eval, values={}),
-            LigeroClaim(
-                a=np.ones(logup_state.m, dtype=np.uint64),
-                b=np.ones(logup_state.n, dtype=np.uint64),
-                values={},
-            ),
-        ]
-        logup_proof = ligero_prove_claims(logup_state, claims, transcript)
-        self.last_timings["logup_eval_s"] = time.perf_counter() - t0
-
-        proof.v2 = V2Section(
-            zerocheck=zc,
-            column_evals=zc.column_evals,
-            pcs_root=pcs_state.root,
-            pcs_proof=pcs_proof,
-            logup_nonce=nonce,
-            logup_sum=logup_sum,
-            logup_root=logup_state.root,
-            logup_proof=logup_proof,
-            witness_root=wit_state.root if wit_state is not None else None,
-            witness_evals=wit_evals,
-            witness_proof=wit_proof,
-        )
-
     def _generate_lasso_proofs(self, proof: Proof, lookup_count: int) -> None:
         """One filler proof per traced lookup (prover.zig:292-363).
 
@@ -504,122 +406,6 @@ class Prover:
                 transcript.append_bytes(stream.tobytes())
 
         proof.lookup_proofs = CompactLassoList(F, lookup_count)
-
-    def _generate_lasso_proofs_v2(self, proof: Proof, trace) -> None:
-        """Protocol v2: real lookup sumchecks over the trace's actual
-        operand/result multisets, one proof per catalog table in use."""
-        from ..lookups.pipeline_lasso import extract_table_queries, prove_pipeline_lasso
-
-        self.transcript.append_bytes(b"LASSO_BEGIN")
-        queries = extract_table_queries(trace)
-        proofs, extras = prove_pipeline_lasso(
-            self.F, self.transcript, queries,
-            device=self._use_device_commitments(proof.metadata.num_steps),
-            mesh=self.mesh,
-        )
-        proof.lookup_proofs = proofs
-        proof.v2.lasso_extras = extras
-
-        # Lookup VALIDITY: prove the query multisets consist of genuine
-        # table entries (lookups/validity.py — the reference's own roadmap
-        # sketch at prover.zig:351-357, built for real).
-        from ..lookups.validity import prove_lookup_validity
-
-        t0 = time.perf_counter()
-        proof.v2.lookup_validity, self._lv_info = prove_lookup_validity(
-            self.F, self.transcript, queries, self._hash_mode(),
-            _forge_hook=getattr(self, "_lv_forge_hook", None),
-            _unsafe_skip_self_checks=getattr(self, "_lv_unsafe", False),
-            _return_state=True,
-        )
-        self._lv_queries = queries
-        self.last_timings["lookup_validity_s"] = time.perf_counter() - t0
-
-    def _generate_regcheck(self, proof: Proof, trace, initial_regs, final_state) -> None:
-        """Register-file offline memory check (constraints/regcheck.py):
-        the reference's "register_updates" constraint — metadata only at
-        builder.zig:77-149 — proven for real.  rs1/rs2 reads must return
-        last-written values; the step's write access uses the trace's
-        authoritative (reg_write_idx, reg_write_val) record (which is NOT
-        always rd: ECALL_READ writes a0); both ends are anchored at the
-        public register state."""
-        from ..constraints.regcheck import extract_access_columns, prove_regcheck
-        from ..lookups.pipeline_lasso import (
-            instruction_registers,
-            operand_values,
-            system_read_override,
-            write_access_values,
-        )
-
-        t0 = time.perf_counter()
-        rs1, rs2, rd = instruction_registers(trace)
-        rv1, rv2, _rd_after, _rd_before = operand_values(trace, rs1, rs2, rd)
-        wr, ov, wv = write_access_values(trace)
-        # SYSTEM steps read (a7, a0) so the syscall dispatch state is a
-        # proven column (consumed by the bytecode argument).
-        rs1, rs2, rv1, rv2 = system_read_override(trace, rs1, rs2, rv1, rv2)
-        access = extract_access_columns(rs1, rs2, wr, rv1, rv2, ov, wv)
-        proof.v2.regcheck, self._rc_cols, self._rc_state = prove_regcheck(
-            self.F, self.transcript, access, proof.metadata.num_vars,
-            initial_regs, final_state["final_regs"], self._hash_mode(),
-            _return_state=True,
-        )
-        self.last_timings["regcheck_s"] = time.perf_counter() - t0
-
-    def _generate_memcheck(self, proof: Proof, trace, program, entry_pc, segments) -> None:
-        """RAM byte-level offline memory check (constraints/memcheck.py):
-        every LOAD byte must return the last-stored value (or the public
-        initial image — the reference's memory.zig:35-37 unmapped-reads-0
-        semantics), proven with the same Spice-style argument as the
-        register file."""
-        from ..constraints.memcheck import (
-            extract_byte_accesses,
-            initial_memory_map,
-            prove_memcheck,
-        )
-
-        t0 = time.perf_counter()
-        init_mem = initial_memory_map(program, entry_pc, segments)
-        access = extract_byte_accesses(trace, init_mem)
-        proof.v2.memcheck, mc_cols, mc_state = prove_memcheck(
-            self.F, self.transcript, access, init_mem, self._hash_mode(),
-            _forge_hook=getattr(self, "_mc_forge_hook", None),
-            _unsafe_skip_self_checks=getattr(self, "_mc_unsafe", False),
-            _return_state=True,
-        )
-        # Retained for the LOAD/STORE linkage's extra claims at its point.
-        self._mc_info = dict(
-            cols=mc_cols, state=mc_state,
-            num_accesses=proof.v2.memcheck.num_accesses,
-            num_vars=proof.v2.memcheck.num_vars,
-        )
-        self.last_timings["memcheck_s"] = time.perf_counter() - t0
-
-    def _generate_bytecode(self, proof: Proof, trace, program, entry_pc,
-                           segments, final_state) -> None:
-        """Bytecode (fetch+decode) argument (constraints/bytecode.py):
-        every step's decoded tuple — read cells, write cell, funct3,
-        table id, immediate limbs, class flags — is proven to equal the
-        PUBLIC program's decode at its pc, with pc(0) anchored at the
-        public entry point, and the public output tape bound to the
-        proven a0 values at ECALL_COMMIT steps.  Issues extra Ligero
-        claims on the regcheck and v2 PCS commitments retained from the
-        earlier phases."""
-        from ..constraints.bytecode import prove_bytecode
-
-        t0 = time.perf_counter()
-        proof.v2.bytecode = prove_bytecode(
-            self.F, self.transcript, trace, program, entry_pc, segments,
-            proof.metadata.num_vars, self._rc_cols, self._rc_state,
-            self._v2_pcs_cols, self._v2_pcs_state, self._hash_mode(),
-            outputs=final_state["output_tape"],
-            final_pc=final_state["final_pc"],
-            validity_info=getattr(self, "_lv_info", None),
-            memcheck_info=self._mc_info,
-            _forge_hook=getattr(self, "_bc_forge_hook", None),
-            _unsafe_skip_self_checks=getattr(self, "_bc_unsafe", False),
-        )
-        self.last_timings["bytecode_s"] = time.perf_counter() - t0
 
     def _generate_commitments(self, proof: Proof, witness) -> None:
         if self._use_device_commitments(witness.num_steps):

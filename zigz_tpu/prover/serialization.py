@@ -79,6 +79,10 @@ class _Writer:
         self.buf += struct.pack("<B", v)
         self._maybe_flush()
 
+    def u16(self, v: int):
+        self.buf += struct.pack("<H", v)
+        self._maybe_flush()
+
     def u32(self, v: int):
         self.buf += struct.pack("<I", v)
         self._maybe_flush()
@@ -102,6 +106,9 @@ class _Reader:
 
     def u8(self) -> int:
         return struct.unpack("<B", self.bytes_(1))[0]
+
+    def u16(self) -> int:
+        return struct.unpack("<H", self.bytes_(2))[0]
 
     def u32(self) -> int:
         return struct.unpack("<I", self.bytes_(4))[0]
@@ -261,59 +268,114 @@ class BinarySerializer:
             w.u32(table_id)
             w.u64(extras[table_id]["claimed_sum"] % self.F.MODULUS)
             w.bytes_(extras[table_id]["query_commitment"])
-        # Ligero PCS binding: 32B root | u32 n, u32 claim count, per claim
-        # 4 x n u32 u-row limbs | u32 reps, per rep 4 x n u32 | u32 t |
-        # u32 rows, t x rows u32 columns | t x (u32 path_len + siblings).
-        # All values are canonical BabyBear (< 2^31), so u32 LE storage is
-        # lossless.  Directions are re-derived from the transcript indices
-        # by the verifier and not serialized.
-        w.bytes_(v2.pcs_root)
-        self._write_ligero_proof(w, v2.pcs_proof)
-        # PC-chain logUp: nonce | shared ext sum | root | proof.
+        # PC-chain logUp: nonce | shared ext sum (columns/openings live in
+        # the unified commitment below).
         w.u64(v2.logup_nonce)
         self._write_ext(w, v2.logup_sum)
-        w.bytes_(v2.logup_root)
-        self._write_ligero_proof(w, v2.logup_proof)
         self._write_lookup_validity(w, v2.lookup_validity)
         self._write_regcheck(w, v2.regcheck)
         self._write_memcheck(w, v2.memcheck)
         self._write_bytecode(w, v2.bytecode)
         if version >= 4:
-            # Witness PCS: 32B root | 43 ext evals (sorted witness poly
-            # names) | ligero proof.
+            # v4 witness evals: 43 ext values (sorted witness poly names),
+            # claimed at the zerocheck point and opened via the unified
+            # data commitment.
             from ..constraints.witness import WITNESS_POLY_NAMES
 
-            w.bytes_(v2.witness_root)
             for name in sorted(WITNESS_POLY_NAMES):
                 self._write_ext(w, v2.witness_evals[name])
-            self._write_ligero_proof(w, v2.witness_proof)
+        self._write_unified(w, v2.unified)
+
+    # -- unified commitment proof (prover/unified.py) -----------------------
+    # Layout: u8 flags (bit0 data_root, bit1 advice_root, bit2 batch,
+    # bit3 data_open, bit4 advice_open) | roots (32B each, if present) |
+    # batch: u32 num_vars | 3 ext evals per round | ext final point |
+    # u32 eval count, per entry (sorted): u8 commitment kind (0=data,
+    # 1=advice) | u16 name length + utf8 name | ext eval | the two ligero
+    # proofs.  Names ride the wire but the batch-eval verifier requires
+    # the key set to equal its own derived claim set, so they carry no
+    # authority.
+
+    def _write_unified(self, w: _Writer, up) -> None:
+        flags = ((1 if up.data_root is not None else 0)
+                 | (2 if up.advice_root is not None else 0)
+                 | (4 if up.batch is not None else 0)
+                 | (8 if up.data_open is not None else 0)
+                 | (16 if up.advice_open is not None else 0))
+        w.u8(flags)
+        if up.data_root is not None:
+            w.bytes_(up.data_root)
+        if up.advice_root is not None:
+            w.bytes_(up.advice_root)
+        if up.batch is not None:
+            b = up.batch
+            w.u32(b.num_vars)
+            for evals in b.round_evals:
+                for e in evals:
+                    self._write_ext(w, e)
+            for r_ in b.final_point:
+                self._write_ext(w, r_)
+            w.u32(len(b.column_evals))
+            for key in sorted(b.column_evals):
+                ck, name = key
+                w.u8(0 if ck == "data" else 1)
+                data = name.encode()
+                w.u16(len(data))
+                w.bytes_(data)
+                self._write_ext(w, b.column_evals[key])
+        if up.data_open is not None:
+            self._write_ligero_proof(w, up.data_open)
+        if up.advice_open is not None:
+            self._write_ligero_proof(w, up.advice_open)
+
+    def _read_unified(self, r: _Reader):
+        from ..proofs.batch_eval import BatchEvalProof
+        from .unified import UnifiedProof
+
+        flags = r.u8()
+        data_root = r.bytes_(32) if flags & 1 else None
+        advice_root = r.bytes_(32) if flags & 2 else None
+        batch = None
+        if flags & 4:
+            num_vars = r.u32()
+            if num_vars > 40:
+                raise SerializationError("InvalidData")
+            rounds = [[self._read_ext(r) for _ in range(3)]
+                      for _ in range(num_vars)]
+            point = [self._read_ext(r) for _ in range(num_vars)]
+            count = r.u32()
+            if count > (1 << 20):
+                raise SerializationError("InvalidData")
+            column_evals = {}
+            for _ in range(count):
+                ck = "data" if r.u8() == 0 else "advice"
+                name = r.bytes_(r.u16()).decode()
+                column_evals[(ck, name)] = self._read_ext(r)
+            batch = BatchEvalProof(num_vars=num_vars, round_evals=rounds,
+                                   final_point=point, column_evals=column_evals)
+        data_open = self._read_ligero_proof(r) if flags & 8 else None
+        advice_open = self._read_ligero_proof(r) if flags & 16 else None
+        return UnifiedProof(data_root=data_root, advice_root=advice_root,
+                            batch=batch, data_open=data_open,
+                            advice_open=advice_open)
 
     # -- register memory check (constraints/regcheck.py) -------------------
     # Layout: u8 present and, if set: u64 nonce | u32 num_vars | 32 x u64
-    # final_ts | 4 x 32B roots (cols, g, m, h) | zerocheck (trace domain) |
-    # zerocheck (RANGE16 domain) | 4 ligero proofs (cols, g, m, h) | per
-    # sorted g name: u64 sum | u64 h_sum.  Column/eval names are fixed by
-    # the module's COLUMNS/G_MEM/G_RNG specs, never read from the wire.
+    # final_ts | zerocheck (trace domain) | zerocheck (RANGE16 domain) |
+    # per sorted g name: ext sum | ext h_sum.  Column/eval names are fixed
+    # by the module's COLUMNS/G_MEM/G_RNG specs, never read from the wire;
+    # commitments/openings live in the unified section.
 
     def _write_regcheck(self, w: _Writer, rc) -> None:
         w.u8(1 if rc is not None else 0)
         if rc is None:
             return
-        p = self.F.MODULUS
         w.u64(rc.nonce)
         w.u32(rc.num_vars)
         for t in rc.final_ts:
             w.u64(t)
-        w.bytes_(rc.root_cols)
-        w.bytes_(rc.root_g)
-        w.bytes_(rc.root_m)
-        w.bytes_(rc.root_h)
         self._write_zerocheck(w, rc.zc)
         self._write_zerocheck(w, rc.zc_table)
-        self._write_ligero_proof(w, rc.cols_proof)
-        self._write_ligero_proof(w, rc.g_proof)
-        self._write_ligero_proof(w, rc.m_proof)
-        self._write_ligero_proof(w, rc.h_proof)
         for name in sorted(rc.g_sums):
             self._write_ext(w, rc.g_sums[name])
         self._write_ext(w, rc.h_sum)
@@ -332,38 +394,24 @@ class BinarySerializer:
         nonce = r.u64()
         num_vars = r.u32()
         final_ts = [r.u64() for _ in range(32)]
-        root_cols = r.bytes_(32)
-        root_g = r.bytes_(32)
-        root_m = r.bytes_(32)
-        root_h = r.bytes_(32)
         g_names = sorted(G_MEM + G_RNG)
         zc = self._read_zerocheck(r, list(COLUMNS) + g_coord_names(g_names))
         zc_table = self._read_zerocheck(r, ["m"] + g_coord_names(["h"]))
-        cols_proof = self._read_ligero_proof(r)
-        g_proof = self._read_ligero_proof(r)
-        m_proof = self._read_ligero_proof(r)
-        h_proof = self._read_ligero_proof(r)
         g_sums = {name: self._read_ext(r) for name in g_names}
         h_sum = self._read_ext(r)
         return RegCheckProof(
             nonce=nonce, num_vars=num_vars, final_ts=final_ts,
-            root_cols=root_cols, root_g=root_g, root_m=root_m, root_h=root_h,
-            zc=zc, zc_table=zc_table, cols_proof=cols_proof, g_proof=g_proof,
-            m_proof=m_proof, h_proof=h_proof, g_sums=g_sums, h_sum=h_sum,
+            zc=zc, zc_table=zc_table, g_sums=g_sums, h_sum=h_sum,
         )
 
     # -- RAM byte memory check (constraints/memcheck.py) --------------------
     # Layout mirrors regcheck with a touched-address list in place of the
-    # 32 final_ts slots: u8 present and, if set: u64 nonce | u32 num_vars |
-    # u64 num_accesses | u32 touched count, per entry u64 addr | u64
-    # final_val | u64 final_ts | 4 x 32B roots | 2 zerochecks | 4 ligero
-    # proofs | per sorted g name: u64 sum | u64 h_sum.
+    # 32 final_ts slots.
 
     def _write_memcheck(self, w: _Writer, mc) -> None:
         w.u8(1 if mc is not None else 0)
         if mc is None:
             return
-        p = self.F.MODULUS
         w.u64(mc.nonce)
         w.u32(mc.num_vars)
         w.u64(mc.num_accesses)
@@ -372,16 +420,8 @@ class BinarySerializer:
             w.u64(a)
             w.u64(fv)
             w.u64(fts)
-        w.bytes_(mc.root_cols)
-        w.bytes_(mc.root_g)
-        w.bytes_(mc.root_m)
-        w.bytes_(mc.root_h)
         self._write_zerocheck(w, mc.zc)
         self._write_zerocheck(w, mc.zc_table)
-        self._write_ligero_proof(w, mc.cols_proof)
-        self._write_ligero_proof(w, mc.g_proof)
-        self._write_ligero_proof(w, mc.m_proof)
-        self._write_ligero_proof(w, mc.h_proof)
         for name in sorted(mc.g_sums):
             self._write_ext(w, mc.g_sums[name])
         self._write_ext(w, mc.h_sum)
@@ -396,89 +436,51 @@ class BinarySerializer:
         num_vars = r.u32()
         num_accesses = r.u64()
         touched = [(r.u64(), r.u64(), r.u64()) for _ in range(r.u32())]
-        root_cols = r.bytes_(32)
-        root_g = r.bytes_(32)
-        root_m = r.bytes_(32)
-        root_h = r.bytes_(32)
         g_names = sorted(G_MEM + G_RNG)
         zc = self._read_zerocheck(r, list(COLUMNS) + g_coord_names(g_names))
         zc_table = self._read_zerocheck(r, ["m"] + g_coord_names(["h"]))
-        cols_proof = self._read_ligero_proof(r)
-        g_proof = self._read_ligero_proof(r)
-        m_proof = self._read_ligero_proof(r)
-        h_proof = self._read_ligero_proof(r)
         g_sums = {name: self._read_ext(r) for name in g_names}
         h_sum = self._read_ext(r)
         return MemCheckProof(
             nonce=nonce, num_vars=num_vars, num_accesses=num_accesses,
-            touched=touched, root_cols=root_cols, root_g=root_g,
-            root_m=root_m, root_h=root_h, zc=zc, zc_table=zc_table,
-            cols_proof=cols_proof, g_proof=g_proof, m_proof=m_proof,
-            h_proof=h_proof, g_sums=g_sums, h_sum=h_sum,
+            touched=touched, zc=zc, zc_table=zc_table,
+            g_sums=g_sums, h_sum=h_sum,
         )
 
     # -- bytecode fetch/decode argument (constraints/bytecode.py) -----------
     # Layout: u8 present and, if set: u64 nonce | u32 num_vars | u32
-    # table_vars | 4 x 32B roots (lk, m, g, h) | zerocheck (step domain) |
-    # zerocheck (program domain) | 6 ligero proofs (lk, g, reg, pcs, m, h)
-    # | per sorted regcheck column: u64 eval | per sorted PCS column: u64
-    # eval | u64 g_sum | u64 h_sum.  Names fixed by module specs.
+    # table_vars | 4 zerochecks (step, program, RANGE16, memlink domains)
+    # | sums (fetch, counter chain, tape, linkage, ranges, byte slots,
+    # byte counters, wlnk — all ext) | u32 link count, per link: u32 id |
+    # u64 num_queries | u32 num_vars | zerocheck | ext g_sum.  Names fixed
+    # by module specs; commitments/openings live in the unified section.
 
     def _write_bytecode(self, w: _Writer, bc) -> None:
         w.u8(1 if bc is not None else 0)
         if bc is None:
             return
-        p = self.F.MODULUS
+        from ..constraints.bytecode import RANGED
+
         w.u64(bc.nonce)
         w.u32(bc.num_vars)
         w.u32(bc.table_vars)
-        w.bytes_(bc.root_lk)
-        w.bytes_(bc.root_m)
-        w.bytes_(bc.root_g)
-        w.bytes_(bc.root_h)
         self._write_zerocheck(w, bc.zc)
         self._write_zerocheck(w, bc.zc_table)
-        self._write_ligero_proof(w, bc.lk_proof)
-        self._write_ligero_proof(w, bc.g_proof)
-        self._write_ligero_proof(w, bc.reg_proof)
-        self._write_ligero_proof(w, bc.pcs_proof)
-        self._write_ligero_proof(w, bc.m_proof)
-        self._write_ligero_proof(w, bc.h_proof)
-        for name in sorted(bc.reg_evals):
-            self._write_ext(w, bc.reg_evals[name])
-        for name in sorted(bc.pcs_evals):
-            self._write_ext(w, bc.pcs_evals[name])
+        self._write_zerocheck(w, bc.zc_range)
+        self._write_zerocheck(w, bc.zc_mem)
         self._write_ext(w, bc.g_sum)
         self._write_ext(w, bc.h_sum)
         self._write_ext(w, bc.gc1_sum)
         self._write_ext(w, bc.gc2_sum)
         self._write_ext(w, bc.gout_sum)
-        # RANGE16 check (adder limbs): roots + zerocheck + proofs + sums.
-        from ..constraints.bytecode import RANGED
-
-        w.bytes_(bc.root_mr)
-        w.bytes_(bc.root_hr)
-        self._write_zerocheck(w, bc.zc_range)
-        self._write_ligero_proof(w, bc.mr_proof)
-        self._write_ligero_proof(w, bc.hr_proof)
         for name, _ in RANGED:
             self._write_ext(w, bc.gr_sums[name])
         self._write_ext(w, bc.hr_sum)
-        # LOAD/STORE linkage: per-byte-slot sums, byte-counter chain
-        # sums, and the memcheck byte-row side.
         for s in bc.gm_sums:
             self._write_ext(w, s)
         self._write_ext(w, bc.gb1_sum)
         self._write_ext(w, bc.gb2_sum)
-        w.bytes_(bc.root_wg)
-        self._write_zerocheck(w, bc.zc_mem)
-        self._write_ligero_proof(w, bc.mclink_proof)
-        self._write_ligero_proof(w, bc.wg_proof)
-        for name in sorted(bc.mc_evals):
-            self._write_ext(w, bc.mc_evals[name])
         self._write_ext(w, bc.wg_sum)
-        # Witness linkage (constraints/linkage.py): step-side sum + one
-        # query-domain record per gadget-covered validity table.
         self._write_ext(w, bc.glk_sum)
         links = bc.links or []
         w.u32(len(links))
@@ -486,10 +488,7 @@ class BinarySerializer:
             w.u32(ln.table_id)
             w.u64(ln.num_queries)
             w.u32(ln.num_vars)
-            w.bytes_(ln.root_g)
             self._write_zerocheck(w, ln.zc)
-            self._write_ligero_proof(w, ln.cols_proof)
-            self._write_ligero_proof(w, ln.g_proof)
             self._write_ext(w, ln.g_sum)
 
     def _read_bytecode(self, r: _Reader):
@@ -499,66 +498,39 @@ class BinarySerializer:
             _PCS_REFS,
             _REG_REFS,
             LINK_COLUMNS,
+            RANGED,
             BytecodeProof,
         )
-        from ..constraints.regcheck import COLUMNS as RC_COLUMNS
+        from ..constraints.regcheck import g_coord_names
 
         nonce = r.u64()
         num_vars = r.u32()
         table_vars = r.u32()
-        root_lk = r.bytes_(32)
-        root_m = r.bytes_(32)
-        root_g = r.bytes_(32)
-        root_h = r.bytes_(32)
-        from ..constraints.bytecode import RANGED as _BC_RANGED
-        from ..constraints.regcheck import g_coord_names
-
         bc_g_names = (["g_bc", "g_c1", "g_c2", "g_out", "g_lk_s",
                        "g_b1", "g_b2"]
                       + [f"g_m{k}" for k in range(8)]
-                      + [f"gr_{name}" for name, _ in _BC_RANGED])
+                      + [f"gr_{name}" for name, _ in RANGED])
         zc_names = (list(LINK_COLUMNS)
                     + g_coord_names(bc_g_names)
                     + [f"ref_{n}" for n in _REG_REFS]
                     + [f"ref_{n}" for n in _PCS_REFS])
         zc = self._read_zerocheck(r, zc_names)
         zc_table = self._read_zerocheck(r, ["m"] + g_coord_names(["h"]))
-        lk_proof = self._read_ligero_proof(r)
-        g_proof = self._read_ligero_proof(r)
-        reg_proof = self._read_ligero_proof(r)
-        pcs_proof = self._read_ligero_proof(r)
-        m_proof = self._read_ligero_proof(r)
-        h_proof = self._read_ligero_proof(r)
-        reg_evals = {name: self._read_ext(r) for name in sorted(RC_COLUMNS)}
-        pcs_names = sorted(["x0", "is_read", "pc", "seq", "next_pc"])
-        pcs_evals = {name: self._read_ext(r) for name in pcs_names}
+        zc_range = self._read_zerocheck(r, ["m"] + g_coord_names(["h"]))
+        wl_refs = ("ba0", "ba1", "ba2", "ba3", "bk", "vw", "st")
+        zc_mem = self._read_zerocheck(
+            r, g_coord_names(["g_lnk"]) + [f"ref_{n}" for n in wl_refs]
+        )
         g_sum = self._read_ext(r)
         h_sum = self._read_ext(r)
         gc1_sum = self._read_ext(r)
         gc2_sum = self._read_ext(r)
         gout_sum = self._read_ext(r)
-        from ..constraints.bytecode import RANGED
-
-        root_mr = r.bytes_(32)
-        root_hr = r.bytes_(32)
-        zc_range = self._read_zerocheck(r, ["m"] + g_coord_names(["h"]))
-        mr_proof = self._read_ligero_proof(r)
-        hr_proof = self._read_ligero_proof(r)
         gr_sums = {name: self._read_ext(r) for name, _ in RANGED}
         hr_sum = self._read_ext(r)
-        from ..constraints.memcheck import COLUMNS as MC_COLUMNS
-
         gm_sums = [self._read_ext(r) for _ in range(8)]
         gb1_sum = self._read_ext(r)
         gb2_sum = self._read_ext(r)
-        root_wg = r.bytes_(32)
-        wl_refs = ("ba0", "ba1", "ba2", "ba3", "bk", "vw", "st")
-        zc_mem = self._read_zerocheck(
-            r, g_coord_names(["g_lnk"]) + [f"ref_{n}" for n in wl_refs]
-        )
-        mclink_proof = self._read_ligero_proof(r)
-        wg_proof = self._read_ligero_proof(r)
-        mc_evals = {name: self._read_ext(r) for name in sorted(MC_COLUMNS)}
         wg_sum = self._read_ext(r)
         glk_sum = self._read_ext(r)
         from ..constraints.linkage import QueryLinkRecord
@@ -567,35 +539,27 @@ class BinarySerializer:
         links = []
         for _ in range(r.u32()):
             tid = r.u32()
+            if tid not in GADGETS:
+                raise SerializationError(f"unknown link gadget table {tid}")
             nq = r.u64()
             v = r.u32()
-            lk_root_g = r.bytes_(32)
             zc_lk = self._read_zerocheck(
                 r, list(GADGETS[tid].columns) + g_coord_names(["g_lk"])
             )
-            lk_cols_proof = self._read_ligero_proof(r)
-            lk_g_proof = self._read_ligero_proof(r)
             g_sum_lk = self._read_ext(r)
             links.append(QueryLinkRecord(
-                table_id=tid, num_queries=nq, num_vars=v, root_g=lk_root_g,
-                zc=zc_lk, cols_proof=lk_cols_proof, g_proof=lk_g_proof,
-                g_sum=g_sum_lk,
+                table_id=tid, num_queries=nq, num_vars=v,
+                zc=zc_lk, g_sum=g_sum_lk,
             ))
         return BytecodeProof(
             nonce=nonce, num_vars=num_vars, table_vars=table_vars,
-            root_lk=root_lk, root_m=root_m, root_g=root_g, root_h=root_h,
-            zc=zc, zc_table=zc_table, lk_proof=lk_proof, g_proof=g_proof,
-            m_proof=m_proof, h_proof=h_proof, reg_proof=reg_proof,
-            pcs_proof=pcs_proof, reg_evals=reg_evals, pcs_evals=pcs_evals,
+            zc=zc, zc_table=zc_table, zc_range=zc_range, zc_mem=zc_mem,
             g_sum=g_sum, h_sum=h_sum,
             gc1_sum=gc1_sum, gc2_sum=gc2_sum, gout_sum=gout_sum,
             glk_sum=glk_sum, links=links,
-            root_mr=root_mr, root_hr=root_hr, zc_range=zc_range,
-            mr_proof=mr_proof, hr_proof=hr_proof, gr_sums=gr_sums,
-            hr_sum=hr_sum,
+            gr_sums=gr_sums, hr_sum=hr_sum,
             gm_sums=gm_sums, gb1_sum=gb1_sum, gb2_sum=gb2_sum,
-            root_wg=root_wg, zc_mem=zc_mem, mclink_proof=mclink_proof,
-            wg_proof=wg_proof, mc_evals=mc_evals, wg_sum=wg_sum,
+            wg_sum=wg_sum,
         )
 
     @staticmethod
@@ -697,11 +661,7 @@ class BinarySerializer:
             w.u32(rec.table_id)
             w.u64(rec.num_queries)
             w.u32(rec.num_vars)
-            w.bytes_(rec.root_cols)
-            w.bytes_(rec.root_g)
             self._write_zerocheck(w, rec.zc)
-            self._write_ligero_proof(w, rec.cols_proof)
-            self._write_ligero_proof(w, rec.g_proof)
             for name in sorted(rec.g_sums):
                 self._write_ext(w, rec.g_sums[name])
         ts = lv.table_side
@@ -713,11 +673,7 @@ class BinarySerializer:
             data = name.encode()
             w.u8(len(data))
             w.bytes_(data)
-        w.bytes_(ts.root_m)
-        w.bytes_(ts.root_h)
         self._write_zerocheck(w, ts.zc)
-        self._write_ligero_proof(w, ts.m_proof)
-        self._write_ligero_proof(w, ts.h_proof)
         for name in ts.names:
             self._write_ext(w, ts.h_sums[name])
 
@@ -738,41 +694,29 @@ class BinarySerializer:
                 raise SerializationError(f"unknown validity gadget table {table_id}")
             num_queries = r.u64()
             num_vars = r.u32()
-            root_cols = r.bytes_(32)
-            root_g = r.bytes_(32)
             from ..constraints.regcheck import g_coord_names
 
             g_names = sorted(g for g, _s, _k in gadget.inclusions)
             zc = self._read_zerocheck(
                 r, list(gadget.columns) + g_coord_names(g_names)
             )
-            cols_proof = self._read_ligero_proof(r)
-            g_proof = self._read_ligero_proof(r)
             g_sums = {name: self._read_ext(r) for name in g_names}
             tables.append(TableValidityRecord(
                 table_id=table_id, num_queries=num_queries, num_vars=num_vars,
-                root_cols=root_cols, root_g=root_g, zc=zc,
-                cols_proof=cols_proof, g_proof=g_proof, g_sums=g_sums,
+                zc=zc, g_sums=g_sums,
             ))
         table_side = None
         if r.u8():
             names = []
             for _ in range(r.u32()):
                 names.append(r.bytes_(r.u8()).decode())
-            root_m = r.bytes_(32)
-            root_h = r.bytes_(32)
             from ..constraints.regcheck import g_coord_names
 
             eval_names = ([f"m_{n}" for n in names]
                           + g_coord_names([f"h_{n}" for n in names]))
             zc = self._read_zerocheck(r, eval_names)
-            m_proof = self._read_ligero_proof(r)
-            h_proof = self._read_ligero_proof(r)
             h_sums = {name: self._read_ext(r) for name in names}
-            table_side = SubtableSideRecord(
-                names=names, root_m=root_m, root_h=root_h, zc=zc,
-                m_proof=m_proof, h_proof=h_proof, h_sums=h_sums,
-            )
+            table_side = SubtableSideRecord(names=names, zc=zc, h_sums=h_sums)
         return LookupValidityProof(nonce=nonce, tables=tables, table_side=table_side)
 
     @staticmethod
@@ -815,36 +759,26 @@ class BinarySerializer:
                 "claimed_sum": claimed_sum,
                 "query_commitment": q_commit,
             }
-        pcs_root = r.bytes_(32)
-        pcs_proof = self._read_ligero_proof(r)
         logup_nonce = r.u64()
         logup_sum = self._read_ext(r)
-        logup_root = r.bytes_(32)
-        logup_proof = self._read_ligero_proof(r)
         lookup_validity = self._read_lookup_validity(r)
         regcheck = self._read_regcheck(r)
         memcheck = self._read_memcheck(r)
         bytecode = self._read_bytecode(r)
-        witness_root = None
         witness_evals = None
-        witness_proof = None
         if version >= 4:
             from ..constraints.witness import WITNESS_POLY_NAMES
 
-            witness_root = r.bytes_(32)
             witness_evals = {name: self._read_ext(r)
                              for name in sorted(WITNESS_POLY_NAMES)}
-            witness_proof = self._read_ligero_proof(r)
+        unified = self._read_unified(r)
         return V2Section(zerocheck=zerocheck,
                          column_evals=zerocheck.column_evals,
                          lasso_extras=lasso_extras,
-                         pcs_root=pcs_root, pcs_proof=pcs_proof,
                          logup_nonce=logup_nonce, logup_sum=logup_sum,
-                         logup_root=logup_root, logup_proof=logup_proof,
                          lookup_validity=lookup_validity, regcheck=regcheck,
                          memcheck=memcheck, bytecode=bytecode,
-                         witness_root=witness_root, witness_evals=witness_evals,
-                         witness_proof=witness_proof)
+                         witness_evals=witness_evals, unified=unified)
 
     # -- deserialize -------------------------------------------------------
     def deserialize_path(self, path: str) -> Proof:

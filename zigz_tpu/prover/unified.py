@@ -1,0 +1,275 @@
+"""Unified commitment harness for the v2+ argument pipeline (round 3).
+
+Round 2 gave every argument (pc-chain logUp, lookup validity, regcheck,
+memcheck, bytecode, linkage) its own Ligero commitments and its own
+openings — ~20 commitments x (128 opened columns + Merkle paths +
+extension query/proximity rows) per proof.  This harness restructures the
+pipeline into the standard phased schedule so those costs are paid ONCE:
+
+  1. DATA    — every argument absorbs its public block and returns its
+               challenge-independent columns; ONE mixed-length Ligero
+               commitment binds them all ("V2_DATA" + root).
+  2. ADVICE  — every argument draws its fingerprint challenges (nonce
+               retry loops fork the transcript as before) and returns its
+               logUp inverse / multiplicity-inverse columns as base
+               coordinate columns; ONE commitment binds them
+               ("V2_ADVICE" + root) after the per-argument sums are
+               absorbed.
+  3. ZEROCHECKS — unchanged per-argument extension zerochecks (their
+               round polynomials and terminal column evals bind to the
+               transcript), each registering its terminal evaluation
+               claims and hypercube-sum claims with the claim sink.
+  4. REDUCE  — one batch-evaluation sumcheck (proofs/batch_eval.py)
+               folds every claim to a single point rho.
+  5. OPEN    — each commitment is opened once with a LigeroMixedClaim
+               whose weights both sides derive from rho.
+
+An Argument object implements data_phase/advice_phase/zerocheck_phase on
+the prover side and the same trio on the verifier side (replaying
+absorbs, re-deriving challenges from the proof-carried nonce, verifying
+zerochecks, and registering the SAME claims).  Cross-argument data
+(e.g. the bytecode argument referencing regcheck's committed operand
+columns) flows through a shared ``ctx`` dict and the per-argument
+``locmap`` (local name -> (commitment key, namespaced name, num_vars)).
+
+The standalone prove_regcheck/verify_regcheck (etc.) entry points reuse
+this harness with a single argument, so each argument keeps its own
+self-contained test surface.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..commitments.ligero import (
+    LigeroEvalProof,
+    ligero_commit_mixed,
+    ligero_prove_mixed,
+    ligero_verify_mixed,
+    choose_split_mixed,
+    LigeroParams,
+)
+from ..core.ext4 import Ext4
+from ..proofs.batch_eval import (
+    BatchClaim,
+    BatchEvalProof,
+    mixed_claim_from_rho,
+    prove_batch_eval,
+    verify_batch_eval,
+)
+
+__all__ = ["ClaimSink", "UnifiedProof", "prove_unified", "verify_unified"]
+
+
+class ClaimSink:
+    """Ordered claim collector shared by all arguments of one proof."""
+
+    def __init__(self):
+        self.claims: List[BatchClaim] = []
+
+    def eval_claim(self, commit_key: str, name: str, num_vars: int,
+                   point: List[Ext4], value: Ext4) -> None:
+        self.claims.append(BatchClaim(commit_key, name, num_vars, point, value))
+
+    def sum_claim(self, commit_key: str, name: str, num_vars: int,
+                  value: Ext4) -> None:
+        self.claims.append(BatchClaim(commit_key, name, num_vars, None, value))
+
+
+@dataclass
+class UnifiedProof:
+    data_root: Optional[bytes]
+    advice_root: Optional[bytes]
+    batch: Optional[BatchEvalProof]
+    data_open: Optional[LigeroEvalProof]
+    advice_open: Optional[LigeroEvalProof]
+
+
+def _namespace(arg, cols: Dict[str, np.ndarray], commit_key: str,
+               full: Dict[str, np.ndarray]) -> None:
+    for local, arr in cols.items():
+        fn = f"{arg.ns}:{local}"
+        assert fn not in full, f"duplicate column {fn}"
+        ln = len(arr)
+        assert ln & (ln - 1) == 0 and ln >= 1, \
+            f"column {fn} must be a power-of-two length >= 1 (got {ln})"
+        arg.locmap[local] = (commit_key, fn, ln.bit_length() - 1)
+        full[fn] = arr
+
+
+def prove_unified(F, transcript, args: List, hash_mode: str = "sha3",
+                  timings: Optional[dict] = None) -> UnifiedProof:
+    import time
+
+    data_full: Dict[str, np.ndarray] = {}
+    for a in args:
+        a.locmap = getattr(a, "locmap", {})
+        _namespace(a, a.data_phase(transcript), "data", data_full)
+
+    data_state = None
+    if data_full:
+        t0 = time.perf_counter()
+        data_state = ligero_commit_mixed(F, data_full, hash_mode)
+        transcript.append_bytes(b"V2_DATA")
+        transcript.append_bytes(data_state.root)
+        if timings is not None:
+            timings["data_commit_s"] = time.perf_counter() - t0
+
+    advice_full: Dict[str, np.ndarray] = {}
+    t0 = time.perf_counter()
+    for a in args:
+        _namespace(a, a.advice_phase(transcript), "advice", advice_full)
+    if timings is not None:
+        timings["advice_build_s"] = time.perf_counter() - t0
+
+    advice_state = None
+    if advice_full:
+        t0 = time.perf_counter()
+        advice_state = ligero_commit_mixed(F, advice_full, hash_mode)
+        transcript.append_bytes(b"V2_ADVICE")
+        transcript.append_bytes(advice_state.root)
+        if timings is not None:
+            timings["advice_commit_s"] = time.perf_counter() - t0
+
+    sink = ClaimSink()
+    t0 = time.perf_counter()
+    for a in args:
+        a.zerocheck_phase(transcript, sink)
+    if timings is not None:
+        timings["zerochecks_s"] = time.perf_counter() - t0
+
+    batch = None
+    data_open = None
+    advice_open = None
+    if sink.claims:
+        columns = {("data", fn): arr for fn, arr in data_full.items()}
+        columns.update({("advice", fn): arr for fn, arr in advice_full.items()})
+        t0 = time.perf_counter()
+        batch = prove_batch_eval(sink.claims, columns, transcript)
+        if timings is not None:
+            timings["batch_eval_s"] = time.perf_counter() - t0
+        rho = batch.final_point
+        t0 = time.perf_counter()
+        for key, state in (("data", data_state), ("advice", advice_state)):
+            if state is None:
+                continue
+            evals = {fn: v for (ck, fn), v in batch.column_evals.items()
+                     if ck == key}
+            if not evals:
+                continue
+            claim = mixed_claim_from_rho(state.col_vars, state.cn, rho, evals)
+            opened = ligero_prove_mixed(state, [claim], transcript)
+            if key == "data":
+                data_open = opened
+            else:
+                advice_open = opened
+        if timings is not None:
+            timings["open_s"] = time.perf_counter() - t0
+
+    return UnifiedProof(
+        data_root=data_state.root if data_state is not None else None,
+        advice_root=advice_state.root if advice_state is not None else None,
+        batch=batch,
+        data_open=data_open,
+        advice_open=advice_open,
+    )
+
+
+def verify_unified(F, transcript, args: List, proof: UnifiedProof,
+                   hash_mode: str = "sha3") -> Optional[str]:
+    """Mirror of prove_unified.  Verifier-side arguments implement:
+    data_phase(t) -> {local: num_vars} (replaying the public absorbs and
+    returning the STRUCTURAL column sizes), advice_phase(t) -> same for
+    advice columns (replaying nonce/challenges/sums and checking the
+    grand logUp equations), zerocheck_phase(t, sink) -> bool (verifying
+    its zerochecks and registering the same claims).
+
+    Returns None on success, or the failing stage: an argument's ``ns``
+    or "__commit__" (root/claim structure), "__batch__" (batch-eval
+    reduction), "__open__" (Ligero opening)."""
+    if not isinstance(proof, UnifiedProof):
+        return "__commit__"
+    data_vars: Dict[str, int] = {}
+    for a in args:
+        a.locmap = getattr(a, "locmap", {})
+        shape = a.data_phase(transcript)
+        if shape is None:
+            return a.ns
+        for local, v in shape.items():
+            fn = f"{a.ns}:{local}"
+            if fn in data_vars or v < 0:
+                return a.ns
+            a.locmap[local] = ("data", fn, v)
+            data_vars[fn] = v
+
+    if bool(data_vars) != (proof.data_root is not None):
+        return "__commit__"
+    if data_vars:
+        transcript.append_bytes(b"V2_DATA")
+        transcript.append_bytes(proof.data_root)
+
+    advice_vars: Dict[str, int] = {}
+    for a in args:
+        shape = a.advice_phase(transcript)
+        if shape is None:
+            return a.ns
+        for local, v in shape.items():
+            fn = f"{a.ns}:{local}"
+            if fn in advice_vars or v < 0:
+                return a.ns
+            a.locmap[local] = ("advice", fn, v)
+            advice_vars[fn] = v
+
+    if bool(advice_vars) != (proof.advice_root is not None):
+        return "__commit__"
+    if advice_vars:
+        transcript.append_bytes(b"V2_ADVICE")
+        transcript.append_bytes(proof.advice_root)
+
+    sink = ClaimSink()
+    for a in args:
+        if not a.zerocheck_phase(transcript, sink):
+            return a.ns
+
+    if not sink.claims:
+        if proof.batch is None and proof.data_open is None \
+                and proof.advice_open is None:
+            return None
+        return "__commit__"
+
+    # Structural check: every claim must reference a committed column of
+    # the declared width.
+    all_vars = {("data", fn): v for fn, v in data_vars.items()}
+    all_vars.update({("advice", fn): v for fn, v in advice_vars.items()})
+    for c in sink.claims:
+        if all_vars.get((c.commitment, c.name)) != c.num_vars:
+            return "__commit__"
+
+    if proof.batch is None:
+        return "__batch__"
+    if not verify_batch_eval(sink.claims, proof.batch, transcript):
+        return "__batch__"
+
+    rho = proof.batch.final_point
+    params = LigeroParams()
+    for key, root, col_vars, opened in (
+        ("data", proof.data_root, data_vars, proof.data_open),
+        ("advice", proof.advice_root, advice_vars, proof.advice_open),
+    ):
+        evals = {fn: v for (ck, fn), v in proof.batch.column_evals.items()
+                 if ck == key}
+        if not evals:
+            if opened is not None:
+                return "__open__"
+            continue
+        if opened is None or root is None:
+            return "__open__"
+        cn = choose_split_mixed(sum(1 << v for v in col_vars.values()), 1, params)
+        claim = mixed_claim_from_rho(col_vars, cn, rho, evals)
+        if not ligero_verify_mixed(F, root, col_vars, [claim], opened,
+                                   transcript, hash_mode):
+            return "__open__"
+    return None

@@ -83,29 +83,28 @@ class Verifier:
 
     # ------------------------------------------------------------------
     def verify_v2(self, proof: Proof, program: bytes) -> str:
-        """Protocol v2: replay the PROVER's exact transcript schedule and
-        verify the real constraint zerocheck (constraints/v2.py), then the
-        v1-style opening checks — plus the aux-column openings and a
-        point/index consistency check the v1 verifier omits.
+        """Protocol v2+ (round 3): replay the unified argument pipeline —
+        per-argument public blocks, the two mixed Ligero roots, the
+        per-argument challenge draws and logUp sums, the zerochecks, the
+        batch-evaluation reduction, and the two openings — then the
+        pipeline Lasso sumchecks and (v2/v3) the v1-style witness forest
+        checks.
 
         Version 3 is the same protocol with Poseidon2-over-BabyBear as the
-        Merkle hasher (commitment forests only; the Fiat-Shamir transcript
-        stays SHA3)."""
+        Merkle hasher (commitment forests + Ligero column hashing; the
+        Fiat-Shamir transcript stays SHA3)."""
         from ..commitments.merkle import SimpleMerkleTree, hasher_for_mode
+        from ..constraints.bytecode import BytecodeVerify
+        from ..constraints.core_arg import CoreV2Verify
+        from ..constraints.memcheck import MemcheckVerify, initial_memory_map
+        from ..constraints.regcheck import RegcheckVerify
+        from ..lookups.validity import LookupValidityProof, ValidityVerify
+        from ..prover.unified import verify_unified
 
         hasher = hasher_for_mode(
             "poseidon2" if proof.metadata.version == 3 else "sha3"
         )
-        from ..constraints.v2 import (
-            NUM_V2_ALPHAS,
-            V2_DEGREE,
-            V2_G_COLUMNS,
-            make_v2_combiner,
-            v2_public_evals,
-        )
-        from ..core.ext4 import MAX_NONCE, Ext4, challenge_ext
-        from ..prover.proof import CompactLassoList
-        from ..proofs.zerocheck import ZerocheckExtVerifier, absorb_ext
+        hash_mode = "poseidon2" if proof.metadata.version == 3 else "sha3"
 
         F = self.F
         if proof.v2 is None:
@@ -116,175 +115,40 @@ class Verifier:
         # Public inputs (prover order).
         self._bind_public_inputs(proof.public_io, program)
 
-        # Constraint phase bindings (prover order: steps then vars).
-        transcript.append_bytes(b"SUMCHECK_BEGIN")
-        transcript.append_field_element(F, F(proof.public_io.num_steps))
-        transcript.append_field_element(F, F(proof.metadata.num_vars))
-
-        # Ligero PCS root bound before any zerocheck challenge.
-        if proof.v2.pcs_root is None or proof.v2.pcs_proof is None:
-            return VerificationResult.RejectInvalidCommitment
-        transcript.append_bytes(b"V2_PCS_COMMIT")
-        transcript.append_bytes(proof.v2.pcs_root)
-
-        # v4: the full-witness Ligero root, bound before any zerocheck
-        # challenge (prover order).
-        if proof.metadata.version >= 4:
-            if (
-                proof.v2.witness_root is None
-                or proof.v2.witness_evals is None
-                or proof.v2.witness_proof is None
-            ):
-                return VerificationResult.RejectInvalidCommitment
-            transcript.append_bytes(b"V4_WITNESS_COMMIT")
-            transcript.append_bytes(proof.v2.witness_root)
-
-        # PC-chain logUp replay: nonce-bound BabyBear^4 tau/beta draw, then
-        # the g1/g2 coordinate-column commitment + shared extension sum
-        # (constraints/v2.py c5/c6).  The nonce cap bounds retry grinding.
-        if proof.v2.logup_root is None or proof.v2.logup_proof is None:
-            return VerificationResult.RejectInvalidCommitment
-        p = F.MODULUS
-        if not (0 <= proof.v2.logup_nonce <= MAX_NONCE):
+        io = proof.public_io
+        num_steps = proof.metadata.num_steps
+        num_vars = proof.metadata.num_vars
+        if proof.v2.zerocheck is None:
             return VerificationResult.RejectInvalidSumcheck
-        transcript.append_bytes(b"V2_LOGUP_NONCE")
-        transcript.append_u64(proof.v2.logup_nonce)
-        tau_lu = challenge_ext(transcript)
-        beta_lu = challenge_ext(transcript)
-        logup_sum = proof.v2.logup_sum
-        if not isinstance(logup_sum, Ext4):
-            return VerificationResult.RejectInvalidSumcheck
-        transcript.append_bytes(b"V2_LOGUP_COMMIT")
-        transcript.append_bytes(proof.v2.logup_root)
-        absorb_ext(transcript, logup_sum)
-
-        # Extension zerocheck replay + algebraic check (the combiner's
-        # public idx/selector MLE values are computed by the verifier at
-        # the extension final point — the c5/c6 terms only trust the
-        # committed g/pc/next_pc evals, which the Ligero arguments below
-        # bind).
-        num_steps = proof.public_io.num_steps
-        zc_proof = proof.v2.zerocheck
-        if zc_proof is None or zc_proof.num_vars != proof.metadata.num_vars:
-            return VerificationResult.RejectInvalidSumcheck
-        if zc_proof.degree != V2_DEGREE:
-            return VerificationResult.RejectInvalidSumcheck
-        required_evals = {"x0", "is_read", "pc", "seq", "next_pc"} | set(V2_G_COLUMNS)
-        if set(zc_proof.column_evals) != required_evals:
-            return VerificationResult.RejectInvalidSumcheck
-        if proof.v2.column_evals is not zc_proof.column_evals:
-            if proof.v2.column_evals != zc_proof.column_evals:
+        if proof.v2.column_evals is not proof.v2.zerocheck.column_evals:
+            if proof.v2.column_evals != proof.v2.zerocheck.column_evals:
                 return VerificationResult.RejectInvalidSumcheck
-        zc_ok = ZerocheckExtVerifier(
-            F,
-            make_v2_combiner(tau_lu, beta_lu),
-            NUM_V2_ALPHAS,
-            V2_DEGREE,
-            public_evals=v2_public_evals(num_steps, proof.metadata.num_vars, p),
-        ).verify(zc_proof, transcript)
-        if not zc_ok:
-            return VerificationResult.RejectInvalidSumcheck
-        final_point = zc_proof.final_point
 
-        # Ligero evaluation argument: the terminal column_evals must be
-        # consistent with the committed columns at the zerocheck point —
-        # the REAL evaluation binding (commitments/ligero.py).
-        from ..commitments.ligero import (
-            LigeroClaim,
-            LigeroParams,
-            _row_col_weights,
-            ligero_verify_claims,
-            ligero_verify_eval,
-        )
+        core = CoreV2Verify(F, proof.v2, num_steps, num_vars,
+                            proof.metadata.version)
+        lasso_counts = {l.table_id: l.num_lookups for l in proof.lookup_proofs}
+        lv = proof.v2.lookup_validity
+        if lv is None:
+            lv = LookupValidityProof(nonce=0, tables=[], table_side=None)
+        validity = ValidityVerify(F, lv, lasso_counts)
+        reg = RegcheckVerify(F, proof.v2.regcheck, num_steps, num_vars,
+                             io.initial_regs, io.final_regs or [0] * 32)
+        init_mem = initial_memory_map(program, io.initial_pc)
+        mem = MemcheckVerify(F, proof.v2.memcheck, num_steps, init_mem)
+        bc = BytecodeVerify(F, proof.v2.bytecode, program, io.initial_pc,
+                            num_steps, num_vars, reg, core, validity, mem,
+                            outputs=io.outputs, final_pc=io.final_pc)
 
-        hash_mode = "poseidon2" if proof.metadata.version == 3 else "sha3"
-        witness_col_names = ["is_read", "next_pc", "pc", "seq", "x0"]
-        if not ligero_verify_eval(
-            F,
-            proof.v2.pcs_root,
-            proof.metadata.num_vars,
-            witness_col_names,
-            proof.v2.column_evals,
-            final_point,
-            proof.v2.pcs_proof,
-            transcript,
-            hash_mode,
-        ):
-            return VerificationResult.RejectInvalidCommitment
-
-        # v4: the witness PCS opened at the SAME zerocheck point.  The
-        # evals shared with the small zerocheck commitment must agree
-        # (binds the two commitments to one witness), and every one of
-        # the 43 column evals is proven against the committed matrix.
-        if proof.metadata.version >= 4:
-            from ..constraints.witness import WITNESS_POLY_NAMES
-
-            wit_names = sorted(WITNESS_POLY_NAMES)
-            wev = proof.v2.witness_evals
-            if set(wev) != set(wit_names):
-                return VerificationResult.RejectInvalidCommitment
-            if not all(isinstance(v, Ext4) for v in wev.values()):
-                return VerificationResult.RejectInvalidCommitment
-            cev = proof.v2.column_evals
-            if (
-                wev["pc"] != cev["pc"]
-                or wev["x0"] != cev["x0"]
-                or wev["mem_is_read"] != cev["is_read"]
-            ):
-                return VerificationResult.RejectInvalidCommitment
-            transcript.append_bytes(b"V4_WITNESS_EVALS")
-            for name in wit_names:
-                absorb_ext(transcript, wev[name])
-            if not ligero_verify_eval(
-                F,
-                proof.v2.witness_root,
-                proof.metadata.num_vars,
-                wit_names,
-                wev,
-                final_point,
-                proof.v2.witness_proof,
-                transcript,
-                hash_mode,
-            ):
-                return VerificationResult.RejectInvalidCommitment
-
-        # logUp Ligero argument: claim 1 binds the g1/g2 coordinate-column
-        # terminal evals at the zerocheck point; claim 2 binds each
-        # coordinate's hypercube sum to the matching logup_sum coordinate —
-        # together sum(g1) == sum(g2) == logup_sum.  With c5/c6 this is the
-        # complete PC-chain multiset check.
-        import numpy as np
-
-        g_names = sorted(V2_G_COLUMNS)
-        lp = LigeroParams()
-        cn = lp.choose_split(proof.metadata.num_vars, len(g_names))
-        lg_m = (1 << proof.metadata.num_vars) >> cn
-        a_eval, b_eval = _row_col_weights(final_point, cn)
-        sum_values = {}
-        for name in g_names:
-            e = int(name.split("#")[1])
-            sum_values[name] = int(logup_sum.c[e])
-        claims = [
-            LigeroClaim(a=a_eval, b=b_eval, values={
-                name: zc_proof.column_evals[name] for name in g_names
-            }),
-            LigeroClaim(
-                a=np.ones(lg_m, dtype=np.uint64),
-                b=np.ones(1 << cn, dtype=np.uint64),
-                values=sum_values,
-            ),
-        ]
-        if not ligero_verify_claims(
-            F,
-            proof.v2.logup_root,
-            proof.metadata.num_vars,
-            g_names,
-            claims,
-            proof.v2.logup_proof,
-            transcript,
-            hash_mode,
-        ):
-            return VerificationResult.RejectInvalidCommitment
+        failed = verify_unified(F, transcript, [core, validity, reg, mem, bc],
+                                proof.v2.unified, hash_mode)
+        if failed is not None:
+            return {
+                "v2": VerificationResult.RejectInvalidSumcheck,
+                "lv": VerificationResult.RejectInvalidLookup,
+                "rc": VerificationResult.RejectInvalidRegisterAccess,
+                "mc": VerificationResult.RejectInvalidMemoryAccess,
+                "bc": VerificationResult.RejectInvalidBytecode,
+            }.get(failed, VerificationResult.RejectInvalidCommitment)
 
         # Lasso phase: real per-table sumchecks (lookups/pipeline_lasso.py).
         from ..lookups.pipeline_lasso import verify_pipeline_lasso
@@ -294,69 +158,6 @@ class Verifier:
             F, transcript, proof.lookup_proofs, proof.v2.lasso_extras or {}
         ):
             return VerificationResult.RejectInvalidLookup
-
-        # Lookup validity: every gadget-covered query multiset must be
-        # proven to consist of genuine table entries (lookups/validity.py).
-        from ..lookups.validity import LookupValidityProof, verify_lookup_validity
-
-        lasso_counts = {l.table_id: l.num_lookups for l in proof.lookup_proofs}
-        lv = proof.v2.lookup_validity
-        if lv is None:
-            lv = LookupValidityProof(nonce=0, tables=[], table_side=None)
-        if not verify_lookup_validity(F, transcript, lv, lasso_counts, hash_mode):
-            return VerificationResult.RejectInvalidLookup
-
-        # Register-file offline memory check (constraints/regcheck.py):
-        # reads must return last-written values, anchored at the PUBLIC
-        # initial/final register state from PublicIO.
-        from ..constraints.regcheck import verify_regcheck
-
-        if proof.v2.regcheck is None:
-            return VerificationResult.RejectInvalidRegisterAccess
-        io = proof.public_io
-        if not verify_regcheck(
-            F, transcript, proof.v2.regcheck, proof.metadata.num_steps,
-            proof.metadata.num_vars, io.initial_regs,
-            io.final_regs or [0] * 32, hash_mode,
-        ):
-            return VerificationResult.RejectInvalidRegisterAccess
-
-        # RAM byte-level offline memory check (constraints/memcheck.py):
-        # loads must return last-stored bytes, anchored at the PUBLIC
-        # initial memory image the verifier rebuilds from the program.
-        from ..constraints.memcheck import initial_memory_map, verify_memcheck
-
-        if proof.v2.memcheck is None:
-            return VerificationResult.RejectInvalidMemoryAccess
-        init_mem = initial_memory_map(program, io.initial_pc)
-        if not verify_memcheck(
-            F, transcript, proof.v2.memcheck, proof.metadata.num_steps,
-            init_mem, hash_mode,
-        ):
-            return VerificationResult.RejectInvalidMemoryAccess
-
-        # Bytecode fetch+decode argument (constraints/bytecode.py): each
-        # step's decoded tuple must equal the PUBLIC program's decode at
-        # its pc (the verifier decodes the program itself), with pc(0)
-        # anchored at the public entry point.
-        from ..constraints.bytecode import verify_bytecode
-        from ..constraints.regcheck import COLUMNS as RC_COLUMNS
-
-        if proof.v2.bytecode is None:
-            return VerificationResult.RejectInvalidBytecode
-        if not verify_bytecode(
-            F, transcript, proof.v2.bytecode, program, io.initial_pc,
-            proof.metadata.num_steps, proof.metadata.num_vars,
-            proof.v2.regcheck.root_cols, sorted(RC_COLUMNS),
-            proof.v2.pcs_root, sorted(["x0", "is_read", "pc", "seq", "next_pc"]),
-            hash_mode, outputs=io.outputs, final_pc=io.final_pc,
-            lv_tables=(proof.v2.lookup_validity.tables
-                       if proof.v2.lookup_validity is not None else []),
-            mc=proof.v2.memcheck,
-        ):
-            return VerificationResult.RejectInvalidBytecode
-
-        num_vars = proof.metadata.num_vars
         if proof.metadata.version < 4:
             # Commitment phase: bind roots, re-derive points, CHECK them.
             # (v4 has no per-column Merkle forest — the Ligero witness PCS
