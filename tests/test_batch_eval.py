@@ -202,3 +202,33 @@ def test_choose_split_mixed_balances():
         rows_bytes = (1 + params.num_rho) * 16 * n
         # within 4x of each other (integral log2 rounding)
         assert cols_bytes < 4 * rows_bytes and rows_bytes < 4 * cols_bytes
+
+
+def test_batch_eval_native_host_byte_identical():
+    """The runtime/dag.cpp round path must reproduce the numpy rounds'
+    transcript bytes and proof exactly."""
+    import os
+
+    columns, claims = _setup_claims()
+
+    def run(backend):
+        prev = os.environ.get("ZIGZ_TPU_ZEROCHECK")
+        os.environ["ZIGZ_TPU_ZEROCHECK"] = backend
+        try:
+            t = _fresh()
+            proof = prove_batch_eval(claims, columns, t)
+            probe = challenge_ext(t)
+            return proof, probe
+        finally:
+            if prev is None:
+                os.environ.pop("ZIGZ_TPU_ZEROCHECK", None)
+            else:
+                os.environ["ZIGZ_TPU_ZEROCHECK"] = prev
+
+    ph, probe_h = run("host")
+    pn, probe_n = run("native")
+    assert probe_h == probe_n
+    assert ph.final_point == pn.final_point
+    for ra, rb in zip(ph.round_evals, pn.round_evals):
+        assert all(a == b for a, b in zip(ra, rb))
+    assert ph.column_evals == pn.column_evals

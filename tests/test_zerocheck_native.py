@@ -149,3 +149,59 @@ def test_full_v2_prove_native_zerochecks_byte_identical():
             os.environ["ZIGZ_TPU_ZEROCHECK"] = prev
     assert native_bytes == host_bytes
     assert Verifier(F).verify(proof, program) == "Accept"
+
+
+# -- extension (BabyBear^4) native prover ------------------------------------
+
+def test_native_ext_zerocheck_byte_identical():
+    """NativeZerocheckExtProver must reproduce the numpy ZerocheckExtProver's
+    round evals, challenges, terminal evals, and transcript bytes — on a
+    combiner mixing base columns, an Ext4 input column, ext challenges,
+    and an ext_from_coords recombine."""
+    from zigz_tpu.core.ext4 import Ext4, challenge_ext, ext_from_coords, ext_from_ints
+    from zigz_tpu.proofs.zerocheck import ZerocheckExtProver
+
+    rng = np.random.default_rng(7)
+    n = 1 << 8
+    tau = ext_from_ints([5, 6, 7, 8])
+    cols = {
+        "a": rng.integers(0, P, n, dtype=np.uint64),
+        "b": rng.integers(0, P, n, dtype=np.uint64),
+        "g#0": rng.integers(0, P, n, dtype=np.uint64),
+        "g#1": rng.integers(0, P, n, dtype=np.uint64),
+        "g#2": rng.integers(0, P, n, dtype=np.uint64),
+        "g#3": rng.integers(0, P, n, dtype=np.uint64),
+        "e": Ext4(rng.integers(0, P, (4, n), dtype=np.uint64)),
+    }
+
+    def comb(c, alphas, p):
+        g = ext_from_coords([c[f"g#{e}"] for e in range(4)])
+        t1 = c["a"] * c["b"] % p
+        t2 = g * (tau - c["a"]) - c["e"]
+        t3 = c["e"] * c["e"] - c["b"]
+        return alphas[0] * t1 + alphas[1] * t2 + alphas[2] * t3
+
+    def run(backend):
+        prev = os.environ.get("ZIGZ_TPU_ZEROCHECK")
+        os.environ["ZIGZ_TPU_ZEROCHECK"] = backend
+        try:
+            t = FiatShamirTranscript()
+            t.append_bytes(b"ext-native-test")
+            proof = ZerocheckExtProver(F, dict(cols), comb, 3, num_alphas=3).prove(t)
+            probe = challenge_ext(t)
+            return proof, probe
+        finally:
+            if prev is None:
+                os.environ.pop("ZIGZ_TPU_ZEROCHECK", None)
+            else:
+                os.environ["ZIGZ_TPU_ZEROCHECK"] = prev
+
+    ph, probe_h = run("host")
+    pn, probe_n = run("native")
+    assert probe_h == probe_n  # transcript bytes identical
+    assert ph.final_point == pn.final_point
+    for ra, rb in zip(ph.round_evals, pn.round_evals):
+        assert all(a == b for a, b in zip(ra, rb))
+    assert set(ph.column_evals) == set(pn.column_evals)
+    for k in ph.column_evals:
+        assert ph.column_evals[k] == pn.column_evals[k]

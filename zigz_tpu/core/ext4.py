@@ -308,6 +308,12 @@ def ext_from_ints(vals: Sequence[int]) -> Ext4:
 _BASIS = [Ext4.from_ints([1 if i == e else 0 for i in range(4)]) for e in range(4)]
 
 
+# Set by ops/symtrace.py at import: routes symbolic (traced) coordinate
+# values to the SymExt stacker so combiners recombine unchanged under the
+# native Ext4 zerocheck's DAG tracing.
+_SYMEXT_HOOK = None
+
+
 def ext_from_coords(coords: Sequence) -> Ext4:
     """Recombine an extension value from its 4 coordinate parts.
 
@@ -317,6 +323,11 @@ def ext_from_coords(coords: Sequence) -> Ext4:
     extension-point folding/evaluation) recombine as sum_e coord_e * X^e.
     """
     assert len(coords) == 4
+    if _SYMEXT_HOOK is not None and any(
+        not isinstance(c, (Ext4, int, np.integer, bool, np.bool_, np.ndarray))
+        for c in coords
+    ):
+        return _SYMEXT_HOOK(coords)
     if any(isinstance(c, Ext4) for c in coords):
         acc = None
         for e, part in enumerate(coords):

@@ -127,6 +127,71 @@ def _mle_eval_tail(col: np.ndarray, rho_tail: List[Ext4], p: int = P) -> Ext4:
     return (eq * (np.asarray(col, dtype=np.uint64) % np.uint64(p))).sum()
 
 
+_NATIVE_TRACES: Dict[int, tuple] = {}
+
+
+def _native_rounds_available() -> bool:
+    import os
+
+    if os.environ.get("ZIGZ_TPU_ZEROCHECK", "auto") == "host":
+        return False
+    try:
+        from ..ops.zerocheck_native import native_available
+
+        return native_available()
+    except Exception:
+        return False
+
+
+def _native_spec(n_active: int):
+    """Cached DAG computing sum_g F_g * w_g over the active prefix of the
+    stacked group matrix (8 rows per group: 4 F coords then 4 w coords)."""
+    spec = _NATIVE_TRACES.get(n_active)
+    if spec is not None:
+        return spec
+    from ..ops.symtrace import SymExt, _Trace
+    from ..ops.zerocheck_native_ext import _dag_spec
+
+    t = _Trace()
+    acc = None
+    row_of = {}
+    for g in range(n_active):
+        f = SymExt(t, [t.col(f"f{g}#{e}") for e in range(4)])
+        w = SymExt(t, [t.col(f"w{g}#{e}") for e in range(4)])
+        for e in range(4):
+            row_of[f"f{g}#{e}"] = 8 * g + e
+            row_of[f"w{g}#{e}"] = 8 * g + 4 + e
+        prod = f * w
+        acc = prod if acc is None else acc + prod
+
+    class _Tr:
+        signature = (tuple(t.nodes), tuple(acc.c), ())
+        consts = t.consts
+
+    spec = _dag_spec(_Tr, row_of)
+    _NATIVE_TRACES[n_active] = spec
+    return spec
+
+
+def _native_round(stacked: np.ndarray, n_active: int, width: int,
+                  claim_running: Ext4, inactive_sum: Ext4, p: int):
+    """[g(0), g(1), g(2)] via runtime/dag.cpp, or None to fall back.
+    g(1) = claim - g(0) (standard sumcheck identity; the inactive groups'
+    (1-1)^2 factor vanishes at t=1); g(0)/g(2) add the inactive scalar
+    with factors (1-0)^2 = (1-2)^2 = 1."""
+    from ..runtime import native_dag_round_multi
+
+    spec, out_slots, consts = _native_spec(n_active)
+    vals = native_dag_round_multi(stacked, width, spec, consts, out_slots, 2)
+    if vals is None:
+        return None
+    from ..core.ext4 import ext_from_ints
+
+    g0 = ext_from_ints(vals[0]) + inactive_sum
+    g2 = ext_from_ints(vals[1]) + inactive_sum
+    return [g0, claim_running - g0, g2]
+
+
 def prove_batch_eval(claims: List[BatchClaim],
                      columns: Dict[Tuple[str, str], np.ndarray],
                      transcript) -> BatchEvalProof:
@@ -169,31 +234,55 @@ def prove_batch_eval(claims: List[BatchClaim],
         g["scale"] = ext_lift(1)  # prod (1-r)^2 over pre-activation rounds
         g["inactive_sum"] = (g["w"] * g["F"]).sum()
 
+    native = _native_rounds_available()
     round_evals: List[List[Ext4]] = []
     rs: List[Ext4] = []
     claim_running = combined_claim
     one = ext_lift(1)
+    glist = sorted(groups.values(), key=lambda g: -g["v"])  # activation order
+    stacked = None
+    if native:
+        # One (8G, 2^v_max) canonical uint32 matrix: per group 4 F rows +
+        # 4 w rows, written at activation (runtime/dag.cpp folds operate
+        # on it in place; rows of not-yet-active groups hold garbage the
+        # per-round DAG never reads).
+        stacked = np.zeros((8 * len(glist), 1 << v_max), dtype=np.uint32)
     for rnd in range(v_max):
         v_cur = v_max - rnd  # vars remaining INCLUDING this round's
-        for g in groups.values():
+        for gi, g in enumerate(glist):
             # Group activates this round: fold its accumulated pad scale
             # (prod (1-r)^2 over the head rounds) into the weight table.
-            if g["v"] == v_cur and g["scale"] != one:
-                g["w"] = g["scale"] * g["w"]
-                g["scale"] = one
-        evals = []
-        for t in (0, 1, 2):
-            total = ext_zeros()
-            for g in groups.values():
-                if g["v"] < v_cur:
-                    # Zero-padded: value (1-t)^2 * scale * partial sum.
-                    om = (1 - t) % p
-                    total = total + (om * om % p) * (g["scale"] * g["inactive_sum"])
-                else:
-                    w_t = _at_t(g["w"], t)
-                    F_t = _at_t(g["F"], t)
-                    total = total + (w_t * F_t).sum()
-            evals.append(total)
+            if g["v"] == v_cur:
+                if g["scale"] != one:
+                    g["w"] = g["scale"] * g["w"]
+                    g["scale"] = one
+                if native:
+                    w_cur = 1 << v_cur
+                    stacked[8 * gi : 8 * gi + 4, :w_cur] = g["F"].c
+                    stacked[8 * gi + 4 : 8 * gi + 8, :w_cur] = g["w"].c
+        n_active = sum(1 for g in glist if g["v"] >= v_cur)
+        inactive_sum = ext_zeros()
+        for g in glist[n_active:]:
+            inactive_sum = inactive_sum + g["scale"] * g["inactive_sum"]
+        if native:
+            evals = _native_round(stacked, n_active, 1 << v_cur,
+                                  claim_running, inactive_sum, p)
+        else:
+            evals = None
+        if evals is None:
+            evals = []
+            for t in (0, 1, 2):
+                total = ext_zeros()
+                for g in groups.values():
+                    if g["v"] < v_cur:
+                        # Zero-padded: value (1-t)^2 * scale * partial sum.
+                        om = (1 - t) % p
+                        total = total + (om * om % p) * (g["scale"] * g["inactive_sum"])
+                    else:
+                        w_t = _at_t(g["w"], t)
+                        F_t = _at_t(g["F"], t)
+                        total = total + (w_t * F_t).sum()
+                evals.append(total)
         round_evals.append(evals)
         for e in evals:
             absorb_ext(transcript, e)
@@ -201,21 +290,35 @@ def prove_batch_eval(claims: List[BatchClaim],
         rs.append(r)
         claim_running = _interp_eval_ext(evals, r, p)
         om_r = 1 - r
+        if native:
+            from ..runtime import native_dag_fold_ext
+
+            native_dag_fold_ext(stacked, 1 << v_cur, r.to_ints())
         for g in groups.values():
             if g["v"] < v_cur:
                 g["scale"] = g["scale"] * om_r * om_r
-            else:
+            elif not native:
                 g["w"] = _fold(g["w"], r)
                 g["F"] = _fold(g["F"], r)
 
     # Terminal column evaluations at the tail of rho, deduped per
-    # (commitment, column), absorbed in sorted order.
+    # (commitment, column), absorbed in sorted order.  The eq table is
+    # shared by every column of the same width.
+    eq_cache: Dict[int, Ext4] = {}
     column_evals: Dict[Tuple[str, str], Ext4] = {}
     for claim in claims:
         key = (claim.commitment, claim.name)
         if key not in column_evals:
-            tail = rs[v_max - claim.num_vars :]
-            column_evals[key] = _mle_eval_tail(columns[key], tail, p)
+            v_k = claim.num_vars
+            if v_k == 0:
+                column_evals[key] = ext_lift(int(columns[key][0]) % p)
+                continue
+            eq = eq_cache.get(v_k)
+            if eq is None:
+                eq = _eq_table_ext(rs[v_max - v_k :], p)
+                eq_cache[v_k] = eq
+            col = np.asarray(columns[key], dtype=np.uint64) % np.uint64(p)
+            column_evals[key] = (eq * col).sum()
     for key in sorted(column_evals):
         absorb_ext(transcript, column_evals[key])
 

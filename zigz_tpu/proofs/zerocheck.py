@@ -478,6 +478,30 @@ class ZerocheckExtProver:
         n = _width(any_col)
         num_vars = n.bit_length() - 1
 
+        # Native C++ twin (ops/zerocheck_native_ext.py): identical bytes,
+        # ~10-20x faster on the Ext4 algebra.  Tracing happens before the
+        # transcript is touched, so fallback is clean.
+        import os
+
+        pref = os.environ.get("ZIGZ_TPU_ZEROCHECK", "auto")
+        if pref in ("auto", "native", "device") and n >= 2:
+            from ..ops.zerocheck_native import native_available
+
+            if native_available():
+                try:
+                    from ..ops.zerocheck_native_ext import NativeZerocheckExtProver
+
+                    native = NativeZerocheckExtProver(
+                        F, self.columns, self.combiner, self.degree,
+                        num_alphas=self.num_alphas,
+                    )
+                except Exception:
+                    if pref == "native":
+                        raise
+                    native = None
+                if native is not None:
+                    return native.prove(transcript)
+
         taus = [challenge_ext(transcript) for _ in range(num_vars)]
         alphas = [challenge_ext(transcript) for _ in range(self.num_alphas)]
 

@@ -629,6 +629,8 @@ def _load_dag():
         lib = ctypes.CDLL(_DAG_LIB)
         lib.zigz_dag_round.restype = None
         lib.zigz_dag_fold.restype = None
+        lib.zigz_dag_round_multi.restype = None
+        lib.zigz_dag_fold_ext.restype = None
         _dag_lib = lib
         return lib
     except Exception:
@@ -668,6 +670,56 @@ def native_dag_round(stacked: np.ndarray, width: int, nodes, consts: np.ndarray,
         out.ctypes.data_as(ctypes.c_void_p), ctypes.c_int(NUM_THREADS),
     )
     return [int(x) for x in out]
+
+
+def native_dag_round_multi(stacked: np.ndarray, width: int, nodes,
+                           consts: np.ndarray, out_slots, degree: int):
+    """Extension-zerocheck round over a traced coordinate-lowered DAG:
+    returns a (degree, num_out) list of lists [t][coord] for t in
+    (0, 2, ..., degree), or None when unavailable.  No eq-row product —
+    the eq*C multiplication lives inside the DAG (4 output slots)."""
+    lib = _load_dag()
+    if lib is None:
+        return None
+    ops, arga, argb, slot, colrow, num_slots = nodes
+    num_out = len(out_slots)
+    outs = np.asarray(out_slots, dtype=np.int32)
+    out = np.empty(degree * num_out, dtype=np.uint64)
+    lib.zigz_dag_round_multi(
+        stacked.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_size_t(stacked.shape[1]), ctypes.c_size_t(stacked.shape[0]),
+        ctypes.c_size_t(width),
+        ops.ctypes.data_as(ctypes.c_void_p),
+        arga.ctypes.data_as(ctypes.c_void_p),
+        argb.ctypes.data_as(ctypes.c_void_p),
+        slot.ctypes.data_as(ctypes.c_void_p),
+        colrow.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_size_t(len(ops)), ctypes.c_size_t(num_slots),
+        consts.ctypes.data_as(ctypes.c_void_p),
+        outs.ctypes.data_as(ctypes.c_void_p), ctypes.c_int(num_out),
+        ctypes.c_int(degree),
+        out.ctypes.data_as(ctypes.c_void_p), ctypes.c_int(NUM_THREADS),
+    )
+    return [[int(out[t * num_out + e]) for e in range(num_out)]
+            for t in range(degree)]
+
+
+def native_dag_fold_ext(stacked: np.ndarray, width: int, r4) -> bool:
+    """In-place MSB fold with a BabyBear^4 challenge; rows are 4-row
+    coordinate groups.  Returns True on success."""
+    lib = _load_dag()
+    if lib is None:
+        return False
+    assert stacked.shape[0] % 4 == 0
+    rc = np.asarray([int(x) for x in r4], dtype=np.uint64)
+    lib.zigz_dag_fold_ext(
+        stacked.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_size_t(stacked.shape[1]),
+        ctypes.c_size_t(stacked.shape[0] // 4),
+        ctypes.c_size_t(width),
+        rc.ctypes.data_as(ctypes.c_void_p), ctypes.c_int(NUM_THREADS),
+    )
+    return True
 
 
 def native_dag_fold(stacked: np.ndarray, width: int, r: int):

@@ -182,6 +182,121 @@ extern "C" void zigz_dag_round(
   }
 }
 
+// Multi-output round for the EXTENSION zerocheck (BabyBear^4, X^4 = 11):
+// the traced DAG already contains the eq*C product, its 4 coordinate
+// outputs are plain base rows, so this is zigz_dag_round minus the eq
+// multiplication, accumulating `num_out` slot sums per t.  out receives
+// degree * num_out values laid out [t][coord]: g(0), g(2), ..., g(degree)
+// (g(1) is derived from the running claim by the caller).
+extern "C" void zigz_dag_round_multi(
+    const uint32_t* stacked, size_t stride, size_t nrows, size_t n,
+    const int32_t* ops, const int32_t* arga, const int32_t* argb,
+    const int32_t* slot, const int32_t* colrow, size_t num_nodes,
+    size_t num_slots, const uint32_t* consts, const int32_t* out_slots,
+    int num_out, int degree, uint64_t* out, int num_threads) {
+  size_t half = n / 2;
+  int nt = num_threads > 0 ? num_threads : 1;
+  size_t cells = (size_t)degree * (size_t)num_out;
+  std::vector<std::vector<uint64_t>> accs((size_t)nt,
+                                          std::vector<uint64_t>(cells, 0));
+  DagSpec d{ops, arga, argb, slot, colrow, num_nodes, consts};
+
+  run_parallel(half, num_threads, [&](size_t lo, size_t hi, int tid) {
+    std::vector<uint32_t> slots(num_slots * CHUNK);
+    std::vector<uint32_t> cur(nrows * CHUNK);
+    std::vector<uint32_t> delta(nrows * CHUNK);
+    std::vector<const uint32_t*> cols(nrows);
+    uint64_t* acc = accs[(size_t)tid].data();
+
+    for (size_t s = lo; s < hi; s += CHUNK) {
+      size_t len = (s + CHUNK < hi) ? CHUNK : hi - s;
+
+      for (size_t r = 0; r < nrows; ++r) cols[r] = stacked + r * stride + s;
+      eval_dag(d, cols.data(), slots.data(), len);
+      for (int e = 0; e < num_out; ++e) {
+        const uint32_t* v = slots.data() + (size_t)out_slots[e] * CHUNK;
+        uint64_t a = 0;
+        for (size_t k = 0; k < len; ++k) a += v[k];
+        acc[e] = (acc[e] + a) % P;
+      }
+
+      if (degree >= 2) {
+        for (size_t r = 0; r < nrows; ++r) {
+          const uint32_t* plo = stacked + r * stride + s;
+          const uint32_t* phi = plo + half;
+          uint32_t* c = cur.data() + r * CHUNK;
+          uint32_t* dl = delta.data() + r * CHUNK;
+          for (size_t k = 0; k < len; ++k) {
+            c[k] = phi[k];
+            dl[k] = subm(phi[k], plo[k]);
+          }
+          cols[r] = c;
+        }
+        for (int t = 2; t <= degree; ++t) {
+          for (size_t r = 0; r < nrows; ++r) {
+            uint32_t* c = cur.data() + r * CHUNK;
+            const uint32_t* dl = delta.data() + r * CHUNK;
+            for (size_t k = 0; k < len; ++k) c[k] = addm(c[k], dl[k]);
+          }
+          eval_dag(d, cols.data(), slots.data(), len);
+          for (int e = 0; e < num_out; ++e) {
+            const uint32_t* v = slots.data() + (size_t)out_slots[e] * CHUNK;
+            uint64_t a = 0;
+            for (size_t k = 0; k < len; ++k) a += v[k];
+            size_t cell = (size_t)(t - 1) * num_out + e;
+            acc[cell] = (acc[cell] + a) % P;
+          }
+        }
+      }
+    }
+  });
+
+  for (size_t c = 0; c < cells; ++c) {
+    uint64_t total = 0;
+    for (auto& a : accs) total = (total + a[c]) % P;
+    out[c] = total;
+  }
+}
+
+// In-place MSB fold with an EXTENSION challenge r (4 canonical coords,
+// X^4 = 11): rows come in 4-row coordinate groups; for each group
+// new = lo + r*(hi - lo) as BabyBear^4 elements.
+extern "C" void zigz_dag_fold_ext(uint32_t* stacked, size_t stride,
+                                  size_t ngroups, size_t n,
+                                  const uint64_t* r4, int num_threads) {
+  size_t half = n / 2;
+  uint32_t r0 = (uint32_t)(r4[0] % P), r1 = (uint32_t)(r4[1] % P);
+  uint32_t r2 = (uint32_t)(r4[2] % P), r3 = (uint32_t)(r4[3] % P);
+  run_parallel(half, num_threads, [&](size_t lo, size_t hi, int) {
+    for (size_t g = 0; g < ngroups; ++g) {
+      uint32_t* b0 = stacked + (g * 4 + 0) * stride;
+      uint32_t* b1 = stacked + (g * 4 + 1) * stride;
+      uint32_t* b2 = stacked + (g * 4 + 2) * stride;
+      uint32_t* b3 = stacked + (g * 4 + 3) * stride;
+      for (size_t i = lo; i < hi; ++i) {
+        uint32_t d0 = subm(b0[half + i], b0[i]);
+        uint32_t d1 = subm(b1[half + i], b1[i]);
+        uint32_t d2 = subm(b2[half + i], b2[i]);
+        uint32_t d3 = subm(b3[half + i], b3[i]);
+        // (r * d) with X^4 = 11, each partial reduced before accumulation.
+        uint32_t p0 = addm(mulm(r0, d0),
+                           mulm(11u, addm(addm(mulm(r1, d3), mulm(r2, d2)),
+                                          mulm(r3, d1))));
+        uint32_t p1 = addm(addm(mulm(r0, d1), mulm(r1, d0)),
+                           mulm(11u, addm(mulm(r2, d3), mulm(r3, d2))));
+        uint32_t p2 = addm(addm(mulm(r0, d2), mulm(r1, d1)),
+                           addm(mulm(r2, d0), mulm(11u, mulm(r3, d3))));
+        uint32_t p3 = addm(addm(mulm(r0, d3), mulm(r1, d2)),
+                           addm(mulm(r2, d1), mulm(r3, d0)));
+        b0[i] = addm(b0[i], p0);
+        b1[i] = addm(b1[i], p1);
+        b2[i] = addm(b2[i], p2);
+        b3[i] = addm(b3[i], p3);
+      }
+    }
+  });
+}
+
 // In-place MSB fold of every row: row[i] = row[i] + r*(row[half+i] -
 // row[i]) mod P for i < n/2.  Row stride stays fixed; the caller tracks
 // the shrinking width.
