@@ -197,3 +197,36 @@ def test_where_and_masked_select():
     w = ext_where(mask, a, b)
     assert Ext4(w.c[:, 0]) == Ext4(a.c[:, 0])
     assert Ext4(w.c[:, 1]) == Ext4(b.c[:, 1])
+
+
+def test_native_kernels_match_numpy():
+    """runtime/ext4.cpp twins must produce the numpy path's exact
+    canonical residues (mul / scale / mul-base / inv, incl. inv(0)=0 and
+    non-canonical base inputs)."""
+    import zigz_tpu.core.ext4 as E
+
+    if E._native() is None:
+        import pytest
+
+        pytest.skip("native ext4 kernels unavailable")
+    rng = np.random.default_rng(11)
+    n = 1 << 13  # above _NATIVE_MIN so the native path engages
+    a = Ext4(rng.integers(0, P, (4, n), dtype=np.uint64))
+    b = Ext4(rng.integers(0, P, (4, n), dtype=np.uint64))
+    s = ext_from_ints([123, 456, 789, 101112])
+    base = rng.integers(0, 1 << 63, n, dtype=np.uint64)  # non-canonical
+
+    def run_numpy(fn):
+        saved = dict(E._NATIVE_STATE)
+        E._NATIVE_STATE["checked"] = True
+        E._NATIVE_STATE["fn"] = None
+        try:
+            return fn()
+        finally:
+            E._NATIVE_STATE.update(saved)
+
+    for fn in (lambda: a * b, lambda: a * s, lambda: s * a,
+               lambda: a * base, lambda: s * base, lambda: a.inv()):
+        assert fn() == run_numpy(fn)
+    z = Ext4(np.zeros((4, n), dtype=np.uint64))
+    assert z.inv() == z

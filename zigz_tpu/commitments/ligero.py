@@ -726,6 +726,33 @@ def mixed_layout(col_vars: Dict[str, int], cn: int):
     return names, offsets, heights, off
 
 
+def _mixed_commit_use_device(total_data: int) -> bool:
+    """Device encode+hash policy for mixed commitments: forced by
+    ZIGZ_TPU_COMMITMENTS, else auto — a TPU backend with a link fast
+    enough that upload + device work beats the host NTT (host encodes at
+    ~30 MB/s of input here; the device encode itself is >10x faster, so
+    the crossover is bandwidth-driven)."""
+    import os
+
+    pref = os.environ.get("ZIGZ_TPU_COMMITMENTS", "auto")
+    if pref == "host":
+        return False
+    if total_data < (1 << 23):
+        return pref == "device"
+    if pref == "device":
+        return True
+    try:
+        import jax
+
+        if jax.default_backend() != "tpu":
+            return False
+        from ..ops.zerocheck_gen import device_transfer_mbps
+
+        return device_transfer_mbps() >= 60.0
+    except Exception:
+        return False
+
+
 def ligero_commit_mixed(F, columns: Dict[str, np.ndarray], hash_mode: str = "sha3",
                         params: LigeroParams = None,
                         num_claims_hint: int = 1) -> LigeroCommitState:
@@ -753,8 +780,32 @@ def ligero_commit_mixed(F, columns: Dict[str, np.ndarray], hash_mode: str = "sha
             mat[off : off + m_k] = arr.reshape(m_k, n)
         else:
             mat[off, : len(arr)] = arr
-    encoded = ntt_pow2_u32(mat, params.inv_rate * n)
-    leaf_digests = _hash_columns(encoded, hash_mode)
+    encoded = None
+    if hash_mode == "sha3" and _mixed_commit_use_device(total):
+        # Streamed TPU Reed-Solomon encode + column hashing
+        # (ops/ligero_dev): input rows ride the link up in blocks, each is
+        # encoded on device and absorbed into a carried Keccak state, and
+        # only the 32-byte-per-column digest blob rides down — the
+        # encoded matrix is never materialized (it would not fit HBM at
+        # 2^20).  Openings re-encode the device-resident input and gather
+        # just the opened columns.  Byte-identical to the host path.
+        try:
+            import jax.numpy as jnp
+
+            from ..ops.ligero_dev import (
+                StreamedEncoded,
+                sha3_columns_stream_device,
+            )
+
+            n_e = params.inv_rate * n
+            mat_dev = jnp.asarray(mat.astype(np.uint32))
+            leaf_digests = sha3_columns_stream_device(mat_dev, n_e)
+            encoded = StreamedEncoded(mat_dev, n_e)
+        except Exception:
+            encoded = None
+    if encoded is None:
+        encoded = ntt_pow2_u32(mat, params.inv_rate * n)
+        leaf_digests = _hash_columns(encoded, hash_mode)
     levels = _build_levels(leaf_digests, hash_mode)
     return LigeroCommitState(
         root=levels[-1],
@@ -855,7 +906,19 @@ def ligero_prove_mixed(state: LigeroCommitState, claims: List[LigeroMixedClaim],
 
     indices = [transcript.challenge_value(P) % state.n_e
                for _ in range(params.num_queries)]
-    columns = state.encoded[:, indices].T.astype(np.uint64)  # (t, total_rows)
+    if isinstance(state.encoded, np.ndarray):
+        columns = state.encoded[:, indices].T.astype(np.uint64)  # (t, total_rows)
+    elif hasattr(state.encoded, "gather"):
+        # Streamed device commitment: re-encode on device, gather only
+        # the opened columns (ops/ligero_dev.StreamedEncoded).
+        columns = state.encoded.gather(indices)
+    else:
+        # Device-resident encoded matrix: gather the t opened columns on
+        # device, download only them.
+        import jax.numpy as jnp
+
+        gathered = jnp.take(state.encoded, jnp.asarray(indices), axis=1)
+        columns = np.asarray(gathered).T.astype(np.uint64)
     paths = _open_column_paths(state, indices)
     return LigeroEvalProof(us=us, ws=ws, columns=columns, paths=paths)
 

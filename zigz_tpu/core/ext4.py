@@ -202,6 +202,28 @@ class Ext4:
                 or isinstance(other, (bool, np.bool_)):
             s = _reduce(other)
             if isinstance(s, np.ndarray) and s.ndim:
+                # Native threaded kernels for the 1-D hot shapes (the
+                # numpy path pays a u64 divide per coordinate element).
+                if s.ndim == 1 and _native() is not None \
+                        and s.shape[0] >= _NATIVE_MIN:
+                    from ..runtime import (
+                        native_ext4_mul_base,
+                        native_ext4_scale_base,
+                    )
+
+                    col = np.ascontiguousarray(s)
+                    if self.c.ndim == 1:  # scalar ext x base vector
+                        out = native_ext4_scale_base(
+                            np.ascontiguousarray(self.c), col
+                        )
+                        if out is not None:
+                            return Ext4(out, _trusted=True)
+                    elif self.c.ndim == 2 and self.c.shape[1] == s.shape[0]:
+                        out = native_ext4_mul_base(
+                            np.ascontiguousarray(self.c), col
+                        )
+                        if out is not None:
+                            return Ext4(out, _trusted=True)
                 a, b = _align(self.c, s[None, ...])
                 return Ext4(a * b % _P64, _trusted=True)
             return Ext4(self.c * s % _P64, _trusted=True)
@@ -231,6 +253,13 @@ class Ext4:
 
     def inv(self) -> "Ext4":
         """Batched inverse via Frobenius/norm; maps 0 to 0 (callers mask)."""
+        if self.c.ndim == 2 and _native() is not None \
+                and self.c.shape[1] >= _NATIVE_MIN:
+            from ..runtime import native_ext4_inv
+
+            out = native_ext4_inv(np.ascontiguousarray(self.c), SIGMA)
+            if out is not None:
+                return Ext4(out, _trusted=True)
         from ..poly.public_mles import np_inv
 
         b = self.frobenius(1) * self.frobenius(2)
@@ -271,9 +300,51 @@ def _coerce(other) -> Union[Ext4, None]:
     return None
 
 
+_NATIVE_MIN = 4096  # below this, ctypes + thread overhead beats the win
+_NATIVE_STATE = {"checked": False, "fn": None}
+
+
+def _native():
+    """runtime module when the native ext4 kernels are available."""
+    if not _NATIVE_STATE["checked"]:
+        _NATIVE_STATE["checked"] = True
+        try:
+            from .. import runtime
+
+            if runtime.native_ext4_available():
+                _NATIVE_STATE["fn"] = runtime
+        except Exception:
+            _NATIVE_STATE["fn"] = None
+    return _NATIVE_STATE["fn"]
+
+
 def _ext_mul(a: Ext4, b: Ext4) -> Ext4:
     """Schoolbook product with X^4 = W.  Each partial product is reduced
     before accumulation, so coordinate sums stay far below 2^64."""
+    if _native() is not None:
+        from ..runtime import native_ext4_mul
+
+        # 1-D array x array (same width) or array x scalar: threaded C++.
+        if a.c.ndim == 2 and a.c.shape[1] >= _NATIVE_MIN:
+            if b.c.ndim == 2 and b.c.shape == a.c.shape:
+                out = native_ext4_mul(
+                    np.ascontiguousarray(a.c), np.ascontiguousarray(b.c), False
+                )
+                if out is not None:
+                    return Ext4(out, _trusted=True)
+            elif b.c.ndim == 1:
+                out = native_ext4_mul(
+                    np.ascontiguousarray(a.c), np.ascontiguousarray(b.c), True
+                )
+                if out is not None:
+                    return Ext4(out, _trusted=True)
+        elif (b.c.ndim == 2 and b.c.shape[1] >= _NATIVE_MIN
+              and a.c.ndim == 1):
+            out = native_ext4_mul(
+                np.ascontiguousarray(b.c), np.ascontiguousarray(a.c), True
+            )
+            if out is not None:
+                return Ext4(out, _trusted=True)
     ac, bc = a.c, b.c
     t = [[ac[i] * bc[j] % _P64 for j in range(4)] for i in range(4)]
     c0 = (t[0][0] + _W64 * ((t[1][3] + t[2][2] + t[3][1]) % _P64)) % _P64

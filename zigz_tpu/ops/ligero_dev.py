@@ -237,3 +237,125 @@ def sha3_columns_device(encoded) -> bytes:
     if pad:
         out = out[:, :n]
     return out.T.astype("<u4").tobytes()
+
+
+# ---------------------------------------------------------------------------
+# Streaming commit: row-blocked encode + state-carrying column absorb.
+#
+# A 2^20-scale mixed commitment's encoded matrix (rows x 4n u32) plus the
+# four-step NTT transposes and the padded Keccak message exceed a single
+# chip's HBM.  This path never materializes the encoded matrix: input rows
+# ride up in blocks, each block is Reed-Solomon-encoded on device and
+# absorbed into a carried (50, n_e) Keccak state (26 MB at 2^20); only the
+# 32-byte-per-column digest blob rides down.  Openings re-encode the same
+# device-resident input blocks and gather just the opened columns.
+
+_STREAM_BLOCK_WORDS = 34 * 16  # 544 rows per absorb step (multiple of 34)
+
+
+def _absorb_kernel(nb: int):
+    from jax.experimental import pallas as pl
+
+    from .keccak_pallas import _permute
+
+    def body(state_in_ref, in_ref, state_out_ref, scratch):
+        b = pl.program_id(1)
+
+        @pl.when(b == 0)
+        def _init():
+            scratch[...] = state_in_ref[...]
+
+        packed = scratch[...]
+        lanes = [(packed[2 * k], packed[2 * k + 1]) for k in range(25)]
+        for k in range(17):
+            lanes[k] = (lanes[k][0] ^ in_ref[2 * k], lanes[k][1] ^ in_ref[2 * k + 1])
+        lanes = _permute(lanes)
+        scratch[...] = jnp.stack([h for pair in lanes for h in pair])
+
+        @pl.when(b == nb - 1)
+        def _emit():
+            state_out_ref[...] = scratch[...]
+
+    return body
+
+
+@partial(jax.jit, static_argnames=("nb", "rows"), donate_argnums=(0,))
+def _absorb_call(state, msg, nb, rows):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    grid = (rows // _LANE_ROWS, nb)
+    return pl.pallas_call(
+        _absorb_kernel(nb),
+        out_shape=jax.ShapeDtypeStruct((50, rows, 128), jnp.uint32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((50, _LANE_ROWS, 128), lambda i, b: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_RATE_WORDS, _LANE_ROWS, 128), lambda i, b: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((50, _LANE_ROWS, 128), lambda i, b: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((50, _LANE_ROWS, 128), jnp.uint32)],
+    )(state, msg)
+
+
+def sha3_columns_stream_device(mat_dev, n_e: int) -> bytes:
+    """Leaf digests of the VIRTUAL encoded matrix NTT(mat_dev rows, n_e)
+    without materializing it: byte-identical to
+    _hash_columns(ntt_pow2_u32(mat, n_e), "sha3")."""
+    from .ntt_dev import encode_rows_device
+
+    rows, n = mat_dev.shape
+    pw = _pad_words(rows)
+    unit = _LANE_ROWS * 128
+    n_pad = n_e + ((-n_e) % unit)
+    rows128 = n_pad // 128
+    state = jnp.zeros((50, rows128, 128), jnp.uint32)
+    bw = _STREAM_BLOCK_WORDS
+    for k0 in range(0, pw, bw):
+        k1 = min(k0 + bw, pw)
+        blk = jnp.zeros((k1 - k0, n_pad), jnp.uint32)
+        r_hi = min(k1, rows)
+        if k0 < rows:
+            enc = encode_rows_device(mat_dev[k0:r_hi], n_e)
+            blk = blk.at[: r_hi - k0, :n_e].set(enc)
+        if k0 <= rows < k1:
+            blk = blk.at[rows - k0, :n_e].set(jnp.uint32(0x06))
+        if k0 <= pw - 1 < k1:
+            blk = blk.at[pw - 1 - k0, :n_e].add(jnp.uint32(0x80000000))
+        state = _absorb_call(
+            state, blk.reshape(k1 - k0, rows128, 128), (k1 - k0) // _RATE_WORDS,
+            rows128,
+        )
+    out = np.asarray(state[:8]).reshape(8, n_pad)[:, :n_e]
+    return out.T.astype("<u4").tobytes()
+
+
+def gather_encoded_columns_device(mat_dev, n_e: int, indices) -> np.ndarray:
+    """(t, rows) opened columns of the virtual encoded matrix: re-encode
+    the device-resident input in row blocks, gather only ``indices``."""
+    from .ntt_dev import encode_rows_device
+
+    rows, _ = mat_dev.shape
+    idx = jnp.asarray(indices)
+    parts = []
+    bw = _STREAM_BLOCK_WORDS
+    for k0 in range(0, rows, bw):
+        k1 = min(k0 + bw, rows)
+        enc = encode_rows_device(mat_dev[k0:k1], n_e)
+        parts.append(np.asarray(jnp.take(enc, idx, axis=1)))
+    return np.concatenate(parts, axis=0).T.astype(np.uint64)
+
+
+class StreamedEncoded:
+    """state.encoded stand-in for streamed device commitments: holds the
+    device-resident INPUT matrix; opened columns re-encode on demand."""
+
+    def __init__(self, mat_dev, n_e: int):
+        self.mat_dev = mat_dev
+        self.n_e = n_e
+
+    def gather(self, indices) -> np.ndarray:
+        return gather_encoded_columns_device(self.mat_dev, self.n_e, indices)

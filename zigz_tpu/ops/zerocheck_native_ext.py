@@ -147,41 +147,56 @@ class NativeZerocheckExtProver:
                 or tr2.signature != self._probe2.signature):
             raise TraceError("combiner structure depends on challenge values")
 
+        from ..runtime import native_dag_fold_hybrid
+
         names = self.base_names + self.ext_names
-        row_of: Dict[str, int] = {}
+        B, E = len(self.base_names), len(self.ext_names)
+        # Round-1 layout: one row per base column (high coordinates are
+        # structurally zero — tr1 never reads them, and the hybrid fold
+        # never touches them), 4-row groups for ext-input columns and eq.
+        row_of1: Dict[str, int] = {}
+        for i, name in enumerate(self.base_names):
+            row_of1[f"{name}#0"] = i
+        for j, name in enumerate(self.ext_names):
+            for e in range(4):
+                row_of1[f"{name}#{e}"] = B + 4 * j + e
+        for e in range(4):
+            row_of1[f"__eq__#{e}"] = B + 4 * E + e
+        # Rounds-2+ layout: 4-row groups for every column, eq last.
+        row_of2: Dict[str, int] = {}
         for i, name in enumerate(names):
             for e in range(4):
-                row_of[f"{name}#{e}"] = 4 * i + e
-        eq_base = 4 * len(names)
+                row_of2[f"{name}#{e}"] = 4 * i + e
         for e in range(4):
-            row_of[f"__eq__#{e}"] = eq_base + e
+            row_of2[f"__eq__#{e}"] = 4 * len(names) + e
 
-        spec1, outs1, consts1 = _dag_spec(tr1, row_of)
-        spec2, outs2, consts2 = _dag_spec(tr2, row_of)
+        spec1, outs1, consts1 = _dag_spec(tr1, row_of1)
+        spec2, outs2, consts2 = _dag_spec(tr2, row_of2)
 
-        stacked = np.zeros((4 * len(names) + 4, n), dtype=np.uint32)
-        for i, name in enumerate(names):
-            col = self.columns[name]
-            if isinstance(col, Ext4):
-                stacked[4 * i : 4 * i + 4] = col.c  # canonical < p
-            else:
-                arr = np.asarray(col, dtype=np.uint64)
-                if int(arr.max(initial=0)) >= p:
-                    arr = arr % np.uint64(p)
-                stacked[4 * i] = arr.astype(np.uint32)
-        stacked[eq_base : eq_base + 4] = _eq_table_ext(taus, p).c
+        r1mat = np.zeros((B + 4 * E + 4, n), dtype=np.uint32)
+        for i, name in enumerate(self.base_names):
+            arr = np.asarray(self.columns[name], dtype=np.uint64)
+            if int(arr.max(initial=0)) >= p:
+                arr = arr % np.uint64(p)
+            r1mat[i] = arr.astype(np.uint32)
+        for j, name in enumerate(self.ext_names):
+            r1mat[B + 4 * j : B + 4 * j + 4] = self.columns[name].c
+        r1mat[B + 4 * E : B + 4 * E + 4] = _eq_table_ext(taus, p).c
 
+        stacked2 = None
         round_evals: List[List[Ext4]] = []
         rs: List[Ext4] = []
         claim = Ext4.zeros()
         width = n
         for rnd in range(num_vars):
-            spec, outs, consts = (
-                (spec1, outs1, consts1) if rnd == 0 else (spec2, outs2, consts2)
-            )
-            vals = native_dag_round_multi(
-                stacked, width, spec, consts, outs, self.degree
-            )
+            if rnd == 0:
+                vals = native_dag_round_multi(
+                    r1mat, width, spec1, consts1, outs1, self.degree
+                )
+            else:
+                vals = native_dag_round_multi(
+                    stacked2, width, spec2, consts2, outs2, self.degree
+                )
             if vals is None:  # runtime unavailable mid-proof: cannot happen
                 raise TraceError("native DAG runtime unavailable")
             g0 = ext_from_ints(vals[0])
@@ -195,7 +210,16 @@ class NativeZerocheckExtProver:
             r = challenge_ext(transcript)
             rs.append(r)
             claim = _interp_eval_ext(evals_this_round, r, p)
-            native_dag_fold_ext(stacked, width, r.to_ints())
+            if rnd == 0:
+                stacked2 = np.zeros(
+                    (4 * (len(names) + 1), max(1, n // 2)), dtype=np.uint32
+                )
+                native_dag_fold_hybrid(
+                    r1mat[:B], r1mat[B:], stacked2, width, r.to_ints()
+                )
+                r1mat = None  # free the full-width matrix
+            else:
+                native_dag_fold_ext(stacked2, width, r.to_ints())
             width //= 2
 
         column_evals: Dict[str, Ext4] = {}
@@ -203,7 +227,7 @@ class NativeZerocheckExtProver:
             if name.startswith("__"):
                 continue
             column_evals[name] = ext_from_ints(
-                [int(stacked[4 * i + e, 0]) for e in range(4)]
+                [int(stacked2[4 * i + e, 0]) for e in range(4)]
             )
         for name in sorted(column_evals):
             absorb_ext(transcript, column_evals[name])

@@ -221,11 +221,21 @@ def prove_batch_eval(claims: List[BatchClaim],
         combined_claim = combined_claim + dpow * claim.value
         dpow = dpow * delta
 
-    # Materialize per-group tables.
+    # Materialize per-group tables (native accumulate when available:
+    # one threaded C++ pass per claim instead of 3 numpy passes).
+    from ..core.ext4 import _native
+
+    rt = _native()
     for g in groups.values():
         F = ext_zeros((1 << g["v"],))
         for coeff, col in g["coeffs"]:
-            F = F + coeff * (np.asarray(col, dtype=np.uint64) % np.uint64(p))
+            col = np.ascontiguousarray(col, dtype=np.uint64)
+            if rt is not None and len(col) >= 4096:
+                rt.native_ext4_scale_base(
+                    np.ascontiguousarray(coeff.c), col, out=F.c, accumulate=True
+                )
+            else:
+                F = F + coeff * (col % np.uint64(p))
         g["F"] = F
         if g["point"] is None:
             g["w"] = Ext4.lift(np.ones(1 << g["v"], dtype=np.uint64))

@@ -631,6 +631,8 @@ def _load_dag():
         lib.zigz_dag_fold.restype = None
         lib.zigz_dag_round_multi.restype = None
         lib.zigz_dag_fold_ext.restype = None
+        lib.zigz_dag_fold_base_to_ext.restype = None
+        lib.zigz_dag_fold_ext_to.restype = None
         _dag_lib = lib
         return lib
     except Exception:
@@ -733,4 +735,155 @@ def native_dag_fold(stacked: np.ndarray, width: int, r: int):
         ctypes.c_size_t(stacked.shape[1]), ctypes.c_size_t(stacked.shape[0]),
         ctypes.c_size_t(width), ctypes.c_uint64(r), ctypes.c_int(NUM_THREADS),
     )
+    return True
+
+
+# ---------------------------------------------------------------------------
+# Native BabyBear^4 vector kernels (ext4.cpp) — wired into core/ext4.py.
+
+_EXT4_SRC = os.path.join(_HERE, "ext4.cpp")
+_EXT4_LIB = os.path.join(_HERE, "libzigz_ext4.so")
+_ext4_lib = None
+_ext4_checked = False
+
+
+def _load_ext4():
+    global _ext4_lib, _ext4_checked
+    if _ext4_checked:
+        return _ext4_lib
+    _ext4_checked = True
+    try:
+        if not (
+            os.path.exists(_EXT4_LIB)
+            and os.path.getmtime(_EXT4_LIB) >= os.path.getmtime(_EXT4_SRC)
+        ):
+            result = subprocess.run(
+                ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-pthread",
+                 _EXT4_SRC, "-o", _EXT4_LIB],
+                capture_output=True, timeout=120,
+            )
+            if result.returncode != 0:
+                return None
+        lib = ctypes.CDLL(_EXT4_LIB)
+        for name in ("zigz_ext4_mul", "zigz_ext4_scale_base",
+                     "zigz_ext4_dot_base", "zigz_ext4_inv",
+                     "zigz_ext4_vecmat", "zigz_ext4_mul_base"):
+            getattr(lib, name).restype = None
+        _ext4_lib = lib
+        return lib
+    except Exception:
+        return None
+
+
+def native_ext4_available() -> bool:
+    return _load_ext4() is not None
+
+
+def _c64(arr: np.ndarray):
+    return arr.ctypes.data_as(ctypes.c_void_p)
+
+
+def native_ext4_mul(a: np.ndarray, b: np.ndarray, b_scalar: bool):
+    """a (4, n) * b ((4, n) or (4,)) canonical u64 -> (4, n), or None."""
+    lib = _load_ext4()
+    if lib is None:
+        return None
+    n = a.shape[1]
+    out = np.empty_like(a)
+    lib.zigz_ext4_mul(_c64(a), _c64(b), ctypes.c_int(1 if b_scalar else 0),
+                      _c64(out), ctypes.c_size_t(n), ctypes.c_int(NUM_THREADS))
+    return out
+
+
+def native_ext4_scale_base(coeff: np.ndarray, col: np.ndarray,
+                           out: np.ndarray = None, accumulate: bool = False):
+    """coeff (4,) * col (n,) -> (4, n); accumulates into ``out`` when asked."""
+    lib = _load_ext4()
+    if lib is None:
+        return None
+    n = len(col)
+    if out is None:
+        out = np.empty((4, n), dtype=np.uint64)
+    lib.zigz_ext4_scale_base(_c64(coeff), _c64(col), _c64(out),
+                             ctypes.c_size_t(n),
+                             ctypes.c_int(1 if accumulate else 0),
+                             ctypes.c_int(NUM_THREADS))
+    return out
+
+
+def native_ext4_mul_base(a: np.ndarray, col: np.ndarray):
+    """a (4, n) * col (n,) elementwise -> (4, n), or None."""
+    lib = _load_ext4()
+    if lib is None:
+        return None
+    n = len(col)
+    out = np.empty((4, n), dtype=np.uint64)
+    lib.zigz_ext4_mul_base(_c64(a), _c64(col), _c64(out),
+                           ctypes.c_size_t(n), ctypes.c_int(NUM_THREADS))
+    return out
+
+
+def native_ext4_dot_base(a: np.ndarray, col: np.ndarray):
+    """sum_i a[., i] * col[i] -> (4,), or None."""
+    lib = _load_ext4()
+    if lib is None:
+        return None
+    out = np.empty(4, dtype=np.uint64)
+    lib.zigz_ext4_dot_base(_c64(a), _c64(col), _c64(out),
+                           ctypes.c_size_t(len(col)), ctypes.c_int(NUM_THREADS))
+    return out
+
+
+def native_ext4_inv(a: np.ndarray, sigma: int):
+    """Batched Frobenius-norm inversion of (4, n) canonical u64, or None."""
+    lib = _load_ext4()
+    if lib is None:
+        return None
+    n = a.shape[1]
+    out = np.empty_like(a)
+    lib.zigz_ext4_inv(_c64(a), _c64(out), ctypes.c_size_t(n),
+                      ctypes.c_uint64(sigma), ctypes.c_int(NUM_THREADS))
+    return out
+
+
+def native_ext4_vecmat(a: np.ndarray, mat: np.ndarray):
+    """a (4, rows) x mat (rows, n) -> (4, n), or None."""
+    lib = _load_ext4()
+    if lib is None:
+        return None
+    rows, n = mat.shape
+    out = np.empty((4, n), dtype=np.uint64)
+    lib.zigz_ext4_vecmat(_c64(a), _c64(mat), _c64(out),
+                         ctypes.c_size_t(rows), ctypes.c_size_t(n),
+                         ctypes.c_int(NUM_THREADS))
+    return out
+
+
+def native_dag_fold_hybrid(base: np.ndarray, ext_groups: np.ndarray,
+                           out: np.ndarray, width: int, r4) -> bool:
+    """Round-1 layout transition: fold the (B, n) base-row matrix and the
+    (4E, n) ext-group matrix into the (4(B+E), n/2-strided) output —
+    base rows first (4-row groups), ext groups after."""
+    lib = _load_dag()
+    if lib is None:
+        return False
+    rc = np.asarray([int(x) for x in r4], dtype=np.uint64)
+    nb = base.shape[0]
+    lib.zigz_dag_fold_base_to_ext(
+        base.ctypes.data_as(ctypes.c_void_p), ctypes.c_size_t(base.shape[1]),
+        ctypes.c_size_t(nb), ctypes.c_size_t(width),
+        out.ctypes.data_as(ctypes.c_void_p), ctypes.c_size_t(out.shape[1]),
+        rc.ctypes.data_as(ctypes.c_void_p), ctypes.c_int(NUM_THREADS),
+    )
+    ne = ext_groups.shape[0] // 4
+    if ne:
+        out_ext = out[4 * nb :]
+        lib.zigz_dag_fold_ext_to(
+            ext_groups.ctypes.data_as(ctypes.c_void_p),
+            ctypes.c_size_t(ext_groups.shape[1]), ctypes.c_size_t(ne),
+            ctypes.c_size_t(width),
+            out_ext.ctypes.data_as(ctypes.c_void_p),
+            ctypes.c_size_t(out.shape[1]),
+            rc.ctypes.data_as(ctypes.c_void_p), ctypes.c_int(NUM_THREADS),
+        )
     return True

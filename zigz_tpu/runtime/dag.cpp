@@ -315,3 +315,73 @@ extern "C" void zigz_dag_fold(uint32_t* stacked, size_t stride, size_t nrows,
     }
   });
 }
+
+// Round-1 -> rounds-2+ layout transition for the hybrid ext zerocheck:
+// fold BASE rows (single coordinate row each) with an extension r into
+// 4-row coordinate groups of a fresh matrix.  new = lo + r*(hi - lo)
+// where lo/hi are base: coordinate e of the result is lo*[e==0] + r_e*d.
+extern "C" void zigz_dag_fold_base_to_ext(
+    const uint32_t* in, size_t in_stride, size_t nrows, size_t n,
+    uint32_t* out, size_t out_stride, const uint64_t* r4, int num_threads) {
+  size_t half = n / 2;
+  uint32_t r0 = (uint32_t)(r4[0] % P), r1 = (uint32_t)(r4[1] % P);
+  uint32_t r2 = (uint32_t)(r4[2] % P), r3 = (uint32_t)(r4[3] % P);
+  run_parallel(half, num_threads, [&](size_t lo, size_t hi, int) {
+    for (size_t row = 0; row < nrows; ++row) {
+      const uint32_t* src = in + row * in_stride;
+      uint32_t* o0 = out + (row * 4 + 0) * out_stride;
+      uint32_t* o1 = out + (row * 4 + 1) * out_stride;
+      uint32_t* o2 = out + (row * 4 + 2) * out_stride;
+      uint32_t* o3 = out + (row * 4 + 3) * out_stride;
+      for (size_t i = lo; i < hi; ++i) {
+        uint32_t l = src[i];
+        uint32_t d = subm(src[half + i], l);
+        o0[i] = addm(l, mulm(r0, d));
+        o1[i] = mulm(r1, d);
+        o2[i] = mulm(r2, d);
+        o3[i] = mulm(r3, d);
+      }
+    }
+  });
+}
+
+// Out-of-place variant of zigz_dag_fold_ext: fold 4-row coordinate
+// groups of ``in`` into the corresponding groups of ``out``.
+extern "C" void zigz_dag_fold_ext_to(
+    const uint32_t* in, size_t in_stride, size_t ngroups, size_t n,
+    uint32_t* out, size_t out_stride, const uint64_t* r4, int num_threads) {
+  size_t half = n / 2;
+  uint32_t r0 = (uint32_t)(r4[0] % P), r1 = (uint32_t)(r4[1] % P);
+  uint32_t r2 = (uint32_t)(r4[2] % P), r3 = (uint32_t)(r4[3] % P);
+  run_parallel(half, num_threads, [&](size_t lo, size_t hi, int) {
+    for (size_t g = 0; g < ngroups; ++g) {
+      const uint32_t* s0 = in + (g * 4 + 0) * in_stride;
+      const uint32_t* s1 = in + (g * 4 + 1) * in_stride;
+      const uint32_t* s2 = in + (g * 4 + 2) * in_stride;
+      const uint32_t* s3 = in + (g * 4 + 3) * in_stride;
+      uint32_t* o0 = out + (g * 4 + 0) * out_stride;
+      uint32_t* o1 = out + (g * 4 + 1) * out_stride;
+      uint32_t* o2 = out + (g * 4 + 2) * out_stride;
+      uint32_t* o3 = out + (g * 4 + 3) * out_stride;
+      for (size_t i = lo; i < hi; ++i) {
+        uint32_t d0 = subm(s0[half + i], s0[i]);
+        uint32_t d1 = subm(s1[half + i], s1[i]);
+        uint32_t d2 = subm(s2[half + i], s2[i]);
+        uint32_t d3 = subm(s3[half + i], s3[i]);
+        uint32_t p0 = addm(mulm(r0, d0),
+                           mulm(11u, addm(addm(mulm(r1, d3), mulm(r2, d2)),
+                                          mulm(r3, d1))));
+        uint32_t p1 = addm(addm(mulm(r0, d1), mulm(r1, d0)),
+                           mulm(11u, addm(mulm(r2, d3), mulm(r3, d2))));
+        uint32_t p2 = addm(addm(mulm(r0, d2), mulm(r1, d1)),
+                           addm(mulm(r2, d0), mulm(11u, mulm(r3, d3))));
+        uint32_t p3 = addm(addm(mulm(r0, d3), mulm(r1, d2)),
+                           addm(mulm(r2, d1), mulm(r3, d0)));
+        o0[i] = addm(s0[i], p0);
+        o1[i] = addm(s1[i], p1);
+        o2[i] = addm(s2[i], p2);
+        o3[i] = addm(s3[i], p3);
+      }
+    }
+  });
+}

@@ -1,0 +1,247 @@
+// Threaded BabyBear^4 vector kernels (X^4 = 11), wired into core/ext4.py.
+//
+// The v2+ protocol draws every challenge from the degree-4 extension, so
+// the prover's hot host loops (logUp advice construction, batch-eval
+// combined-column builds, Ligero extension rows, zerocheck fallback) are
+// elementwise Ext4 algebra.  numpy pays a u64 integer division per mod
+// and 16 full-array temporaries per product; these kernels run the same
+// canonical arithmetic chunk-resident across all cores with constexpr-
+// modulus reduction (the compiler lowers % P to multiply-shift).
+//
+// Layout: an Ext4 array is (4, n) row-major uint64, coordinates first,
+// all values canonical < p — exactly core/ext4.py's Ext4.c.  All outputs
+// are canonical.  Functions are exact twins of the numpy expressions
+// they replace (same mod-p residues), so proof bytes are unchanged.
+
+#include <cstdint>
+#include <cstring>
+#include <functional>
+#include <thread>
+#include <vector>
+
+static constexpr uint64_t P = 2013265921ull;
+static constexpr uint64_t W = 11ull;
+
+static inline uint64_t addm(uint64_t a, uint64_t b) {
+  uint64_t s = a + b;
+  return s >= P ? s - P : s;
+}
+static inline uint64_t subm(uint64_t a, uint64_t b) {
+  return a >= b ? a - b : a + P - b;
+}
+static inline uint64_t mulm(uint64_t a, uint64_t b) { return (a * b) % P; }
+
+namespace {
+
+void run_parallel(size_t n, int num_threads,
+                  const std::function<void(size_t, size_t, int)>& fn) {
+  size_t want = num_threads > 0 ? (size_t)num_threads : 1;
+  constexpr size_t MIN_PER_THREAD = 4096;
+  size_t nthreads = want;
+  if (n < MIN_PER_THREAD * want) nthreads = n / MIN_PER_THREAD ? n / MIN_PER_THREAD : 1;
+  if (nthreads <= 1) {
+    fn(0, n, 0);
+    return;
+  }
+  std::vector<std::thread> threads;
+  size_t per = (n + nthreads - 1) / nthreads;
+  for (size_t t = 0; t < nthreads; ++t) {
+    size_t lo = t * per;
+    size_t hi = lo + per < n ? lo + per : n;
+    if (lo >= hi) break;
+    threads.emplace_back(fn, lo, hi, (int)t);
+  }
+  for (auto& th : threads) th.join();
+}
+
+// out = x * y for one lane (schoolbook, partials reduced — matches
+// core/ext4.py _ext_mul's residues).
+inline void ext_mul_one(const uint64_t x[4], const uint64_t y[4],
+                        uint64_t out[4]) {
+  uint64_t t00 = mulm(x[0], y[0]), t01 = mulm(x[0], y[1]),
+           t02 = mulm(x[0], y[2]), t03 = mulm(x[0], y[3]);
+  uint64_t t10 = mulm(x[1], y[0]), t11 = mulm(x[1], y[1]),
+           t12 = mulm(x[1], y[2]), t13 = mulm(x[1], y[3]);
+  uint64_t t20 = mulm(x[2], y[0]), t21 = mulm(x[2], y[1]),
+           t22 = mulm(x[2], y[2]), t23 = mulm(x[2], y[3]);
+  uint64_t t30 = mulm(x[3], y[0]), t31 = mulm(x[3], y[1]),
+           t32 = mulm(x[3], y[2]), t33 = mulm(x[3], y[3]);
+  out[0] = addm(t00, mulm(W, addm(addm(t13, t22), t31)));
+  out[1] = addm(addm(t01, t10), mulm(W, addm(t23, t32)));
+  out[2] = addm(addm(t02, t11), addm(t20, mulm(W, t33)));
+  out[3] = addm(addm(t03, t12), addm(t21, t30));
+}
+
+}  // namespace
+
+// out = a * b elementwise; a is (4, n); b is (4, n) when b_scalar == 0,
+// else a single (4,) element broadcast over n.
+extern "C" void zigz_ext4_mul(const uint64_t* a, const uint64_t* b,
+                              int b_scalar, uint64_t* out, size_t n,
+                              int num_threads) {
+  run_parallel(n, num_threads, [&](size_t lo, size_t hi, int) {
+    uint64_t x[4], y[4], o[4];
+    if (b_scalar) {
+      y[0] = b[0]; y[1] = b[1]; y[2] = b[2]; y[3] = b[3];
+    }
+    for (size_t i = lo; i < hi; ++i) {
+      x[0] = a[i]; x[1] = a[n + i]; x[2] = a[2 * n + i]; x[3] = a[3 * n + i];
+      if (!b_scalar) {
+        y[0] = b[i]; y[1] = b[n + i]; y[2] = b[2 * n + i]; y[3] = b[3 * n + i];
+      }
+      ext_mul_one(x, y, o);
+      out[i] = o[0]; out[n + i] = o[1]; out[2 * n + i] = o[2];
+      out[3 * n + i] = o[3];
+    }
+  });
+}
+
+// out = coeff (4,) * col (n,) — the ext-scalar x base-vector product; when
+// accumulate != 0, out += coeff * col instead.
+extern "C" void zigz_ext4_scale_base(const uint64_t* coeff, const uint64_t* col,
+                                     uint64_t* out, size_t n, int accumulate,
+                                     int num_threads) {
+  uint64_t c0 = coeff[0] % P, c1 = coeff[1] % P, c2 = coeff[2] % P,
+           c3 = coeff[3] % P;
+  run_parallel(n, num_threads, [&](size_t lo, size_t hi, int) {
+    for (size_t i = lo; i < hi; ++i) {
+      uint64_t v = col[i] % P;
+      uint64_t p0 = mulm(c0, v), p1 = mulm(c1, v), p2 = mulm(c2, v),
+               p3 = mulm(c3, v);
+      if (accumulate) {
+        out[i] = addm(out[i], p0);
+        out[n + i] = addm(out[n + i], p1);
+        out[2 * n + i] = addm(out[2 * n + i], p2);
+        out[3 * n + i] = addm(out[3 * n + i], p3);
+      } else {
+        out[i] = p0; out[n + i] = p1; out[2 * n + i] = p2; out[3 * n + i] = p3;
+      }
+    }
+  });
+}
+
+// out (4,) = sum_i a[., i] * col[i] — ext-vector x base-vector dot.
+extern "C" void zigz_ext4_dot_base(const uint64_t* a, const uint64_t* col,
+                                   uint64_t* out, size_t n, int num_threads) {
+  int nt = num_threads > 0 ? num_threads : 1;
+  std::vector<std::vector<uint64_t>> accs((size_t)nt,
+                                          std::vector<uint64_t>(4, 0));
+  run_parallel(n, num_threads, [&](size_t lo, size_t hi, int tid) {
+    uint64_t s0 = 0, s1 = 0, s2 = 0, s3 = 0;
+    for (size_t i = lo; i < hi; ++i) {
+      uint64_t v = col[i] % P;
+      s0 = addm(s0, mulm(a[i] % P, v));
+      s1 = addm(s1, mulm(a[n + i] % P, v));
+      s2 = addm(s2, mulm(a[2 * n + i] % P, v));
+      s3 = addm(s3, mulm(a[3 * n + i] % P, v));
+    }
+    auto& acc = accs[(size_t)tid];
+    acc[0] = s0; acc[1] = s1; acc[2] = s2; acc[3] = s3;
+  });
+  for (int e = 0; e < 4; ++e) {
+    uint64_t total = 0;
+    for (auto& a2 : accs) total = addm(total, a2[(size_t)e]);
+    out[e] = total;
+  }
+}
+
+// Batched inversion via Frobenius/norm (core/ext4.py Ext4.inv):
+// b = phi(a) phi^2(a) phi^3(a) with phi scaling coordinate i by sigma^i;
+// N(a) = (a b)_0; a^-1 = b / N(a).  Base norms invert with the Montgomery
+// batch trick (one Fermat pow per call).  Zero maps to zero.
+extern "C" void zigz_ext4_inv(const uint64_t* a, uint64_t* out, size_t n,
+                              uint64_t sigma, int num_threads) {
+  // sigma powers for phi^k: coordinate i of phi^k(a) = a_i * sigma^(k*i).
+  uint64_t s1[4], s2[4], s3[4];
+  for (int i = 0; i < 4; ++i) {
+    s1[i] = 1; s2[i] = 1; s3[i] = 1;
+    for (int k = 0; k < i; ++k) s1[i] = mulm(s1[i], sigma);
+    s2[i] = mulm(s1[i], s1[i]);
+    s3[i] = mulm(s2[i], s1[i]);
+  }
+  std::vector<uint64_t> b(4 * n);
+  std::vector<uint64_t> norm(n);
+  run_parallel(n, num_threads, [&](size_t lo, size_t hi, int) {
+    uint64_t x[4], f1[4], f2[4], f3[4], t[4], bb[4], prod[4];
+    for (size_t i = lo; i < hi; ++i) {
+      x[0] = a[i] % P; x[1] = a[n + i] % P; x[2] = a[2 * n + i] % P;
+      x[3] = a[3 * n + i] % P;
+      for (int e = 0; e < 4; ++e) {
+        f1[e] = mulm(x[e], s1[e]);
+        f2[e] = mulm(x[e], s2[e]);
+        f3[e] = mulm(x[e], s3[e]);
+      }
+      ext_mul_one(f1, f2, t);
+      ext_mul_one(t, f3, bb);
+      ext_mul_one(x, bb, prod);
+      norm[i] = prod[0];
+      b[i] = bb[0]; b[n + i] = bb[1]; b[2 * n + i] = bb[2]; b[3 * n + i] = bb[3];
+    }
+  });
+  // Montgomery batch inversion of the norms (serial prefix; zeros skipped
+  // by substituting 1 and zeroing afterwards).
+  std::vector<uint64_t> prefix(n);
+  uint64_t run = 1;
+  for (size_t i = 0; i < n; ++i) {
+    prefix[i] = run;
+    uint64_t v = norm[i] ? norm[i] : 1;
+    run = mulm(run, v);
+  }
+  // run^(P-2) by square-and-multiply.
+  uint64_t inv_run = 1, base = run, e = P - 2;
+  while (e) {
+    if (e & 1) inv_run = mulm(inv_run, base);
+    base = mulm(base, base);
+    e >>= 1;
+  }
+  std::vector<uint64_t> ninv(n);
+  for (size_t i = n; i-- > 0;) {
+    uint64_t v = norm[i] ? norm[i] : 1;
+    ninv[i] = mulm(inv_run, prefix[i]);
+    inv_run = mulm(inv_run, v);
+    if (!norm[i]) ninv[i] = 0;
+  }
+  run_parallel(n, num_threads, [&](size_t lo, size_t hi, int) {
+    for (size_t i = lo; i < hi; ++i) {
+      uint64_t ni = ninv[i];
+      out[i] = mulm(b[i], ni);
+      out[n + i] = mulm(b[n + i], ni);
+      out[2 * n + i] = mulm(b[2 * n + i], ni);
+      out[3 * n + i] = mulm(b[3 * n + i], ni);
+    }
+  });
+}
+
+// u (4, n) = rowvec a (4, rows) x base matrix M (rows, n) — the Ligero
+// extension query/proximity row product.
+extern "C" void zigz_ext4_vecmat(const uint64_t* a, const uint64_t* mat,
+                                 uint64_t* out, size_t rows, size_t n,
+                                 int num_threads) {
+  run_parallel(n, num_threads, [&](size_t lo, size_t hi, int) {
+    for (size_t j = lo; j < hi; ++j) {
+      uint64_t s0 = 0, s1 = 0, s2 = 0, s3 = 0;
+      for (size_t r = 0; r < rows; ++r) {
+        uint64_t v = mat[r * n + j] % P;
+        s0 = addm(s0, mulm(a[r] % P, v));
+        s1 = addm(s1, mulm(a[rows + r] % P, v));
+        s2 = addm(s2, mulm(a[2 * rows + r] % P, v));
+        s3 = addm(s3, mulm(a[3 * rows + r] % P, v));
+      }
+      out[j] = s0; out[n + j] = s1; out[2 * n + j] = s2; out[3 * n + j] = s3;
+    }
+  });
+}
+
+// out = a (4, n) * col (n,) elementwise — ext-array x base-vector.
+extern "C" void zigz_ext4_mul_base(const uint64_t* a, const uint64_t* col,
+                                   uint64_t* out, size_t n, int num_threads) {
+  run_parallel(n, num_threads, [&](size_t lo, size_t hi, int) {
+    for (size_t i = lo; i < hi; ++i) {
+      uint64_t v = col[i] % P;
+      out[i] = mulm(a[i] % P, v);
+      out[n + i] = mulm(a[n + i] % P, v);
+      out[2 * n + i] = mulm(a[2 * n + i] % P, v);
+      out[3 * n + i] = mulm(a[3 * n + i] % P, v);
+    }
+  });
+}
