@@ -168,6 +168,9 @@ class Ext4:
         o = _coerce(other)
         if o is None:
             return NotImplemented
+        out = _native_addsub(self.c, o.c, is_sub=False)
+        if out is not None:
+            return Ext4(out, _trusted=True)
         a, b = _align(self.c, o.c)
         return Ext4((a + b) % _P64, _trusted=True)
 
@@ -177,6 +180,9 @@ class Ext4:
         o = _coerce(other)
         if o is None:
             return NotImplemented
+        out = _native_addsub(self.c, o.c, is_sub=True)
+        if out is not None:
+            return Ext4(out, _trusted=True)
         a, b = _align(self.c, o.c)
         return Ext4((a + _P64 - b) % _P64, _trusted=True)
 
@@ -184,6 +190,9 @@ class Ext4:
         o = _coerce(other)
         if o is None:
             return NotImplemented
+        out = _native_addsub(o.c, self.c, is_sub=True)
+        if out is not None:
+            return Ext4(out, _trusted=True)
         a, b = _align(self.c, o.c)
         return Ext4((b + _P64 - a) % _P64, _trusted=True)
 
@@ -302,6 +311,33 @@ def _coerce(other) -> Union[Ext4, None]:
 
 _NATIVE_MIN = 4096  # below this, ctypes + thread overhead beats the win
 _NATIVE_STATE = {"checked": False, "fn": None}
+
+
+def _native_addsub(ac: np.ndarray, bc: np.ndarray, is_sub: bool):
+    """Native a +/- b for the hot 1-D shapes ((4, n) op (4, n) / (4,));
+    None -> numpy fallback."""
+    if _native() is None:
+        return None
+    if ac.ndim == 2 and ac.shape[1] >= _NATIVE_MIN:
+        from ..runtime import native_ext4_addsub
+
+        if bc.ndim == 2 and bc.shape == ac.shape:
+            return native_ext4_addsub(
+                np.ascontiguousarray(ac), np.ascontiguousarray(bc), False, is_sub
+            )
+        if bc.ndim == 1:
+            return native_ext4_addsub(
+                np.ascontiguousarray(ac), np.ascontiguousarray(bc), True, is_sub
+            )
+    elif bc.ndim == 2 and bc.shape[1] >= _NATIVE_MIN and ac.ndim == 1:
+        from ..runtime import native_ext4_addsub
+
+        # scalar + array, or scalar - array (reversed-sub kernel mode 2).
+        return native_ext4_addsub(
+            np.ascontiguousarray(bc), np.ascontiguousarray(ac), True,
+            2 if is_sub else 0,
+        )
+    return None
 
 
 def _native():

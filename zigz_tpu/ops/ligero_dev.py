@@ -304,9 +304,12 @@ def _absorb_call(state, msg, nb, rows):
 def sha3_columns_stream_device(mat_dev, n_e: int) -> bytes:
     """Leaf digests of the VIRTUAL encoded matrix NTT(mat_dev rows, n_e)
     without materializing it: byte-identical to
-    _hash_columns(ntt_pow2_u32(mat, n_e), "sha3")."""
-    from .ntt_dev import encode_rows_device
+    _hash_columns(ntt_pow2_u32(mat, n_e), "sha3").
 
+    All device calls use fixed shapes — (block, n) encodes, (block, n_pad)
+    full-span absorbs, (34, n_pad) single-block tail absorbs — so a
+    commitment compiles at most three kernels per (n, n_e) regardless of
+    its row count."""
     rows, n = mat_dev.shape
     pw = _pad_words(rows)
     unit = _LANE_ROWS * 128
@@ -314,38 +317,60 @@ def sha3_columns_stream_device(mat_dev, n_e: int) -> bytes:
     rows128 = n_pad // 128
     state = jnp.zeros((50, rows128, 128), jnp.uint32)
     bw = _STREAM_BLOCK_WORDS
-    for k0 in range(0, pw, bw):
-        k1 = min(k0 + bw, pw)
-        blk = jnp.zeros((k1 - k0, n_pad), jnp.uint32)
-        r_hi = min(k1, rows)
-        if k0 < rows:
-            enc = encode_rows_device(mat_dev[k0:r_hi], n_e)
-            blk = blk.at[: r_hi - k0, :n_e].set(enc)
-        if k0 <= rows < k1:
-            blk = blk.at[rows - k0, :n_e].set(jnp.uint32(0x06))
-        if k0 <= pw - 1 < k1:
-            blk = blk.at[pw - 1 - k0, :n_e].add(jnp.uint32(0x80000000))
-        state = _absorb_call(
-            state, blk.reshape(k1 - k0, rows128, 128), (k1 - k0) // _RATE_WORDS,
-            rows128,
-        )
+    mat_padded = jnp.pad(mat_dev, ((0, bw), (0, 0)))
+    from .ntt_dev import encode_rows_device
+
+    def message_block(k0: int):
+        """Fixed-shape (bw, n_pad) message span starting at word k0 (zero
+        rows beyond the true stream are sliced off by the caller)."""
+        blk_in = jax.lax.dynamic_slice(mat_padded, (min(k0, rows), 0), (bw, n))
+        enc = encode_rows_device(blk_in, n_e)
+        out = jnp.zeros((bw, n_pad), jnp.uint32)
+        live = max(0, min(rows - k0, bw))
+        if live:
+            mask = (jnp.arange(bw) < live)[:, None]
+            out = out.at[:, :n_e].set(jnp.where(mask, enc, 0))
+        if k0 <= rows < k0 + bw:
+            out = out.at[rows - k0, :n_e].set(jnp.uint32(0x06))
+        if k0 <= pw - 1 < k0 + bw:
+            out = out.at[pw - 1 - k0, :n_e].add(jnp.uint32(0x80000000))
+        return out
+
+    k0 = 0
+    while k0 + bw <= pw:
+        blk = message_block(k0)
+        state = _absorb_call(state, blk.reshape(bw, rows128, 128),
+                             bw // _RATE_WORDS, rows128)
+        k0 += bw
+    if k0 < pw:
+        blk = message_block(k0)
+        for j in range((pw - k0) // _RATE_WORDS):
+            one = jax.lax.dynamic_slice(
+                blk, (j * _RATE_WORDS, 0), (_RATE_WORDS, n_pad)
+            )
+            state = _absorb_call(
+                state, one.reshape(_RATE_WORDS, rows128, 128), 1, rows128
+            )
     out = np.asarray(state[:8]).reshape(8, n_pad)[:, :n_e]
     return out.T.astype("<u4").tobytes()
 
 
 def gather_encoded_columns_device(mat_dev, n_e: int, indices) -> np.ndarray:
     """(t, rows) opened columns of the virtual encoded matrix: re-encode
-    the device-resident input in row blocks, gather only ``indices``."""
+    the device-resident input in fixed-shape row blocks, gather only
+    ``indices``."""
     from .ntt_dev import encode_rows_device
 
-    rows, _ = mat_dev.shape
+    rows, n = mat_dev.shape
     idx = jnp.asarray(indices)
-    parts = []
     bw = _STREAM_BLOCK_WORDS
+    mat_padded = jnp.pad(mat_dev, ((0, bw), (0, 0)))
+    parts = []
     for k0 in range(0, rows, bw):
-        k1 = min(k0 + bw, rows)
-        enc = encode_rows_device(mat_dev[k0:k1], n_e)
-        parts.append(np.asarray(jnp.take(enc, idx, axis=1)))
+        blk_in = jax.lax.dynamic_slice(mat_padded, (k0, 0), (bw, n))
+        enc = encode_rows_device(blk_in, n_e)
+        live = min(rows - k0, bw)
+        parts.append(np.asarray(jnp.take(enc, idx, axis=1))[:live])
     return np.concatenate(parts, axis=0).T.astype(np.uint64)
 
 

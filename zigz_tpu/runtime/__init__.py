@@ -767,7 +767,8 @@ def _load_ext4():
         lib = ctypes.CDLL(_EXT4_LIB)
         for name in ("zigz_ext4_mul", "zigz_ext4_scale_base",
                      "zigz_ext4_dot_base", "zigz_ext4_inv",
-                     "zigz_ext4_vecmat", "zigz_ext4_mul_base"):
+                     "zigz_ext4_vecmat", "zigz_ext4_mul_base",
+                     "zigz_ext4_addsub"):
             getattr(lib, name).restype = None
         _ext4_lib = lib
         return lib
@@ -887,3 +888,18 @@ def native_dag_fold_hybrid(base: np.ndarray, ext_groups: np.ndarray,
             rc.ctypes.data_as(ctypes.c_void_p), ctypes.c_int(NUM_THREADS),
         )
     return True
+
+
+def native_ext4_addsub(a: np.ndarray, b: np.ndarray, b_scalar: bool,
+                       is_sub):
+    """a +/- b for (4, n) canonical coordinate arrays (is_sub=2 computes
+    the reversed b - a with scalar b), or None."""
+    lib = _load_ext4()
+    if lib is None:
+        return None
+    n = a.shape[1]
+    out = np.empty_like(a)
+    lib.zigz_ext4_addsub(_c64(a), _c64(b), ctypes.c_int(1 if b_scalar else 0),
+                         ctypes.c_int(int(is_sub)), _c64(out),
+                         ctypes.c_size_t(n), ctypes.c_int(NUM_THREADS))
+    return out

@@ -245,3 +245,34 @@ extern "C" void zigz_ext4_mul_base(const uint64_t* a, const uint64_t* col,
     }
   });
 }
+
+// out = a +/- b elementwise; a (4, n); b (4, n) or scalar (4,) broadcast.
+extern "C" void zigz_ext4_addsub(const uint64_t* a, const uint64_t* b,
+                                 int b_scalar, int is_sub, uint64_t* out,
+                                 size_t n, int num_threads) {
+  run_parallel(n, num_threads, [&](size_t lo, size_t hi, int) {
+    for (int e = 0; e < 4; ++e) {
+      const uint64_t* ae = a + (size_t)e * n;
+      const uint64_t* be = b_scalar ? b + e : b + (size_t)e * n;
+      uint64_t* oe = out + (size_t)e * n;
+      if (is_sub == 2) {  // reversed: out = b - a (b scalar, a array)
+        uint64_t bv = be[0] % P;
+        for (size_t i = lo; i < hi; ++i) oe[i] = subm(bv, ae[i] % P);
+      } else if (is_sub) {
+        if (b_scalar) {
+          uint64_t bv = be[0] % P;
+          for (size_t i = lo; i < hi; ++i) oe[i] = subm(ae[i] % P, bv);
+        } else {
+          for (size_t i = lo; i < hi; ++i) oe[i] = subm(ae[i] % P, be[i] % P);
+        }
+      } else {
+        if (b_scalar) {
+          uint64_t bv = be[0] % P;
+          for (size_t i = lo; i < hi; ++i) oe[i] = addm(ae[i] % P, bv);
+        } else {
+          for (size_t i = lo; i < hi; ++i) oe[i] = addm(ae[i] % P, be[i] % P);
+        }
+      }
+    }
+  });
+}
