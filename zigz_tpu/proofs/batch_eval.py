@@ -200,6 +200,15 @@ def prove_batch_eval(claims: List[BatchClaim],
     p = P
     assert claims, "batch-eval needs at least one claim"
     v_max = max(c.num_vars for c in claims)
+    # Claims referencing the same committed column must agree on its width:
+    # the prover evaluates each column once at the tail of rho, and the
+    # verifier weights every claim by its own num_vars against that single
+    # evaluation (ADVICE r3: inconsistent widths would silently misbind).
+    widths: Dict[Tuple[str, str], int] = {}
+    for c in claims:
+        key = (c.commitment, c.name)
+        assert widths.setdefault(key, c.num_vars) == c.num_vars, \
+            f"conflicting num_vars for column {key}"
 
     delta = challenge_ext(transcript)
 
@@ -221,20 +230,24 @@ def prove_batch_eval(claims: List[BatchClaim],
         combined_claim = combined_claim + dpow * claim.value
         dpow = dpow * delta
 
-    # Materialize per-group tables (native accumulate when available:
-    # one threaded C++ pass per claim instead of 3 numpy passes).
+    # Materialize per-group tables: one fused C++ pass per GROUP
+    # (runtime zigz_ext4_scale_base_multi) — hundreds of per-claim
+    # scale-accumulate calls collapse into a single read of each column
+    # and a single write of the combined table.
     from ..core.ext4 import _native
 
     rt = _native()
     for g in groups.values():
         F = ext_zeros((1 << g["v"],))
-        for coeff, col in g["coeffs"]:
-            col = np.ascontiguousarray(col, dtype=np.uint64)
-            if rt is not None and len(col) >= 4096:
-                rt.native_ext4_scale_base(
-                    np.ascontiguousarray(coeff.c), col, out=F.c, accumulate=True
-                )
-            else:
+        cols = [np.ascontiguousarray(col, dtype=np.uint64)
+                for _c, col in g["coeffs"]]
+        fused = None
+        if rt is not None and cols and len(cols[0]) >= 1024:
+            coeffs = np.stack([np.asarray(c.c, dtype=np.uint64).reshape(4)
+                               for c, _col in g["coeffs"]])
+            fused = rt.native_ext4_scale_base_multi(coeffs, cols, F.c)
+        if fused is None:
+            for (coeff, _col), col in zip(g["coeffs"], cols):
                 F = F + coeff * (col % np.uint64(p))
         g["F"] = F
         if g["point"] is None:
@@ -277,6 +290,13 @@ def prove_batch_eval(claims: List[BatchClaim],
         if native:
             evals = _native_round(stacked, n_active, 1 << v_cur,
                                   claim_running, inactive_sum, p)
+            # The numpy g["F"]/g["w"] tables are NOT folded on the native
+            # path (folds happen in `stacked` only), so falling back
+            # mid-proof would read stale tables and emit a wrong proof —
+            # fail loudly instead (the runtime was load-checked up front,
+            # so this is unreachable outside memory exhaustion).
+            if evals is None:
+                raise RuntimeError("native batch-eval round failed mid-proof")
         else:
             evals = None
         if evals is None:
@@ -303,7 +323,8 @@ def prove_batch_eval(claims: List[BatchClaim],
         if native:
             from ..runtime import native_dag_fold_ext
 
-            native_dag_fold_ext(stacked, 1 << v_cur, r.to_ints())
+            if not native_dag_fold_ext(stacked, 1 << v_cur, r.to_ints()):
+                raise RuntimeError("native batch-eval fold failed mid-proof")
         for g in groups.values():
             if g["v"] < v_cur:
                 g["scale"] = g["scale"] * om_r * om_r
@@ -313,22 +334,33 @@ def prove_batch_eval(claims: List[BatchClaim],
 
     # Terminal column evaluations at the tail of rho, deduped per
     # (commitment, column), absorbed in sorted order.  The eq table is
-    # shared by every column of the same width.
-    eq_cache: Dict[int, Ext4] = {}
+    # shared by every column of the same width; all same-width columns
+    # evaluate in ONE fused native pass (zigz_ext4_dot_base_multi).
+    by_width: Dict[int, List[Tuple[str, str]]] = {}
     column_evals: Dict[Tuple[str, str], Ext4] = {}
     for claim in claims:
         key = (claim.commitment, claim.name)
-        if key not in column_evals:
-            v_k = claim.num_vars
-            if v_k == 0:
-                column_evals[key] = ext_lift(int(columns[key][0]) % p)
-                continue
-            eq = eq_cache.get(v_k)
-            if eq is None:
-                eq = _eq_table_ext(rs[v_max - v_k :], p)
-                eq_cache[v_k] = eq
-            col = np.asarray(columns[key], dtype=np.uint64) % np.uint64(p)
-            column_evals[key] = (eq * col).sum()
+        if key in column_evals:
+            continue
+        if claim.num_vars == 0:
+            column_evals[key] = ext_lift(int(columns[key][0]) % p)
+        elif key not in (g := by_width.setdefault(claim.num_vars, [])):
+            g.append(key)
+    from ..core.ext4 import ext_from_ints
+
+    for v_k, keys in by_width.items():
+        eq = _eq_table_ext(rs[v_max - v_k :], p)
+        cols = [np.ascontiguousarray(columns[key], dtype=np.uint64)
+                for key in keys]
+        dots = None
+        if rt is not None and (1 << v_k) >= 1024:
+            dots = rt.native_ext4_dot_base_multi(np.ascontiguousarray(eq.c), cols)
+        if dots is not None:
+            for key, row in zip(keys, dots):
+                column_evals[key] = ext_from_ints([int(x) for x in row])
+        else:
+            for key, col in zip(keys, cols):
+                column_evals[key] = (eq * (col % np.uint64(p))).sum()
     for key in sorted(column_evals):
         absorb_ext(transcript, column_evals[key])
 

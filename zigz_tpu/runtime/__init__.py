@@ -768,7 +768,8 @@ def _load_ext4():
         for name in ("zigz_ext4_mul", "zigz_ext4_scale_base",
                      "zigz_ext4_dot_base", "zigz_ext4_inv",
                      "zigz_ext4_vecmat", "zigz_ext4_mul_base",
-                     "zigz_ext4_addsub"):
+                     "zigz_ext4_addsub", "zigz_ext4_scale_base_multi",
+                     "zigz_ext4_dot_base_multi"):
             getattr(lib, name).restype = None
         _ext4_lib = lib
         return lib
@@ -809,6 +810,51 @@ def native_ext4_scale_base(coeff: np.ndarray, col: np.ndarray,
                              ctypes.c_size_t(n),
                              ctypes.c_int(1 if accumulate else 0),
                              ctypes.c_int(NUM_THREADS))
+    return out
+
+
+def native_ext4_scale_base_multi(coeffs, cols, out: np.ndarray,
+                                 accumulate: bool = False):
+    """out (4, n) = sum_k coeffs[k] (4,) * cols[k] (n,) in one fused pass.
+    ``coeffs`` is a (k, 4) canonical u64 array; ``cols`` a sequence of k
+    contiguous u64 arrays with values < 2^32.  Returns out, or None when
+    the native runtime is unavailable."""
+    lib = _load_ext4()
+    if lib is None:
+        return None
+    k = len(cols)
+    n = out.shape[1]
+    coeffs = np.ascontiguousarray(coeffs, dtype=np.uint64)
+    assert coeffs.shape == (k, 4)
+    ptrs = np.empty(k, dtype=np.uint64)
+    for j, col in enumerate(cols):
+        assert col.dtype == np.uint64 and col.flags.c_contiguous and len(col) == n
+        ptrs[j] = col.ctypes.data
+    lib.zigz_ext4_scale_base_multi(
+        _c64(coeffs), _c64(ptrs), ctypes.c_size_t(k), _c64(out),
+        ctypes.c_size_t(n), ctypes.c_int(1 if accumulate else 0),
+        ctypes.c_int(NUM_THREADS),
+    )
+    return out
+
+
+def native_ext4_dot_base_multi(eq: np.ndarray, cols):
+    """(k, 4) dots: out[j] = sum_i eq[., i] * cols[j][i] for one shared
+    (4, n) extension weight table and k base columns (< 2^32), or None."""
+    lib = _load_ext4()
+    if lib is None:
+        return None
+    k = len(cols)
+    n = eq.shape[1]
+    ptrs = np.empty(max(k, 1), dtype=np.uint64)
+    for j, col in enumerate(cols):
+        assert col.dtype == np.uint64 and col.flags.c_contiguous and len(col) == n
+        ptrs[j] = col.ctypes.data
+    out = np.empty((k, 4), dtype=np.uint64)
+    lib.zigz_ext4_dot_base_multi(
+        _c64(eq), _c64(ptrs), ctypes.c_size_t(k), _c64(out),
+        ctypes.c_size_t(n), ctypes.c_int(NUM_THREADS),
+    )
     return out
 
 

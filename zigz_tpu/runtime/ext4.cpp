@@ -19,6 +19,8 @@
 #include <thread>
 #include <vector>
 
+#include "bb_simd.h"
+
 static constexpr uint64_t P = 2013265921ull;
 static constexpr uint64_t W = 11ull;
 
@@ -97,17 +99,42 @@ extern "C" void zigz_ext4_mul(const uint64_t* a, const uint64_t* b,
 }
 
 // out = coeff (4,) * col (n,) — the ext-scalar x base-vector product; when
-// accumulate != 0, out += coeff * col instead.
+// accumulate != 0, out += coeff * col instead.  col values must be < 2^32
+// (canonical callers always satisfy this); results are canonical mod P via
+// the fixed-operand Montgomery trick (bb_simd.h), identical residues to
+// the previous (c * (col % P)) % P expressions.
 extern "C" void zigz_ext4_scale_base(const uint64_t* coeff, const uint64_t* col,
                                      uint64_t* out, size_t n, int accumulate,
                                      int num_threads) {
-  uint64_t c0 = coeff[0] % P, c1 = coeff[1] % P, c2 = coeff[2] % P,
-           c3 = coeff[3] % P;
+  uint64_t cm[4] = {bb::to_mont(coeff[0] % P), bb::to_mont(coeff[1] % P),
+                    bb::to_mont(coeff[2] % P), bb::to_mont(coeff[3] % P)};
   run_parallel(n, num_threads, [&](size_t lo, size_t hi, int) {
-    for (size_t i = lo; i < hi; ++i) {
-      uint64_t v = col[i] % P;
-      uint64_t p0 = mulm(c0, v), p1 = mulm(c1, v), p2 = mulm(c2, v),
-               p3 = mulm(c3, v);
+    size_t i = lo;
+#ifdef __AVX512F__
+    const __m512i c0 = _mm512_set1_epi64((long long)cm[0]);
+    const __m512i c1 = _mm512_set1_epi64((long long)cm[1]);
+    const __m512i c2 = _mm512_set1_epi64((long long)cm[2]);
+    const __m512i c3 = _mm512_set1_epi64((long long)cm[3]);
+    for (; i + 8 <= hi; i += 8) {
+      __m512i v = _mm512_loadu_si512((const void*)(col + i));
+      __m512i p0 = bb::mm_mont_mul(c0, v), p1 = bb::mm_mont_mul(c1, v);
+      __m512i p2 = bb::mm_mont_mul(c2, v), p3 = bb::mm_mont_mul(c3, v);
+      if (accumulate) {
+        p0 = bb::mm_addm(_mm512_loadu_si512((const void*)(out + i)), p0);
+        p1 = bb::mm_addm(_mm512_loadu_si512((const void*)(out + n + i)), p1);
+        p2 = bb::mm_addm(_mm512_loadu_si512((const void*)(out + 2 * n + i)), p2);
+        p3 = bb::mm_addm(_mm512_loadu_si512((const void*)(out + 3 * n + i)), p3);
+      }
+      _mm512_storeu_si512((void*)(out + i), p0);
+      _mm512_storeu_si512((void*)(out + n + i), p1);
+      _mm512_storeu_si512((void*)(out + 2 * n + i), p2);
+      _mm512_storeu_si512((void*)(out + 3 * n + i), p3);
+    }
+#endif
+    for (; i < hi; ++i) {
+      uint64_t v = col[i];
+      uint64_t p0 = bb::mont_mul(cm[0], v), p1 = bb::mont_mul(cm[1], v),
+               p2 = bb::mont_mul(cm[2], v), p3 = bb::mont_mul(cm[3], v);
       if (accumulate) {
         out[i] = addm(out[i], p0);
         out[n + i] = addm(out[n + i], p1);
@@ -118,6 +145,150 @@ extern "C" void zigz_ext4_scale_base(const uint64_t* coeff, const uint64_t* col,
       }
     }
   });
+}
+
+// Fused multi-column variant: out (4, n) = sum_k coeffs[k] * cols[k] with
+// one pass over ``out`` — the batch-evaluation group combiner
+// (proofs/batch_eval.py builds F_g = sum_i delta^i f_i from hundreds of
+// committed base columns; per-claim scale_base calls paid out-traffic and
+// thread spawns per column).  cols is an array of k row pointers, each n
+// long with values < 2^32.
+extern "C" void zigz_ext4_scale_base_multi(const uint64_t* coeffs,
+                                           const uint64_t* const* cols,
+                                           size_t k, uint64_t* out, size_t n,
+                                           int accumulate, int num_threads) {
+  std::vector<uint64_t> cm(4 * k);
+  for (size_t j = 0; j < k; ++j)
+    for (int e = 0; e < 4; ++e)
+      cm[4 * j + e] = bb::to_mont(coeffs[4 * j + e] % P);
+  run_parallel(n, num_threads, [&](size_t lo, size_t hi, int) {
+    constexpr size_t TILE = 2048;
+    std::vector<uint64_t> acc(4 * TILE);
+    for (size_t s = lo; s < hi; s += TILE) {
+      size_t len = (s + TILE < hi) ? TILE : hi - s;
+      if (accumulate) {
+        for (int e = 0; e < 4; ++e)
+          std::memcpy(acc.data() + e * TILE, out + e * n + s,
+                      len * sizeof(uint64_t));
+      } else {
+        std::memset(acc.data(), 0, 4 * TILE * sizeof(uint64_t));
+      }
+      for (size_t j = 0; j < k; ++j) {
+        const uint64_t* col = cols[j] + s;
+        const uint64_t* c = cm.data() + 4 * j;
+        size_t i = 0;
+#ifdef __AVX512F__
+        const __m512i c0 = _mm512_set1_epi64((long long)c[0]);
+        const __m512i c1 = _mm512_set1_epi64((long long)c[1]);
+        const __m512i c2 = _mm512_set1_epi64((long long)c[2]);
+        const __m512i c3 = _mm512_set1_epi64((long long)c[3]);
+        for (; i + 8 <= len; i += 8) {
+          __m512i v = _mm512_loadu_si512((const void*)(col + i));
+          uint64_t* a0 = acc.data() + i;
+          _mm512_storeu_si512(
+              (void*)a0, bb::mm_addm(_mm512_loadu_si512((const void*)a0),
+                                     bb::mm_mont_mul(c0, v)));
+          uint64_t* a1 = acc.data() + TILE + i;
+          _mm512_storeu_si512(
+              (void*)a1, bb::mm_addm(_mm512_loadu_si512((const void*)a1),
+                                     bb::mm_mont_mul(c1, v)));
+          uint64_t* a2 = acc.data() + 2 * TILE + i;
+          _mm512_storeu_si512(
+              (void*)a2, bb::mm_addm(_mm512_loadu_si512((const void*)a2),
+                                     bb::mm_mont_mul(c2, v)));
+          uint64_t* a3 = acc.data() + 3 * TILE + i;
+          _mm512_storeu_si512(
+              (void*)a3, bb::mm_addm(_mm512_loadu_si512((const void*)a3),
+                                     bb::mm_mont_mul(c3, v)));
+        }
+#endif
+        for (; i < len; ++i) {
+          uint64_t v = col[i];
+          for (int e = 0; e < 4; ++e) {
+            uint64_t* a = acc.data() + (size_t)e * TILE + i;
+            *a = addm(*a, bb::mont_mul(c[e], v));
+          }
+        }
+      }
+      for (int e = 0; e < 4; ++e)
+        std::memcpy(out + e * n + s, acc.data() + (size_t)e * TILE,
+                    len * sizeof(uint64_t));
+    }
+  });
+}
+
+// Fused multi-column dot: out[j] (4,) = sum_i eq[., i] * cols[j][i] for k
+// base columns sharing one extension weight table (the batch-eval terminal
+// column evaluations: hundreds of columns of the same width evaluated at
+// one eq table).  Column values < 2^32.
+extern "C" void zigz_ext4_dot_base_multi(const uint64_t* eq,
+                                         const uint64_t* const* cols, size_t k,
+                                         uint64_t* out, size_t n,
+                                         int num_threads) {
+  int nt = num_threads > 0 ? num_threads : 1;
+  std::vector<std::vector<uint64_t>> accs((size_t)nt,
+                                          std::vector<uint64_t>(4 * k, 0));
+  run_parallel(n, num_threads, [&](size_t lo, size_t hi, int tid) {
+    constexpr size_t TILE = 2048;
+    std::vector<uint64_t> eqm(4 * TILE);
+    uint64_t* acc = accs[(size_t)tid].data();
+    for (size_t s = lo; s < hi; s += TILE) {
+      size_t len = (s + TILE < hi) ? TILE : hi - s;
+      // Montgomery-form eq tile (shared by every column).
+      for (int e = 0; e < 4; ++e) {
+        const uint64_t* src = eq + (size_t)e * n + s;
+        uint64_t* dst = eqm.data() + (size_t)e * TILE;
+        size_t i = 0;
+#ifdef __AVX512F__
+        const __m512i r2 = _mm512_set1_epi64((long long)bb::R2);
+        for (; i + 8 <= len; i += 8)
+          _mm512_storeu_si512(
+              (void*)(dst + i),
+              bb::mm_mont_mul(_mm512_loadu_si512((const void*)(src + i)), r2));
+#endif
+        for (; i < len; ++i) dst[i] = bb::to_mont(src[i] % P);
+      }
+      for (size_t j = 0; j < k; ++j) {
+        const uint64_t* col = cols[j] + s;
+        uint64_t s0 = 0, s1 = 0, s2 = 0, s3 = 0;
+        size_t i = 0;
+#ifdef __AVX512F__
+        __m512i v0 = _mm512_setzero_si512(), v1 = _mm512_setzero_si512();
+        __m512i v2 = _mm512_setzero_si512(), v3 = _mm512_setzero_si512();
+        for (; i + 8 <= len; i += 8) {
+          __m512i v = _mm512_loadu_si512((const void*)(col + i));
+          v0 = _mm512_add_epi64(v0, bb::mm_mont_mul(
+              _mm512_loadu_si512((const void*)(eqm.data() + i)), v));
+          v1 = _mm512_add_epi64(v1, bb::mm_mont_mul(
+              _mm512_loadu_si512((const void*)(eqm.data() + TILE + i)), v));
+          v2 = _mm512_add_epi64(v2, bb::mm_mont_mul(
+              _mm512_loadu_si512((const void*)(eqm.data() + 2 * TILE + i)), v));
+          v3 = _mm512_add_epi64(v3, bb::mm_mont_mul(
+              _mm512_loadu_si512((const void*)(eqm.data() + 3 * TILE + i)), v));
+        }
+        s0 = _mm512_reduce_add_epi64(v0) % P;
+        s1 = _mm512_reduce_add_epi64(v1) % P;
+        s2 = _mm512_reduce_add_epi64(v2) % P;
+        s3 = _mm512_reduce_add_epi64(v3) % P;
+#endif
+        for (; i < len; ++i) {
+          uint64_t v = col[i];
+          s0 = addm(s0, bb::mont_mul(eqm[i], v));
+          s1 = addm(s1, bb::mont_mul(eqm[TILE + i], v));
+          s2 = addm(s2, bb::mont_mul(eqm[2 * TILE + i], v));
+          s3 = addm(s3, bb::mont_mul(eqm[3 * TILE + i], v));
+        }
+        uint64_t* a = acc + 4 * j;
+        a[0] = addm(a[0], s0 % P); a[1] = addm(a[1], s1 % P);
+        a[2] = addm(a[2], s2 % P); a[3] = addm(a[3], s3 % P);
+      }
+    }
+  });
+  for (size_t j = 0; j < 4 * k; ++j) {
+    uint64_t total = 0;
+    for (auto& a : accs) total = addm(total, a[j]);
+    out[j] = total;
+  }
 }
 
 // out (4,) = sum_i a[., i] * col[i] — ext-vector x base-vector dot.

@@ -376,19 +376,15 @@ void zigz_sha3_forest(const uint64_t* values, size_t num_trees, size_t n,
   auto build_tree = [&](size_t t) {
     const uint64_t* vals = values + t * n;
     uint8_t* base = out + t * per_tree;
-    // Leaf digests.
-    for (size_t i = 0; i < n; ++i) {
-      sha3_256_small(reinterpret_cast<const uint8_t*>(vals + i), 8,
-                     base + i * 32);
-    }
-    // Internal levels.
+    // Leaf digests + internal levels, 8 per permutation via the
+    // interleaved kernels (trees are parallelized across threads, so the
+    // inner calls run single-threaded).
+    zigz_sha3_leaves_u64(vals, n, base, 1);
     const uint8_t* cur = base;
     uint8_t* dst = base + n * 32;
     size_t level_n = n / 2;
     while (level_n >= 1) {
-      for (size_t i = 0; i < level_n; ++i) {
-        sha3_256_small(cur + i * 64, 64, dst + i * 32);
-      }
+      zigz_sha3_merge(cur, level_n, dst, 1);
       cur = dst;
       dst += level_n * 32;
       if (level_n == 1) break;
