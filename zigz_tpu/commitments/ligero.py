@@ -464,10 +464,24 @@ def _gamma_a_hat(gamma, a, B: int, m: int):
 
 
 def _vecmat_ext(a_ext, matrix):
-    """Extension row-vector times base matrix: one base vecmat per
+    """Extension row-vector times base matrix: one fused 4-coordinate
+    native pass when available (runtime zigz_ext4_vecmat — reads the
+    matrix once and skips zero-weight rows), else one base vecmat per
     coordinate (the matrix is base-field, so coordinates never mix)."""
     from ..core.ext4 import Ext4
 
+    if isinstance(matrix, np.ndarray):
+        try:
+            from ..runtime import native_ext4_vecmat
+
+            out = native_ext4_vecmat(
+                np.ascontiguousarray(a_ext.c, dtype=np.uint64),
+                np.ascontiguousarray(matrix, dtype=np.uint64),
+            )
+            if out is not None:
+                return Ext4(out)
+        except Exception:
+            pass
     rows = [_vecmat(a_ext.c[e], matrix) for e in range(4)]
     return Ext4(np.stack(rows))
 

@@ -343,15 +343,13 @@ class BytecodeTable:
         """(2^u,) padded Ext4 fingerprint key table (padding rows combine
         to 0, which stays distinct from any tau with nonzero high
         coordinates).  Verifier-computable: public decode + gamma."""
-        from ..core.ext4 import ext_zeros
+        from ..core.ext4 import ext_linear_comb, ext_zeros
 
-        P = np.uint64(p)
         acc = ext_zeros((1 << self.num_vars,))
-        g = ext_lift(1)
-        for slot in BYTECODE_SLOTS:
-            g = g * gamma
-            acc_real = acc[..., : self.size] + g * (self.cols[slot] % P)
-            acc.c[:, : self.size] = acc_real.c
+        gp = _gammas(gamma, p)
+        real = ext_linear_comb(gp, [self.cols[slot] for slot in BYTECODE_SLOTS],
+                               length=self.size)
+        acc.c[:, : self.size] = real.c
         return acc
 
 
@@ -438,9 +436,14 @@ def _gammas(gamma: Ext4, p: int) -> List[Ext4]:
 
 def _kappa_step(cols, gp: List[Ext4], p: int) -> Ext4:
     """Step-side fetch fingerprint, generic over arrays / Ext4 evals."""
+    arrs = [cols[f"ref_{slot}"] if slot in ("pc", "a1", "a2") else cols[slot]
+            for slot in BYTECODE_SLOTS]
+    if all(isinstance(a, np.ndarray) for a in arrs):
+        from ..core.ext4 import ext_linear_comb
+
+        return ext_linear_comb(gp, arrs)
     acc = None
-    for g, slot in zip(gp, BYTECODE_SLOTS):
-        arr = cols[f"ref_{slot}"] if slot in ("pc", "a1", "a2") else cols[slot]
+    for g, arr in zip(gp, arrs):
         term = g * arr
         acc = term if acc is None else acc + term
     return acc

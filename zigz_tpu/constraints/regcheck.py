@@ -425,14 +425,17 @@ class RegcheckArgument:
                 for m in (1, 2, 3):
                     for side in ("r", "w"):
                         a_name, vpre = _kappa_parts(m, side)
-                        kappa = gp[0] * cols[a_name]
-                        for k in range(4):
-                            kappa = kappa + gp[k + 1] * cols[f"{vpre}_{k}"]
                         if side == "r":
                             ts = cols[f"rt{m}"]
                         else:
                             ts = (np.uint64(3) * idx + np.uint64(m)) % np.uint64(p)
-                        kappa = kappa + gp[5] * ts
+                        from ..core.ext4 import ext_linear_comb
+
+                        kappa = ext_linear_comb(
+                            gp[:6],
+                            [cols[a_name]] + [cols[f"{vpre}_{k}"] for k in range(4)]
+                            + [ts],
+                        )
                         d = tau_m - kappa
                         if np.any(d.is_zero() & (sel == 1)):
                             ok = False

@@ -47,6 +47,7 @@ __all__ = [
     "ext_from_ints",
     "ext_from_coords",
     "ext_stack",
+    "ext_linear_comb",
     "ext_where",
     "ext_pow_range",
     "ext_batch_inv",
@@ -453,6 +454,30 @@ def ext_stack(values: Iterable[Ext4]) -> Ext4:
 def ext_concat(parts: Sequence[Ext4]) -> Ext4:
     """Concatenate Ext4 arrays along the last (base) axis."""
     return Ext4(np.concatenate([p.c for p in parts], axis=-1), _trusted=True)
+
+
+def ext_linear_comb(coeffs: Sequence[Ext4], arrays: Sequence[np.ndarray],
+                    length: int = None) -> Ext4:
+    """sum_i coeffs[i] * arrays[i] for scalar Ext4 coefficients and base
+    uint64 arrays (canonical values), in one fused native pass
+    (zigz_ext4_scale_base_multi) — the logUp fingerprint-combination hot
+    loop.  Falls back to the operator path when the runtime is missing."""
+    assert len(coeffs) == len(arrays) and arrays
+    n = length if length is not None else len(arrays[0])
+    cols = [np.ascontiguousarray(np.asarray(a, dtype=np.uint64)[:n])
+            for a in arrays]
+    rt = _native()
+    if rt is not None and n >= 1024:
+        cf = np.stack([np.asarray(c.c, dtype=np.uint64).reshape(4)
+                       for c in coeffs])
+        out = ext_zeros((n,))
+        if rt.native_ext4_scale_base_multi(cf, cols, out.c) is not None:
+            return out
+    acc = None
+    for c, col in zip(coeffs, cols):
+        term = c * (col % _P64)
+        acc = term if acc is None else acc + term
+    return acc
 
 
 def ext_where(mask, a, b) -> Ext4:

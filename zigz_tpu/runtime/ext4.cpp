@@ -76,17 +76,70 @@ inline void ext_mul_one(const uint64_t x[4], const uint64_t y[4],
 
 }  // namespace
 
+#ifdef __AVX512F__
+// Vectorized schoolbook ext4 product over 8 lanes: xm (Montgomery form)
+// times y (canonical) -> canonical coordinates, partials reduced exactly
+// like core/ext4.py _ext_mul.
+static inline void ext_mul8(const __m512i xm[4], const __m512i y[4],
+                            __m512i o[4], __m512i elevenR) {
+  using bb::mm_addm;
+  using bb::mm_mont_mul;
+  __m512i t00 = mm_mont_mul(xm[0], y[0]), t01 = mm_mont_mul(xm[0], y[1]),
+          t02 = mm_mont_mul(xm[0], y[2]), t03 = mm_mont_mul(xm[0], y[3]);
+  __m512i t10 = mm_mont_mul(xm[1], y[0]), t11 = mm_mont_mul(xm[1], y[1]),
+          t12 = mm_mont_mul(xm[1], y[2]), t13 = mm_mont_mul(xm[1], y[3]);
+  __m512i t20 = mm_mont_mul(xm[2], y[0]), t21 = mm_mont_mul(xm[2], y[1]),
+          t22 = mm_mont_mul(xm[2], y[2]), t23 = mm_mont_mul(xm[2], y[3]);
+  __m512i t30 = mm_mont_mul(xm[3], y[0]), t31 = mm_mont_mul(xm[3], y[1]),
+          t32 = mm_mont_mul(xm[3], y[2]), t33 = mm_mont_mul(xm[3], y[3]);
+  o[0] = mm_addm(t00, mm_mont_mul(elevenR,
+                                  mm_addm(mm_addm(t13, t22), t31)));
+  o[1] = mm_addm(mm_addm(t01, t10), mm_mont_mul(elevenR, mm_addm(t23, t32)));
+  o[2] = mm_addm(mm_addm(t02, t11), mm_addm(t20, mm_mont_mul(elevenR, t33)));
+  o[3] = mm_addm(mm_addm(t03, t12), mm_addm(t21, t30));
+}
+#endif
+
 // out = a * b elementwise; a is (4, n); b is (4, n) when b_scalar == 0,
 // else a single (4,) element broadcast over n.
 extern "C" void zigz_ext4_mul(const uint64_t* a, const uint64_t* b,
                               int b_scalar, uint64_t* out, size_t n,
                               int num_threads) {
+  uint64_t ym[4];
+  if (b_scalar)
+    for (int e = 0; e < 4; ++e) ym[e] = bb::to_mont(b[e] % P);
   run_parallel(n, num_threads, [&](size_t lo, size_t hi, int) {
+    size_t i = lo;
+#ifdef __AVX512F__
+    const __m512i elevenR = _mm512_set1_epi64((long long)bb::to_mont(11));
+    const __m512i r2 = _mm512_set1_epi64((long long)bb::R2);
+    __m512i yv[4];
+    if (b_scalar)
+      for (int e = 0; e < 4; ++e) yv[e] = _mm512_set1_epi64((long long)ym[e]);
+    for (; i + 8 <= hi; i += 8) {
+      __m512i xv[4], o[4];
+      for (int e = 0; e < 4; ++e)
+        xv[e] = _mm512_loadu_si512((const void*)(a + (size_t)e * n + i));
+      if (b_scalar) {
+        // y fixed in Montgomery form: mont_mul(y~, x) = x*y canonical.
+        ext_mul8(yv, xv, o, elevenR);
+      } else {
+        __m512i xm[4];
+        for (int e = 0; e < 4; ++e) xm[e] = bb::mm_mont_mul(xv[e], r2);
+        __m512i bv[4];
+        for (int e = 0; e < 4; ++e)
+          bv[e] = _mm512_loadu_si512((const void*)(b + (size_t)e * n + i));
+        ext_mul8(xm, bv, o, elevenR);
+      }
+      for (int e = 0; e < 4; ++e)
+        _mm512_storeu_si512((void*)(out + (size_t)e * n + i), o[e]);
+    }
+#endif
     uint64_t x[4], y[4], o[4];
     if (b_scalar) {
       y[0] = b[0]; y[1] = b[1]; y[2] = b[2]; y[3] = b[3];
     }
-    for (size_t i = lo; i < hi; ++i) {
+    for (; i < hi; ++i) {
       x[0] = a[i]; x[1] = a[n + i]; x[2] = a[2 * n + i]; x[3] = a[3 * n + i];
       if (!b_scalar) {
         y[0] = b[i]; y[1] = b[n + i]; y[2] = b[2 * n + i]; y[3] = b[3 * n + i];
@@ -333,8 +386,40 @@ extern "C" void zigz_ext4_inv(const uint64_t* a, uint64_t* out, size_t n,
   std::vector<uint64_t> b(4 * n);
   std::vector<uint64_t> norm(n);
   run_parallel(n, num_threads, [&](size_t lo, size_t hi, int) {
-    uint64_t x[4], f1[4], f2[4], f3[4], t[4], bb[4], prod[4];
-    for (size_t i = lo; i < hi; ++i) {
+    size_t i = lo;
+#ifdef __AVX512F__
+    {
+      const __m512i elevenR = _mm512_set1_epi64((long long)bb::to_mont(11));
+      const __m512i r2 = _mm512_set1_epi64((long long)bb::R2);
+      __m512i s1m[4], s2m[4], s3m[4];
+      for (int e = 0; e < 4; ++e) {
+        s1m[e] = _mm512_set1_epi64((long long)bb::to_mont(s1[e]));
+        s2m[e] = _mm512_set1_epi64((long long)bb::to_mont(s2[e]));
+        s3m[e] = _mm512_set1_epi64((long long)bb::to_mont(s3[e]));
+      }
+      for (; i + 8 <= hi; i += 8) {
+        __m512i x[4], f1[4], f2m[4], f3[4], t[4], tm[4], bbv[4], xm[4];
+        for (int e = 0; e < 4; ++e) {
+          x[e] = _mm512_loadu_si512((const void*)(a + (size_t)e * n + i));
+          f1[e] = bb::mm_mont_mul(s1m[e], x[e]);      // canonical x*s1
+          __m512i f2 = bb::mm_mont_mul(s2m[e], x[e]);
+          f2m[e] = bb::mm_mont_mul(f2, r2);           // Montgomery form
+          f3[e] = bb::mm_mont_mul(s3m[e], x[e]);
+          xm[e] = bb::mm_mont_mul(x[e], r2);
+        }
+        ext_mul8(f2m, f1, t, elevenR);                // t = f1*f2 canonical
+        for (int e = 0; e < 4; ++e) tm[e] = bb::mm_mont_mul(t[e], r2);
+        ext_mul8(tm, f3, bbv, elevenR);               // bb = t*f3 canonical
+        __m512i prod[4];
+        ext_mul8(xm, bbv, prod, elevenR);             // prod = x*bb
+        _mm512_storeu_si512((void*)(norm.data() + i), prod[0]);
+        for (int e = 0; e < 4; ++e)
+          _mm512_storeu_si512((void*)(b.data() + (size_t)e * n + i), bbv[e]);
+      }
+    }
+#endif
+    uint64_t x[4], f1[4], f2[4], f3[4], t[4], bbv[4], prod[4];
+    for (; i < hi; ++i) {
       x[0] = a[i] % P; x[1] = a[n + i] % P; x[2] = a[2 * n + i] % P;
       x[3] = a[3 * n + i] % P;
       for (int e = 0; e < 4; ++e) {
@@ -343,10 +428,11 @@ extern "C" void zigz_ext4_inv(const uint64_t* a, uint64_t* out, size_t n,
         f3[e] = mulm(x[e], s3[e]);
       }
       ext_mul_one(f1, f2, t);
-      ext_mul_one(t, f3, bb);
-      ext_mul_one(x, bb, prod);
+      ext_mul_one(t, f3, bbv);
+      ext_mul_one(x, bbv, prod);
       norm[i] = prod[0];
-      b[i] = bb[0]; b[n + i] = bb[1]; b[2 * n + i] = bb[2]; b[3 * n + i] = bb[3];
+      b[i] = bbv[0]; b[n + i] = bbv[1]; b[2 * n + i] = bbv[2];
+      b[3 * n + i] = bbv[3];
     }
   });
   // Montgomery batch inversion of the norms (serial prefix; zeros skipped
@@ -373,7 +459,20 @@ extern "C" void zigz_ext4_inv(const uint64_t* a, uint64_t* out, size_t n,
     if (!norm[i]) ninv[i] = 0;
   }
   run_parallel(n, num_threads, [&](size_t lo, size_t hi, int) {
-    for (size_t i = lo; i < hi; ++i) {
+    size_t i = lo;
+#ifdef __AVX512F__
+    const __m512i r2 = _mm512_set1_epi64((long long)bb::R2);
+    for (; i + 8 <= hi; i += 8) {
+      __m512i nm = bb::mm_mont_mul(
+          _mm512_loadu_si512((const void*)(ninv.data() + i)), r2);
+      for (int e = 0; e < 4; ++e)
+        _mm512_storeu_si512(
+            (void*)(out + (size_t)e * n + i),
+            bb::mm_mont_mul(nm, _mm512_loadu_si512(
+                                    (const void*)(b.data() + (size_t)e * n + i))));
+    }
+#endif
+    for (; i < hi; ++i) {
       uint64_t ni = ninv[i];
       out[i] = mulm(b[i], ni);
       out[n + i] = mulm(b[n + i], ni);
@@ -384,21 +483,65 @@ extern "C" void zigz_ext4_inv(const uint64_t* a, uint64_t* out, size_t n,
 }
 
 // u (4, n) = rowvec a (4, rows) x base matrix M (rows, n) — the Ligero
-// extension query/proximity row product.
+// extension query/proximity row product.  Row-major matrix traversal with
+// the coefficient quad fixed per row (Montgomery fixed-operand products),
+// j-tiled so the (4, TILE) accumulator stays cache-resident; threads
+// split the column axis.  Skips all-zero coefficient quads (the mixed
+// claims' row weights are zero outside each column's block).
 extern "C" void zigz_ext4_vecmat(const uint64_t* a, const uint64_t* mat,
                                  uint64_t* out, size_t rows, size_t n,
                                  int num_threads) {
+  std::vector<uint64_t> am(4 * rows);
+  for (size_t r = 0; r < rows; ++r)
+    for (int e = 0; e < 4; ++e)
+      am[4 * r + e] = bb::to_mont(a[(size_t)e * rows + r] % P);
   run_parallel(n, num_threads, [&](size_t lo, size_t hi, int) {
-    for (size_t j = lo; j < hi; ++j) {
-      uint64_t s0 = 0, s1 = 0, s2 = 0, s3 = 0;
+    constexpr size_t TILE = 4096;
+    std::vector<uint64_t> acc(4 * TILE);
+    for (size_t s = lo; s < hi; s += TILE) {
+      size_t len = (s + TILE < hi) ? TILE : hi - s;
+      std::memset(acc.data(), 0, 4 * TILE * sizeof(uint64_t));
       for (size_t r = 0; r < rows; ++r) {
-        uint64_t v = mat[r * n + j] % P;
-        s0 = addm(s0, mulm(a[r] % P, v));
-        s1 = addm(s1, mulm(a[rows + r] % P, v));
-        s2 = addm(s2, mulm(a[2 * rows + r] % P, v));
-        s3 = addm(s3, mulm(a[3 * rows + r] % P, v));
+        const uint64_t* c = am.data() + 4 * r;
+        if ((c[0] | c[1] | c[2] | c[3]) == 0) continue;
+        const uint64_t* row = mat + r * n + s;
+        size_t j = 0;
+#ifdef __AVX512F__
+        const __m512i c0 = _mm512_set1_epi64((long long)c[0]);
+        const __m512i c1 = _mm512_set1_epi64((long long)c[1]);
+        const __m512i c2 = _mm512_set1_epi64((long long)c[2]);
+        const __m512i c3 = _mm512_set1_epi64((long long)c[3]);
+        for (; j + 8 <= len; j += 8) {
+          __m512i v = _mm512_loadu_si512((const void*)(row + j));
+          uint64_t* a0 = acc.data() + j;
+          _mm512_storeu_si512((void*)a0,
+                              bb::mm_addm(_mm512_loadu_si512((const void*)a0),
+                                          bb::mm_mont_mul(c0, v)));
+          uint64_t* a1 = acc.data() + TILE + j;
+          _mm512_storeu_si512((void*)a1,
+                              bb::mm_addm(_mm512_loadu_si512((const void*)a1),
+                                          bb::mm_mont_mul(c1, v)));
+          uint64_t* a2 = acc.data() + 2 * TILE + j;
+          _mm512_storeu_si512((void*)a2,
+                              bb::mm_addm(_mm512_loadu_si512((const void*)a2),
+                                          bb::mm_mont_mul(c2, v)));
+          uint64_t* a3 = acc.data() + 3 * TILE + j;
+          _mm512_storeu_si512((void*)a3,
+                              bb::mm_addm(_mm512_loadu_si512((const void*)a3),
+                                          bb::mm_mont_mul(c3, v)));
+        }
+#endif
+        for (; j < len; ++j) {
+          uint64_t v = row[j];
+          acc[j] = addm(acc[j], bb::mont_mul(c[0], v));
+          acc[TILE + j] = addm(acc[TILE + j], bb::mont_mul(c[1], v));
+          acc[2 * TILE + j] = addm(acc[2 * TILE + j], bb::mont_mul(c[2], v));
+          acc[3 * TILE + j] = addm(acc[3 * TILE + j], bb::mont_mul(c[3], v));
+        }
       }
-      out[j] = s0; out[n + j] = s1; out[2 * n + j] = s2; out[3 * n + j] = s3;
+      for (int e = 0; e < 4; ++e)
+        std::memcpy(out + (size_t)e * n + s, acc.data() + (size_t)e * TILE,
+                    len * sizeof(uint64_t));
     }
   });
 }
@@ -407,7 +550,21 @@ extern "C" void zigz_ext4_vecmat(const uint64_t* a, const uint64_t* mat,
 extern "C" void zigz_ext4_mul_base(const uint64_t* a, const uint64_t* col,
                                    uint64_t* out, size_t n, int num_threads) {
   run_parallel(n, num_threads, [&](size_t lo, size_t hi, int) {
-    for (size_t i = lo; i < hi; ++i) {
+    size_t i = lo;
+#ifdef __AVX512F__
+    const __m512i r2 = _mm512_set1_epi64((long long)bb::R2);
+    for (; i + 8 <= hi; i += 8) {
+      // One to-Montgomery on the shared base value, four exact products.
+      __m512i vm = bb::mm_mont_mul(
+          _mm512_loadu_si512((const void*)(col + i)), r2);
+      for (int e = 0; e < 4; ++e)
+        _mm512_storeu_si512(
+            (void*)(out + (size_t)e * n + i),
+            bb::mm_mont_mul(
+                vm, _mm512_loadu_si512((const void*)(a + (size_t)e * n + i))));
+    }
+#endif
+    for (; i < hi; ++i) {
       uint64_t v = col[i] % P;
       out[i] = mulm(a[i] % P, v);
       out[n + i] = mulm(a[n + i] % P, v);
