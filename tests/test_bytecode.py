@@ -465,8 +465,8 @@ def test_tampered_range_sum_rejected():
     proof = _prove(program)
     ser = BinarySerializer(F)
     restored = ser.deserialize(ser.serialize(proof))
-    restored.v2.bytecode.gr_sums["jt_0"] = (
-        restored.v2.bytecode.gr_sums["jt_0"] + 1
+    restored.v2.bytecode.gr_sums["grp0"] = (
+        restored.v2.bytecode.gr_sums["grp0"] + 1
     ) % P
     assert (
         Verifier(F).verify(restored, program)

@@ -338,7 +338,8 @@ def test_engine_forged_sum_rejected():
     claim or the grand-sum equation."""
     queries = {0: _mk_queries(0, 16)}
     lv = prove_lookup_validity(F, FiatShamirTranscript(), queries)
-    lv.tables[0].g_sums["g_x0"] = (lv.tables[0].g_sums["g_x0"] + 1) % P
+    name = sorted(lv.tables[0].g_sums)[0]
+    lv.tables[0].g_sums[name] = (lv.tables[0].g_sums[name] + 1) % P
     assert not verify_lookup_validity(F, FiatShamirTranscript(), lv, {0: 16})
 
     lv = prove_lookup_validity(F, FiatShamirTranscript(), queries)

@@ -138,6 +138,17 @@ RANGED = (("jt_0", 1), ("jt_1", 1), ("jt_2", 1), ("jt_3", 1), ("jh", 2),
           ("vb_0", 256), ("vb_1", 256), ("vb_2", 256), ("vb_3", 256),
           ("vb_4", 256), ("vb_5", 256), ("vb_6", 256), ("vb_7", 256),
           ("vhi0", 256), ("rl", 512))
+# RANGE16 fractions and the 8 per-byte memcheck-link fractions are
+# committed MERGED in pairs (round 4): one advice column carries
+# 1/d_a + 1/d_b (resp. sel_a/d_a + sel_b/d_b), pinned per row by
+# gq * d_a * d_b == d_b + d_a (resp. sel_a*d_b + sel_b*d_a) — degree 3,
+# within the existing BYTECODE_DEGREE budget.  Grand equations consume
+# only the TOTAL fraction sums, so they are unchanged in value; this
+# halves the range/mem-link advice data and sum claims.
+RANGE_GROUPS = tuple(tuple(RANGED[i : i + 2]) for i in range(0, len(RANGED), 2))
+GR_NAMES = tuple(f"grp{i}" for i in range(len(RANGE_GROUPS)))
+GM_GROUPS = tuple((2 * i, 2 * i + 1) for i in range(4))
+GM_NAMES = tuple(f"gmp{i}" for i in range(len(GM_GROUPS)))
 
 # Fingerprint slot order (gamma^1..gamma^len assigned in this order; the
 # pc slot is gamma^1).  "a1"/"a2" are the regcheck read cells; all other
@@ -617,19 +628,28 @@ def _make_step_combiner(tau: Ext4, gamma: Ext4, entry_pc: int, num_steps: int,
         terms.append(
             cols["fjalr"] * ((cols["ref_next_pc"] + P - tgt) % P) % P
         )
-        for name, coef in RANGED:
-            gr = g_eval_from_coords(cols, f"gr_{name}")
-            terms.append(gr * (tau_r - np.uint64(coef) * cols[name] % P) - one)
-        # LOAD/STORE linkage: per-byte tuples vs the memcheck rows.
+        for i, group in enumerate(RANGE_GROUPS):
+            ds = [tau_r - np.uint64(coef) * cols[name] % P for name, coef in group]
+            gr = g_eval_from_coords(cols, f"grp{i}")
+            if len(ds) == 2:
+                terms.append(gr * (ds[0] * ds[1]) - (ds[0] + ds[1]))
+            else:
+                terms.append(gr * ds[0] - one)
+        # LOAD/STORE linkage: per-byte tuples vs the memcheck rows,
+        # pair-merged fractions with selector numerators.
         sels = _mem_sel_exprs(lambda f: cols[f], p)
         mbase = ep[0] * cols["bcnt"]
         for j in range(4):
             mbase = mbase + ep[1 + j] * cols[f"jt_{j}"]
         mbase = mbase + ep[7] * cols["fstore"]
+        mds = []
         for k in range(8):
             kap = mbase + (ep[0] * k + ep[5] * k) + ep[6] * cols[f"vb_{k}"]
-            g_m = g_eval_from_coords(cols, f"g_m{k}")
-            terms.append(g_m * (tau_w - kap) - sels[k])
+            mds.append(tau_w - kap)
+        for i, (ka, kb) in enumerate(GM_GROUPS):
+            gm = g_eval_from_coords(cols, f"gmp{i}")
+            terms.append(gm * (mds[ka] * mds[kb])
+                         - (sels[ka] * mds[kb] + sels[kb] * mds[ka]))
         nb = sum(sels) % P
         den_b1 = tau_c - beta_c * ((idx + one) % P) - cols["bcnt"] - nb
         den_b2 = tau_c - beta_c * idx - cols["bcnt"]
@@ -1257,10 +1277,16 @@ def _bc_advice_phase(self: BytecodeArgument, transcript) -> Dict[str, np.ndarray
     g_lk_s = lk["flk"] * den_lk.inv()
     g_cols_all = {"g_bc": g_bc, "g_c1": g_c1, "g_c2": g_c2, "g_out": g_out,
                   "g_lk_s": g_lk_s}
-    for name, coef in RANGED:
-        g_cols_all[f"gr_{name}"] = (tau_r - np.uint64(coef) * lk[name] % P64).inv()
-    for k in range(8):
-        g_cols_all[f"g_m{k}"] = mem_sels[k] * mem_dens[k].inv()
+    for i, group in enumerate(RANGE_GROUPS):
+        ds = [tau_r - np.uint64(coef) * lk[name] % P64 for name, coef in group]
+        if len(ds) == 2:
+            g_cols_all[f"grp{i}"] = (ds[0] + ds[1]) * (ds[0] * ds[1]).inv()
+        else:
+            g_cols_all[f"grp{i}"] = ds[0].inv()
+    for i, (ka, kb) in enumerate(GM_GROUPS):
+        da, db = mem_dens[ka], mem_dens[kb]
+        g_cols_all[f"gmp{i}"] = (mem_sels[ka] * db + mem_sels[kb] * da) \
+            * (da * db).inv()
     g_cols_all["g_b1"] = sel1 * den_b1.inv()
     g_cols_all["g_b2"] = sel2 * den_b2.inv()
     h_r = (tau_r - idx_table(16, p)).inv() * (m_r % P64)
@@ -1270,9 +1296,9 @@ def _bc_advice_phase(self: BytecodeArgument, transcript) -> Dict[str, np.ndarray
     gc2_sum = g_c2.sum()
     gout_sum = g_out.sum()
     glk_sum = g_lk_s.sum()
-    gr_sums = {name: g_cols_all[f"gr_{name}"].sum() for name, _ in RANGED}
+    gr_sums = {name: g_cols_all[name].sum() for name in GR_NAMES}
     hr_sum = h_r.sum()
-    gm_sums = [g_cols_all[f"g_m{k}"].sum() for k in range(8)]
+    gm_sums = [g_cols_all[name].sum() for name in GM_NAMES]
     gb1_sum = g_cols_all["g_b1"].sum()
     gb2_sum = g_cols_all["g_b2"].sum()
     transcript.append_bytes(b"BC_G")
@@ -1281,7 +1307,7 @@ def _bc_advice_phase(self: BytecodeArgument, transcript) -> Dict[str, np.ndarray
     absorb_ext(transcript, gc2_sum)
     absorb_ext(transcript, gout_sum)
     absorb_ext(transcript, glk_sum)
-    for name, _ in RANGED:
+    for name in GR_NAMES:
         absorb_ext(transcript, gr_sums[name])
     for s in gm_sums:
         absorb_ext(transcript, s)
@@ -1482,10 +1508,10 @@ def register_bc_step_claims(arg, sink, zc) -> None:
         "g_out": s["gout_sum"], "g_lk_s": s["glk_sum"],
         "g_b1": s["gb1_sum"], "g_b2": s["gb2_sum"],
     }
-    for name, _ in RANGED:
-        g_sums[f"gr_{name}"] = s["gr_sums"][name]
-    for k in range(8):
-        g_sums[f"g_m{k}"] = s["gm_sums"][k]
+    for name in GR_NAMES:
+        g_sums[name] = s["gr_sums"][name]
+    for i, name in enumerate(GM_NAMES):
+        g_sums[name] = s["gm_sums"][i]
     for g in sorted(g_sums):
         for e in range(4):
             ck, fn, v = arg.locmap[f"{g}#{e}"]
@@ -1540,8 +1566,7 @@ def _mle_eval(col: np.ndarray, rs: List[Ext4], p: int) -> Ext4:
 
 
 BC_G_NAMES = (["g_bc", "g_c1", "g_c2", "g_out", "g_lk_s", "g_b1", "g_b2"]
-              + [f"gr_{name}" for name, _ in RANGED]
-              + [f"g_m{k}" for k in range(8)])
+              + list(GR_NAMES) + list(GM_NAMES))
 
 
 class BytecodeVerify:
@@ -1636,9 +1661,9 @@ class BytecodeVerify:
                     + list(gr_sums_in.values()) + gm_in)
         if not all(isinstance(v, Ext4) and v.is_scalar for v in ext_sums):
             return None
-        if set(gr_sums_in) != {name for name, _ in RANGED}:
+        if set(gr_sums_in) != set(GR_NAMES):
             return None
-        if len(gm_in) != 8:
+        if len(gm_in) != len(GM_GROUPS):
             return None
         transcript.append_bytes(b"BC_G")
         absorb_ext(transcript, bc.g_sum)
@@ -1646,7 +1671,7 @@ class BytecodeVerify:
         absorb_ext(transcript, bc.gc2_sum)
         absorb_ext(transcript, bc.gout_sum)
         absorb_ext(transcript, bc.glk_sum)
-        for name, _ in RANGED:
+        for name in GR_NAMES:
             absorb_ext(transcript, gr_sums_in[name])
         for v in gm_in:
             absorb_ext(transcript, v)

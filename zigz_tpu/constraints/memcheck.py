@@ -79,7 +79,10 @@ __all__ = [
 
 _M16 = np.uint64(0xFFFF)
 _M64 = (1 << 64) - 1
-MEMCHECK_DEGREE = 3  # deg(eq * C), constraints are degree <= 2
+# deg(eq * C): base constraints are degree <= 2; the merged RANGE16
+# constraints (below) are degree 1 + _RANGE_MERGE.
+_RANGE_MERGE = 4
+MEMCHECK_DEGREE = _RANGE_MERGE + 2
 
 # (column, coefficient) pairs whose scaled values are RANGE16-checked.
 # vr/vw carry coefficient 256 (256*x < 2^16 bounds the byte), tl1/dl1
@@ -101,10 +104,17 @@ COLUMNS = ("a0", "a1", "a2", "a3", "vr", "vw", "st", "rt",
            "tl0", "tl1", "dl0", "dl1",
            "ba0", "ba1", "ba2", "ba3", "bk", "cb0", "cb1", "cb2", "cb3")
 G_MEM = ("g_r", "g_w")
-G_RNG = tuple(f"gr_{c}" for c, _ in _RANGED)
+# RANGE16 fractions committed MERGED (see regcheck.py _RANGE_GROUPS):
+# gq_i = sum over its group of 1/(tau_r - coef*c), pinned per row by the
+# degree-(k+1) product constraint; grand range equation unchanged.
+_RANGE_GROUPS = tuple(
+    tuple(_RANGED[i : i + _RANGE_MERGE])
+    for i in range(0, len(_RANGED), _RANGE_MERGE)
+)
+G_RNG = tuple(f"gq{i}" for i in range(len(_RANGE_GROUPS)))
 # logUp r/w, rt decomp, lag decomp, st boolean, load-preserves, base+bk
-# carry chain (4) + carry booleans (4), ranges.
-NUM_CONSTRAINTS = 2 + 1 + 1 + 1 + 1 + 8 + len(_RANGED)
+# carry chain (4) + carry booleans (4), range groups.
+NUM_CONSTRAINTS = 2 + 1 + 1 + 1 + 1 + 8 + len(_RANGE_GROUPS)
 
 
 @dataclass
@@ -256,10 +266,13 @@ def _make_combiner(tau_m: Ext4, tau_r: Ext4, gamma: Ext4, p: int):
                           + p - (1 << 16) * cols[f"cb{k}"] % p) % p)
         for k in range(4):
             terms.append(cols[f"cb{k}"] * ((one + p - cols[f"cb{k}"]) % p) % p)
-        for c, coef in _RANGED:
-            denom = tau_r - coef * cols[c] % p
-            gr = g_eval_from_coords(cols, f"gr_{c}")
-            terms.append(gr * denom - 1)
+        from .regcheck import _fraction_sum_parts
+
+        for i, group in enumerate(_RANGE_GROUPS):
+            ds = [tau_r - coef * cols[c] % p for c, coef in group]
+            prod_all, num = _fraction_sum_parts(ds)
+            gq = g_eval_from_coords(cols, f"gq{i}")
+            terms.append(gq * prod_all - num)
         acc = alphas[0] * terms[0]
         for alpha, t in zip(alphas[1:], terms[1:]):
             acc = acc + alpha * t
@@ -453,9 +466,12 @@ class MemcheckArgument:
         g_cols: Dict[str, Ext4] = {}
         for name, d in denoms.items():
             g_cols[name] = sel * d.inv()
-        for c, coef in _RANGED:
-            d = tau_r - np.uint64(coef) * cols[c] % P64
-            g_cols[f"gr_{c}"] = d.inv()
+        from .regcheck import _fraction_sum_parts
+
+        for i, group in enumerate(_RANGE_GROUPS):
+            ds = [tau_r - np.uint64(coef) * cols[c] % P64 for c, coef in group]
+            prod_all, num = _fraction_sum_parts(ds)
+            g_cols[f"gq{i}"] = num * prod_all.inv()
         h_col = (tau_r - idx_table(16, p)).inv() * self.m_col
 
         g_sums = {name: col.sum() for name, col in g_cols.items()}
@@ -469,7 +485,7 @@ class MemcheckArgument:
         if not self._unsafe:
             if g_sums["g_r"] + final_sum != g_sums["g_w"] + init_sum:
                 raise AssertionError("memcheck violated: memory multiset mismatch")
-            rng_lhs = sum(g_sums[f"gr_{c}"] for c, _ in _RANGED)
+            rng_lhs = sum(g_sums[g] for g in G_RNG)
             if rng_lhs != h_sum:
                 raise AssertionError("memcheck violated: range multiset mismatch")
 
@@ -622,7 +638,7 @@ class MemcheckVerify:
             return None
         if mc.g_sums["g_r"] + final_sum != mc.g_sums["g_w"] + init_sum:
             return None
-        if sum(mc.g_sums[f"gr_{c}"] for c, _ in _RANGED) != mc.h_sum:
+        if sum(mc.g_sums[g] for g in G_RNG) != mc.h_sum:
             return None
 
         self.tau_m, self.tau_r, self.gamma = tau_m, tau_r, gamma

@@ -92,7 +92,6 @@ __all__ = [
 ]
 
 _M16 = np.uint64(0xFFFF)
-REGCHECK_DEGREE = 3  # deg(eq * C), constraints are degree <= 2
 
 # (column, coefficient) pairs whose scaled values are RANGE16-checked.
 # tl1/dl1 carry coefficient 16: 16*x < 2^16 bounds x < 2^12, so every
@@ -119,10 +118,42 @@ COLUMNS = (
     + ("z0", "ia3")
 )
 G_MEM = tuple(f"g_{side}{m}" for side in ("r", "w") for m in (1, 2, 3))
-G_RNG = tuple(f"gr_{c}" for c, _ in _RANGED)
+# RANGE16 fractions are committed MERGED, _RANGE_MERGE per advice column
+# (round 4): gq_i = sum_{(c,coef) in group i} 1/(tau_r - coef*c), pinned
+# per row by the degree-(k+1) constraint gq * prod_j d_j = sum_j
+# prod_{l!=j} d_l (all denominators are nonzero by construction — tau_r
+# has nonzero high coordinates and the keys are base-field — so gq is
+# forced to the exact fraction sum; the grand range equation
+# sum_i sum(gq_i) == h_sum is unchanged in value).  This quarters the
+# committed range-advice data and the per-column sum claims.
+_RANGE_MERGE = 4
+_RANGE_GROUPS = tuple(
+    tuple(_RANGED[i : i + _RANGE_MERGE])
+    for i in range(0, len(_RANGED), _RANGE_MERGE)
+)
+G_RNG = tuple(f"gq{i}" for i in range(len(_RANGE_GROUPS)))
 G_ALL = G_MEM + G_RNG
-# logUp, ts-decomp, lag-decomp, x0 gadget (3 + 4 wv limbs), ranges.
-NUM_CONSTRAINTS = 6 + 3 + 3 + 7 + len(_RANGED)
+# logUp, ts-decomp, lag-decomp, x0 gadget (3 + 4 wv limbs), range groups.
+NUM_CONSTRAINTS = 6 + 3 + 3 + 7 + len(_RANGE_GROUPS)
+# deg(eq * C): the merged range constraint has degree 1 + _RANGE_MERGE.
+REGCHECK_DEGREE = _RANGE_MERGE + 2
+
+
+def _fraction_sum_parts(ds: List):
+    """(prod_all, numerator) of sum_j 1/d_j = numerator / prod_all for
+    k <= 4 denominators — shared by the advice builder and the combiner
+    (which needs both as polynomial expressions in the columns)."""
+    k = len(ds)
+    if k == 1:
+        return ds[0], 1
+    if k == 2:
+        return ds[0] * ds[1], ds[0] + ds[1]
+    if k == 3:
+        d01 = ds[0] * ds[1]
+        return d01 * ds[2], (ds[0] + ds[1]) * ds[2] + d01
+    d01 = ds[0] * ds[1]
+    d23 = ds[2] * ds[3]
+    return d01 * d23, (ds[0] + ds[1]) * d23 + (ds[2] + ds[3]) * d01
 
 
 def g_coord_names(g_names) -> List[str]:
@@ -256,10 +287,11 @@ def _make_combiner(tau_m: Ext4, tau_r: Ext4, gamma: Ext4, p: int):
         terms.append(cols["z0"] * ((one + p - cols["z0"]) % p) % p)
         for k in range(4):
             terms.append(cols["z0"] * cols[f"wv_{k}"] % p)
-        for c, coef in _RANGED:
-            denom = tau_r - coef * cols[c]
-            gr = g_eval_from_coords(cols, f"gr_{c}")
-            terms.append(gr * denom - 1)
+        for i, group in enumerate(_RANGE_GROUPS):
+            ds = [tau_r - coef * cols[c] for c, coef in group]
+            prod_all, num = _fraction_sum_parts(ds)
+            gq = g_eval_from_coords(cols, f"gq{i}")
+            terms.append(gq * prod_all - num)
         acc = alphas[0] * terms[0]
         for alpha, t in zip(alphas[1:], terms[1:]):
             acc = acc + alpha * t
@@ -462,9 +494,11 @@ class RegcheckArgument:
         g_cols: Dict[str, Ext4] = {}
         for name, d in denoms.items():
             g_cols[name] = sel * d.inv()
-        for c, coef in _RANGED:
-            d = tau_r - np.uint64(coef) * cols[c] % np.uint64(p)
-            g_cols[f"gr_{c}"] = d.inv()
+        for i, group in enumerate(_RANGE_GROUPS):
+            ds = [tau_r - np.uint64(coef) * cols[c] % np.uint64(p)
+                  for c, coef in group]
+            prod_all, num = _fraction_sum_parts(ds)
+            g_cols[f"gq{i}"] = num * prod_all.inv()
         h_col = (tau_r - idx_table(16, p)).inv() * self.m_col
 
         g_sums = {name: col.sum() for name, col in g_cols.items()}
@@ -480,7 +514,7 @@ class RegcheckArgument:
             rhs = sum(g_sums[f"g_w{m}"] for m in (1, 2, 3)) + init_sum
             if lhs != rhs:
                 raise AssertionError("regcheck violated: register multiset mismatch")
-            rng_lhs = sum(g_sums[f"gr_{c}"] for c, _ in _RANGED)
+            rng_lhs = sum(g_sums[g] for g in G_RNG)
             if rng_lhs != h_sum:
                 raise AssertionError("regcheck violated: range multiset mismatch")
 
@@ -654,7 +688,7 @@ class RegcheckVerify:
         rhs = sum(rc.g_sums[f"g_w{m}"] for m in (1, 2, 3)) + init_sum
         if lhs != rhs:
             return None
-        if sum(rc.g_sums[f"gr_{c}"] for c, _ in _RANGED) != rc.h_sum:
+        if sum(rc.g_sums[g] for g in G_RNG) != rc.h_sum:
             return None
 
         self.tau_m, self.tau_r, self.gamma = tau_m, tau_r, gamma

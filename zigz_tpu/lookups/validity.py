@@ -116,7 +116,42 @@ __all__ = [
 
 _M8 = np.uint64(0xFF)
 _M16 = np.uint64(0xFFFF)
-VALIDITY_DEGREE = 3  # deg(eq * C): all gadget constraints are degree <= 2
+# deg(eq * C): gadget constraints are degree <= 2; the merged-inclusion
+# logUp constraints (below) are degree 1 + INCLUSION_MERGE.
+INCLUSION_MERGE = 4
+VALIDITY_DEGREE = INCLUSION_MERGE + 2
+
+_MERGED_CACHE: dict = {}
+
+
+def merged_inclusions(gadget):
+    """Deterministic merge plan for a gadget's logUp inclusions (round 4):
+    same-subtable inclusions chunk into INCLUSION_MERGE-sized groups, each
+    committed as ONE advice column gq_{sub}_{i} carrying
+    sum_j 1/(tau - key_j), pinned per row by the degree-(k+1) constraint
+    gq * prod_j d_j == sum_j prod_{l != j} d_l (denominators are nonzero
+    by construction: tau has nonzero high coordinates, keys are base).
+    Per-subtable grand sums are unchanged in value.  Returns
+    [(g_name, sub, (spec, ...)), ...]."""
+    key = id(gadget.inclusions)
+    got = _MERGED_CACHE.get(key)
+    if got is not None:
+        return got
+    by_sub: Dict[str, list] = {}
+    order: List[str] = []
+    for _g, sub, spec in gadget.inclusions:
+        if sub not in by_sub:
+            by_sub[sub] = []
+            order.append(sub)
+        by_sub[sub].append(spec)
+    out = []
+    for sub in order:
+        specs = by_sub[sub]
+        for i in range(0, len(specs), INCLUSION_MERGE):
+            out.append((f"gq_{sub}_{len(out)}", sub,
+                        tuple(specs[i : i + INCLUSION_MERGE])))
+    _MERGED_CACHE[key] = out
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -1429,11 +1464,14 @@ def _make_query_combiner(gadget, tau: Ext4):
     logUp inclusion terms recombine the extension g coordinate columns."""
 
     def combiner(cols, alphas: List, p: int):
+        from ..constraints.regcheck import _fraction_sum_parts
+
         terms = list(gadget.constraint_arrays(cols, p))
-        for g_name, _sub, spec in gadget.inclusions:
-            denom = tau - _key_array(cols, spec, p)
+        for g_name, _sub, specs in merged_inclusions(gadget):
+            ds = [tau - _key_array(cols, spec, p) for spec in specs]
+            prod_all, num = _fraction_sum_parts(ds)
             g = g_eval_from_coords(cols, g_name)
-            terms.append(g * denom - 1)
+            terms.append(g * prod_all - num)
         acc = alphas[0] * terms[0]
         for alpha, term in zip(alphas[1:], terms[1:]):
             acc = acc + alpha * term
@@ -1466,7 +1504,7 @@ def _table_public_evals(names: List[str], p: int):
 def _num_constraints(gadget) -> int:
     return len(gadget.constraint_scalars(
         {c: 0 for c in gadget.columns}, 2013265921
-    )) + len(gadget.inclusions)
+    )) + len(merged_inclusions(gadget))
 
 
 def _qvars(n: int) -> int:
@@ -1597,10 +1635,14 @@ class ValidityArgument:
         out: Dict[str, np.ndarray] = {}
         for tid in self.table_ids:
             info = self.per_table[tid]
+            from ..constraints.regcheck import _fraction_sum_parts
+
             g_cols: Dict[str, Ext4] = {}
-            for g_name, _sub, spec in info["gadget"].inclusions:
-                keys = _key_array(info["cols"], spec, p)
-                g_cols[g_name] = (tau - keys).inv()
+            for g_name, _sub, specs in merged_inclusions(info["gadget"]):
+                ds = [tau - _key_array(info["cols"], spec, p)
+                      for spec in specs]
+                prod_all, num = _fraction_sum_parts(ds)
+                g_cols[g_name] = num * prod_all.inv()
             info["g_cols"] = g_cols
             info["g_coords"] = pack_g_coords(g_cols)
             info["g_sums"] = {name: col.sum() for name, col in g_cols.items()}
@@ -1629,7 +1671,7 @@ class ValidityArgument:
         use_sums = {name: ext_lift(0) for name in self.sub_names}
         for tid in self.table_ids:
             info = self.per_table[tid]
-            for g_name, sub, _spec in info["gadget"].inclusions:
+            for g_name, sub, _specs in merged_inclusions(info["gadget"]):
                 use_sums[sub] = use_sums[sub] + info["g_sums"][g_name]
         for name in self.sub_names:
             if use_sums[name] != h_sums[name] and not self._unsafe:
@@ -1812,7 +1854,7 @@ class ValidityVerify:
         shape: Dict[str, int] = {}
         for rec in lv.tables:
             gadget = GADGETS[rec.table_id]
-            g_names = sorted(g for g, _s, _k in gadget.inclusions)
+            g_names = sorted(g for g, _s, _k in merged_inclusions(gadget))
             if set(rec.g_sums) != set(g_names):
                 return None
             if not all(isinstance(v, Ext4) and v.is_scalar
@@ -1840,7 +1882,7 @@ class ValidityVerify:
 
         use_sums = {name: ext_lift(0) for name in self.sub_names}
         for rec in lv.tables:
-            for g_name, sub, _spec in GADGETS[rec.table_id].inclusions:
+            for g_name, sub, _specs in merged_inclusions(GADGETS[rec.table_id]):
                 use_sums[sub] = use_sums[sub] + rec.g_sums[g_name]
         if not all(use_sums[n] == ts.h_sums[n] for n in self.sub_names):
             return None
@@ -1855,7 +1897,7 @@ class ValidityVerify:
 
         for rec in lv.tables:
             gadget = GADGETS[rec.table_id]
-            g_names = sorted(g for g, _s, _k in gadget.inclusions)
+            g_names = sorted(g for g, _s, _k in merged_inclusions(gadget))
             gc_names = sorted(g_coord_names(g_names))
             col_names = sorted(gadget.columns)
             if set(rec.zc.column_evals) != set(col_names) | set(gc_names):

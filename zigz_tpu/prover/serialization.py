@@ -459,7 +459,7 @@ class BinarySerializer:
         w.u8(1 if bc is not None else 0)
         if bc is None:
             return
-        from ..constraints.bytecode import RANGED
+        from ..constraints.bytecode import GM_NAMES, GR_NAMES
 
         w.u64(bc.nonce)
         w.u32(bc.num_vars)
@@ -473,7 +473,7 @@ class BinarySerializer:
         self._write_ext(w, bc.gc1_sum)
         self._write_ext(w, bc.gc2_sum)
         self._write_ext(w, bc.gout_sum)
-        for name, _ in RANGED:
+        for name in GR_NAMES:
             self._write_ext(w, bc.gr_sums[name])
         self._write_ext(w, bc.hr_sum)
         for s in bc.gm_sums:
@@ -498,7 +498,8 @@ class BinarySerializer:
             _PCS_REFS,
             _REG_REFS,
             LINK_COLUMNS,
-            RANGED,
+            GM_NAMES,
+            GR_NAMES,
             BytecodeProof,
         )
         from ..constraints.regcheck import g_coord_names
@@ -508,8 +509,7 @@ class BinarySerializer:
         table_vars = r.u32()
         bc_g_names = (["g_bc", "g_c1", "g_c2", "g_out", "g_lk_s",
                        "g_b1", "g_b2"]
-                      + [f"g_m{k}" for k in range(8)]
-                      + [f"gr_{name}" for name, _ in RANGED])
+                      + list(GM_NAMES) + list(GR_NAMES))
         zc_names = (list(LINK_COLUMNS)
                     + g_coord_names(bc_g_names)
                     + [f"ref_{n}" for n in _REG_REFS]
@@ -526,9 +526,9 @@ class BinarySerializer:
         gc1_sum = self._read_ext(r)
         gc2_sum = self._read_ext(r)
         gout_sum = self._read_ext(r)
-        gr_sums = {name: self._read_ext(r) for name, _ in RANGED}
+        gr_sums = {name: self._read_ext(r) for name in GR_NAMES}
         hr_sum = self._read_ext(r)
-        gm_sums = [self._read_ext(r) for _ in range(8)]
+        gm_sums = [self._read_ext(r) for _ in GM_NAMES]
         gb1_sum = self._read_ext(r)
         gb2_sum = self._read_ext(r)
         wg_sum = self._read_ext(r)
@@ -683,6 +683,7 @@ class BinarySerializer:
             LookupValidityProof,
             SubtableSideRecord,
             TableValidityRecord,
+            merged_inclusions,
         )
 
         nonce = r.u64()
@@ -696,7 +697,7 @@ class BinarySerializer:
             num_vars = r.u32()
             from ..constraints.regcheck import g_coord_names
 
-            g_names = sorted(g for g, _s, _k in gadget.inclusions)
+            g_names = sorted(g for g, _s, _k in merged_inclusions(gadget))
             zc = self._read_zerocheck(
                 r, list(gadget.columns) + g_coord_names(g_names)
             )

@@ -11,6 +11,8 @@
 #include <thread>
 #include <vector>
 
+#include "bb_simd.h"
+
 static const uint64_t P = 2013265921ull;  // BabyBear
 
 // Shoup modular multiplication: for canonical b, w < P and
@@ -101,7 +103,21 @@ static void ntt_row_range32(const uint64_t* in, size_t n_in, uint32_t* out,
             for (size_t base = 0; base < n_out; base += len) {
                 uint64_t* lo = x + base;
                 uint64_t* hi = x + base + half;
-                for (size_t i = 0; i < half; ++i) {
+                size_t i = 0;
+#ifdef __AVX512F__
+                // Explicit vpmuludq Montgomery (bb_simd.h): the
+                // autovectorized mont_mul32 lowers to vpmullq (3 uops per
+                // multiply); the 32x32 unsigned form is one.
+                for (; i + 8 <= half; i += 8) {
+                    __m512i a = _mm512_loadu_si512((const void*)(lo + i));
+                    __m512i b = bb::mm_mont_mul(
+                        _mm512_loadu_si512((const void*)(hi + i)),
+                        _mm512_loadu_si512((const void*)(tw + i)));
+                    _mm512_storeu_si512((void*)(lo + i), bb::mm_addm(a, b));
+                    _mm512_storeu_si512((void*)(hi + i), bb::mm_subm(a, b));
+                }
+#endif
+                for (; i < half; ++i) {
                     uint64_t a = lo[i];
                     uint64_t b = mont_mul32(hi[i], tw[i]);
                     uint64_t s = a + b;
@@ -115,7 +131,16 @@ static void ntt_row_range32(const uint64_t* in, size_t n_in, uint32_t* out,
             tw += half;
         }
         uint32_t* dst = out + r * n_out;
-        for (size_t j = 0; j < n_out; ++j)
+        size_t j = 0;
+#ifdef __AVX512F__
+        const __m512i onev = _mm512_set1_epi64(1);
+        for (; j + 8 <= n_out; j += 8)
+            bb::mm_store_u32x8(dst + j,
+                               bb::mm_mont_mul(
+                                   _mm512_loadu_si512((const void*)(x + j)),
+                                   onev));
+#endif
+        for (; j < n_out; ++j)
             dst[j] = static_cast<uint32_t>(mont_mul32(x[j], 1));
     }
 }
