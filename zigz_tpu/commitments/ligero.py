@@ -518,7 +518,7 @@ def ligero_prove_claims(state: LigeroCommitState, claims: List[LigeroClaim],
         transcript.append_u64s(w.c)
         ws.append(w)
 
-    indices = [transcript.challenge_value(P) % state.n_e for _ in range(params.num_queries)]
+    indices = [transcript.challenge_index(state.n_e) for _ in range(params.num_queries)]
     if isinstance(state.encoded, np.ndarray):
         columns = state.encoded[:, indices].T.astype(np.uint64)  # (t, B*m)
     else:
@@ -575,7 +575,12 @@ def ligero_verify_claims(F, root: bytes, num_vars: int, names: List[str],
         combined = ext_lift(0)
         gpow = Ext4.from_ints([1, 0, 0, 0])
         for name in names:
-            combined = combined + gpow * claim.values[name]
+            val = claim.values.get(name)
+            if val is None:
+                # Untrusted claim missing a committed column: reject rather
+                # than raise (advisor finding, round 3).
+                return False
+            combined = combined + gpow * val
             gpow = gpow * gamma
         if (u * claim.b).sum() != combined:
             bindings_ok = False
@@ -586,7 +591,7 @@ def ligero_verify_claims(F, root: bytes, num_vars: int, names: List[str],
         transcript.append_u64s(w.c)
         rhos.append(rho)
 
-    indices = [transcript.challenge_value(P) % n_e for _ in range(params.num_queries)]
+    indices = [transcript.challenge_index(n_e) for _ in range(params.num_queries)]
 
     cols = proof.columns.astype(np.uint64) % p
     idx_arr = np.asarray(indices)
@@ -918,7 +923,7 @@ def ligero_prove_mixed(state: LigeroCommitState, claims: List[LigeroMixedClaim],
         transcript.append_u64s(w.c)
         ws.append(w)
 
-    indices = [transcript.challenge_value(P) % state.n_e
+    indices = [transcript.challenge_index(state.n_e)
                for _ in range(params.num_queries)]
     if isinstance(state.encoded, np.ndarray):
         columns = state.encoded[:, indices].T.astype(np.uint64)  # (t, total_rows)
@@ -994,7 +999,7 @@ def ligero_verify_mixed(F, root: bytes, col_vars: Dict[str, int],
         transcript.append_u64s(w.c)
         rhos.append(rho)
 
-    indices = [transcript.challenge_value(P) % n_e
+    indices = [transcript.challenge_index(n_e)
                for _ in range(params.num_queries)]
 
     cols = proof.columns.astype(np.uint64) % p

@@ -137,6 +137,18 @@ class FiatShamirTranscript:
         self._hasher.update(digest)
         return value
 
+    def challenge_index(self, n: int) -> int:
+        """Uniform draw from [0, n) for POWER-OF-TWO n: the low log2(n)
+        bits of a uniform u64 are exactly uniform (n divides 2^64).  Used
+        for Ligero query-column sampling, where the previous
+        (u64 % p) % n derivation carried a ~n/p modulo bias (advisor
+        finding, round 3)."""
+        assert n > 0 and n & (n - 1) == 0, "challenge_index needs a power of two"
+        digest = self._hasher.copy().digest()
+        value = int.from_bytes(digest[:8], "little") & (n - 1)
+        self._hasher.update(digest)
+        return value
+
     def finalize(self) -> Digest:
         return self._hasher.digest()
 

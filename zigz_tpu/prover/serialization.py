@@ -256,7 +256,14 @@ class BinarySerializer:
     def _read_ext(self, r: _Reader):
         from ..core.ext4 import Ext4
 
-        return Ext4.from_ints([r.u64() for _ in range(4)])
+        limbs = [r.u64() for _ in range(4)]
+        # Canonical encoding only: limbs must already be reduced.  Accepting
+        # >= p values would let many distinct byte strings decode to the same
+        # proof (malleability) — the reference serializer is strict-canonical
+        # throughout (serialization.zig:100-131).
+        if any(limb >= self.F.MODULUS for limb in limbs):
+            raise SerializationError("InvalidData")
+        return Ext4.from_ints(limbs)
 
     def _write_v2_section(self, w: _Writer, v2, version: int = 2) -> None:
         self._write_zerocheck(w, v2.zerocheck)
@@ -732,8 +739,12 @@ class BinarySerializer:
         if n > (1 << 28):
             raise SerializationError("InvalidData")
 
+        P = 2013265921  # BabyBear; Ligero payloads are BabyBear-only
+
         def read_row():
             raw = np.frombuffer(r.bytes_(16 * n), dtype="<u4").astype(np.uint64)
+            if raw.size and int(raw.max()) >= P:
+                raise SerializationError("InvalidData")
             return Ext4(raw.reshape(4, n))
 
         us = [read_row() for _ in range(r.u32())]
@@ -741,6 +752,9 @@ class BinarySerializer:
         t = r.u32()
         rows = r.u32()
         columns = np.frombuffer(r.bytes_(4 * t * rows), dtype="<u4").astype(np.uint64).reshape(t, rows)
+        # Canonical encoding only (same malleability argument as _read_ext).
+        if columns.size and int(columns.max()) >= P:
+            raise SerializationError("InvalidData")
         paths = []
         for _ in range(t):
             path_len = r.u32()
