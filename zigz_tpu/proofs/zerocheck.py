@@ -451,12 +451,16 @@ class ZerocheckExtProver:
     COMBINE_CHUNK = 1 << 16
 
     def __init__(self, F, columns: Dict[str, np.ndarray], combiner: Callable,
-                 degree: int, num_alphas: int = None):
+                 degree: int, num_alphas: int = None, dev_columns=None):
         self.F = F
         self.columns = columns
         self.combiner = combiner
         self.degree = degree
         self.num_alphas = num_alphas if num_alphas is not None else len(columns)
+        # Optional device-resident twins of (some) base columns: canonical
+        # uint32 jax arrays, e.g. gathered from a Ligero commit's matrix.
+        # Only consulted when the device backend engages.
+        self.dev_columns = dev_columns
 
     def _combined_sum(self, at: Dict[str, object], alphas, p: int) -> Ext4:
         n = _width(at["__eq__"])
@@ -478,12 +482,38 @@ class ZerocheckExtProver:
         n = _width(any_col)
         num_vars = n.bit_length() - 1
 
-        # Native C++ twin (ops/zerocheck_native_ext.py): identical bytes,
-        # ~10-20x faster on the Ext4 algebra.  Tracing happens before the
-        # transcript is touched, so fallback is clean.
+        # Backend dispatch, fastest first.  All backends emit byte-identical
+        # transcripts and proofs; tracing happens before the transcript is
+        # touched, so fallback is clean.
         import os
 
         pref = os.environ.get("ZIGZ_TPU_ZEROCHECK", "auto")
+
+        # 1. Device (ops/zerocheck_dev_ext.py): wide tables on a TPU backend
+        #    (or forced); wins big when the columns are already device-
+        #    resident (dev_columns) and the width amortizes dispatch latency.
+        if pref in ("auto", "device") and n >= 2:
+            from ..ops.zerocheck_dev_ext import (
+                GenericDeviceZerocheckExt,
+                ext_device_ok,
+            )
+
+            if ext_device_ok(n):
+                try:
+                    dev = GenericDeviceZerocheckExt(
+                        F, self.columns, self.combiner, self.degree,
+                        num_alphas=self.num_alphas,
+                        dev_columns=self.dev_columns,
+                    )
+                except Exception:
+                    if pref == "device":
+                        raise
+                    dev = None
+                if dev is not None:
+                    return dev.prove(transcript)
+
+        # 2. Native C++ twin (ops/zerocheck_native_ext.py): ~10-20x faster
+        #    than numpy on the Ext4 algebra.
         if pref in ("auto", "native", "device") and n >= 2:
             from ..ops.zerocheck_native import native_available
 
