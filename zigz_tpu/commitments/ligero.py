@@ -248,6 +248,25 @@ class LigeroParams:
 
 
 @dataclass
+class DeviceColumnRef:
+    """A committed column as a static slice of a device-resident matrix:
+    ``mat[off : off + rows].reshape(-1)[:length]`` (canonical u32).  The
+    slice parameters are static so consumers can bake them into a jit and
+    pass only ``mat`` as the traced argument."""
+
+    mat: object  # jax array (total_rows, n)
+    off: int
+    rows: int
+    length: int
+
+    def resolve(self):
+        """Materialize the flat column (dispatches device ops — prefer
+        slicing inside a consumer jit via the static fields)."""
+        flat = self.mat[self.off : self.off + self.rows].reshape(-1)
+        return flat[: self.length]
+
+
+@dataclass
 class LigeroCommitState:
     root: bytes
     names: List[str]
@@ -267,6 +286,23 @@ class LigeroCommitState:
     col_vars: Dict[str, int] = None
     offsets: Dict[str, int] = None  # first matrix row of each column
     heights: Dict[str, int] = None  # m_k rows per column
+
+    def device_column(self, name: str):
+        """:class:`DeviceColumnRef` onto the resident device matrix for a
+        committed column when this commitment was built on device (streamed
+        encode), else None.  Lets downstream device consumers (zerocheck,
+        batch-eval) reuse the resident matrix instead of re-uploading; the
+        actual slicing happens inside the consumer's jit (static offsets)
+        so no per-column dispatch is paid."""
+        mat_dev = getattr(self.encoded, "mat_dev", None)
+        if mat_dev is None or self.offsets is None or name not in self.offsets:
+            return None
+        return DeviceColumnRef(
+            mat=mat_dev,
+            off=self.offsets[name],
+            rows=self.heights[name],
+            length=1 << self.col_vars[name],
+        )
 
 
 @dataclass
@@ -595,13 +631,16 @@ def ligero_verify_claims(F, root: bytes, num_vars: int, names: List[str],
 
     cols = proof.columns.astype(np.uint64) % p
     idx_arr = np.asarray(indices)
-    for a_hat, u in zip(a_hats + rhos, proof.us + proof.ws):
-        # Enc(u) per coordinate; each opened column must satisfy
-        # Enc(u)[j] == a_hat . col_j in the extension.
-        u_enc = Ext4(np.stack([
-            ntt_pow2_u32(u.c[e].reshape(1, -1), n_e)[0].astype(np.uint64)
-            for e in range(4)
-        ]))
+    # Re-encode ALL query/proximity rows in one batched NTT call (4
+    # coordinate rows per extension row): one threaded C++ sweep instead
+    # of 4*(claims+num_rho) small ones — the dominant verify cost.
+    all_rows = proof.us + proof.ws
+    enc_all = ntt_pow2_u32(
+        np.concatenate([u.c for u in all_rows], axis=0), n_e
+    ).astype(np.uint64)
+    for k, (a_hat, u) in enumerate(zip(a_hats + rhos, all_rows)):
+        # Each opened column must satisfy Enc(u)[j] == a_hat . col_j.
+        u_enc = Ext4(enc_all[4 * k : 4 * k + 4])
         col_dot = Ext4(np.stack([
             (a_hat.c[e][None, :] * cols % p).sum(axis=1, dtype=np.uint64) % p
             for e in range(4)
@@ -1004,11 +1043,14 @@ def ligero_verify_mixed(F, root: bytes, col_vars: Dict[str, int],
 
     cols = proof.columns.astype(np.uint64) % p
     idx_arr = np.asarray(indices)
-    for a_hat, u in zip(a_hats + rhos, proof.us + proof.ws):
-        u_enc = Ext4(np.stack([
-            ntt_pow2_u32(u.c[e].reshape(1, -1), n_e)[0].astype(np.uint64)
-            for e in range(4)
-        ]))
+    # One batched NTT over every query/proximity coordinate row (see
+    # ligero_verify_claims).
+    all_rows = proof.us + proof.ws
+    enc_all = ntt_pow2_u32(
+        np.concatenate([u.c for u in all_rows], axis=0), n_e
+    ).astype(np.uint64)
+    for k, (a_hat, u) in enumerate(zip(a_hats + rhos, all_rows)):
+        u_enc = Ext4(enc_all[4 * k : 4 * k + 4])
         col_dot = Ext4(np.stack([
             (a_hat.c[e][None, :] * cols % p).sum(axis=1, dtype=np.uint64) % p
             for e in range(4)

@@ -109,6 +109,7 @@ from ..proofs.zerocheck import (
     ZerocheckExtVerifier,
     ZerocheckProof,
     absorb_ext,
+    unified_dev_columns,
 )
 from .regcheck import g_coord_names, g_eval_from_coords, pack_g_coords, sum_claim_values
 
@@ -1427,7 +1428,8 @@ def _bc_zerocheck_phase(self: BytecodeArgument, transcript, sink) -> None:
         tau_l, delta, tau_r, tau_w, eps, final_pc,
     )
     zc = ZerocheckExtProver(
-        F, zc_cols, combiner, BYTECODE_DEGREE, num_alphas=NUM_BC_CONSTRAINTS
+        F, zc_cols, combiner, BYTECODE_DEGREE, num_alphas=NUM_BC_CONSTRAINTS,
+        dev_columns=unified_dev_columns(self, zc_cols),
     ).prove(transcript)
 
     # Program-domain zerocheck (public Ext4 key MLE).
@@ -1436,6 +1438,12 @@ def _bc_zerocheck_phase(self: BytecodeArgument, transcript, sink) -> None:
     t_cols.update(pack_g_coords({"h": h_col}))
     zc_t = ZerocheckExtProver(
         F, t_cols, t_combiner, BYTECODE_DEGREE, num_alphas=1,
+        dev_columns=unified_dev_columns(
+            self, t_cols,
+            rename=lambda n: ("m_prog" if n == "m"
+                              else n.replace("h", "h_prog", 1)
+                              if n.startswith("h#") else n),
+        ),
     ).prove(transcript)
 
     # RANGE16-domain zerocheck (public key = index).
@@ -1445,6 +1453,12 @@ def _bc_zerocheck_phase(self: BytecodeArgument, transcript, sink) -> None:
     r_cols.update(pack_g_coords({"h": h_r}))
     zc_r = ZerocheckExtProver(
         F, r_cols, r_combiner, BYTECODE_DEGREE, num_alphas=1,
+        dev_columns=unified_dev_columns(
+            self, r_cols,
+            rename=lambda n: ("m_r16" if n == "m"
+                              else n.replace("h", "h_r16", 1)
+                              if n.startswith("h#") else n),
+        ),
     ).prove(transcript)
 
     # Claims at the step-zerocheck point: own lk/g columns via this
@@ -1470,8 +1484,10 @@ def _bc_zerocheck_phase(self: BytecodeArgument, transcript, sink) -> None:
     wl_cols.update(pack_g_coords({"g_lnk": self.g_lnk}))
     for name in ("ba0", "ba1", "ba2", "ba3", "bk", "vw", "st"):
         wl_cols[f"ref_{name}"] = self.mcc[name]
-    zc_mem = ZerocheckExtProver(F, wl_cols, wl_combiner, MEMLINK_DEGREE,
-                                num_alphas=1).prove(transcript)
+    zc_mem = ZerocheckExtProver(
+        F, wl_cols, wl_combiner, MEMLINK_DEGREE, num_alphas=1,
+        dev_columns=unified_dev_columns(self, wl_cols),
+    ).prove(transcript)
     register_bc_memlink_claims(self, sink, zc_mem)
 
     self.proof = BytecodeProof(

@@ -35,6 +35,7 @@ from ..proofs.zerocheck import (
     ZerocheckProof,
     _eq_table_ext,
     absorb_ext,
+    unified_dev_columns,
 )
 from . import v2 as v2mod
 from .v2 import (
@@ -142,6 +143,7 @@ class CoreV2Argument:
         zc = ZerocheckExtProver(
             F, columns, make_v2_combiner(self.tau_lu, self.beta_lu),
             V2_DEGREE, num_alphas=NUM_V2_ALPHAS,
+            dev_columns=unified_dev_columns(self, columns),
         ).prove(transcript)
         self.zc = zc
 

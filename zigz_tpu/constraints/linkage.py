@@ -46,6 +46,7 @@ from ..proofs.zerocheck import (
     ZerocheckExtProver,
     ZerocheckExtVerifier,
     ZerocheckProof,
+    unified_dev_columns,
 )
 from .regcheck import g_coord_names, g_eval_from_coords, pack_g_coords, sum_claim_values
 
@@ -301,8 +302,12 @@ def prove_query_links(F, transcript, sink, validity_info: List[dict],
         zc_cols.update(pack_g_coords({"g_lk": info["g_lk"]}))
         zc_cols["__sel__"] = info["sel"]
         combiner = _make_link_combiner(gadget, tid, tau_l, dl, p)
-        zc = ZerocheckExtProver(F, zc_cols, combiner, LINKAGE_DEGREE,
-                                num_alphas=1).prove(transcript)
+        zc = ZerocheckExtProver(
+            F, zc_cols, combiner, LINKAGE_DEGREE, num_alphas=1,
+            dev_columns=unified_dev_columns(
+                info["arg"], zc_cols, rename=lambda n, t=tid: f"t{t}:{n}"
+            ),
+        ).prove(transcript)
         records.append(QueryLinkRecord(
             table_id=tid, num_queries=info["nq"], num_vars=info["v"],
             zc=zc, g_sum=info["g_lk_sum"],

@@ -61,6 +61,7 @@ from ..proofs.zerocheck import (
     ZerocheckExtVerifier,
     ZerocheckProof,
     absorb_ext,
+    unified_dev_columns,
 )
 from .regcheck import g_coord_names, g_eval_from_coords, pack_g_coords, sum_claim_values
 
@@ -510,6 +511,7 @@ class MemcheckArgument:
         zc = ZerocheckExtProver(
             F, all_cols, _make_combiner(self.tau_m, self.tau_r, self.gamma, p),
             MEMCHECK_DEGREE, num_alphas=NUM_CONSTRAINTS,
+            dev_columns=unified_dev_columns(self, all_cols),
         ).prove(transcript)
 
         table_cols = {"m": self.m_col, "__key__": idx_table(16, p)}
@@ -517,6 +519,7 @@ class MemcheckArgument:
         zc_t = ZerocheckExtProver(
             F, table_cols, _make_table_combiner(self.tau_r), MEMCHECK_DEGREE,
             num_alphas=1,
+            dev_columns=unified_dev_columns(self, table_cols),
         ).prove(transcript)
 
         self.proof = MemCheckProof(

@@ -77,6 +77,7 @@ from ..proofs.zerocheck import (
     ZerocheckExtVerifier,
     ZerocheckProof,
     absorb_ext,
+    unified_dev_columns,
 )
 
 __all__ = [
@@ -538,6 +539,7 @@ class RegcheckArgument:
         zc = ZerocheckExtProver(
             F, all_cols, _make_combiner(self.tau_m, self.tau_r, self.gamma, p),
             REGCHECK_DEGREE, num_alphas=NUM_CONSTRAINTS,
+            dev_columns=unified_dev_columns(self, all_cols),
         ).prove(transcript)
 
         table_cols = {"m": self.m_col, "__key__": idx_table(16, p)}
@@ -545,6 +547,7 @@ class RegcheckArgument:
         zc_t = ZerocheckExtProver(
             F, table_cols, _make_table_combiner(self.tau_r), REGCHECK_DEGREE,
             num_alphas=1,
+            dev_columns=unified_dev_columns(self, table_cols),
         ).prove(transcript)
 
         self.proof = RegCheckProof(

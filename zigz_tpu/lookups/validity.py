@@ -102,6 +102,7 @@ from ..proofs.zerocheck import (
     ZerocheckExtVerifier,
     ZerocheckProof,
     absorb_ext,
+    unified_dev_columns,
 )
 
 __all__ = [
@@ -1694,6 +1695,9 @@ class ValidityArgument:
             zc = ZerocheckExtProver(
                 F, all_cols, _make_query_combiner(gadget, self.tau),
                 VALIDITY_DEGREE, num_alphas=_num_constraints(gadget),
+                dev_columns=unified_dev_columns(
+                    self, all_cols, rename=lambda n, t=tid: f"t{t}:{n}"
+                ),
             ).prove(transcript)
             records.append(TableValidityRecord(
                 table_id=tid, num_queries=info["nq"], num_vars=info["v"],
@@ -1716,6 +1720,7 @@ class ValidityArgument:
         zc_t = ZerocheckExtProver(
             F, table_cols, _make_table_combiner(self.sub_names, self.tau),
             VALIDITY_DEGREE, num_alphas=len(self.sub_names),
+            dev_columns=unified_dev_columns(self, table_cols),
         ).prove(transcript)
         for name in sorted(zc_t.column_evals):
             ck, fn, v = self.locmap[name]

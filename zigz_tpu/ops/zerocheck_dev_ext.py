@@ -39,8 +39,14 @@ __all__ = ["GenericDeviceZerocheckExt", "MIN_DEVICE_EXT_WIDTH", "ext_device_ok"]
 
 P = 2013265921
 
-# Below this starting width the native C++ prover wins (dispatch latency).
-MIN_DEVICE_EXT_WIDTH = 1 << 18
+# Below this starting width the native C++ prover wins.  Measured on the
+# tunneled single-chip setup: per-zerocheck device overhead is ~1.2 s
+# (8-10 sequential round dispatches at ~35 ms latency each + assembly),
+# while the threaded AVX-512 host prover sweeps a 2^20-width real v2
+# combiner in ~1 s — so the device only pays at 2^22+ widths there.  On a
+# co-located chip (micro-second dispatch) lower this via
+# ZIGZ_TPU_ZEROCHECK=device; the multichip mesh path always uses it.
+MIN_DEVICE_EXT_WIDTH = 1 << 22
 
 # Remaining-width threshold to finish rounds on host numpy.
 HOST_TAIL_EXT = 1 << 12
@@ -59,40 +65,6 @@ def ext_device_ok(n: int) -> bool:
         return jax.default_backend() == "tpu"
     except Exception:
         return False
-
-
-_TO_MONT_FLAT = None
-_EQ_FNS: Dict[int, object] = {}
-
-
-def _to_mont_flat(col):
-    """Canonical u32 device array (any shape) -> flat mont plane, jitted
-    once per shape (module-level cache survives across proofs)."""
-    global _TO_MONT_FLAT
-    if _TO_MONT_FLAT is None:
-        import jax
-
-        from .babybear import to_mont
-
-        _TO_MONT_FLAT = jax.jit(lambda c: to_mont(c.reshape(-1)))
-    return _TO_MONT_FLAT(col)
-
-
-def _eq_fn(n: int):
-    """Cached jit building the (4, n) mont eq table from (v, 4) mont taus."""
-    fn = _EQ_FNS.get(n)
-    if fn is None:
-        import jax
-
-        from .ext4_dev import ext_eq_table_dev
-
-        def run(taus_m):
-            taus_dev = [taus_m[j] for j in range(taus_m.shape[0])]
-            return ext_eq_table_dev(taus_dev, n)
-
-        fn = jax.jit(run)
-        _EQ_FNS[n] = fn
-    return fn
 
 
 def _r_mont(r) -> np.ndarray:
@@ -225,6 +197,44 @@ class GenericDeviceZerocheckExt:
             row_of2[f"__eq__#{e}"] = 4 * len(names) + e
         return row_of1, row_of2
 
+    _ASSEMBLE_FNS: Dict[tuple, object] = {}
+
+    def _assemble_fn(self, key):
+        """One-dispatch plane-stack assembly (see prove)."""
+        fn = self._ASSEMBLE_FNS.get(key)
+        if fn is None:
+            import jax
+            import jax.numpy as jnp
+
+            from .babybear import to_mont
+            from .ext4_dev import ext_eq_table_dev
+
+            n, kinds, _dev_shapes, E = key
+
+            def run(dev_list, host_mat, ext_mat, taus_m):
+                host_m = to_mont(host_mat)
+                rows = []
+                for kind in kinds:
+                    if kind[0] == "dev":
+                        rows.append(to_mont(dev_list[kind[1]].reshape(-1)))
+                    elif kind[0] == "ref":
+                        _tag, mi, off, rcnt, length = kind
+                        flat = dev_list[mi][off : off + rcnt].reshape(-1)
+                        rows.append(to_mont(flat[:length]))
+                    else:
+                        rows.append(host_m[kind[1]])
+                if E:
+                    rows.append(to_mont(ext_mat).reshape(4 * E, n))
+                taus_dev = [taus_m[j] for j in range(taus_m.shape[0])]
+                eq4 = ext_eq_table_dev(taus_dev, n)
+                parts = [r.reshape(1, n) if r.ndim == 1 else r for r in rows]
+                parts.append(eq4)
+                return jnp.concatenate(parts, axis=0)
+
+            fn = jax.jit(run)
+            self._ASSEMBLE_FNS[key] = fn
+        return fn
+
     def _round1_fn(self, key, dag1):
         fn = self._ROUND1_FNS.get(key)
         if fn is None:
@@ -337,29 +347,51 @@ class GenericDeviceZerocheckExt:
 
         B, E = len(self.base_names), len(self.ext_names)
 
-        # Assemble the round-1 plane stack in MONT form.  Columns passed in
-        # dev_columns stay on device (canonical u32 -> to_mont on device).
-        plane_list = []
+        # Assemble the round-1 plane stack in MONT form with ONE device
+        # dispatch: device-resident columns (canonical u32, any shape) ride
+        # as jit args, host columns upload as one stacked canonical-u32
+        # matrix (canonical compresses far better through a tunneled link
+        # than Montgomery values would), the eq table builds on device from
+        # the mont taus, and everything converts to mont inside the jit.
+        dev_list = []
+        host_rows = []
+        kinds = []  # per base name:
+        #   ("dev", idx)                       plain device array
+        #   ("ref", idx, off, rows, length)    static slice of dev_list[idx]
+        #   ("host", idx)                      row of the uploaded host_mat
+        mat_ids: Dict[int, int] = {}  # id(parent matrix) -> dev_list index
         for name in self.base_names:
             dev = self.dev_columns.get(name)
-            if dev is not None:
-                plane_list.append(_to_mont_flat(dev))
+            if dev is not None and hasattr(dev, "resolve"):  # DeviceColumnRef
+                if dev.length == n:
+                    mi = mat_ids.get(id(dev.mat))
+                    if mi is None:
+                        mi = len(dev_list)
+                        dev_list.append(dev.mat)
+                        mat_ids[id(dev.mat)] = mi
+                    kinds.append(("ref", mi, dev.off, dev.rows, dev.length))
+                    continue
+                dev = None  # length mismatch: fall through to host upload
+            if dev is not None and int(np.prod(dev.shape)) == n:
+                kinds.append(("dev", len(dev_list)))
+                dev_list.append(dev)
             else:
                 arr = np.asarray(self.columns[name], dtype=np.uint64)
                 if int(arr.max(initial=0)) >= p:
                     arr = arr % np.uint64(p)
-                plane_list.append(jnp.asarray(np_to_mont(arr)))
-        for name in self.ext_names:
-            col = self.columns[name]
-            for e in range(4):
-                plane_list.append(jnp.asarray(np_to_mont(col.c[e])))
+                kinds.append(("host", len(host_rows)))
+                host_rows.append(arr.astype(np.uint32))
+        host_mat = (np.stack(host_rows) if host_rows
+                    else np.zeros((0, n), dtype=np.uint32))
+        ext_mat = (np.stack([
+            np.asarray(self.columns[name].c, dtype=np.uint64).astype(np.uint32)
+            for name in self.ext_names
+        ]).reshape(4 * E, n) if E else np.zeros((0, n), dtype=np.uint32))
         taus_m = np.stack([
             np_to_mont(np.asarray(t.to_ints(), dtype=np.uint64)) for t in taus
         ])
-        eq4 = _eq_fn(n)(taus_m)
-        planes = jnp.concatenate(
-            [jnp.stack(plane_list), eq4], axis=0
-        ) if plane_list else eq4
+        asm_key = (n, tuple(kinds), tuple(np.shape(d) for d in dev_list), E)
+        planes = self._assemble_fn(asm_key)(dev_list, host_mat, ext_mat, taus_m)
 
         round_evals: List[List[Ext4]] = []
         rs: List[Ext4] = []

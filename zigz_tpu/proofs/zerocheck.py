@@ -490,15 +490,17 @@ class ZerocheckExtProver:
         pref = os.environ.get("ZIGZ_TPU_ZEROCHECK", "auto")
 
         # 1. Device (ops/zerocheck_dev_ext.py): wide tables on a TPU backend
-        #    (or forced); wins big when the columns are already device-
-        #    resident (dev_columns) and the width amortizes dispatch latency.
+        #    (or forced); in auto mode it engages only when the caller
+        #    provided device-resident columns (dev_columns) — otherwise the
+        #    per-proof re-upload of every plane costs more than the native
+        #    C++ sweep saves (the tunnel uploads at ~35 MB/s).
         if pref in ("auto", "device") and n >= 2:
             from ..ops.zerocheck_dev_ext import (
                 GenericDeviceZerocheckExt,
                 ext_device_ok,
             )
 
-            if ext_device_ok(n):
+            if ext_device_ok(n) and (pref == "device" or self.dev_columns):
                 try:
                     dev = GenericDeviceZerocheckExt(
                         F, self.columns, self.combiner, self.degree,
@@ -585,6 +587,36 @@ class ZerocheckExtProver:
             final_point=rs,
             column_evals=column_evals,
         )
+
+
+def unified_dev_columns(arg, names, rename=None, locmap=None):
+    """Device-resident column refs for an argument's zerocheck inputs.
+
+    ``prove_unified`` stores the data/advice LigeroCommitState pair on each
+    argument as ``_unified_states``; this maps the argument's LOCAL column
+    names through its locmap to :class:`DeviceColumnRef` views of the
+    resident commit matrices (None when the commits were host-built, e.g.
+    off-TPU test runs — the zerocheck then uses the native/host backends).
+    ``rename`` translates a zerocheck-local name to the locmap key (some
+    zerochecks address committed columns under shorter local names);
+    unresolvable names are simply uploaded by the device prover."""
+    states = getattr(arg, "_unified_states", None)
+    if not states:
+        return None
+    lm = locmap if locmap is not None else arg.locmap
+    out = {}
+    for name in names:
+        ent = lm.get(rename(name) if rename else name)
+        if ent is None:
+            continue
+        ck, fn, _v = ent
+        st = states.get(ck)
+        if st is None:
+            continue
+        ref = st.device_column(fn)
+        if ref is not None:
+            out[name] = ref
+    return out or None
 
 
 class ZerocheckExtVerifier:

@@ -136,6 +136,13 @@ def prove_unified(F, transcript, args: List, hash_mode: str = "sha3",
 
     sink = ClaimSink()
     t0 = time.perf_counter()
+    # Device-resident commit matrices, if the commits ran on device: each
+    # argument's zerocheck can then read its columns straight off the
+    # device instead of re-uploading them (proofs/zerocheck.py
+    # unified_dev_columns -> ops/zerocheck_dev_ext).
+    states = {"data": data_state, "advice": advice_state}
+    for a in args:
+        a._unified_states = states
     for a in args:
         a.zerocheck_phase(transcript, sink)
     if timings is not None:
