@@ -1,0 +1,167 @@
+"""Device-built advice columns == host-built (ops/advice_dev).
+
+The device twins exist purely so the advice Ligero commit can consume
+resident arrays instead of uploading ~16 B of extension-inverse data per
+step; they must be bit-equal to the host builders.  Forced on via
+ZIGZ_TPU_ADVICE=device + ZIGZ_TPU_COMMITMENTS=device so the full path
+runs on the CPU backend.
+"""
+
+import hashlib
+import os
+
+import numpy as np
+import pytest
+
+from zigz_tpu.core.field import BabyBear
+from zigz_tpu.prover.prover import Prover
+from zigz_tpu.prover.serialization import BinarySerializer
+from zigz_tpu.verifier.verifier import Verifier
+
+P = 2013265921
+
+
+def _patch_cpu_hasher():
+    """The Pallas streamed column hasher needs a real TPU; substitute the
+    bit-equal host encode+hash so the device commit path (matrix assembly
+    on 'device', streamed-state openings) runs end-to-end on the CPU test
+    backend."""
+    from zigz_tpu.commitments.ligero import _hash_columns, ntt_pow2_u32
+    from zigz_tpu.ops import ligero_dev
+
+    def host_equiv(mat_dev, n_e):
+        mat = np.asarray(mat_dev).astype(np.uint64)
+        return _hash_columns(ntt_pow2_u32(mat, n_e), "sha3")
+
+    orig = ligero_dev.sha3_columns_stream_device
+    ligero_dev.sha3_columns_stream_device = host_equiv
+    return lambda: setattr(ligero_dev, "sha3_columns_stream_device", orig)
+
+
+def _prove_bytes(n_steps, env):
+    old = {k: os.environ.get(k) for k in env}
+    os.environ.update(env)
+    try:
+        program = bytes([0x13, 0, 0, 0] * n_steps)
+        prover = Prover(BabyBear, seed=0, protocol_version=2)
+        proof = prover.prove(program, 0x1000, None, n_steps * 2, None, None)
+        data = BinarySerializer(BabyBear).serialize(proof)
+        assert Verifier(BabyBear).verify(
+            BinarySerializer(BabyBear).deserialize(data),
+            program,
+        ) == "Accept"
+        return data
+    finally:
+        for k, v in old.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+
+
+def test_device_advice_prove_bytes_identical():
+    """v2 proof bytes with device-built advice == all-host proof bytes.
+
+    The advice root binds every advice column, so byte-equal proofs imply
+    bit-equal device columns."""
+    host = _prove_bytes(1 << 8, {"ZIGZ_TPU_ADVICE": "host",
+                                 "ZIGZ_TPU_COMMITMENTS": "host"})
+    restore = _patch_cpu_hasher()
+    try:
+        dev = _prove_bytes(1 << 8, {"ZIGZ_TPU_ADVICE": "device",
+                                    "ZIGZ_TPU_COMMITMENTS": "device"})
+    finally:
+        restore()
+    assert hashlib.sha256(host).digest() == hashlib.sha256(dev).digest()
+
+
+def test_core_logup_builder_matches_host():
+    from zigz_tpu.commitments.ligero import DeviceColumnRef
+    from zigz_tpu.constraints.v2 import build_logup_columns
+    from zigz_tpu.core.ext4 import ext_from_ints
+    from zigz_tpu.ops.advice_dev import core_logup_advice_dev
+
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(5)
+    v = 7
+    n = 1 << v
+    num_steps = n - 3
+    pc = rng.integers(0, P, size=n, dtype=np.uint64)
+    # Consistent chain (pc_{i+1} == next_pc_i) so the host builder's
+    # sum self-check passes; values stay otherwise random.
+    next_pc = np.roll(pc, -1)
+    tau = ext_from_ints([int(x) for x in rng.integers(1, P, size=4)])
+    beta = ext_from_ints([int(x) for x in rng.integers(1, P, size=4)])
+    host = build_logup_columns(pc, next_pc, num_steps, v, tau, beta, P)
+    assert host is not None
+    g1, g2, _s = host
+
+    mat = jnp.asarray(np.stack([pc, next_pc]).astype(np.uint32))
+    pc_ref = DeviceColumnRef(mat=mat, off=0, rows=1, length=n)
+    npc_ref = DeviceColumnRef(mat=mat, off=1, rows=1, length=n)
+    dev = core_logup_advice_dev(pc_ref, npc_ref, num_steps, v, tau, beta)
+    for i, g in ((1, g1), (2, g2)):
+        for e in range(4):
+            got = np.asarray(dev[f"g{i}#{e}"], dtype=np.uint64)
+            assert np.array_equal(got, g.c[e]), f"g{i}#{e}"
+
+
+def test_regcheck_builder_matches_host():
+    """Drive the real RegcheckArgument phases on a tiny trace, then check
+    the device twin reproduces every committed advice coordinate plane."""
+    import jax.numpy as jnp
+
+    from zigz_tpu.commitments.ligero import DeviceColumnRef
+    from zigz_tpu.core.hash import FiatShamirTranscript
+    from zigz_tpu.constraints.regcheck import RegcheckArgument, extract_access_columns
+    from zigz_tpu.lookups.pipeline_lasso import (
+        instruction_registers,
+        operand_values,
+        system_read_override,
+        write_access_values,
+    )
+    from zigz_tpu.vm.state import VMState
+    from zigz_tpu.ops import advice_dev as ad
+
+    program = bytes([0x13, 0, 0, 0] * 12)  # NOPs
+    vm = VMState.init(program, 0x1000, None)
+    vm.run(64)
+    trace = vm.trace
+    rs1, rs2, rd = instruction_registers(trace)
+    rv1, rv2, _a, _b = operand_values(trace, rs1, rs2, rd)
+    wr, ov, wv = write_access_values(trace)
+    rs1, rs2, rv1, rv2 = system_read_override(trace, rs1, rs2, rv1, rv2)
+    access = extract_access_columns(rs1, rs2, wr, rv1, rv2, ov, wv)
+    num_vars = max(1, (len(trace.steps) - 1).bit_length())
+    arg = RegcheckArgument(BabyBear, access, num_vars, None,
+                           [0] * 32)
+    t = FiatShamirTranscript()
+    data_cols = arg.data_phase(t)
+    arg.advice_phase(t)
+
+    # Fake a "resident data matrix": one row per column, width padded.
+    n = 1 << num_vars
+    names = sorted(data_cols)
+    rows = []
+    refs = {}
+    for i, name in enumerate(names):
+        arr = np.asarray(data_cols[name], dtype=np.uint64)
+        row = np.zeros(1 << 16, dtype=np.uint32)
+        row[: len(arr)] = arr.astype(np.uint32)
+        rows.append(row)
+    mat = jnp.asarray(np.stack(rows))
+    for i, name in enumerate(names):
+        refs[name] = DeviceColumnRef(mat=mat, off=i, rows=1,
+                                     length=len(data_cols[name]))
+
+    needed = {k: refs[k] for k in refs if k != "m"}
+    dev = ad.regcheck_advice_dev(
+        needed, arg.n, arg.num_vars, arg.tau_m, arg.tau_r, arg.gamma,
+        refs["m"],
+    )
+    host_coords = {**arg.g_coords, **arg.h_coords}
+    assert set(dev) == set(host_coords)
+    for name in sorted(host_coords):
+        got = np.asarray(dev[name], dtype=np.uint64)
+        assert np.array_equal(got, host_coords[name]), name

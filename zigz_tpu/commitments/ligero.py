@@ -811,9 +811,74 @@ def _mixed_commit_use_device(total_data: int) -> bool:
         return False
 
 
+_ASSEMBLE_MAT_FNS: Dict[tuple, object] = {}
+
+
+def _assemble_mat_dev(columns, dev_columns, names, offsets, heights, n,
+                      total_rows):
+    """Stitch the (total_rows, n) canonical-u32 device matrix from device-
+    built columns plus an upload of the host-only remainder, in ONE jit
+    dispatch.  Must produce bytes identical to the host-assembled matrix
+    (same row layout, zero padding for short columns)."""
+    import jax
+    import jax.numpy as jnp
+
+    dev_list = []
+    host_rows = np.zeros((0, n), dtype=np.uint32)
+    plan = []  # per name: ("dev", idx, m_k, length) | ("host", start, m_k)
+    host_blocks = []
+    host_start = 0
+    for name in names:
+        m_k = heights[name]
+        dev = dev_columns.get(name)
+        if dev is not None and int(np.prod(np.shape(dev))) == len(columns[name]):
+            plan.append(("dev", len(dev_list), m_k, len(columns[name])))
+            dev_list.append(dev)
+        else:
+            arr = np.asarray(columns[name], dtype=np.uint64).astype(np.uint32)
+            block = np.zeros((m_k, n), dtype=np.uint32)
+            if len(arr) >= n:
+                block[:] = arr.reshape(m_k, n)
+            else:
+                block[0, : len(arr)] = arr
+            host_blocks.append(block)
+            plan.append(("host", host_start, m_k))
+            host_start += m_k
+    host_rows = (np.concatenate(host_blocks, axis=0) if host_blocks
+                 else np.zeros((0, n), dtype=np.uint32))
+    key = (tuple(plan), n, total_rows,
+           tuple(np.shape(d) for d in dev_list))
+    fn = _ASSEMBLE_MAT_FNS.get(key)
+    if fn is None:
+        plan_t = tuple(plan)
+
+        def run(dev_list, host_mat):
+            parts = []
+            for ent in plan_t:
+                if ent[0] == "dev":
+                    _tag, di, m_k, length = ent
+                    col = dev_list[di].reshape(-1)
+                    if length >= n:
+                        parts.append(col.reshape(m_k, n))
+                    else:
+                        row = jnp.zeros((1, n), jnp.uint32)
+                        parts.append(row.at[0, :length].set(col))
+                else:
+                    _tag, start, m_k = ent
+                    parts.append(host_mat[start : start + m_k])
+            return jnp.concatenate(parts, axis=0)
+
+        fn = jax.jit(run)
+        _ASSEMBLE_MAT_FNS[key] = fn
+    out = fn(dev_list, host_rows)
+    assert out.shape == (total_rows, n)
+    return out
+
+
 def ligero_commit_mixed(F, columns: Dict[str, np.ndarray], hash_mode: str = "sha3",
                         params: LigeroParams = None,
-                        num_claims_hint: int = 1) -> LigeroCommitState:
+                        num_claims_hint: int = 1,
+                        dev_columns: Dict[str, object] = None) -> LigeroCommitState:
     """Commit power-of-two-length MLEs of HETEROGENEOUS sizes under one
     column-Merkle root.  ``num_claims_hint`` feeds the row/column balance
     (it only affects proof size, not soundness — but it is part of the
@@ -856,10 +921,24 @@ def ligero_commit_mixed(F, columns: Dict[str, np.ndarray], hash_mode: str = "sha
             )
 
             n_e = params.inv_rate * n
-            mat_dev = jnp.asarray(mat.astype(np.uint32))
+            if dev_columns:
+                # Columns already built ON device (ops/advice_dev): stitch
+                # the matrix there, uploading only the host-built remainder
+                # — the upload is the dominant commit cost for high-entropy
+                # extension advice (~30 MB/s through a tunneled link).
+                mat_dev = _assemble_mat_dev(
+                    columns, dev_columns, names, offsets, heights, n,
+                    total_rows,
+                )
+            else:
+                mat_dev = jnp.asarray(mat.astype(np.uint32))
             leaf_digests = sha3_columns_stream_device(mat_dev, n_e)
             encoded = StreamedEncoded(mat_dev, n_e)
         except Exception:
+            import os as _os
+
+            if _os.environ.get("ZIGZ_TPU_ADVICE") == "device":
+                raise
             encoded = None
     if encoded is None:
         encoded = ntt_pow2_u32(mat, params.inv_rate * n)

@@ -133,6 +133,22 @@ class CoreV2Argument:
                          for e in range(4)}
         return dict(self.g_coords)
 
+    def device_advice(self, data_state):
+        """Device twin of the g1/g2 build for the advice commit (see
+        prover/unified.py; host columns above stay authoritative)."""
+        from ..ops.advice_dev import advice_dev_available, core_logup_advice_dev
+
+        if not advice_dev_available():
+            return None
+        pc_ref = data_state.device_column("v2:pc")
+        npc_ref = data_state.device_column("v2:next_pc")
+        if pc_ref is None or npc_ref is None:
+            return None
+        w = self.witness
+        return core_logup_advice_dev(
+            pc_ref, npc_ref, w.num_steps, w.num_vars, self.tau_lu, self.beta_lu
+        )
+
     def zerocheck_phase(self, transcript, sink) -> None:
         F, witness = self.F, self.witness
         p = F.MODULUS

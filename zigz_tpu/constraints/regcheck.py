@@ -529,6 +529,34 @@ class RegcheckArgument:
         self.h_sum = h_sum
         return {**self.g_coords, **self.h_coords}
 
+    def device_advice(self, data_state):
+        """Device twin of the advice build for the commit (see
+        prover/unified.py; the host columns above stay authoritative)."""
+        from ..ops.advice_dev import advice_dev_available, regcheck_advice_dev
+
+        if not advice_dev_available():
+            return None
+        needed = set(a for (a, _c) in _RANGED)
+        for m in (1, 2, 3):
+            for side in ("r", "w"):
+                a_name, vpre = _kappa_parts(m, side)
+                needed.add(a_name)
+                needed.update(f"{vpre}_{k}" for k in range(4))
+            needed.add(f"rt{m}")
+        refs = {}
+        for name in sorted(needed):
+            r = data_state.device_column(f"{self.ns}:{name}")
+            if r is None:
+                return None
+            refs[name] = r
+        m_ref = data_state.device_column(f"{self.ns}:m")
+        if m_ref is None:
+            return None
+        return regcheck_advice_dev(
+            refs, self.n, self.num_vars, self.tau_m, self.tau_r, self.gamma,
+            m_ref,
+        )
+
     def zerocheck_phase(self, transcript, sink) -> None:
         F = self.F
         p = F.MODULUS

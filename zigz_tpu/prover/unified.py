@@ -125,10 +125,39 @@ def prove_unified(F, transcript, args: List, hash_mode: str = "sha3",
     if timings is not None:
         timings["advice_build_s"] = time.perf_counter() - t0
 
+    # Device twins of the advice columns (ops/advice_dev): rebuilt on
+    # device from the resident data matrix + the host-resolved challenges,
+    # so the advice commit skips its dominant cost — uploading ~16 bytes
+    # of high-entropy extension inverse data per trace step.  The host
+    # columns above stay authoritative for the transcript sums and the
+    # host zerocheck/batch-eval paths; bit-equality of the twins is
+    # guaranteed by exact mod-p arithmetic (tests/test_advice_dev.py).
+    advice_dev: Dict[str, object] = {}
+    if data_state is not None and advice_full:
+        t0 = time.perf_counter()
+        for a in args:
+            build = getattr(a, "device_advice", None)
+            if build is None:
+                continue
+            try:
+                built = build(data_state)
+            except Exception:
+                import os
+
+                if os.environ.get("ZIGZ_TPU_ADVICE") == "device":
+                    raise
+                built = None
+            if built:
+                for local, arr in built.items():
+                    advice_dev[f"{a.ns}:{local}"] = arr
+        if timings is not None:
+            timings["advice_dev_s"] = time.perf_counter() - t0
+
     advice_state = None
     if advice_full:
         t0 = time.perf_counter()
-        advice_state = ligero_commit_mixed(F, advice_full, hash_mode)
+        advice_state = ligero_commit_mixed(F, advice_full, hash_mode,
+                                           dev_columns=advice_dev or None)
         transcript.append_bytes(b"V2_ADVICE")
         transcript.append_bytes(advice_state.root)
         if timings is not None:
