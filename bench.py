@@ -4,17 +4,26 @@ Primary metric (BASELINE.md): BabyBear field-ops/s/chip + prover wall time.
 The headline number is sustained Montgomery-multiply throughput on one chip
 (the building block of every MLE fold/eval); the secondary block reports
 end-to-end prover throughput (steps/s) at the largest size that is currently
-fast enough, with phase timings.
+fast enough, with phase timings, run-to-run variance, and the v2 real
+protocol's prove/verify/size at 2^16 and (budget permitting) 2^20.
 
 vs_baseline: the reference publishes no measured numbers (BASELINE.md), so
 the ratio is against its aspirational target of 1M RISC-V cycles in ~1.5s
 (README.md:513) applied to prover steps/s: baseline = 666,667 steps/s.
+
+roofline_frac: achieved mont_mul/s x 9 (u32 multiplies per Montgomery
+multiply: 4 in the product, 5 in the REDC — ops/babybear.py) divided by the
+chip's measured raw u32-multiply throughput under the same dependency
+pattern.  It answers "what fraction of the chip's integer-multiply
+capability does the Montgomery kernel sustain" — an attainable-bound
+fraction, not a hardware-peak fraction.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -22,9 +31,17 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 ASPIRATIONAL_STEPS_PER_S = 1_000_000 / 1.5
 
+# Total wall-clock budget; expensive tail stages are skipped once spent.
+BUDGET_S = float(os.environ.get("ZIGZ_BENCH_BUDGET_S", "1500"))
+_T_START = time.perf_counter()
+
+
+def _elapsed() -> float:
+    return time.perf_counter() - _T_START
+
 
 def bench_field_ops(reps: int = 20, size: int = 1 << 22):
-    """Sustained mont_mul throughput (ops/s) on the default device."""
+    """(mont_mul/s, roofline_frac) on the default device."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -42,6 +59,13 @@ def bench_field_ops(reps: int = 20, size: int = 1 << 22):
             x = bb.mont_mul(x, y)
         return x
 
+    @jax.jit
+    def chain_raw(x, y):
+        # Same dependency pattern, raw u32 multiplies: the attainable bound.
+        for _ in range(8):
+            x = x * y
+        return x
+
     out = chain(a, b)
     jax.block_until_ready(out)  # compile + warm
     t0 = time.perf_counter()
@@ -49,54 +73,72 @@ def bench_field_ops(reps: int = 20, size: int = 1 << 22):
         out = chain(out, b)
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
-    total_ops = reps * 8 * size
-    return total_ops / dt
+    mont_per_s = reps * 8 * size / dt
+
+    out = chain_raw(a, b)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = chain_raw(out, b)
+    jax.block_until_ready(out)
+    raw_per_s = reps * 8 * size / (time.perf_counter() - t0)
+
+    # 9 u32 multiplies per mont_mul (see module docstring).
+    roofline_frac = (mont_per_s * 9) / max(raw_per_s, 1.0)
+    return mont_per_s, roofline_frac
 
 
-def bench_prover(num_steps: int):
-    """End-to-end prove of a NOP trace; returns (steps/s, timings).  Runs
-    twice and reports the warm pass (first-time kernel compiles on the
-    axon backend are cached persistently but cold runs pay them)."""
+def bench_prover(num_steps: int, max_passes: int = 4):
+    """End-to-end v1 prove of a NOP trace; returns (best steps/s, timings,
+    warm_times list).  Multiple passes because per-process executable
+    loading on the axon backend bleeds into the first passes AND the
+    tunnel's transfer bandwidth varies run to run — the stddev of the warm
+    passes is reported so regressions can be told from link noise."""
     from zigz_tpu.core.field import BabyBear
     from zigz_tpu.prover.prover import Prover
 
     program = bytes([0x13, 0x00, 0x00, 0x00] * num_steps)
     prover = Prover(BabyBear, seed=0)
-    best = None
-    # Up to 4 passes, stopping once a pass is no longer >10% faster than
-    # the best so far: on the axon backend per-process executable loading
-    # bleeds into the first PASSES (not just the first), so a fixed warm
-    # count under-reports steady state at the largest sizes.
-    for i in range(4):
+    times = []
+    for i in range(max_passes):
         t0 = time.perf_counter()
         proof = prover.prove(program, 0x1000, None, num_steps * 2, None, None)
         dt = time.perf_counter() - t0
         assert proof.metadata.num_steps == num_steps
-        if best is not None and dt > 0.9 * best:
-            best = min(best, dt)
+        times.append(dt)
+        # Stop early once a pass is no longer >10% faster than the best.
+        if len(times) >= 2 and dt > 0.9 * min(times[:-1]):
             break
-        best = dt if best is None else min(best, dt)
-    return num_steps / best, prover.last_timings
+    warm = times[1:] if len(times) > 1 else times
+    return num_steps / min(times), prover.last_timings, warm
 
 
-def bench_prover_v2(num_steps: int):
-    """Warm prove throughput for protocol v2 (the full self-contained
-    RV64IM execution proof: zerocheck + logUp memory/bytecode/lookup
-    arguments + Ligero PCS) — far more work per step than the v1
-    wire-parity protocol, reported separately."""
+def bench_prover_v2(num_steps: int, passes: int = 2):
+    """(best steps/s, warm seconds list, proof_bytes, verify_s) for the
+    full self-contained v2 RV64IM execution proof."""
     from zigz_tpu.core.field import BabyBear
     from zigz_tpu.prover.prover import Prover
+    from zigz_tpu.prover.serialization import BinarySerializer
+    from zigz_tpu.verifier.verifier import Verifier
 
     program = bytes([0x13, 0x00, 0x00, 0x00] * num_steps)
     prover = Prover(BabyBear, seed=0, protocol_version=2)
-    best = None
-    for _ in range(2):
+    times = []
+    proof = None
+    for _ in range(passes):
         t0 = time.perf_counter()
         proof = prover.prove(program, 0x1000, None, num_steps * 2, None, None)
-        dt = time.perf_counter() - t0
-        assert proof.metadata.num_steps == num_steps
-        best = dt if best is None else min(best, dt)
-    return num_steps / best
+        times.append(time.perf_counter() - t0)
+    ser = BinarySerializer(BabyBear)
+    data = ser.serialize(proof)
+    restored = ser.deserialize(data)
+    ver = Verifier(BabyBear)
+    vt = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        assert ver.verify(restored, program) == "Accept"
+        vt.append(time.perf_counter() - t0)
+    return num_steps / min(times), times, len(data), min(vt)
 
 
 def main():
@@ -107,39 +149,64 @@ def main():
 
 
 def _main_inner():
-    field_ops_per_s = bench_field_ops()
+    field_ops_per_s, roofline_frac = bench_field_ops()
 
-    # Prover throughput ladder: walk up while the warm pass stays within
+    # v1 prover throughput ladder: walk up while the warm pass stays within
     # budget (protects the driver run against cold-compile stalls).
-    steps_per_s, timings = bench_prover(1 << 14)
+    steps_per_s, timings, warm = bench_prover(1 << 14)
     for v in (16, 18, 20, 22):
         projected = (1 << v) / steps_per_s
-        if projected > 240:
+        if projected > 240 or _elapsed() > BUDGET_S * 0.45:
             break
         try:
-            steps_per_s, timings = bench_prover(1 << v)
+            steps_per_s, timings, warm = bench_prover(1 << v)
         except Exception:
             break
+    warm_stddev = round(statistics.stdev(warm), 3) if len(warm) >= 2 else None
+
+    extra = {
+        "prover_steps_per_s": round(steps_per_s),
+        "prover_num_steps": timings.get("num_steps"),
+        "prover_warm_s": [round(t, 3) for t in warm],
+        "prover_warm_stddev_s": warm_stddev,
+        "roofline_frac": round(roofline_frac, 4),
+        "prover_phase_timings_s": {
+            k: round(v, 4) for k, v in timings.items() if k.endswith("_s")
+        },
+    }
 
     try:
-        v2_steps_per_s = round(bench_prover_v2(1 << 16))
+        v2_sps, v2_times, v2_bytes, v2_verify = bench_prover_v2(1 << 16)
+        extra.update({
+            "v2_prover_steps_per_s": round(v2_sps),
+            "v2_num_steps": 1 << 16,
+            "v2_pass_s": [round(t, 2) for t in v2_times],
+            "v2_proof_bytes": v2_bytes,
+            "v2_verify_s": round(v2_verify, 3),
+        })
     except Exception:
-        v2_steps_per_s = None
+        extra.update({"v2_prover_steps_per_s": None, "v2_num_steps": 1 << 16})
+
+    # Flagship scale point: v2 at 2^20, budget permitting (cold compiles
+    # for the 2^20 shapes can cost ~2-3 minutes on a fresh process).
+    if extra.get("v2_prover_steps_per_s") and _elapsed() < BUDGET_S * 0.7:
+        try:
+            sps20, times20, bytes20, verify20 = bench_prover_v2(1 << 20)
+            extra.update({
+                "v2_2e20_steps_per_s": round(sps20),
+                "v2_2e20_pass_s": [round(t, 2) for t in times20],
+                "v2_2e20_proof_bytes": bytes20,
+                "v2_2e20_verify_s": round(verify20, 3),
+            })
+        except Exception:
+            pass
 
     result = {
         "metric": "babybear_field_ops_per_s_per_chip",
         "value": round(field_ops_per_s),
         "unit": "mont_mul/s",
         "vs_baseline": round(steps_per_s / ASPIRATIONAL_STEPS_PER_S, 4),
-        "extra": {
-            "prover_steps_per_s": round(steps_per_s),
-            "prover_num_steps": timings.get("num_steps"),
-            "v2_prover_steps_per_s": v2_steps_per_s,
-            "v2_num_steps": 1 << 16,
-            "prover_phase_timings_s": {
-                k: round(v, 4) for k, v in timings.items() if k.endswith("_s")
-            },
-        },
+        "extra": extra,
     }
     print(json.dumps(result))
 

@@ -102,3 +102,57 @@ def test_device_kernel_matches_host():
         got = p2d.limbs_to_bytes(level)
         for i in range(len(host_level)):
             assert got[i * 32 : (i + 1) * 32] == host_level[i], (level.shape, i)
+
+
+# -- standard Grain-LFSR parameter derivation (round 4) ----------------------
+
+def test_grain_lfsr_bn254_known_answer():
+    """The parameter LFSR must reproduce the PUBLISHED first constants of
+    the Poseidon reference implementation for BN254 (n=254, t=3, R_F=8,
+    R_P=57) — the classic cross-implementation KAT (circomlib /
+    generate_parameters_grain.sage).  This pins the 80-bit state encoding,
+    the tap positions, the 160-round warm-up, the self-shrinking output
+    rule, and the big-endian rejection sampling all at once."""
+    from zigz_tpu.core.poseidon2_params import grain_field_constants
+
+    p_bn254 = 21888242871839275222246405745257275088548364400416034343698204186575808495617
+    cs = grain_field_constants(p_bn254, 254, 3, 8, 57, 2)
+    assert cs[0] == 0x0EE9A592BA9A9518D05986D656F40C2114C4993C11BB29938D21D47304CD8E6E
+    assert cs[1] == 0x00F1445235F2148C5986587169FC1BCD887B08D4D00868DF5696FFF40956E864
+
+
+def test_babybear_tables_shape_and_structure():
+    from zigz_tpu.core.poseidon2_params import babybear_t16_constants
+
+    ext, internal, diag = babybear_t16_constants()
+    p = 2013265921
+    assert len(ext) == 8 and all(len(r) == 16 for r in ext)
+    assert len(internal) == 13
+    assert len(diag) == 16
+    flat = [c for r in ext for c in r] + internal + diag
+    assert all(0 <= c < p for c in flat)
+    # invertibility of I + diag(mu) and distinct nonzero diagonal
+    assert len(set(diag)) == 16
+    assert all(d not in (0, p - 1) for d in diag)
+
+
+def test_babybear_tables_deterministic_pin():
+    """Regression pin: the derived BabyBear tables must never drift (a
+    silent change would fork the v3 wire format)."""
+    from zigz_tpu.core.poseidon2_params import babybear_t16_constants
+
+    ext, internal, diag = babybear_t16_constants()
+    import hashlib
+
+    blob = b"".join(
+        int(c).to_bytes(4, "little")
+        for c in ([x for r in ext for x in r] + internal + diag)
+    )
+    digest = hashlib.sha256(blob).hexdigest()
+    # Pinned at derivation time (round 4); update ONLY with a v3-format
+    # bump.  Soft cross-check: the first derived external constant is
+    # 0x69CBB6AF (1774958255) — matching the first entry of the Poseidon2
+    # reference implementation's published BabyBear RC16 table, as
+    # expected for the same Grain stream.
+    assert ext[0][0] == 0x69CBB6AF
+    assert digest == "f7aad44bbe9014afd2510528eca323fbfe253317769b70b6ba872173a89e7c17"

@@ -12,11 +12,13 @@ incomplete integration that always falls back to SHA3 (hash.zig:53-63,
   block (each 4-lane group mixed by M4, then column sums added);
 * internal linear layer: x -> diag(mu) * x + sum(x) (I + diag form).
 
-PARAMETERIZATION NOTE: round constants and the internal diagonal are
-derived from a deterministic SHA3-based generator (domain string below)
-rather than an external standard's tables — self-consistent and stable
-across versions, but NOT interoperable with Plonky3/Horizen parameter
-sets.  Swap `_CONSTANT_SEED` + the generator to adopt a standard set.
+PARAMETERIZATION (round 4): round constants and the internal diagonal
+come from the STANDARD Grain-LFSR derivation procedure of the Poseidon/
+Poseidon2 reference implementations — see core/poseidon2_params.py for
+the exact pipeline, its offline caveat (the literal Plonky3/Horizen
+tables could not be vendored without network access; the constant STREAM
+is the standard one, KAT-validated against the published BN254 Poseidon
+constants), and the one-line swap point for vendored tables.
 
 The sponge (rate 8 / capacity 8) hashes field-element sequences to a
 32-byte digest (8 BabyBear limbs, 4-byte LE each) for the GenericHasher
@@ -70,12 +72,19 @@ def _gen_constants(count: int, domain: bytes) -> List[int]:
 
 
 # Round constants: full t-wide constants for external rounds, single
-# constant per internal round (Poseidon2 optimization).
-_RC_EXTERNAL = _gen_constants(ROUNDS_F * T, b"/rc-ext")
-_RC_INTERNAL = _gen_constants(ROUNDS_P, b"/rc-int")
-# Internal diagonal mu (I + diag(mu) must be invertible & secure; generated
-# constants are fine for the structural implementation).
-_MU = _gen_constants(T, b"/mu")
+# constant per internal round (Poseidon2 optimization).  Since round 4
+# these come from the STANDARD Grain-LFSR derivation pipeline of the
+# Poseidon/Poseidon2 reference implementations (core/poseidon2_params.py;
+# the LFSR is KAT-validated against the published BN254 Poseidon
+# constants in tests/test_poseidon2.py).  The legacy SHA3-seeded
+# generator (_gen_constants above) is kept only as the documented
+# fallback knob.
+from .poseidon2_params import babybear_t16_constants as _grain_tables
+
+_EXT_TBL, _RC_INTERNAL, _MU = _grain_tables()
+_RC_EXTERNAL = [c for rnd in _EXT_TBL for c in rnd]
+assert len(_RC_EXTERNAL) == ROUNDS_F * T and len(_RC_INTERNAL) == ROUNDS_P
+assert len(_MU) == T
 
 _M4 = (
     (5, 7, 1, 3),
