@@ -395,3 +395,53 @@ def test_v2_logup_nonce_grinding_fails():
         if s1 == s2:
             balanced += 1
     assert balanced == 0, "forged multiset balanced under some nonce"
+
+
+def test_v2_lasso_layer_forgery_cannot_carry_execution():
+    """PROVER.md "non-load-bearing exceptions" turned into a test (round-3
+    verdict task 8): the pipeline-Lasso layer's per-table sumchecks run
+    over BASE-field round challenges, so an attacker may treat that whole
+    layer as grindable/cooperative.  Model the strongest such attacker:
+    the Lasso layer consumes the FORGED query multiset consistently (its
+    commitments, claimed sums, and sumcheck rounds are all honest *for
+    the forged queries*, so that layer verifies), while an ADD lookup's
+    output is off by one.  The execution proof must still be rejected —
+    lookup soundness is carried by the extension-field validity + linkage
+    logUp arguments, not by the Lasso layer."""
+    import numpy as np
+
+    from zigz_tpu.guest.asm import Assembler
+    from zigz_tpu.lookups import pipeline_lasso as pl
+
+    # A program with a real ADD: li a0, 5; li a1, 7; add a2, a0, a1; ebreak
+    a = Assembler()
+    a.addi(10, 0, 5)
+    a.addi(11, 0, 7)
+    a.add(12, 10, 11)
+    a.ebreak()
+    program = a.assemble()
+
+    orig = pl.extract_table_queries
+
+    def forged_extract(trace):
+        queries = {tid: (ins, outs.copy())
+                   for tid, (ins, outs) in orig(trace).items()}
+        # Find the table carrying the 5+7 query and bump its result.
+        for tid, (ins, outs) in queries.items():
+            hit = np.nonzero((ins[:, 0] == 5) & (ins[:, 1] == 7))[0]
+            if len(hit):
+                outs[hit[0]] = (outs[hit[0]] + 1) % (1 << 32)
+                return queries
+        raise AssertionError("ADD query not found in extracted tables")
+
+    p = Prover(F, seed=0, protocol_version=2)
+    # Skip the honest prover's self-checks so the forged proof is emitted.
+    p._lv_unsafe = True
+    p._mc_unsafe = True
+    p._bc_unsafe = True
+    pl.extract_table_queries = forged_extract
+    try:
+        proof = p.prove(program, 0x1000, None, 1 << 10, None, None)
+    finally:
+        pl.extract_table_queries = orig
+    assert Verifier(F).verify(proof, program) != VerificationResult.Accept

