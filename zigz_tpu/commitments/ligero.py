@@ -31,12 +31,12 @@ Soundness (the claim of record lives in PROVER.md "Soundness budget"):
 analyzed in the proximity-gaps / Johnson regime — correlated agreement of
 the random row combinations up to delta = 1 - sqrt(rate) - eta (BCIKS
 FOCS'20 Thm 1.2), then each of the t uniform columns catches a far matrix
-w.p. >= delta, so t=128 at rate 1/4 carries ~2^-120 plus a
+w.p. >= delta, so t=110 at rate 1/4 carries ~2^-103 plus a
 poly(n_e)/|K| correlated-agreement term.  All algebraic draws (batching
 gamma, NUM_RHO proximity rows) come from BabyBear^4 (core/ext4.py,
 |K| ~ 2^124), closing the round-2 verdict's base-field grinding hole;
 the no-assumptions unique-decoding floor of the same parameters is
-~2^-53.
+~2^-46.
 Claims may carry base or extension row/column weights (``a``/``b``): the
 evaluation claims at extension zerocheck points use Ext4 eq-tensors, the
 hypercube-sum claims stay base all-ones vectors.  The combined query rows
@@ -235,9 +235,20 @@ def _ntt_pow2_numpy(rows: np.ndarray, n_out: int) -> np.ndarray:
 
 @dataclass
 class LigeroParams:
+    """Code/query parameters.  Sized for >= 100-bit column-test soundness
+    under the stated proximity-gaps/Johnson analysis (PROVER.md
+    "Soundness budget"): at rate 1/4 each uniform query contributes
+    -log2(sqrt(rho)+eta) ~ 0.94 bits, so 110 queries carry ~103 bits.
+    One proximity row suffices: the correlated-agreement failure of a
+    random K-combination is poly(n_e)/|K| ~ 2^-100 per row with
+    K = BabyBear^4, and the per-claim batched query rows u are subject to
+    the same column-consistency checks (round 3 shipped t=128/rho=2 — a
+    belt-and-braces sizing from before the Johnson analysis was the
+    documented claim; the diet is ~35% of proof size)."""
+
     inv_rate: int = 4
-    num_queries: int = 128
-    num_rho: int = 2
+    num_queries: int = 110
+    num_rho: int = 1
 
     def choose_split(self, v: int, num_polys: int) -> int:
         """log2(n): balance column-opening bytes (t*B*m) vs row bytes
