@@ -66,13 +66,32 @@ def test_device_advice_prove_bytes_identical():
     bit-equal device columns."""
     host = _prove_bytes(1 << 8, {"ZIGZ_TPU_ADVICE": "host",
                                  "ZIGZ_TPU_COMMITMENTS": "host"})
+    # Record which arguments' device builders actually produced columns —
+    # a silent universal fallback would make this test vacuous.
+    from zigz_tpu.prover import unified as uni
+
+    produced = {}
+    orig_commit = uni.ligero_commit_mixed
+
+    def spy_commit(F, columns, hash_mode="sha3", params=None,
+                   num_claims_hint=1, dev_columns=None):
+        if dev_columns:
+            for k in dev_columns:
+                produced[k.split(":")[0]] = True
+        return orig_commit(F, columns, hash_mode, params, num_claims_hint,
+                           dev_columns=dev_columns)
+
     restore = _patch_cpu_hasher()
+    uni.ligero_commit_mixed = spy_commit
     try:
         dev = _prove_bytes(1 << 8, {"ZIGZ_TPU_ADVICE": "device",
                                     "ZIGZ_TPU_COMMITMENTS": "device"})
     finally:
+        uni.ligero_commit_mixed = orig_commit
         restore()
     assert hashlib.sha256(host).digest() == hashlib.sha256(dev).digest()
+    # Every ported builder engaged (core, regcheck, bytecode).
+    assert {"v2", "rc", "bc"} <= set(produced), produced
 
 
 def test_core_logup_builder_matches_host():
