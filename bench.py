@@ -32,7 +32,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 ASPIRATIONAL_STEPS_PER_S = 1_000_000 / 1.5
 
 # Total wall-clock budget; expensive tail stages are skipped once spent.
-BUDGET_S = float(os.environ.get("ZIGZ_BENCH_BUDGET_S", "1500"))
+BUDGET_S = float(os.environ.get("ZIGZ_BENCH_BUDGET_S", "2600"))
 _T_START = time.perf_counter()
 
 
