@@ -214,12 +214,18 @@ class NativeZerocheckExtProver:
                 stacked2 = np.zeros(
                     (4 * (len(names) + 1), max(1, n // 2)), dtype=np.uint32
                 )
-                native_dag_fold_hybrid(
+                if not native_dag_fold_hybrid(
                     r1mat[:B], r1mat[B:], stacked2, width, r.to_ints()
-                )
+                ):
+                    # Mid-proof native failure: the transcript is already
+                    # partially advanced, so a silent numpy fallback would
+                    # emit corrupt bytes — fail loudly instead (advisor
+                    # finding, round 3).
+                    raise TraceError("native DAG fold unavailable mid-proof")
                 r1mat = None  # free the full-width matrix
             else:
-                native_dag_fold_ext(stacked2, width, r.to_ints())
+                if not native_dag_fold_ext(stacked2, width, r.to_ints()):
+                    raise TraceError("native DAG fold unavailable mid-proof")
             width //= 2
 
         column_evals: Dict[str, Ext4] = {}
