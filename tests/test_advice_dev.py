@@ -184,3 +184,37 @@ def test_regcheck_builder_matches_host():
     for name in sorted(host_coords):
         got = np.asarray(dev[name], dtype=np.uint64)
         assert np.array_equal(got, host_coords[name]), name
+
+
+def test_device_advice_failure_is_visible(monkeypatch):
+    """Round-4 verdict weak #5: a broken device-advice build must not
+    degrade silently — the prover records the failing argument in
+    last_timings["advice_dev_failed"], which bench.py exports."""
+    from zigz_tpu.constraints.core_arg import CoreV2Argument
+
+    def boom(self, data_state):
+        raise RuntimeError("forced device-advice failure")
+
+    monkeypatch.setattr(CoreV2Argument, "device_advice", boom)
+    monkeypatch.delenv("ZIGZ_TPU_ADVICE", raising=False)
+    monkeypatch.setenv("ZIGZ_TPU_COMMITMENTS", "device")
+    restore = _patch_cpu_hasher()
+    try:
+        n_steps = 1 << 8
+        program = bytes([0x13, 0, 0, 0] * n_steps)
+        prover = Prover(BabyBear, seed=0, protocol_version=2)
+        proof = prover.prove(program, 0x1000, None, n_steps * 2, None, None)
+        assert Verifier(BabyBear).verify(proof, program) == "Accept"
+    finally:
+        restore()
+    assert prover.last_timings.get("advice_dev_failed") == ["v2"]
+    # And with an intact builder the flag is absent (auto mode on the CPU
+    # backend: builders decline via advice_dev_available, no failure).
+    monkeypatch.undo()
+    restore = _patch_cpu_hasher()
+    try:
+        prover2 = Prover(BabyBear, seed=0, protocol_version=2)
+        prover2.prove(program, 0x1000, None, n_steps * 2, None, None)
+    finally:
+        restore()
+    assert "advice_dev_failed" not in prover2.last_timings

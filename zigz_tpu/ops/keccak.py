@@ -163,8 +163,27 @@ def _sha3_merge_chunk(msg):
     )
 
 
+def _skip_chunking(arr) -> bool:
+    """True when ``arr`` spans multiple devices: a sharded input must stay
+    ONE program.  Eager slice/pad/concatenate on a multi-device array each
+    lower to their own collective-bearing XLA programs, and a cascade of
+    those can strand one participant of XLA:CPU's in-process rendezvous
+    while the host thread is blocked dispatching the next eager op — the
+    round-4 multichip-gate abort (rc 134), reproduced live this round with
+    faulthandler stacks pointing at exactly this pad/slice cascade.
+    Chunking exists to bound TPU compile count and VMEM footprint, neither
+    of which applies to the virtual-CPU mesh; the jitted chunk kernels are
+    shape-generic, so the full-width call is bit-identical."""
+    try:
+        return len(arr.sharding.device_set) > 1
+    except Exception:
+        return False
+
+
 def _chunked(fn, arrays, n, out_rows):
     """Apply a fixed-CHUNK kernel over n items, padding the tail."""
+    if _skip_chunking(arrays[0]):
+        return fn(*arrays)
     outs = []
     for start in range(0, n, CHUNK):
         end = min(start + CHUNK, n)

@@ -731,15 +731,17 @@ class BinarySerializer:
     def _read_ligero_proof(r: _Reader):
         import numpy as np
 
-        from ..commitments.ligero import LigeroEvalProof
+        from ..commitments.ligero import LigeroEvalProof, P
         from ..commitments.merkle import MerklePath
         from ..core.ext4 import Ext4
 
         n = r.u32()
         if n > (1 << 28):
             raise SerializationError("InvalidData")
-
-        P = 2013265921  # BabyBear; Ligero payloads are BabyBear-only
+        # Canonical-range bound: the Ligero module's own modulus constant —
+        # one source of truth shared with the writer and with _read_ext's
+        # self.F.MODULUS (BabyBear-only today; a single constant keeps the
+        # strictness paths from diverging if the field is ever parameterized).
 
         def read_row():
             raw = np.frombuffer(r.bytes_(16 * n), dtype="<u4").astype(np.uint64)
