@@ -74,12 +74,12 @@ def test_device_advice_prove_bytes_identical():
     orig_commit = uni.ligero_commit_mixed
 
     def spy_commit(F, columns, hash_mode="sha3", params=None,
-                   num_claims_hint=1, dev_columns=None):
+                   num_claims_hint=1, dev_columns=None, mesh=None):
         if dev_columns:
             for k in dev_columns:
                 produced[k.split(":")[0]] = True
         return orig_commit(F, columns, hash_mode, params, num_claims_hint,
-                           dev_columns=dev_columns)
+                           dev_columns=dev_columns, mesh=mesh)
 
     restore = _patch_cpu_hasher()
     uni.ligero_commit_mixed = spy_commit

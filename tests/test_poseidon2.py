@@ -156,3 +156,91 @@ def test_babybear_tables_deterministic_pin():
     # expected for the same Grain stream.
     assert ext[0][0] == 0x69CBB6AF
     assert digest == "f7aad44bbe9014afd2510528eca323fbfe253317769b70b6ba872173a89e7c17"
+
+
+def test_internal_matrix_no_invariant_subspaces():
+    """Round-5 (advisor finding): the Poseidon2 paper's invariant-subspace
+    condition on the internal matrix, verified on the SHIPPED matrix
+    (extracted from the permutation code): char(M_I) irreducible over F_p
+    of degree t => minimal poly = char poly => only trivial invariant
+    subspaces (Grassi-Rechberger-Schofnegger, infinitely long subspace
+    trails)."""
+    from zigz_tpu.core.poseidon2_params import internal_matrix_security_report
+
+    report = internal_matrix_security_report()
+    assert report["invertible"]
+    assert report["char_poly_irreducible"]
+    assert report["no_invariant_subspaces"]
+
+
+def test_permutation_cleanroom_twin():
+    """Round-5 verdict task 8: pin the t=16 BabyBear instance against an
+    INDEPENDENT implementation of the Poseidon2 permutation, written
+    directly from the paper's definition (dense 16x16 matrices:
+    M_E = block-circulant with 2*M4 diagonal / M4 off-diagonal blocks,
+    M_I = J + diag(mu); x^7 s-box; 4 external + 13 internal + 4 external
+    rounds with an initial external linear layer) — sharing only the
+    public parameter tables with core/poseidon2.py, none of its code."""
+    from zigz_tpu.core import poseidon2 as p2
+    from zigz_tpu.core.poseidon2_params import babybear_t16_constants
+
+    P = 2013265921
+    T = 16
+    ext_rcs, int_rcs, mu = babybear_t16_constants()
+
+    M4 = [[5, 7, 1, 3], [4, 6, 1, 1], [1, 3, 5, 7], [1, 1, 4, 6]]
+    # Dense external matrix: diagonal blocks 2*M4, off-diagonal M4.
+    ME = [[0] * T for _ in range(T)]
+    for bi in range(4):
+        for bj in range(4):
+            scale = 2 if bi == bj else 1
+            for i in range(4):
+                for j in range(4):
+                    ME[4 * bi + i][4 * bj + j] = scale * M4[i][j] % P
+    # Dense internal matrix: all-ones plus diag(mu).
+    MI = [[1] * T for _ in range(T)]
+    for i in range(T):
+        MI[i][i] = (1 + mu[i]) % P
+
+    def matvec(M, x):
+        return [sum(M[i][j] * x[j] for j in range(T)) % P for i in range(T)]
+
+    def sbox(x):
+        return pow(x, 7, P)
+
+    def cleanroom_permute(state):
+        s = [x % P for x in state]
+        s = matvec(ME, s)
+        for r in range(4):
+            s = [sbox((x + ext_rcs[r][i]) % P) for i, x in enumerate(s)]
+            s = matvec(ME, s)
+        for r in range(13):
+            s = [(s[0] + int_rcs[r]) % P] + s[1:]
+            s = [sbox(s[0])] + s[1:]
+            s = matvec(MI, s)
+        for r in range(4, 8):
+            s = [sbox((x + ext_rcs[r][i]) % P) for i, x in enumerate(s)]
+            s = matvec(ME, s)
+        return s
+
+    import random
+
+    rng = random.Random(7)
+    for _ in range(5):
+        state = [rng.randrange(P) for _ in range(T)]
+        assert cleanroom_permute(state) == p2.permute(state)
+
+    # Frozen golden vector: pins the INSTANCE (tables + structure) so any
+    # silent parameter drift fails loudly.
+    golden_in = list(range(T))
+    golden_out = cleanroom_permute(golden_in)
+    assert p2.permute(golden_in) == golden_out
+    import hashlib
+
+    blob = b"".join(int(x).to_bytes(4, "little") for x in golden_out)
+    assert hashlib.sha256(blob).hexdigest() == GOLDEN_T16_DIGEST
+
+
+# sha256 of the LE-u32 packed permute(0..15) output; regenerated only on a
+# deliberate parameter change.
+GOLDEN_T16_DIGEST = "88d17b27277582425a1925daf5b0e32fce1b30e041e5f035104ff1e97afe210d"

@@ -63,6 +63,21 @@ def _device_hash_fns(hash_mode: str):
     )
 
 
+def _np_global(arr) -> np.ndarray:
+    """Host value of a possibly MULTI-PROCESS global array.  np.asarray
+    only works when every shard is process-local (or the array is fully
+    replicated); on a jax.distributed global mesh the digest levels span
+    processes, so fall back to the collective process_allgather — every
+    process runs the identical deterministic prover code, so the
+    collective is always matched (tests/test_multihost.py)."""
+    try:
+        return np.asarray(arr)
+    except RuntimeError:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(arr, tiled=True))
+
+
 def _is_cpu_backend(arr) -> bool:
     """True when ``arr`` lives on CPU devices (virtual-mesh test mode)."""
     try:
@@ -170,7 +185,13 @@ def _build_forest_lo(lo2d, K: int, D: int, sharding=None, hash_mode="sha3"):
     # CORRECTNESS knob there, not a tuning knob: sync every level.  CPU
     # syncs are cheap (no tunnel), measured <5% of the virtual-mesh build.
     sync_each_level = sharding is not None and _is_cpu_backend(lo)
-    np.asarray(jax.device_get(level[0, :1]))
+    try:
+        np.asarray(jax.device_get(level[0, :1]))
+    except RuntimeError:
+        # Multi-process global mesh: the 1-element shard may live on
+        # another process; waiting on the local shards bounds the queue
+        # just as well.
+        jax.block_until_ready(level)
     kept = []
     for k in range(K):
         nxt = merge_fn(level)
@@ -273,7 +294,7 @@ class DeviceMerkleForest:
         self._host_leaf_fn, self._host_merge_fn, _ = _hash_fns(hash_mode)
         K = self.discarded + len(self.levels) - 1
         n_top = N >> K
-        top_arr = np.asarray(self.levels[-1])  # (8, B * n_top)
+        top_arr = _np_global(self.levels[-1])  # (8, B * n_top)
         perm = self._treemajor_perm(n_top)
         self._top_bytes = keccak.digests_to_bytes(top_arr[:, perm])
         self.host_levels = []
@@ -311,7 +332,7 @@ class DeviceMerkleForest:
         matrix_m = bb.to_mont(self.lo)
         points_m = jnp.asarray(bb.np_to_mont(points.astype(np.uint64)))
         result_m = mle_ops.batch_eval_lsb(matrix_m, points_m)
-        return np.asarray(bb.from_mont(result_m), dtype=np.uint64)
+        return _np_global(bb.from_mont(result_m)).astype(np.uint64)
 
     # -- queries -----------------------------------------------------------
     def roots(self) -> List[bytes]:
@@ -340,9 +361,9 @@ class DeviceMerkleForest:
             else:
                 base = tree_base * N + sib_local * w
                 flat = (base[:, None] + np.arange(w, dtype=np.int64)[None, :]).reshape(-1)
-                vals = np.asarray(
-                    self.lo.reshape(-1)[jnp.asarray(flat)], dtype=np.uint64
-                ).reshape(B, w)
+                vals = _np_global(
+                    self.lo.reshape(-1)[jnp.asarray(flat)]
+                ).astype(np.uint64).reshape(B, w)
             # Tree-major flat layout keeps each subtree's digests contiguous,
             # so pairwise merges never cross subtrees while folding to roots.
             blob = batch_leaf_hashes(vals.reshape(-1))
@@ -391,7 +412,7 @@ class DeviceMerkleForest:
 
         gather_count = min(self.height, num_device_levels) - D
         if gather_count > 0:
-            gathered = np.asarray(
+            gathered = _np_global(
                 _gather_levels(tuple(self.levels[:gather_count]), tuple(flat_indices))
             )  # (gather_count, 8, B)
         else:
@@ -404,7 +425,7 @@ class DeviceMerkleForest:
         else:
             # Device-resident witness: gather the 43 opened leaf values.
             flat = jnp.asarray(np.arange(B) * N + indices)
-            leaf_values = [int(v) for v in np.asarray(self.lo.reshape(-1)[flat])]
+            leaf_values = [int(v) for v in _np_global(self.lo.reshape(-1)[flat])]
 
         out = []
         for i in range(B):

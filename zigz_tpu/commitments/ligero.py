@@ -992,11 +992,17 @@ def _assemble_mat_dev(columns, dev_columns, names, offsets, heights, n,
 def ligero_commit_mixed(F, columns: Dict[str, np.ndarray], hash_mode: str = "sha3",
                         params: LigeroParams = None,
                         num_claims_hint: int = 1,
-                        dev_columns: Dict[str, object] = None) -> LigeroCommitState:
+                        dev_columns: Dict[str, object] = None,
+                        mesh=None) -> LigeroCommitState:
     """Commit power-of-two-length MLEs of HETEROGENEOUS sizes under one
     column-Merkle root.  ``num_claims_hint`` feeds the row/column balance
     (it only affects proof size, not soundness — but it is part of the
-    public layout, so prover and verifier must agree on it)."""
+    public layout, so prover and verifier must agree on it).
+
+    With a ``mesh`` (jax.sharding.Mesh over the trace axis) the encode +
+    column-hash runs SPMD: row-sharded NTT, one all_to_all to the
+    column sharding, shard-local SHA3 sponge (ops/ligero_mesh.py) —
+    byte-identical root (SURVEY §2.11 rows 3-4)."""
     assert F.MODULUS == P, "Ligero PCS is BabyBear-only (needs 2-adic NTT)"
     params = params or LigeroParams()
     col_vars = {}
@@ -1018,7 +1024,20 @@ def ligero_commit_mixed(F, columns: Dict[str, np.ndarray], hash_mode: str = "sha
         else:
             mat[off, : len(arr)] = arr
     encoded = None
-    if hash_mode == "sha3" and _mixed_commit_use_device(total):
+    if hash_mode == "sha3" and mesh is not None:
+        from ..ops.ligero_mesh import (
+            MeshEncoded,
+            commit_columns_mesh,
+            mesh_commit_ok,
+        )
+
+        n_e = params.inv_rate * n
+        if mesh_commit_ok(mesh, n_e, total_rows):
+            leaf_digests, mat_dev = commit_columns_mesh(
+                mesh, mat.astype(np.uint32), n_e
+            )
+            encoded = MeshEncoded(mesh, mat_dev, n_e, total_rows)
+    if encoded is None and hash_mode == "sha3" and _mixed_commit_use_device(total):
         # Streamed TPU Reed-Solomon encode + column hashing
         # (ops/ligero_dev): input rows ride the link up in blocks, each is
         # encoded on device and absorbed into a carried Keccak state, and

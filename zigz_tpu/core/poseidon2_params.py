@@ -40,7 +40,12 @@ from __future__ import annotations
 
 from typing import List, Tuple
 
-__all__ = ["GrainLFSR", "grain_field_constants", "babybear_t16_constants"]
+__all__ = [
+    "GrainLFSR",
+    "grain_field_constants",
+    "babybear_t16_constants",
+    "internal_matrix_security_report",
+]
 
 
 class GrainLFSR:
@@ -120,10 +125,16 @@ def babybear_t16_constants() -> Tuple[List[List[int]], List[int], List[int]]:
     ext += [take(t) for _ in range(r_f // 2)]
 
     # Internal diagonal mu: I + diag(mu) must be invertible (mu_i != -1)
-    # and the entries distinct and nonzero (Poseidon2 paper §5.2's
-    # requirements for the internal matrix to be secure are checked by
-    # its authors' tooling; here we enforce the structural conditions and
-    # draw from the same standard stream).
+    # and the entries distinct and nonzero; the Poseidon2 paper's
+    # invariant-subspace condition on the resulting internal matrix
+    # M_I = J + diag(mu) is verified by
+    # :func:`internal_matrix_security_report` (round-5 advisor fix:
+    # structural conditions alone do not establish the security margin —
+    # the verified property is that char(M_I) is irreducible over F_p,
+    # the sufficient condition of Grassi-Rechberger-Schofnegger "Proving
+    # Resistance Against Infinitely Long Subspace Trails", which rules
+    # out every nontrivial M_I-invariant subspace; checked in
+    # tests/test_poseidon2.py against the shipped instance).
     diag: List[int] = []
     seen = set()
     while len(diag) < t:
@@ -133,3 +144,134 @@ def babybear_t16_constants() -> Tuple[List[List[int]], List[int], List[int]]:
         seen.add(v)
         diag.append(v)
     return ext, internal, diag
+
+
+# ---------------------------------------------------------------------------
+# Internal-matrix security verification (round 5, advisor finding).
+#
+# The Poseidon2 paper requires the internal matrix to have no nontrivial
+# invariant subspaces (else infinitely long subspace trails exist through
+# the partial rounds, Grassi-Rechberger-Schofnegger ToSC 2020).  A
+# sufficient condition their tooling checks: the characteristic polynomial
+# of M_I over F_p is IRREDUCIBLE of degree t — then the minimal polynomial
+# equals it, and any invariant subspace would correspond to a proper
+# factor, so only {0} and F_p^t are invariant.  We verify exactly that for
+# the shipped matrix, extracted from the permutation code itself.
+# ---------------------------------------------------------------------------
+
+
+def _char_poly_mod(M: List[List[int]], p: int) -> List[int]:
+    """Characteristic polynomial of t x t matrix M over F_p via
+    Faddeev-LeVerrier: returns [1, c1, ..., ct] (big-endian, monic)."""
+    t = len(M)
+
+    def matmul(A, B):
+        return [[sum(A[i][k] * B[k][j] for k in range(t)) % p
+                 for j in range(t)] for i in range(t)]
+
+    def trace(A):
+        return sum(A[i][i] for i in range(t)) % p
+
+    Mk = [row[:] for row in M]
+    cs = [(-trace(Mk)) % p]
+    for k in range(2, t + 1):
+        Madd = [[(Mk[i][j] + (cs[-1] if i == j else 0)) % p
+                 for j in range(t)] for i in range(t)]
+        Mk = matmul(M, Madd)
+        cs.append((-trace(Mk) * pow(k, p - 2, p)) % p)
+    return [1] + cs
+
+
+def _poly_irreducible_mod(f_be: List[int], p: int) -> bool:
+    """Irreducibility of a monic degree-t polynomial over F_p with t a
+    prime power 2^k: x^(p^t) == x (mod f) and gcd(x^(p^(t/2)) - x, f) = 1
+    (all factor degrees divide t; none divide t/2 => all equal t)."""
+    t = len(f_be) - 1
+    mod = f_be[::-1]  # little-endian, mod[t] == 1
+
+    def mulmod(a, b):
+        r = [0] * (2 * t - 1)
+        for i, ai in enumerate(a):
+            if ai:
+                for j, bj in enumerate(b):
+                    r[i + j] = (r[i + j] + ai * bj) % p
+        for i in range(2 * t - 2, t - 1, -1):
+            c = r[i]
+            if c:
+                r[i] = 0
+                for j in range(t):
+                    r[i - t + j] = (r[i - t + j] - c * mod[j]) % p
+        return r[:t]
+
+    def pow_x(e: int):
+        result = [0] * t
+        result[0] = 1
+        base = [0] * t
+        base[1] = 1
+        while e:
+            if e & 1:
+                result = mulmod(result, base)
+            base = mulmod(base, base)
+            e >>= 1
+        return result
+
+    def deg(a):
+        for i in range(len(a) - 1, -1, -1):
+            if a[i]:
+                return i
+        return -1
+
+    def gcd(a, b):
+        a, b = a[:], b[:]
+        while deg(b) >= 0:
+            if deg(a) < deg(b):
+                a, b = b, a
+                continue
+            inv = pow(b[deg(b)], p - 2, p)
+            while deg(a) >= deg(b) >= 0:
+                sh = deg(a) - deg(b)
+                c = a[deg(a)] * inv % p
+                for i in range(deg(b) + 1):
+                    a[i + sh] = (a[i + sh] - c * b[i]) % p
+            a, b = b, a
+        return a
+
+    x = [0] * t
+    x[1] = 1
+    xt = pow_x(pow(p, t))
+    if any((xt[i] - x[i]) % p for i in range(t)):
+        return False
+    xh = pow_x(pow(p, t // 2))
+    d = [(xh[i] - x[i]) % p for i in range(t)]
+    g = gcd(d, mod[:t] + [1])
+    return deg(g) == 0
+
+
+def internal_matrix_security_report(p: int = 2013265921) -> dict:
+    """Verify the shipped Poseidon2 internal matrix (extracted from the
+    permutation implementation, not re-derived from the tables):
+    invertibility + irreducible characteristic polynomial => no
+    nontrivial invariant subspaces (infinitely-long-subspace-trail
+    resistance).  Result is asserted by tests/test_poseidon2.py."""
+    from . import poseidon2 as p2
+
+    t = p2.T
+    M = []
+    for j in range(t):
+        e = [0] * t
+        e[j] = 1
+        col = p2._internal_linear(e)
+        M.append(col)
+    # M currently holds images of basis vectors as rows; transpose to the
+    # conventional M[i][j] = (M e_j)_i.
+    M = [[M[j][i] % p for j in range(t)] for i in range(t)]
+    f = _char_poly_mod(M, p)
+    det_nonzero = f[-1] != 0
+    irreducible = _poly_irreducible_mod(f, p)
+    return {
+        "t": t,
+        "invertible": det_nonzero,
+        "char_poly_irreducible": irreducible,
+        "no_invariant_subspaces": det_nonzero and irreducible,
+        "char_poly": f,
+    }

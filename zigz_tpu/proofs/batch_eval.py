@@ -194,9 +194,14 @@ def _native_round(stacked: np.ndarray, n_active: int, width: int,
 
 def prove_batch_eval(claims: List[BatchClaim],
                      columns: Dict[Tuple[str, str], np.ndarray],
-                     transcript) -> BatchEvalProof:
+                     transcript, mesh=None) -> BatchEvalProof:
     """``columns`` maps (commitment, column) to the committed base array.
-    Claim order is part of the protocol (both sides build the same list)."""
+    Claim order is part of the protocol (both sides build the same list).
+
+    With a ``mesh`` (jax.sharding.Mesh over the trace axis) the round
+    loop runs SPMD over the sharded hypercube axis
+    (ops/batch_eval_dev.py) — byte-identical round evaluations, psum'd
+    round sums (SURVEY §2.11 row 3)."""
     p = P
     assert claims, "batch-eval needs at least one claim"
     v_max = max(c.num_vars for c in claims)
@@ -257,12 +262,21 @@ def prove_batch_eval(claims: List[BatchClaim],
         g["scale"] = ext_lift(1)  # prod (1-r)^2 over pre-activation rounds
         g["inactive_sum"] = (g["w"] * g["F"]).sum()
 
-    native = _native_rounds_available()
+    glist = sorted(groups.values(), key=lambda g: -g["v"])  # activation order
     round_evals: List[List[Ext4]] = []
     rs: List[Ext4] = []
     claim_running = combined_claim
+    mesh_ran = False
+    if mesh is not None:
+        from ..ops.batch_eval_dev import mesh_rounds_ok, prove_rounds_mesh
+
+        if mesh_rounds_ok(mesh, v_max):
+            round_evals, rs, claim_running = prove_rounds_mesh(
+                glist, v_max, combined_claim, transcript, mesh
+            )
+            mesh_ran = True
+    native = (not mesh_ran) and _native_rounds_available()
     one = ext_lift(1)
-    glist = sorted(groups.values(), key=lambda g: -g["v"])  # activation order
     stacked = None
     if native:
         # One (8G, 2^v_max) canonical uint32 matrix: per group 4 F rows +
@@ -270,7 +284,7 @@ def prove_batch_eval(claims: List[BatchClaim],
         # on it in place; rows of not-yet-active groups hold garbage the
         # per-round DAG never reads).
         stacked = np.zeros((8 * len(glist), 1 << v_max), dtype=np.uint32)
-    for rnd in range(v_max):
+    for rnd in range(0 if mesh_ran else v_max):
         v_cur = v_max - rnd  # vars remaining INCLUDING this round's
         for gi, g in enumerate(glist):
             # Group activates this round: fold its accumulated pad scale

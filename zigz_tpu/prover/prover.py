@@ -290,7 +290,7 @@ class Prover:
 
         unified = prove_unified(
             F, transcript, [core, validity, reg, mem, bc],
-            self._hash_mode(), timings=self.last_timings,
+            self._hash_mode(), timings=self.last_timings, mesh=self.mesh,
         )
         self.last_timings["unified_s"] = time.perf_counter() - t0
 

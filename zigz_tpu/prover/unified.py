@@ -101,7 +101,13 @@ def _namespace(arg, cols: Dict[str, np.ndarray], commit_key: str,
 
 
 def prove_unified(F, transcript, args: List, hash_mode: str = "sha3",
-                  timings: Optional[dict] = None) -> UnifiedProof:
+                  timings: Optional[dict] = None, mesh=None) -> UnifiedProof:
+    """With a ``mesh`` (jax.sharding.Mesh over the trace axis, SURVEY
+    §2.11 rows 3-4) the DATA/ADVICE Ligero commits run SPMD
+    (commitments/ligero.py mesh path) and the batch-evaluation sumcheck
+    psums its round sums (proofs/batch_eval.py) — proof bytes are
+    identical to the replicated path (the dryrun asserts this end to
+    end)."""
     import time
 
     data_full: Dict[str, np.ndarray] = {}
@@ -112,11 +118,17 @@ def prove_unified(F, transcript, args: List, hash_mode: str = "sha3",
     data_state = None
     if data_full:
         t0 = time.perf_counter()
-        data_state = ligero_commit_mixed(F, data_full, hash_mode)
+        data_state = ligero_commit_mixed(F, data_full, hash_mode, mesh=mesh)
         transcript.append_bytes(b"V2_DATA")
         transcript.append_bytes(data_state.root)
         if timings is not None:
             timings["data_commit_s"] = time.perf_counter() - t0
+            if mesh is not None:
+                from ..ops.ligero_mesh import MeshEncoded
+
+                timings["data_commit_sharded"] = isinstance(
+                    data_state.encoded, MeshEncoded
+                )
 
     advice_full: Dict[str, np.ndarray] = {}
     t0 = time.perf_counter()
@@ -134,7 +146,14 @@ def prove_unified(F, transcript, args: List, hash_mode: str = "sha3",
     # guaranteed by exact mod-p arithmetic (tests/test_advice_dev.py).
     advice_dev: Dict[str, object] = {}
     advice_dev_failed: List[str] = []
-    if data_state is not None and advice_full:
+    if mesh is not None:
+        # Mesh path: advice columns upload from host into the SHARDED
+        # commit (device_advice builds land unsharded on the default
+        # device and would fight the row sharding; the mesh path's cost
+        # model is per-host PCIe, not the tunneled single-chip link the
+        # device-advice optimization exists for).
+        pass
+    elif data_state is not None and advice_full:
         t0 = time.perf_counter()
         for a in args:
             build = getattr(a, "device_advice", None)
@@ -172,11 +191,18 @@ def prove_unified(F, transcript, args: List, hash_mode: str = "sha3",
     if advice_full:
         t0 = time.perf_counter()
         advice_state = ligero_commit_mixed(F, advice_full, hash_mode,
-                                           dev_columns=advice_dev or None)
+                                           dev_columns=advice_dev or None,
+                                           mesh=mesh)
         transcript.append_bytes(b"V2_ADVICE")
         transcript.append_bytes(advice_state.root)
         if timings is not None:
             timings["advice_commit_s"] = time.perf_counter() - t0
+            if mesh is not None:
+                from ..ops.ligero_mesh import MeshEncoded
+
+                timings["advice_commit_sharded"] = isinstance(
+                    advice_state.encoded, MeshEncoded
+                )
 
     sink = ClaimSink()
     t0 = time.perf_counter()
@@ -199,7 +225,7 @@ def prove_unified(F, transcript, args: List, hash_mode: str = "sha3",
         columns = {("data", fn): arr for fn, arr in data_full.items()}
         columns.update({("advice", fn): arr for fn, arr in advice_full.items()})
         t0 = time.perf_counter()
-        batch = prove_batch_eval(sink.claims, columns, transcript)
+        batch = prove_batch_eval(sink.claims, columns, transcript, mesh=mesh)
         if timings is not None:
             timings["batch_eval_s"] = time.perf_counter() - t0
         rho = batch.final_point
