@@ -156,6 +156,7 @@ def bench_prover_v2(num_steps: int, passes: int = 2):
         k: (round(v, 4) if isinstance(v, float) else v)
         for k, v in prover.last_timings.items()
         if k.endswith("_s") or k.startswith("advice_dev")
+        or k.endswith("_path")  # which encode backend each commit used
     }
     return num_steps / min(times), times, len(data), min(vt), timings
 

@@ -21,22 +21,24 @@ Scheme (Ligero/Brakedown lineage, tensor-query flavor):
   point r splits into row weights a (size m) and column weights b (size n)
   with f(r) = a^T M b (matching the zerocheck's fold ordering, r_1 = MSB).
   The prover sends u = a_hat^T M (a_hat = gamma-scaled a stacked over the B
-  blocks); the verifier draws NUM_RHO random vectors rho and receives
-  w_i = rho_i^T M (proximity/consistency repetitions); then t random
-  columns are opened and checked: Enc(u)[j] == a_hat . col_j and
-  Enc(w_i)[j] == rho_i . col_j, plus the Merkle paths; finally
-  <u, b> == sum_k gamma^k claimed_eval_k.
+  blocks); optionally (NUM_RHO > 0, off by default since round 5 — see
+  LigeroParams) extra proximity rows w_i = rho_i^T M; then t random
+  columns are opened and checked against ONE deduplicated Merkle
+  multiproof: Enc(u)[j] == a_hat . col_j (and Enc(w_i)[j] == rho_i .
+  col_j when present); finally <u, b> == sum_k gamma^k claimed_eval_k.
+  Default code/query sizing: rate 1/8, t = 64 (see LigeroParams).
 
 Soundness (the claim of record lives in PROVER.md "Soundness budget"):
-analyzed in the proximity-gaps / Johnson regime — correlated agreement of
-the random row combinations up to delta = 1 - sqrt(rate) - eta (BCIKS
-FOCS'20 Thm 1.2), then each of the t uniform columns catches a far matrix
-w.p. >= delta, so t=110 at rate 1/4 carries ~2^-103 plus a
-poly(n_e)/|K| correlated-agreement term.  All algebraic draws (batching
-gamma, NUM_RHO proximity rows) come from BabyBear^4 (core/ext4.py,
-|K| ~ 2^124), closing the round-2 verdict's base-field grinding hole;
-the no-assumptions unique-decoding floor of the same parameters is
-~2^-46.
+analyzed in the proximity-gaps regime — correlated agreement of the
+verifier-randomized power combination u (gamma^k across row blocks; the
+BCIKS FOCS'20 parameterized-curves theorem), then each of the t uniform
+columns catches a far matrix w.p. >= delta (t = 64 at rate 1/8).  The
+claim row u carries the correlated-agreement role itself, so no separate
+testing-phase row is needed (classic Ligero's testing phase exists
+because its claim combination is not verifier-randomized).  All
+algebraic draws come from BabyBear^4 (core/ext4.py, |K| ~ 2^124),
+closing the round-2 verdict's base-field grinding hole (the
+no-assumptions unique-decoding floor of the sizing is in PROVER.md).
 Claims may carry base or extension row/column weights (``a``/``b``): the
 evaluation claims at extension zerocheck points use Ext4 eq-tensors, the
 hypercube-sum claims stay base all-ones vectors.  The combined query rows
@@ -47,13 +49,13 @@ rows).  The reference itself draws all challenges from the base field
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from typing import Dict, List
 
 import numpy as np
 
 from ..core.hash import FiatShamirTranscript
-from .merkle import MerklePath, _hash_fns
+from .merkle import _hash_fns
 
 __all__ = [
     "LigeroParams",
@@ -233,22 +235,49 @@ def _ntt_pow2_numpy(rows: np.ndarray, n_out: int) -> np.ndarray:
     return x
 
 
+_DEFAULT_NUM_RHO = None  # resolved lazily from the env (test knob)
+
+
+def _default_num_rho() -> int:
+    global _DEFAULT_NUM_RHO
+    if _DEFAULT_NUM_RHO is None:
+        import os
+
+        _DEFAULT_NUM_RHO = int(os.environ.get("ZIGZ_TPU_LIGERO_RHO", "0"))
+    return _DEFAULT_NUM_RHO
+
+
 @dataclass
 class LigeroParams:
-    """Code/query parameters.  Sized for >= 100-bit column-test soundness
-    under the stated proximity-gaps/Johnson analysis (PROVER.md
-    "Soundness budget"): at rate 1/4 each uniform query contributes
-    -log2(sqrt(rho)+eta) ~ 0.94 bits, so 110 queries carry ~103 bits.
-    One proximity row suffices: the correlated-agreement failure of a
-    random K-combination is poly(n_e)/|K| ~ 2^-100 per row with
-    K = BabyBear^4, and the per-claim batched query rows u are subject to
-    the same column-consistency checks (round 3 shipped t=128/rho=2 — a
-    belt-and-braces sizing from before the Johnson analysis was the
-    documented claim; the diet is ~35% of proof size)."""
+    """Code/query parameters.  Sized for the stated proximity-gaps
+    analysis (PROVER.md "Soundness budget"): at rate 1/4 each uniform
+    query contributes -log2(1-delta) bits against a delta-far matrix.
 
-    inv_rate: int = 4
-    num_queries: int = 110
-    num_rho: int = 1
+    Round-5 sizing: rate 1/8 with t = 64 queries.  Per uniform query a
+    delta-far matrix survives w.p. 1-delta with delta = 1-sqrt(rho)(1+
+    1/(2m)) = 0.558 at m = 2 (Johnson regime): ~1.18 bits/query, so the
+    64-query sampling term carries ~75 bits and the scheme stays
+    correlated-agreement-limited (~66-68 proven bits, ~94 conjectured —
+    PROVER.md "Soundness budget" is the claim of record).  Versus the
+    round-4 rate-1/4/t=110 sizing this halves the opened-column bytes
+    and the query count at a ~2x encode/hash cost per commit and ~2-5
+    proven CA bits (the conjectured reading is unchanged); both
+    readings remain within a few bits of their best for the rate.
+
+    num_rho = 0 (round 5): the separate proximity row w is REDUNDANT
+    under the claim-of-record analysis — the per-claim batched query row
+    u is itself a random power-combination (gamma^k across row blocks)
+    subject to the identical column-consistency checks, so the
+    correlated-agreement step (BCIKS curves theorem) already applies to
+    it; classic Ligero needed a distinct testing phase only because its
+    claim combination was not verifier-randomized.  Dropping w removes a
+    16n-byte extension row per commitment (~25-30% of v2 proof size) and
+    one term from the CA union bound.  Set ZIGZ_TPU_LIGERO_RHO=1 (both
+    sides) to restore the belt-and-braces row."""
+
+    inv_rate: int = 8
+    num_queries: int = 64
+    num_rho: int = field(default_factory=_default_num_rho)
 
     def choose_split(self, v: int, num_polys: int) -> int:
         """log2(n): balance column-opening bytes (t*B*m) vs row bytes
@@ -339,7 +368,11 @@ class LigeroEvalProof:
     us: List[np.ndarray]  # one (n,) row per claim
     ws: List[np.ndarray]  # num_rho x (n,)
     columns: np.ndarray  # (t, B*m) opened encoded columns
-    paths: List[MerklePath]
+    # Deduplicated Merkle MULTIPROOF for the t opened columns: the
+    # sibling digests of the covered-subtree frontier in the
+    # deterministic order of _multiproof_schedule (round 5 — shared path
+    # prefixes across the t indices were ~40-50% redundant bytes).
+    nodes: List[bytes]
 
     # Backward-compatible accessor for single-claim proofs.
     @property
@@ -448,20 +481,66 @@ def _row_col_weights(rs: List, cn: int):
     return a, b
 
 
-def _open_column_paths(state: LigeroCommitState, indices: List[int]) -> List[MerklePath]:
-    paths = []
+def _multiproof_schedule(indices: List[int], height: int) -> List[tuple]:
+    """Deterministic (level, sibling_position) list both sides derive
+    from the (transcript-fixed) query indices: per level, walk the known
+    positions in sorted order and record every sibling NOT itself known.
+    Shared ancestors are computed, never shipped."""
+    need = []
+    cur = sorted(set(indices))
+    for level in range(height):
+        known = set(cur)
+        for pos in cur:
+            if pos ^ 1 not in known:
+                need.append((level, pos ^ 1))
+        cur = sorted({pos >> 1 for pos in cur})
+    return need
+
+
+def _multiproof_nodes(state: LigeroCommitState, indices: List[int]) -> List[bytes]:
     height = state.n_e.bit_length() - 1
-    for idx in indices:
-        sibs, dirs = [], []
-        cur = idx
-        for level in range(height):
-            is_right = (cur % 2) == 1
-            sib = cur - 1 if is_right else cur + 1
-            sibs.append(state.levels[level][sib * 32 : sib * 32 + 32])
-            dirs.append(is_right)
-            cur //= 2
-        paths.append(MerklePath(siblings=sibs, directions=dirs))
-    return paths
+    return [
+        state.levels[level][pos * 32 : pos * 32 + 32]
+        for level, pos in _multiproof_schedule(indices, height)
+    ]
+
+
+def _multiproof_verify(indices: List[int], leaf_blob: bytes,
+                       nodes: List[bytes], root: bytes, height: int,
+                       hasher) -> bool:
+    """Reconstruct the root from the opened columns' leaf digests plus
+    the frontier ``nodes`` (consumed in _multiproof_schedule order).
+    Duplicate indices must carry identical leaf digests."""
+    known: Dict[int, bytes] = {}
+    for t_i, idx in enumerate(indices):
+        d = leaf_blob[t_i * 32 : (t_i + 1) * 32]
+        if known.setdefault(idx, d) != d:
+            return False  # same column opened twice with different data
+    it = iter(nodes)
+    try:
+        for _level in range(height):
+            positions = sorted(known)
+            nxt: Dict[int, bytes] = {}
+            for pos in positions:
+                parent = pos >> 1
+                if parent in nxt:
+                    continue
+                sib = pos ^ 1
+                sib_digest = known.get(sib)
+                if sib_digest is None:
+                    sib_digest = next(it)
+                    if len(sib_digest) != 32:
+                        return False
+                if pos % 2 == 0:
+                    nxt[parent] = hasher.hash_internal(known[pos], sib_digest)
+                else:
+                    nxt[parent] = hasher.hash_internal(sib_digest, known[pos])
+            known = nxt
+    except StopIteration:
+        return False
+    if next(it, None) is not None:
+        return False  # trailing unconsumed nodes
+    return len(known) == 1 and known.get(0) == root
 
 
 def _pow_range(base: int, count: int) -> np.ndarray:
@@ -579,8 +658,8 @@ def ligero_prove_claims(state: LigeroCommitState, claims: List[LigeroClaim],
 
         gathered = jnp.take(state.encoded, jnp.asarray(indices), axis=1)
         columns = np.asarray(gathered).T.astype(np.uint64)
-    paths = _open_column_paths(state, indices)
-    return LigeroEvalProof(us=us, ws=ws, columns=columns, paths=paths)
+    nodes = _multiproof_nodes(state, indices)
+    return LigeroEvalProof(us=us, ws=ws, columns=columns, nodes=nodes)
 
 
 def ligero_verify_claims(F, root: bytes, num_vars: int, names: List[str],
@@ -610,8 +689,6 @@ def ligero_verify_claims(F, root: bytes, num_vars: int, names: List[str],
     if any(not (isinstance(w, Ext4) and w.shape == (n,)) for w in proof.ws):
         return False
     if proof.columns.shape != (params.num_queries, B * m):
-        return False
-    if len(proof.paths) != params.num_queries:
         return False
 
     a_hats = []
@@ -665,19 +742,9 @@ def ligero_verify_claims(F, root: bytes, num_vars: int, names: List[str],
 
     leaf_blob = _hash_columns(cols.T, hash_mode)
     _, merge_fn, hasher = _hash_fns(hash_mode)
-    for t, (idx, path) in enumerate(zip(indices, proof.paths)):
-        if len(path.siblings) != height:
-            return False
-        current = leaf_blob[t * 32 : (t + 1) * 32]
-        walk = idx
-        for sibling in path.siblings:
-            if walk & 1:
-                current = hasher.hash_internal(sibling, current)
-            else:
-                current = hasher.hash_internal(current, sibling)
-            walk >>= 1
-        if current != root:
-            return False
+    if not _multiproof_verify(indices, leaf_blob, proof.nodes, root, height,
+                              hasher):
+        return False
 
     return bindings_ok
 
@@ -1024,6 +1091,7 @@ def ligero_commit_mixed(F, columns: Dict[str, np.ndarray], hash_mode: str = "sha
         else:
             mat[off, : len(arr)] = arr
     encoded = None
+    commit_path = "host"
     if hash_mode == "sha3" and mesh is not None:
         from ..ops.ligero_mesh import (
             MeshEncoded,
@@ -1037,6 +1105,7 @@ def ligero_commit_mixed(F, columns: Dict[str, np.ndarray], hash_mode: str = "sha
                 mesh, mat.astype(np.uint32), n_e
             )
             encoded = MeshEncoded(mesh, mat_dev, n_e, total_rows)
+            commit_path = "mesh"
     if encoded is None and hash_mode == "sha3" and _mixed_commit_use_device(total):
         # Streamed TPU Reed-Solomon encode + column hashing
         # (ops/ligero_dev): input rows ride the link up in blocks, each is
@@ -1070,6 +1139,7 @@ def ligero_commit_mixed(F, columns: Dict[str, np.ndarray], hash_mode: str = "sha
                 mat_dev = _upload_mat_packed(mat.astype(np.uint32))
             leaf_digests = sha3_columns_stream_device(mat_dev, n_e)
             encoded = StreamedEncoded(mat_dev, n_e)
+            commit_path = "stream-dev"
         except Exception:
             import os as _os
 
@@ -1080,7 +1150,7 @@ def ligero_commit_mixed(F, columns: Dict[str, np.ndarray], hash_mode: str = "sha
         encoded = ntt_pow2_u32(mat, params.inv_rate * n)
         leaf_digests = _hash_columns(encoded, hash_mode)
     levels = _build_levels(leaf_digests, hash_mode)
-    return LigeroCommitState(
+    state = LigeroCommitState(
         root=levels[-1],
         names=names,
         num_vars=max(col_vars.values()),
@@ -1097,6 +1167,12 @@ def ligero_commit_mixed(F, columns: Dict[str, np.ndarray], hash_mode: str = "sha
         offsets=offsets,
         heights=heights,
     )
+    # Which encode/hash backend produced this commitment ("host",
+    # "stream-dev", "mesh") — surfaced through last_timings/bench so a
+    # silently-degraded device path is driver-visible (round-4 weak #5
+    # generalized to the commit paths).
+    state.commit_path = commit_path
+    return state
 
 
 @dataclass
@@ -1192,8 +1268,8 @@ def ligero_prove_mixed(state: LigeroCommitState, claims: List[LigeroMixedClaim],
 
         gathered = jnp.take(state.encoded, jnp.asarray(indices), axis=1)
         columns = np.asarray(gathered).T.astype(np.uint64)
-    paths = _open_column_paths(state, indices)
-    return LigeroEvalProof(us=us, ws=ws, columns=columns, paths=paths)
+    nodes = _multiproof_nodes(state, indices)
+    return LigeroEvalProof(us=us, ws=ws, columns=columns, nodes=nodes)
 
 
 def ligero_verify_mixed(F, root: bytes, col_vars: Dict[str, int],
@@ -1224,8 +1300,6 @@ def ligero_verify_mixed(F, root: bytes, col_vars: Dict[str, int],
     if any(not (isinstance(w, Ext4) and w.shape == (n,)) for w in proof.ws):
         return False
     if proof.columns.shape != (params.num_queries, total_rows):
-        return False
-    if len(proof.paths) != params.num_queries:
         return False
 
     a_hats = []
@@ -1275,18 +1349,8 @@ def ligero_verify_mixed(F, root: bytes, col_vars: Dict[str, int],
 
     leaf_blob = _hash_columns(cols.T, hash_mode)
     _, merge_fn, hasher = _hash_fns(hash_mode)
-    for t, (idx, path) in enumerate(zip(indices, proof.paths)):
-        if len(path.siblings) != height:
-            return False
-        current = leaf_blob[t * 32 : (t + 1) * 32]
-        walk = idx
-        for sibling in path.siblings:
-            if walk & 1:
-                current = hasher.hash_internal(sibling, current)
-            else:
-                current = hasher.hash_internal(current, sibling)
-            walk >>= 1
-        if current != root:
-            return False
+    if not _multiproof_verify(indices, leaf_blob, proof.nodes, root, height,
+                              hasher):
+        return False
 
     return bindings_ok

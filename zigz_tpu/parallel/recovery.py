@@ -177,7 +177,8 @@ def run_worker(job_dir: str) -> None:
                 "sha256": h.hexdigest(),
                 "bytes": size,
                 "num_steps": proof.metadata.num_steps,
-                "timings": {k: round(v, 4) for k, v in prover.last_timings.items()},
+                "timings": {k: (round(v, 4) if isinstance(v, float) else v)
+            for k, v in prover.last_timings.items()},
             }) + "\n")
     finally:
         stop.set()

@@ -589,10 +589,11 @@ class BinarySerializer:
         w.u32(t)
         w.u32(rows)
         w.bytes_(np.ascontiguousarray(pp.columns, dtype="<u4").tobytes())
-        for path in pp.paths:
-            w.u32(len(path.siblings))
-            for sib in path.siblings:
-                w.bytes_(sib)
+        # Merkle MULTIPROOF (round 5): one deduplicated frontier-node list
+        # for all t opened columns instead of t full paths.
+        w.u32(len(pp.nodes))
+        for node in pp.nodes:
+            w.bytes_(node)
 
     # -- lookup validity (lookups/validity.py) -----------------------------
     # Layout: u64 nonce | u32 num_tables; per table (ids ascending):
@@ -732,7 +733,6 @@ class BinarySerializer:
         import numpy as np
 
         from ..commitments.ligero import LigeroEvalProof, P
-        from ..commitments.merkle import MerklePath
         from ..core.ext4 import Ext4
 
         n = r.u32()
@@ -757,11 +757,11 @@ class BinarySerializer:
         # Canonical encoding only (same malleability argument as _read_ext).
         if columns.size and int(columns.max()) >= P:
             raise SerializationError("InvalidData")
-        paths = []
-        for _ in range(t):
-            path_len = r.u32()
-            paths.append(MerklePath(siblings=[r.bytes_(32) for _ in range(path_len)]))
-        return LigeroEvalProof(us=us, ws=ws, columns=columns, paths=paths)
+        num_nodes = r.u32()
+        if num_nodes > (1 << 24):
+            raise SerializationError("InvalidData")
+        nodes = [r.bytes_(32) for _ in range(num_nodes)]
+        return LigeroEvalProof(us=us, ws=ws, columns=columns, nodes=nodes)
 
     def _read_v2_section(self, r: _Reader, version: int = 2):
         from .proof import V2Section

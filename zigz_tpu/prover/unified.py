@@ -123,6 +123,8 @@ def prove_unified(F, transcript, args: List, hash_mode: str = "sha3",
         transcript.append_bytes(data_state.root)
         if timings is not None:
             timings["data_commit_s"] = time.perf_counter() - t0
+            timings["data_commit_path"] = getattr(data_state, "commit_path",
+                                                  "host")
             if mesh is not None:
                 from ..ops.ligero_mesh import MeshEncoded
 
@@ -197,6 +199,8 @@ def prove_unified(F, transcript, args: List, hash_mode: str = "sha3",
         transcript.append_bytes(advice_state.root)
         if timings is not None:
             timings["advice_commit_s"] = time.perf_counter() - t0
+            timings["advice_commit_path"] = getattr(advice_state,
+                                                    "commit_path", "host")
             if mesh is not None:
                 from ..ops.ligero_mesh import MeshEncoded
 
