@@ -184,9 +184,20 @@ def _main_inner():
             break
     warm_stddev = round(statistics.stdev(warm), 3) if len(warm) >= 2 else None
 
+    # Measured host->device bandwidth this run: the link varies ~3x and
+    # gates the auto device-commit paths — reported so a slow-link run is
+    # distinguishable from a code regression.
+    try:
+        from zigz_tpu.ops.zerocheck_gen import device_transfer_mbps
+
+        link_mbps = round(device_transfer_mbps(), 1)
+    except Exception:
+        link_mbps = None
+
     extra = {
         "prover_steps_per_s": round(steps_per_s),
         "prover_num_steps": timings.get("num_steps"),
+        "device_link_mbps": link_mbps,
         "prover_warm_s": [round(t, 3) for t in warm],
         "prover_warm_stddev_s": warm_stddev,
         "mont_vs_raw_mul_ratio": round(mont_vs_raw, 4),

@@ -888,7 +888,15 @@ def _mixed_commit_use_device(total_data: int) -> bool:
             return False
         from ..ops.zerocheck_gen import device_transfer_mbps
 
-        return device_transfer_mbps() >= 60.0
+        # Crossover: the streamed path ships the (width-packed) input
+        # once; the host path pays the full-rate NTT + column Keccak on
+        # 4 cores.  At the round-5 rate-1/8 sizing the host cost doubled
+        # (measured 33 s data / 59 s advice at 2^20) while the upload
+        # stayed put, so the device path wins even on a degraded tunnel
+        # — the old 60 MB/s gate silently fell back to the 3-4x slower
+        # host commit exactly when the link was bad (caught by the
+        # commit_path bench field, round 5).
+        return device_transfer_mbps() >= 15.0
     except Exception:
         return False
 

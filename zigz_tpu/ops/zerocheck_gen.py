@@ -105,19 +105,29 @@ _measured_bw: list = []  # one-element cache
 
 
 def device_transfer_mbps() -> float:
-    """Measured host->device bandwidth (MB/s), probed once per process
-    with an 8 MB upload."""
-    if not _measured_bw:
-        import time
+    """Measured host->device bandwidth (MB/s), probed with an 8 MB
+    upload.  A LOW cached measurement is re-probed (keeping the max of
+    up to 3 probes): the first probe can land while earlier async device
+    work still saturates the link — in the round-5 bench dress rehearsal
+    that one stale number silently routed every v2 commit to the 3-4x
+    slower host path for the rest of the process."""
+    import time
 
-        import jax
-        import numpy as np
+    import jax
+    import numpy as np
 
+    def probe() -> float:
         buf = np.zeros((8 << 20) // 4, dtype=np.uint32)
         jax.block_until_ready(jax.device_put(buf[:1024]))  # warm the path
         t0 = time.perf_counter()
         jax.block_until_ready(jax.device_put(buf))
-        _measured_bw.append(8.0 / (time.perf_counter() - t0))
+        return 8.0 / (time.perf_counter() - t0)
+
+    if not _measured_bw:
+        _measured_bw.append(probe())
+    elif _measured_bw[0] < 60.0 and len(_measured_bw) < 3:
+        _measured_bw[0] = max(_measured_bw[0], probe())
+        _measured_bw.append(0.0)  # retry counter
     return _measured_bw[0]
 
 
